@@ -1,0 +1,70 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Debezium envelope parsing, operation classification, and enrichment —
+  * the ingest front door, as executor-side column expressions.
+  *
+  * The reference does all of this in driver-side Python, record at a time
+  * (`/root/reference/src/processor/spark_batch.py:118-244`). Here the same
+  * semantics are `from_json` + `when/otherwise` + date functions: fully
+  * codegen'd, distributed, and (because the plan is declarative) subject to
+  * Catalyst column pruning — at 100 TB the scan only reads the `value` bytes.
+  */
+object CdcParse {
+
+  /** Parse raw message bytes/strings into payload columns and drop invalid
+    * messages.
+    *
+    * Validity rules mirror `process_kafka_message`
+    * (`spark_batch.py:118-190`): reject null values, empty strings, the
+    * literal `"empty"` sentinel, unparseable JSON, and envelopes without a
+    * payload. `from_json` runs PERMISSIVE, so malformed JSON surfaces as a
+    * null struct and is filtered — same end state as the reference's
+    * try/except-continue, without a driver loop.
+    *
+    * @param raw      frame holding one message per row
+    * @param valueCol column with the JSON envelope (string or binary)
+    */
+  def parseEnvelope(raw: DataFrame, valueCol: String = "value",
+                    schema: org.apache.spark.sql.types.StructType = CdcModel.envelopeSchema): DataFrame = {
+    val asString = col(valueCol).cast("string")
+    raw
+      .withColumn("__envelope",
+        when(asString.isNull || asString === "" || asString === "empty", lit(null))
+          .otherwise(from_json(asString, schema)))
+      .filter(col("__envelope").isNotNull && col("__envelope.payload").isNotNull)
+      .select(col("*"), col("__envelope.payload.*"))
+      .drop("__envelope", valueCol)
+  }
+
+  /** Operation classifier (`determine_operation`, `spark_batch.py:101-116`):
+    * `__deleted == 'true'` → 'd'; missing id → 'c'; otherwise 'u'.
+    * Kept bug-compatible on purpose: Debezium rewrite payloads always carry
+    * an id, so 'c' is effectively unreachable (SURVEY.md §7.4.4) — merge
+    * semantics (NOT MATCHED → INSERT) make that harmless.
+    */
+  def classifyOperation(deleted: Column, id: Column): Column =
+    when(lower(coalesce(deleted.cast("string"), lit("false"))) === "true", lit("d"))
+      .when(id.isNull, lit("c"))
+      .otherwise(lit("u"))
+
+  /** Enrichment (`spark_batch.py:224-236`): stamp processing time, derive
+    * `year`/`month` partition columns from it, and default `on_offer` to
+    * false. `eventTime` defaults to `current_timestamp()`; tests pass a
+    * deterministic column.
+    */
+  def enrich(df: DataFrame, eventTime: Column = current_timestamp()): DataFrame =
+    df.withColumn("operation", classifyOperation(col("__deleted"), col("id")))
+      .withColumn("processing_time", eventTime)
+      .withColumn("year", date_format(col("processing_time"), "yyyy"))
+      .withColumn("month", date_format(col("processing_time"), "MM"))
+      .withColumn("on_offer", coalesce(col("on_offer"), lit(false)))
+      .drop("__deleted")
+
+  /** Full front door: parse → classify → enrich. */
+  def pipeline(raw: DataFrame, valueCol: String = "value",
+               eventTime: Column = current_timestamp()): DataFrame =
+    enrich(parseEnvelope(raw, valueCol), eventTime)
+}

@@ -1,0 +1,158 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-versioned keyed table over parquet — the engine's stand-in for
+  * the reference's Iceberg table (`/root/reference/src/processor/
+  * spark_batch.py:52-99`), since no iceberg-spark-runtime jar ships here.
+  *
+  * Layout: `root/v{N}/part-*.parquet` per snapshot plus a `_latest` pointer
+  * file; commits are write-new-version-then-swing-pointer, which mirrors
+  * Iceberg's snapshot commit (atomic on a POSIX rename; on a real deployment
+  * this role is played by the catalog). History is queryable ([[history]]) —
+  * the analog of Iceberg's `.history` metadata table (S5,
+  * `validation.py:731-740`).
+  *
+  * Partitioning: optional partition columns (the reference partitions by
+  * `(year, month)`, `spark_batch.py:84`) are honored on write so partition
+  * pruning works on read.
+  *
+  * Maintenance parity (M1-M3, `spark_batch.py:408-432`):
+  * [[compact]] ~ `rewrite_data_files`, [[expireSnapshots]] ~
+  * `expire_snapshots`, [[removeOrphanFiles]] ~ `remove_orphan_files`.
+  */
+final class KeyedParquetTable(
+    val spark: SparkSession,
+    val root: String,
+    val keys: Seq[String],
+    val partitionBy: Seq[String] = Nil) {
+
+  private def rootPath: Path = Paths.get(root)
+  private def pointer: Path = rootPath.resolve("_latest")
+  private def versionDir(v: Long): Path = rootPath.resolve(s"v$v")
+
+  /** Current snapshot id, or -1 if the table has no committed snapshot. */
+  def currentVersion: Long =
+    if (Files.exists(pointer)) Files.readString(pointer).trim.toLong else -1L
+
+  def exists: Boolean = currentVersion >= 0
+
+  /** Read the current snapshot (S4). */
+  def read(): DataFrame = {
+    val v = currentVersion
+    require(v >= 0, s"table $root has no snapshot")
+    spark.read.parquet(versionDir(v).toString)
+  }
+
+  /** Commit a new snapshot containing exactly `df`. */
+  def commit(df: DataFrame): Long = {
+    val next = currentVersion + 1
+    Files.createDirectories(rootPath)
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(versionDir(next).toString)
+    val tmp = rootPath.resolve(s"_latest.tmp$next")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    next
+  }
+
+  /** Create with an explicit schema if absent (K1). */
+  def createIfNotExists(schema: org.apache.spark.sql.types.StructType): Unit =
+    if (!exists)
+      commit(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+
+  /** MERGE a deduped CDC batch and commit the merged snapshot (K4). */
+  def merge(source: DataFrame, opCol: String = "operation"): Long = {
+    require(exists, s"merge target $root does not exist")
+    commit(Merge.mergeUpsert(read(), source, keys, opCol))
+  }
+
+  /** Append rows as a new snapshot (K5) — one commit per batch, by design;
+    * the reference commits once per Kafka partition per batch
+    * (`spark_exactly_once.py:351-360`), its main scalability bug.
+    */
+  def append(df: DataFrame): Long = {
+    val cur = if (exists) read() else df.limit(0)
+    commit(cur.unionByName(df))
+  }
+
+  /** Snapshot history — analog of Iceberg's `.history` metadata table. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val rows = if (!Files.exists(rootPath)) Seq.empty else
+      Files.list(rootPath).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("v"))
+        .map { p =>
+          (p.getFileName.toString.drop(1).toLong,
+            new java.sql.Timestamp(Files.getLastModifiedTime(p).toMillis),
+            p.getFileName.toString.drop(1).toLong == currentVersion)
+        }.toSeq.sortBy(_._1)
+    rows.toDF("snapshot_id", "made_current_at", "is_current")
+  }
+
+  /** File inventory of the current snapshot — analog of `.manifests`/`.files`. */
+  def files(): DataFrame = {
+    import spark.implicits._
+    val v = currentVersion
+    val fs = if (v < 0) Seq.empty else walkParquet(versionDir(v))
+    fs.map(p => (p.toString, Files.size(p))).toDF("file_path", "size_bytes")
+  }
+
+  private def walkParquet(dir: Path): Seq[Path] =
+    Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq
+
+  /** M1: rewrite small files — re-commit the snapshot with sane file sizes
+    * if the current one has at least `minInputFiles` fragments.
+    */
+  def compact(minInputFiles: Int = 5, targetPartitions: Int = 1): Option[Long] = {
+    if (!exists || files().count() < minInputFiles) None
+    else Some(commit(read().repartition(targetPartitions)))
+  }
+
+  /** M2: drop snapshot dirs older than `olderThanMs`, always retaining the
+    * newest `retainLast` (and never the current pointer target).
+    */
+  def expireSnapshots(olderThanMs: Long, retainLast: Int = 5): Seq[Long] = {
+    val cur = currentVersion
+    val all = if (!Files.exists(rootPath)) Seq.empty[Long] else
+      Files.list(rootPath).iterator().asScala
+        .map(_.getFileName.toString).filter(_.matches("v\\d+"))
+        .map(_.drop(1).toLong).toSeq.sorted
+    val keep = all.takeRight(retainLast).toSet + cur
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val victims = all.filterNot(keep).filter { v =>
+      Files.getLastModifiedTime(versionDir(v)).toMillis < cutoff
+    }
+    victims.foreach(v => deleteRecursively(versionDir(v)))
+    victims
+  }
+
+  /** M3: delete files under the root that belong to no live snapshot. */
+  def removeOrphanFiles(): Seq[String] = {
+    if (!Files.exists(rootPath)) return Nil
+    val live = Files.list(rootPath).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n == "_latest" || n.matches("v\\d+")).toSet
+    val orphans = Files.list(rootPath).iterator().asScala
+      .filterNot(p => live(p.getFileName.toString)).toSeq
+    orphans.foreach(deleteRecursively)
+    orphans.map(_.toString)
+  }
+
+  /** K6: drop the table and purge all data. */
+  def drop(): Unit = if (Files.exists(rootPath)) deleteRecursively(rootPath)
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}
