@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.cdc.{CdcParse, KeyedParquetTable, Merge}
-import graft.ops.Dedup
+import graft.ops.{Dedup, FuzzyDedup, Multimodal, Similarity, TextOps}
 
 /** The engine's registered query workload.
   *
@@ -386,7 +386,180 @@ object Queries {
       },
       Some("""SELECT event_id, user_id, event_type, value FROM events
              |WHERE ts > (SELECT MAX(ts) - INTERVAL 7 DAY FROM events)
-             |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin))
+             |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin)),
+
+    // ---- Text analysis over `documents` (LLM-pipeline extensions) ----------
+
+    // Token counting + length stats as pure column expressions.
+    "q_text_stats" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("documents").select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          TextOps.tokenCountWs(col("text")).as("n_tokens"),
+          TextOps.avgTokenLen(col("text")).as("avg_token_len"))
+      },
+      Some("""SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+             |CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+             |CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             |  / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS avg_token_len
+             |FROM documents""".stripMargin),
+      headline = true),
+
+    // BPE-ish regex token counting.
+    "q_token_regex" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("documents").select(col("doc_id"),
+          TextOps.tokenCountRegex(col("text")).as("n_alpha_tokens"))
+      },
+      Some("""SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens
+             |FROM documents""".stripMargin)),
+
+    // Quality scoring (stopword ratio + length band + punctuation sanity).
+    "q_quality_score" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("documents").select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"))
+      },
+      Some("""SELECT doc_id,
+             |  LEAST(1.0, CASE WHEN nt = 0 THEN 0.0
+             |    ELSE CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) / nt END * 2.0) * 0.4
+             |  + (CASE WHEN nt BETWEEN 20 AND 1000 THEN 1.0 WHEN nt >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+             |  + (1.0 - LEAST(1.0, CASE WHEN LENGTH(text) = 0 THEN 0.0
+             |    ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / LENGTH(text) END * 5.0)) * 0.2
+             |  AS quality
+             |FROM (SELECT doc_id, text,
+             |  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS nt FROM documents) t""".stripMargin)),
+
+    // Language ID (stopword-table heuristic) — not ANSI-expressible cheaply;
+    // verified against a reimplementation in ScalaTest instead.
+    "q_lang_id" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("documents").select(col("doc_id"), col("lang").as("labeled_lang"),
+          TextOps.langId(col("text")).as("predicted_lang"))
+      },
+      None),
+
+    // Exact dedup by content hash (hash-groupBy).
+    "q_exact_dedup" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        FuzzyDedup.exactDedup(t("documents"), "doc_id", "text")
+      },
+      Some("""SELECT MD5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY text""".stripMargin)),
+
+    // 128-bit content fingerprints (exact-dedup key, P9 for documents).
+    "q_doc_fingerprint" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("documents").select(col("doc_id"),
+          TextOps.fingerprintMd5(col("text")).as("fp"))
+      },
+      Some("SELECT doc_id, MD5(text) AS fp FROM documents")),
+
+    // A6 done right: order-independent global checksum (bit_xor of a 60-bit
+    // md5 prefix) — scale-safe replacement for the reference's
+    // sort+collect_list fingerprint (validation.py:297-302).
+    "q_global_checksum" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("documents")
+          .select(expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("h"))
+          .agg(expr("bit_xor(h)").as("checksum"), count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT bit_xor(CAST(('0x' || substr(MD5(text), 1, 15)) AS BIGINT)) AS checksum,
+             |COUNT(*) AS n_rows FROM documents""".stripMargin)),
+
+    // MinHash-LSH near-dup candidate pairs with exact-Jaccard verification.
+    // Banded LSH — shuffle bounded by band buckets, no all-pairs join.
+    // Not SQL-expressible; ScalaTest proves planted near-dups are found.
+    "q_minhash_neardup" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        FuzzyDedup.nearDupPairs(t("documents"), "doc_id", "text", threshold = 0.5)
+      },
+      None,
+      headline = true),
+
+    // SimHash fingerprints per document.
+    "q_simhash" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("documents").select(col("doc_id"), FuzzyDedup.simhash("text").as("simhash"))
+      },
+      None),
+
+    // Winnowed rolling-hash fingerprint per document.
+    "q_winnow_fingerprint" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("documents").select(col("doc_id"),
+          TextOps.winnowFingerprint(col("text")).as("winnow_fp"))
+      },
+      None),
+
+    // ---- Similarity search over `embeddings` -------------------------------
+
+    // Per-vector L2 norm — double accumulation mirrored exactly in DuckDB.
+    "q_embedding_norms" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("embeddings").select(col("vec_id"),
+          Similarity.norm(col("embedding")).as("l2_norm"))
+      },
+      Some("""SELECT vec_id,
+             |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+             |FROM embeddings""".stripMargin)),
+
+    // Brute-force exact cosine top-k for a fixed query vector (vec_id 0).
+    "q_ann_bruteforce" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val emb = t("embeddings")
+        Similarity.cosineTopK(emb.filter(col("vec_id") =!= 0),
+          emb.filter(col("vec_id") === 0).select("embedding"),
+          "vec_id", "embedding", 20)
+      },
+      Some("""SELECT b.vec_id,
+             |  list_sum(list_transform(list_zip(b.embedding, q.embedding),
+             |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             |  / (sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |     * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+             |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             |WHERE b.vec_id <> 0
+             |ORDER BY sim DESC, b.vec_id ASC LIMIT 20""".stripMargin),
+      headline = true),
+
+    // LSH-bucketed ANN (multi-probe) — the scale path; recall vs brute force
+    // is asserted in ScalaTest.
+    "q_ann_lsh" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val emb = t("embeddings")
+        Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
+          emb.filter(col("vec_id") === 0).select("embedding"),
+          "vec_id", "embedding", 20)
+      },
+      None),
+
+    // ---- Multimodal plumbing ----------------------------------------------
+
+    // Binary payload + typed metadata; metadata-only projection (the blob is
+    // pruned at the scan).
+    "q_binary_meta" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        Multimodal.attachBinary(t("documents"), "text", "text/plain")
+          .select(col("doc_id"), col("media_meta.mime").as("mime"),
+            col("media_meta.n_bytes").as("n_bytes"))
+      },
+      Some("""SELECT doc_id, 'text/plain' AS mime,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             |FROM documents""".stripMargin))
   )
 
   /** Headline queries for Bench. */

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at scale: MinHash + banded LSH, SimHash, and
+  * exact n-gram Jaccard verification.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - candidate generation is ALWAYS bucket-bounded — signatures explode into
+  *    (band, bandHash) keys and candidates come from an equi-join on those
+  *    keys, so shuffle volume is O(docs × bands) and join fan-out is bounded
+  *    by bucket size. There is no all-pairs/cross-join path anywhere.
+  *  - signatures are fixed-width arrays of longs built by codegen'd
+  *    higher-order functions (no UDFs, no per-row JVM allocation beyond the
+  *    signature array).
+  *  - the expensive exact-Jaccard check runs only on candidate pairs.
+  */
+object FuzzyDedup {
+
+  /** Exact dedup: group identical content by md5, keep the smallest id.
+    * (hash-groupBy — one shuffle on the 128-bit fingerprint.)
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** n-token shingles of a document. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    val starts = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
+    transform(starts, i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
+  /** MinHash signature (k values, h_p(s) = xxhash64(s, p)) computed in ONE
+    * pass over the shingles: per shingle the k hashes, folded with an
+    * elementwise-min. Naively mapping `array_min(transform(...))` per hash
+    * function recomputes the shingle array k times once Catalyst collapses
+    * projections — this formulation touches each shingle exactly once.
+    */
+  def minhashSignature(text: Column, numHashes: Int = 32, shingle: Int = 3): Column =
+    aggregate(
+      shingles(text, shingle),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), p => xxhash64(s, p)),
+        (a, b) => least(a, b)))
+
+  /** Signature → `bands` band hashes, with the signature bound ONCE via the
+    * aggregate finish-lambda (no per-band recompute under project collapse).
+    */
+  def bandHashes(text: Column, numHashes: Int = 32, bands: Int = 8,
+                 shingle: Int = 3): Column = {
+    val rowsPerBand = numHashes / bands
+    aggregate(
+      shingles(text, shingle),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), p => xxhash64(s, p)),
+        (a, b) => least(a, b)),
+      sig => transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string"))), b)))
+  }
+
+  /** Candidate near-dup pairs from banded LSH: equi-join on (band, hash),
+    * ordered ids, distinct. Bucket-bounded — never an all-pairs product.
+    */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 32, bands: Int = 8, shingle: Int = 3): DataFrame = {
+    val banded = docs.select(col(idCol),
+      posexplode(bandHashes(col(textCol), numHashes, bands, shingle))
+        .as(Seq("band_id", "band_hash")))
+    val a = banded.select(col(idCol).as("id_a"), col("band_id"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("band_id"), col("band_hash"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact shingle-set Jaccard for candidate pairs (verification step).
+    * Shingle sets (not unigram token sets): on n-gram granularity unrelated
+    * docs over a small vocabulary still score near 0, so the verify step
+    * actually discriminates.
+    */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, threshold: Double, shingle: Int = 3): DataFrame = {
+    val sets = docs.select(col(idCol).as("__jid"),
+      array_distinct(shingles(col(textCol), shingle)).as("__set"))
+    pairs
+      .join(sets.withColumnRenamed("__jid", "id_a").withColumnRenamed("__set", "set_a"), "id_a")
+      .join(sets.withColumnRenamed("__jid", "id_b").withColumnRenamed("__set", "set_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
+    * bucket-join → exact-Jaccard verify.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.7, numHashes: Int = 32,
+                   bands: Int = 8, shingle: Int = 3): DataFrame =
+    jaccardVerify(candidatePairs(docs, idCol, textCol, numHashes, bands, shingle),
+      docs, idCol, textCol, threshold, shingle)
+
+  /** 64-bit SimHash over whitespace tokens, as one codegen'd expression:
+    * bit i of the fingerprint is the sign of Σ_tokens (±1 by bit i of the
+    * token hash).
+    */
+  def simhash(textCol: String): Column =
+    expr(s"""aggregate(
+      sequence(0, 63),
+      0L,
+      (acc, i) -> acc | IF(
+        aggregate(transform(split($textCol, ' '), t -> xxhash64(t)), 0L,
+                  (s, h) -> s + IF(((h >> i) & 1) = 1, 1L, -1L)) > 0,
+        shiftleft(1L, i), 0L))""")
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** SimHash near-dup pairs: bucket by the 4 16-bit quarters of the
+    * fingerprint (any pair within Hamming distance 3 shares ≥1 exact
+    * quarter — pigeonhole), then verify the full distance. Bucket-bounded
+    * like the MinHash path.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val withSim = docs.select(col(idCol), simhash(textCol).as("sim"))
+    val banded = withSim.select(col(idCol), col("sim"), posexplode(
+      array((0 until 4).map(q =>
+        shiftright(col("sim"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .as(Seq("q", "qv")))
+    val a = banded.select(col(idCol).as("id_a"), col("sim").as("sim_a"), col("q"), col("qv"))
+    val b = banded.select(col(idCol).as("id_b"), col("sim").as("sim_b"), col("q"), col("qv"))
+    a.join(b, Seq("q", "qv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, plus partition-iterator transforms for the
+  * decode/feature steps.
+  *
+  * The actual codec work is STUBBED (this container ships no image/audio
+  * libraries): [[decodeStub]] produces a deterministic fake feature vector
+  * from the bytes. Everything around it — schema, batching, partitioning,
+  * output shape — is the real Spark plumbing a production decode would use,
+  * and is what the tests exercise. Swap `fakeDecode` for a real codec call
+  * (JNI/onnx) without touching the plan shape.
+  *
+  * Scale notes: decode runs via `mapPartitions` so per-partition setup
+  * (codec init) amortizes across rows; binary payloads stay off the driver;
+  * metadata-only queries never deserialize the blob (column pruning drops
+  * the binary column at the scan).
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every blob. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("n_bytes", LongType),
+    StructField("checksum64", LongType)))
+
+  /** Wrap a text/binary source column as (media binary, media_meta struct).
+    * Stand-in for ingesting real image/audio bytes.
+    */
+  def attachBinary(df: DataFrame, srcCol: String, mime: String): DataFrame = {
+    val bin = encode(col(srcCol), "UTF-8")
+    df.withColumn("media", bin)
+      .withColumn("media_meta", struct(
+        lit(mime).as("mime"),
+        octet_length(bin).cast("long").as("n_bytes"),
+        xxhash64(bin).as("checksum64")))
+  }
+
+  private val FeatureDim = 8
+
+  /** STUB — deterministic fake "decode + feature extraction": derives a
+    * FeatureDim-float vector from the blob bytes via hashing. A real
+    * implementation would decode the image/audio here; the signature,
+    * batch shape, and schema are what production code would keep.
+    */
+  def fakeDecode(bytes: Array[Byte]): Array[Float] = {
+    var h = 1125899906842597L
+    val out = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    var j = 0
+    while (j < FeatureDim) {
+      val hj = h ^ (0x9E3779B97F4A7C15L * (j + 1))
+      out(j) = ((hj % 1000L).toFloat) / 1000.0f
+      j += 1
+    }
+    out
+  }
+
+  /** Decode/feature-extract every blob: mapPartitions so codec init is
+    * per-partition, output is (original id, features array<float>).
+    */
+  def decodeStub(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("features", ArrayType(FloatType))))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      // real impl: initialize codec once here
+      rows.map { r =>
+        Row(r.getLong(idIdx), fakeDecode(r.getAs[Array[Byte]](binIdx)).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame sampling stub: split the blob into `n` even chunks ("frames"),
+    * emit (id, frame_idx, frame_bytes). Real video sampling keeps exactly
+    * this output shape.
+    */
+  def frameSample(df: DataFrame, idCol: String, binCol: String, n: Int): DataFrame =
+    df.select(col(idCol), posexplode(split_part_bytes(col(binCol), n))
+      .as(Seq("frame_idx", "frame_bytes")))
+
+  /** Even byte-range chunks of a binary column as array<binary>. */
+  private def split_part_bytes(bin: org.apache.spark.sql.Column, n: Int) = {
+    val len = octet_length(bin)
+    val chunk = (len + n - 1) / n
+    transform(sequence(lit(0), lit(n - 1)),
+      i => bin.substr((i * chunk + 1).cast("int"), chunk.cast("int")))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting.
+  *
+  * All of these are pure column expressions (whole-stage-codegen'd, no UDFs),
+  * so they run at scan speed and distribute trivially — the design bar is
+  * "works unchanged over 100 TB of documents", which means no driver-side
+  * loops and no per-row JVM object churn beyond what codegen emits.
+  *
+  * (Extension surface relative to the reference, which has no text ops; the
+  * harness `documents` table is the fixture.)
+  */
+object TextOps {
+
+  /** Whitespace token count: single-space-delimited text → #tokens.
+    * Written as length arithmetic (not `split`) so no array materializes.
+    */
+  def tokenCountWs(text: Column): Column =
+    when(length(text) === 0, lit(0L))
+      .otherwise(length(text) - length(regexp_replace(text, " ", "")) + 1L)
+      .cast("long")
+
+  /** Regex token count — a BPE-ish lowercase-run tokenizer by default. */
+  def tokenCountRegex(text: Column, pattern: String = "[a-z]+"): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+
+  /** Distinct whitespace tokens as an array (for set-similarity ops). */
+  def tokenSet(text: Column): Column = array_distinct(split(text, " "))
+
+  /** Average token length in characters. */
+  def avgTokenLen(text: Column): Column = {
+    val nTok = tokenCountWs(text)
+    when(nTok === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, " ", "")).cast("double") / nTok)
+  }
+
+  /** Stopword hits: occurrences of any of `words` as whole words. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    regexp_count(text, lit(words.mkString("\\b(", "|", ")\\b"))).cast("long")
+
+  private val EnStop = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Heuristic quality score in [0,1]: stopword ratio + length band +
+    * punctuation sanity, the standard cheap pre-filters a training-data
+    * pipeline applies before expensive model-based scoring.
+    * Deterministic double arithmetic (same expression is mirrored in the
+    * DuckDB oracle).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCountWs(text)
+    val stopRatio = when(nTok === 0, lit(0.0))
+      .otherwise(stopwordHits(text, EnStop).cast("double") / nTok)
+    val lenScore = when(nTok >= 20 && nTok <= 1000, lit(1.0))
+      .when(nTok >= 5, lit(0.5)).otherwise(lit(0.0))
+    val punctRatio = when(length(text) === 0, lit(0.0))
+      .otherwise(regexp_count(text, lit("[^a-zA-Z0-9 ]")).cast("double") / length(text))
+    // weights: favor stopword-bearing, mid-length, low-symbol text
+    least(lit(1.0), stopRatio * 2.0) * 0.4 + lenScore * 0.4 +
+      (lit(1.0) - least(lit(1.0), punctRatio * 5.0)) * 0.2
+  }
+
+  /** Stopword tables for the n-gram/stopword language-ID heuristic. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "en" -> EnStop,
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une"),
+    "zh" -> Seq("的", "了", "是", "我", "不"))
+
+  /** Language ID: argmax of per-language stopword hit counts, ties broken by
+    * language code ascending, zero hits everywhere → "und" (undetermined).
+    * One pass over the text per language (k small, fixed).
+    */
+  def langId(text: Column): Column = {
+    val scores = LangStopwords.map { case (lang, words) =>
+      lang -> stopwordHits(text, words)
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), rest) =>
+      when(s === best && best > 0, lit(lang)).otherwise(rest)
+    }
+  }
+
+  /** Stable 128-bit content fingerprint (hex) — exact-dedup key. */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** 64-bit fingerprint as a signed long (cheap join/sort key at scale). */
+  def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** Rolling n-gram fingerprints: hash of every n-token shingle. The
+    * classic "rolling hash document fingerprint" — downstream ops take
+    * `array_min` (winnowing-lite) or feed MinHash.
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    val starts = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
+    transform(starts, i => xxhash64(concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Winnowed fingerprint: min shingle hash (deterministic, order-free). */
+  def winnowFingerprint(text: Column, n: Int = 3): Column =
+    array_min(shingleHashes(text, n))
+}
