@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.cdc.KeyedParquetTable
+import graft.ops.Dedup
+
+/** Structured Streaming CDC ingest — the Spark-native replacement for the
+  * reference's hand-rolled poll/flush loops
+  * (`/root/reference/src/processor/spark_batch.py:304-406`,
+  * `spark_exactly_once.py:399-562`).
+  *
+  * Delivery model: the checkpoint directory owns source offsets; each
+  * micro-batch applies ONE idempotent dedup+MERGE with the Spark `batchId`
+  * recorded in the lineage table. Replayed batches (after a crash between
+  * merge-commit and checkpoint-commit) are detected by batchId and skipped —
+  * the canonical exactly-once-to-table pattern, replacing the reference's
+  * uuid cache + per-partition offset INSERTs (`spark_exactly_once.py:292-397`)
+  * whose one-commit-per-partition bookkeeping is its main scale bug.
+  *
+  * In production the source is `spark.readStream.format("kafka")`; this
+  * environment ships no Kafka connector jar, so tests drive the same code
+  * through `MemoryStream` — the transform/merge path is identical either way.
+  */
+object Ingest {
+
+  /** Lineage row recorded once per applied micro-batch (K5 — one append per
+    * batch, not per partition).
+    */
+  final case class BatchLineage(
+      batch_id: Long,
+      record_count: Long,
+      status: String)
+
+  /** Start a checkpointed micro-batch ingest into `table`.
+    *
+    * @param parsed   streaming DataFrame already through CdcParse (payload
+    *                 columns + operation column)
+    * @param table    merge target
+    * @param ordering latest-wins ordering within a batch (e.g. Kafka
+    *                 (partition, offset) — deterministic, per SURVEY §7.4.5)
+    * @param lineage  optional lineage table for batch accounting
+    */
+  def start(parsed: DataFrame, table: KeyedParquetTable, ordering: Seq[Column],
+            checkpointDir: String, lineage: Option[KeyedParquetTable] = None,
+            triggerMs: Long = 1000L, opCol: String = "operation"): StreamingQuery = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val applied = lineage.exists(l =>
+          l.exists && l.read().filter(col("batch_id") === batchId).limit(1).count() > 0)
+        if (!applied) {
+          val deduped = Dedup.dedupLatest(batch, table.keys, ordering)
+          val n = deduped.count()
+          if (n > 0) table.merge(deduped, opCol)
+          lineage.foreach { l =>
+            l.append(Seq(BatchLineage(batchId, n, "applied")).toDF())
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Batch-mode replay twin: apply a bounded CDC frame as one merge —
+    * used for backfill and for the reference's batch path.
+    */
+  def replayOnce(parsed: DataFrame, table: KeyedParquetTable,
+                 ordering: Seq[Column], opCol: String = "operation"): Long = {
+    val deduped = Dedup.dedupLatest(parsed, table.keys, ordering)
+    table.merge(deduped, opCol)
+  }
+}

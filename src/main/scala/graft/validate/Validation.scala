@@ -1,0 +1,177 @@
+package graft.validate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.KeyedParquetTable
+
+/** Pipeline-consistency validation library — the reference's eight checks
+  * (`/root/reference/src/validation/validation.py:209-937`) re-expressed as
+  * distributed, scale-safe DataFrame programs, plus the three checks the
+  * reference declares but never implements (`validation.py:862,872,873`).
+  *
+  * Scale-safety deltas vs the reference (SURVEY.md §7.4):
+  *  - checksum is order-independent (bit_xor/sum of row hashes), not a
+  *    sort + collect_list single-node fingerprint (validation.py:297-302),
+  *    which is both a latent ordering bug and a driver OOM at 100 TB;
+  *  - sample consistency is ONE anti-join, not N per-key filter().collect()
+  *    scans (validation.py:389-410);
+  *  - lag comparison is a real equi-join, not a driver-side set intersect
+  *    (validation.py:559-575).
+  */
+object Validation {
+
+  final case class CheckResult(
+      check: String,
+      valid: Boolean,
+      details: Map[String, String])
+
+  // --- V1: row count ---------------------------------------------------------
+
+  /** Row-count drift between source and sink; valid if |diff| ≤ tolerance
+    * fraction (reference default 0.1%, validation.py:236).
+    */
+  def rowCount(source: DataFrame, sink: DataFrame, tolerance: Double = 0.001): CheckResult = {
+    val (s, k) = (source.count(), sink.count())
+    val drift = if (s == 0) (if (k == 0) 0.0 else 1.0) else math.abs(s - k).toDouble / s
+    CheckResult("row_count", drift <= tolerance,
+      Map("source" -> s.toString, "sink" -> k.toString, "drift" -> drift.toString))
+  }
+
+  // --- V2: checksum ----------------------------------------------------------
+
+  /** Order-independent fingerprint of (a projection of) a DataFrame: per-row
+    * xxhash64 over '#'-joined string-cast columns, combined with two
+    * independent bit_xor folds (two hash seeds — xor alone is weak to paired
+    * corruption; a sum would overflow under ANSI mode). One pass, no sort,
+    * no driver materialization — valid at any scale.
+    */
+  def tableChecksum(df: DataFrame, columns: Seq[String]): (Long, Long, Long) = {
+    val fp = xxhash64(concat_ws("#",
+      columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+    val row = df.select(fp.as("h"), xxhash64(fp, lit(1)).as("h2"))
+      .agg(expr("bit_xor(h)").as("x"), expr("bit_xor(h2)").as("x2"),
+        count(lit(1)).as("n"))
+      .head()
+    (if (row.isNullAt(0)) 0L else row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1), row.getLong(2))
+  }
+
+  /** Checksum equality of the shared columns of two tables. */
+  def checksum(source: DataFrame, sink: DataFrame, columns: Seq[String]): CheckResult = {
+    val a = tableChecksum(source, columns)
+    val b = tableChecksum(sink, columns)
+    CheckResult("checksum", a == b, Map("source" -> a.toString, "sink" -> b.toString))
+  }
+
+  // --- V3: sample consistency ------------------------------------------------
+
+  /** Deterministic keyed sample of `source` probed against `sink` with one
+    * left-anti join; valid if ≥ minMatchRate of sampled keys exist exactly
+    * once in the sink (reference: ≥99%, validation.py:419).
+    */
+  def sampleConsistency(source: DataFrame, sink: DataFrame, keys: Seq[String],
+                        sampleMod: Long = 101L,
+                        minMatchRate: Double = 0.99): CheckResult = {
+    val keyHash = abs(xxhash64(keys.map(col): _*))
+    val sample = source.select(keys.map(col): _*).filter(keyHash % sampleMod === 0)
+    val n = sample.count()
+    val missing = sample.join(sink, keys, "left_anti").count()
+    val dupes = sample.join(
+      sink.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n")).filter(col("__n") > 1),
+      keys, "left_semi").count()
+    val matched = n - missing - dupes
+    val rate = if (n == 0) 1.0 else matched.toDouble / n
+    CheckResult("sample_data", rate >= minMatchRate,
+      Map("sampled" -> n.toString, "missing" -> missing.toString,
+        "duplicated" -> dupes.toString, "match_rate" -> rate.toString))
+  }
+
+  // --- V5: combined lag ------------------------------------------------------
+
+  /** End-to-end lag: equi-join source/sink on key, average sink-minus-source
+    * timestamp delta over the most recent window; valid if avg ≤ maxAvgLagSec
+    * (reference: 300 s over last 30 min, validation.py:520,582).
+    */
+  def combinedLag(source: DataFrame, sink: DataFrame, keys: Seq[String],
+                  srcTs: String, sinkTs: String,
+                  maxAvgLagSec: Double = 300.0): CheckResult = {
+    val joined = source.select((keys.map(col) :+ col(srcTs).as("__src_ts")): _*)
+      .join(sink.select((keys.map(col) :+ col(sinkTs).as("__sink_ts")): _*), keys)
+      .withColumn("__lag",
+        col("__sink_ts").cast("double") - col("__src_ts").cast("double"))
+    val row = joined.agg(
+      expr("CAST(SUM(__lag) AS DOUBLE) / COUNT(*)").as("avg"),
+      min("__lag").as("min"), max("__lag").as("max"), count(lit(1)).as("n")).head()
+    val n = row.getLong(3)
+    val avg = if (n == 0) 0.0 else row.getDouble(0)
+    CheckResult("combined_lag", avg <= maxAvgLagSec,
+      Map("avg_lag_sec" -> avg.toString, "n_matched" -> n.toString))
+  }
+
+  // --- V7: table health ------------------------------------------------------
+
+  /** Health of a [[KeyedParquetTable]]: snapshot count, stale snapshots,
+    * file-count fragmentation, partition balance. Score 100 minus deductions,
+    * Good ≥90 / Warning ≥70 (reference bands, validation.py:800-805).
+    */
+  def tableHealth(table: KeyedParquetTable, partitionCols: Seq[String] = Nil,
+                  staleAfterMs: Long = 7L * 24 * 3600 * 1000): CheckResult = {
+    var score = 100
+    val hist = table.history().collect()
+    val nSnapshots = hist.length
+    val now = System.currentTimeMillis()
+    val old = hist.count(r => r.getTimestamp(1).getTime < now - staleAfterMs && !r.getBoolean(2))
+    if (old > 5) score -= 20
+    val nFiles = table.files().count()
+    if (nFiles > 100) score -= 15
+    var skew = 0.0
+    if (partitionCols.nonEmpty) {
+      val counts = table.read().groupBy(partitionCols.map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+        .agg(min("cnt").as("mn"), max("cnt").as("mx"),
+          expr("CAST(SUM(cnt) AS DOUBLE)/COUNT(*)").as("av")).head()
+      if (counts.getDouble(2) > 0) {
+        skew = counts.getLong(1).toDouble / math.max(counts.getDouble(2), 1.0)
+        if (skew > 10) score -= 15
+      }
+    }
+    val level = if (score >= 90) "Good" else if (score >= 70) "Warning" else "Poor"
+    CheckResult("table_health", score >= 70,
+      Map("score" -> score.toString, "level" -> level,
+        "snapshots" -> nSnapshots.toString, "old_snapshots" -> old.toString,
+        "files" -> nFiles.toString, "partition_skew" -> skew.toString))
+  }
+
+  // --- the three checks the reference declares but never defines -------------
+
+  /** Data freshness: newest event in `tsCol` no older than maxAgeSec
+    * (reference's undefined `check_data_freshness`, validation.py:862).
+    */
+  def freshness(df: DataFrame, tsCol: String, nowEpochSec: Double,
+                maxAgeSec: Double = 3600.0): CheckResult = {
+    val row = df.agg(max(col(tsCol).cast("double")).as("newest")).head()
+    val newest = if (row.isNullAt(0)) Double.NegativeInfinity else row.getDouble(0)
+    val age = nowEpochSec - newest
+    CheckResult("data_freshness", age <= maxAgeSec,
+      Map("age_sec" -> age.toString))
+  }
+
+  /** CDC message accounting per operation type (reference's undefined
+    * `track_cdc_messages`/`track_cdc_event_types`, validation.py:872-873).
+    */
+  def cdcEventTypeCounts(cdc: DataFrame, opCol: String = "operation"): DataFrame =
+    cdc.groupBy(opCol).agg(count(lit(1)).as("n"))
+
+  // --- V8: suite composition -------------------------------------------------
+
+  /** Run a set of checks, band the overall result like the reference
+    * (Good ≥95% pass, Warning ≥80%, validation.py:913-918).
+    */
+  def suite(checks: Seq[CheckResult]): (String, Double, Seq[CheckResult]) = {
+    val rate = if (checks.isEmpty) 1.0
+      else checks.count(_.valid).toDouble / checks.length
+    val band = if (rate >= 0.95) "Good" else if (rate >= 0.80) "Warning" else "Poor"
+    (band, rate, checks)
+  }
+}

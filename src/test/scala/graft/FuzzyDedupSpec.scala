@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{FuzzyDedup, TextOps}
+
+/** Exact + fuzzy dedup: planted duplicates must be found, unrelated docs must
+  * not pair, and the LSH plan must stay bucket-bounded (no cartesian product).
+  */
+class FuzzyDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while rain falls on the green hills and birds sing in the tall trees near the old stone bridge"
+  private val nearDup = base.replace("lazy dog", "sleepy dog") // ~1 token changed
+  private val unrelated = "completely different content about spark query engines and distributed columnar execution with vectorized readers and shuffle services"
+
+  private def docs = Seq(
+    (0L, base), (1L, base),          // exact pair
+    (2L, nearDup),                   // near dup of 0/1
+    (3L, unrelated), (4L, "short text here")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups identical content") {
+    val out = FuzzyDedup.exactDedup(docs, "doc_id", "text")
+    assert(out.count() === 4)
+    val dupGroup = out.filter(col("n_copies") === 2).head()
+    assert(dupGroup.getLong(1) === 0L) // keep_id = min
+  }
+
+  test("minhash LSH finds planted exact and near duplicates, not unrelated docs") {
+    val pairs = FuzzyDedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact pair missed")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)), "near dup missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
+  }
+
+  test("jaccard of the exact pair is 1.0; near pair is high; threshold filters") {
+    val pairs = FuzzyDedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    pairs.get((0L, 2L)).foreach(j => assert(j > 0.5 && j < 1.0))
+  }
+
+  test("simhash: identical docs equal, near dups within small Hamming distance") {
+    val sims = docs.select(col("doc_id"), FuzzyDedup.simhash("text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(0L) === sims(1L))
+    assert(java.lang.Long.bitCount(sims(0L) ^ sims(2L)) <= 16)
+    assert(java.lang.Long.bitCount(sims(0L) ^ sims(3L)) > 16)
+  }
+
+  test("simhashNearDups pairs exact duplicates via quarter buckets") {
+    val pairs = FuzzyDedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("LSH candidate plan contains no cartesian product") {
+    val plan = FuzzyDedup.candidatePairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
+  }
+
+  test("winnow fingerprint is stable and shifts with content") {
+    val fps = docs.select(col("doc_id"), TextOps.winnowFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) === fps(1L))
+    assert(fps(0L) !== fps(3L))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cdc.KeyedParquetTable
+
+/** Table lifecycle: K1 create, K4 merge, K5 append, S4/S5 read + metadata,
+  * M1–M3 maintenance, K6 drop.
+  */
+class KeyedParquetTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  test("create / merge / read round trip with snapshot history") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt"), Seq("id"))
+    assert(!t.exists)
+    t.createIfNotExists(schema)
+    assert(t.exists && t.currentVersion === 0)
+    t.merge(Seq((1L, "a", "u"), (2L, "b", "u")).toDF("id", "v", "operation"))
+    t.merge(Seq((1L, "a2", "u"), (2L, null.asInstanceOf[String], "d")).toDF("id", "v", "operation"))
+    val rows = t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows === Array((1L, "a2")))
+    assert(t.currentVersion === 2)
+    val hist = t.history().collect()
+    assert(hist.length === 3 && hist.count(_.getBoolean(2)) === 1)
+  }
+
+  test("append unions rows as a new snapshot") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_app"), Seq("id"))
+    t.append(Seq((1L, "x")).toDF("id", "v"))
+    t.append(Seq((2L, "y")).toDF("id", "v"))
+    assert(t.read().count() === 2 && t.currentVersion === 1)
+  }
+
+  test("partitioned writes lay out partition directories (pruning-capable)") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_part"), Seq("id"), Seq("year", "month"))
+    t.commit(Seq((1L, "2024", "01"), (2L, "2024", "02")).toDF("id", "year", "month"))
+    val dirs = new java.io.File(s"${t.root}/v0").listFiles().map(_.getName).filter(_.startsWith("year="))
+    assert(dirs.toSet === Set("year=2024"))
+    // partition filter prunes to one file-group
+    assert(t.read().filter(col("month") === "02").count() === 1)
+  }
+
+  test("compact rewrites fragmented snapshots; expire + orphan removal prune dirs") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_maint"), Seq("id"))
+    t.commit(spark.range(100).toDF("id").repartition(8))
+    assert(t.files().count() >= 5)
+    val compacted = t.compact(minInputFiles = 5, targetPartitions = 1)
+    assert(compacted.nonEmpty && t.files().count() === 1)
+    // make several snapshots, expire everything but the last 2 (0ms cutoff)
+    (0 until 3).foreach(i => t.append(Seq((1000L + i)).toDF("id")))
+    val expired = t.expireSnapshots(olderThanMs = 0L, retainLast = 2)
+    assert(expired.nonEmpty)
+    assert(t.read().count() > 0) // current snapshot untouched
+    // drop an orphan file into the root
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(t.root, "stray.tmp"), "x")
+    val removed = t.removeOrphanFiles()
+    assert(removed.exists(_.endsWith("stray.tmp")))
+    t.drop()
+    assert(!t.exists)
+  }
+
+  test("concurrent-reader safety: read of old version still works after new commit") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_mvcc"), Seq("id"))
+    t.commit(Seq((1L, "a")).toDF("id", "v"))
+    val oldReader = t.read() // plan bound to v0
+    t.commit(Seq((1L, "b"), (2L, "c")).toDF("id", "v"))
+    // old plan still readable (snapshot isolation), new read sees v1
+    assert(oldReader.count() === 1)
+    assert(t.read().count() === 2)
+  }
+}

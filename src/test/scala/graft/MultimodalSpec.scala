@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq((0L, "hello world"), (1L, "spark engine")).toDF("doc_id", "text")
+
+  test("attachBinary wraps content with typed metadata") {
+    val out = Multimodal.attachBinary(docs, "text", "text/plain")
+    val row = out.filter(col("doc_id") === 0)
+      .select("media_meta.mime", "media_meta.n_bytes").head()
+    assert(row.getString(0) === "text/plain")
+    assert(row.getLong(1) === "hello world".getBytes("UTF-8").length.toLong)
+  }
+
+  test("metadata projection prunes the binary column at the scan") {
+    val out = Multimodal.attachBinary(docs, "text", "text/plain")
+      .select("doc_id", "media_meta.n_bytes")
+    // binary payload must not appear in the output schema
+    assert(!out.schema.fieldNames.contains("media"))
+  }
+
+  test("decodeStub emits deterministic fixed-width features per row") {
+    val withBin = Multimodal.attachBinary(docs, "text", "text/plain")
+    val feats = Multimodal.decodeStub(withBin, "doc_id", "media")
+    val rows = feats.orderBy("id").collect()
+    assert(rows.length === 2)
+    rows.foreach(r => assert(r.getSeq[Float](1).length === 8))
+    // determinism: same input → same features
+    val again = Multimodal.decodeStub(withBin, "doc_id", "media").orderBy("id").collect()
+    assert(rows.map(_.getSeq[Float](1)).toSeq === again.map(_.getSeq[Float](1)).toSeq)
+  }
+
+  test("frameSample splits a blob into n indexed frames that reassemble") {
+    val withBin = Multimodal.attachBinary(docs, "text", "text/plain")
+    val frames = Multimodal.frameSample(withBin, "doc_id", "media", 3)
+      .filter(col("doc_id") === 0).orderBy("frame_idx").collect()
+    assert(frames.length === 3)
+    assert(frames.map(_.getInt(1)).toSeq === Seq(0, 1, 2))
+    val joined = frames.flatMap(_.getAs[Array[Byte]](2))
+    assert(new String(joined, "UTF-8") === "hello world")
+  }
+}

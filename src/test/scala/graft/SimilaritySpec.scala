@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** ANN: brute force is the ground truth; LSH must achieve high recall on
+  * clustered data while scanning only candidate buckets.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+
+  /** Deterministic clustered vectors: 10 clusters, 30 points each. */
+  private def clustered = {
+    val rnd = new scala.util.Random(5)
+    val centers = Seq.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 30
+    } yield {
+      val noisy = c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      (ci.toLong * 30 + j, noisy.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosineTopK returns the query's own cluster first") {
+    val emb = clustered
+    val query = emb.filter(col("vec_id") === 0).select("embedding")
+    val top = Similarity.cosineTopK(emb.filter(col("vec_id") =!= 0), query,
+      "vec_id", "embedding", 10).collect()
+    assert(top.forall(_.getLong(0) < 30), "top-10 should all come from cluster 0")
+    assert(top.map(_.getDouble(1)).toSeq === top.map(_.getDouble(1)).sorted.reverse)
+  }
+
+  test("lshTopK recall ≥ 0.8 vs brute force on clustered data") {
+    val emb = clustered
+    val query = emb.filter(col("vec_id") === 0).select("embedding")
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.cosineTopK(rest, query, "vec_id", "embedding", 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(rest, query, "vec_id", "embedding", 10,
+      nPlanes = 8, dim = dim).collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall exact=$exact approx=$approx")
+  }
+
+  test("lshTopK scans a strict subset (bucket pruning actually prunes)") {
+    val emb = clustered
+    val query = emb.filter(col("vec_id") === 0).select("embedding")
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val planes = Similarity.hyperplanes(8, dim)
+    val candidates = rest.withColumn("b", Similarity.lshBucket(col("embedding"), planes))
+    val qBucket = query.select(Similarity.lshBucket(col("embedding"), planes)).head().getLong(0)
+    val probes = (0L +: (0 until 8).map(i => 1L << i)).map(qBucket ^ _).toSet
+    val scanned = candidates.filter(col("b").isInCollection(probes)).count()
+    assert(scanned < rest.count(), "LSH should prune most buckets")
+    assert(scanned > 0)
+  }
+
+  test("centroid assignment maps every vector to its generating cluster") {
+    val emb = clustered
+    // centroids = the first member of each cluster (close enough at 0.05 noise)
+    val cents = emb.filter(col("vec_id") % 30 === 0)
+      .select((col("vec_id") / 30).cast("long").as("cid"), col("embedding").as("cvec"))
+    val assigned = Similarity.assignNearestCentroid(emb, cents,
+      "vec_id", "embedding", "cid", "cvec")
+    val wrong = assigned.filter((col("vec_id") / 30).cast("long") =!= col("centroid_id")).count()
+    assert(wrong.toDouble / 300 < 0.05, s"$wrong of 300 misassigned")
+  }
+
+  test("dot/norm double arithmetic is exact and deterministic") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val row = df.select(
+      Similarity.dot(col("a"), col("b")).as("d"),
+      Similarity.norm(col("a")).as("n")).head()
+    assert(row.getDouble(0) === 32.0)
+    assert(math.abs(row.getDouble(1) - math.sqrt(14.0)) < 1e-15)
+  }
+}

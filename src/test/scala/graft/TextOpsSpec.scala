@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace, regex, empty text") {
+    val df = Seq(
+      ("", 0L, 0L),
+      ("one", 1L, 1L),
+      ("two words", 2L, 2L),
+      ("CAPS and lower x9", 4L, 3L) // regex [a-z]+ misses CAPS, hits 'and','lower','x'...
+    ).toDF("text", "ws", "alpha")
+    val got = df.select(col("ws"), col("alpha"),
+      TextOps.tokenCountWs(col("text")).as("g_ws"),
+      TextOps.tokenCountRegex(col("text")).as("g_alpha")).collect()
+    got.foreach { r => assert(r.getLong(2) === r.getLong(0)) }
+    // regex on "CAPS and lower x9": matches and, lower, x → 3
+    assert(got.map(_.getLong(3)).toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("langId picks the stopword-dominant language with deterministic ties") {
+    val df = Seq(
+      ("the cat is of the house and a dog", "en"),
+      ("el perro de la casa y los gatos que", "es"),
+      ("der hund und die katze ist nicht das", "de"),
+      ("le chat et les chiens des maisons une", "fr"),
+      ("xyzzy qwerty plugh", "und")
+    ).toDF("text", "expected")
+    val got = df.select(col("expected"), TextOps.langId(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getString(1) === r.getString(0), r.getString(0)))
+  }
+
+  test("qualityScore rewards stopword-rich mid-length clean text") {
+    val good = ("the quick brown fox is in the yard and " * 5).trim // stopwords, ~45 tokens
+    val junk = "@@@@ #### !!!! %%%% ^^^^ &&&&"
+    val df = Seq(good, junk).toDF("text")
+    val scores = df.select(TextOps.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(scores(0) > 0.7)
+    assert(scores(1) < 0.3)
+  }
+
+  test("fingerprints: md5 matches reference value, xxhash64 stable across calls") {
+    val df = Seq("hello world").toDF("text")
+    val r1 = df.select(TextOps.fingerprintMd5(col("text")),
+      TextOps.fingerprint64(col("text"))).head()
+    assert(r1.getString(0) === "5eb63bbbe01eeed093cb22bb8f5acdc3")
+    val r2 = df.select(TextOps.fingerprint64(col("text"))).head()
+    assert(r1.getLong(1) === r2.getLong(0))
+  }
+
+  test("shingleHashes emits one hash per n-gram") {
+    val df = Seq("a b c d e").toDF("text")
+    assert(df.select(size(TextOps.shingleHashes(col("text"), 3))).head().getInt(0) === 3)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cdc.KeyedParquetTable
+import graft.validate.Validation
+
+/** V1–V8: the validation library against two small in-memory "source/sink"
+  * tables, mirroring the reference's Postgres-vs-Iceberg comparisons.
+  */
+class ValidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def src = (1 to 1000).map(i => (i.toLong, s"name$i", i * 2)).toDF("id", "name", "price")
+
+  test("row_count passes within tolerance and fails beyond it") {
+    assert(Validation.rowCount(src, src).valid)
+    val sink = src.filter(col("id") <= 999) // 0.1% drift exactly
+    assert(Validation.rowCount(src, sink, tolerance = 0.001).valid)
+    val sink2 = src.filter(col("id") <= 900)
+    assert(!Validation.rowCount(src, sink2, tolerance = 0.001).valid)
+  }
+
+  test("checksum is order-independent and detects single-value corruption") {
+    val shuffled = src.orderBy(rand(7))
+    assert(Validation.checksum(src, shuffled, Seq("id", "name", "price")).valid)
+    val corrupted = src.withColumn("price",
+      when(col("id") === 500, lit(-1)).otherwise(col("price")))
+    assert(!Validation.checksum(src, corrupted, Seq("id", "name", "price")).valid)
+  }
+
+  test("sample consistency: exact sink passes; missing and duplicated keys fail") {
+    assert(Validation.sampleConsistency(src, src, Seq("id")).valid)
+    val missing = src.filter(col("id") % 3 =!= 0)
+    assert(!Validation.sampleConsistency(src, missing, Seq("id"), sampleMod = 5).valid)
+    val duplicated = src.unionAll(src.limit(800))
+    assert(!Validation.sampleConsistency(src, duplicated, Seq("id"), sampleMod = 5).valid)
+  }
+
+  test("combined lag: joins on key and bands by average delta") {
+    val s = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "ts")
+    val fast = (1 to 100).map(i => (i.toLong, i + 10.0)).toDF("id", "ts")
+    val slow = (1 to 100).map(i => (i.toLong, i + 500.0)).toDF("id", "ts")
+    assert(Validation.combinedLag(s, fast, Seq("id"), "ts", "ts").valid)
+    assert(!Validation.combinedLag(s, slow, Seq("id"), "ts", "ts").valid)
+  }
+
+  test("table health scores snapshots, fragmentation, and partition skew") {
+    val t = new KeyedParquetTable(spark, tmpDir("health"), Seq("id"), Seq("bucket"))
+    // skewed partitions: bucket 0 gets 9000 rows, others 10
+    val skewed = spark.range(9000).select(col("id"), lit("b0").as("bucket"))
+      .unionAll(spark.range(10).select((col("id") + 9000).as("id"), lit("b1").as("bucket")))
+    t.commit(skewed)
+    val r = Validation.tableHealth(t, Seq("bucket"))
+    assert(r.details("partition_skew").toDouble > 1.0)
+    assert(r.details("level") == "Good" || r.details("level") == "Warning")
+  }
+
+  test("freshness and cdc event-type accounting") {
+    val df = Seq((1L, 100.0), (2L, 200.0)).toDF("id", "ts")
+    assert(Validation.freshness(df, "ts", nowEpochSec = 250.0, maxAgeSec = 100.0).valid)
+    assert(!Validation.freshness(df, "ts", nowEpochSec = 1000.0, maxAgeSec = 100.0).valid)
+    val cdc = Seq(("u"), ("u"), ("d")).toDF("operation")
+    val counts = Validation.cdcEventTypeCounts(cdc).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("u" -> 2L, "d" -> 1L))
+  }
+
+  test("suite bands Good/Warning/Poor by pass rate") {
+    def ok = Validation.CheckResult("c", valid = true, Map.empty)
+    def bad = Validation.CheckResult("c", valid = false, Map.empty)
+    assert(Validation.suite(Seq.fill(20)(ok))._1 === "Good")
+    assert(Validation.suite(Seq.fill(17)(ok) :+ bad :+ bad :+ bad)._1 === "Warning")
+    assert(Validation.suite(Seq(ok, bad, bad))._1 === "Poor")
+  }
+}
