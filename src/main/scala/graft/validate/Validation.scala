@@ -57,6 +57,21 @@ object Validation {
       if (row.isNullAt(1)) 0L else row.getLong(1), row.getLong(2))
   }
 
+  /** Exact-MD5 mode (reference parity, validation.py:297-302, minus its
+    * ordering bug): md5 over the SORTED concatenation of row fingerprints.
+    * `sort_array(collect_list(...))` makes the result order-independent and
+    * byte-identical to `MD5(STRING_AGG(fp, ',' ORDER BY fp))` on the SQL
+    * side. Small-table mode only — the row list materializes in one task;
+    * use [[tableChecksum]] at scale.
+    */
+  def orderedMd5Checksum(df: DataFrame, columns: Seq[String]): String = {
+    val fp = concat_ws("#",
+      columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    df.select(fp.as("fp"))
+      .agg(md5(concat_ws(",", sort_array(collect_list(col("fp"))))).as("m"))
+      .head().getString(0)
+  }
+
   /** Checksum equality of the shared columns of two tables. */
   def checksum(source: DataFrame, sink: DataFrame, columns: Seq[String]): CheckResult = {
     val a = tableChecksum(source, columns)

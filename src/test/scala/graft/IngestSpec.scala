@@ -64,4 +64,27 @@ class IngestSpec extends SparkSpec {
     val rows = table.read().collect().map(r => (r.getLong(0), r.getString(1)))
     assert(rows === Array((1L, "y")))
   }
+
+  case class Ev(ts: java.sql.Timestamp, k: String)
+
+  test("windowed aggregation with watermark drops late data and bounds state") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val stream = MemoryStream[Ev]
+    val agg = Ingest.windowedCounts(stream.toDF(), "ts", "k", "5 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    stream.addData(Ev(ts(0), "a"), Ev(ts(1), "a"), Ev(ts(6), "b"))
+    q.processAllAvailable()
+    // advance watermark far past the first windows, then send late data
+    stream.addData(Ev(ts(60), "c"))
+    q.processAllAvailable()
+    stream.addData(Ev(ts(0), "late")) // beyond watermark -> dropped
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_counts").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains(("a", 2L)) && rows.contains(("b", 1L)))
+    assert(!rows.exists(_._1 == "late"), s"late row leaked: $rows")
+  }
 }
