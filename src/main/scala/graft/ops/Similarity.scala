@@ -22,8 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ a_i·b_i with double accumulation in list order. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ a_i·b_i with double accumulation in list order — the native codegen
+    * kernel ([[graft.functions.FloatDotProduct]], registered as `vec_dot`
+    * by GraftExtensions). Bit-identical to [[dotHof]].
+    */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Composable higher-order-function formulation of [[dot]] — reference
+    * semantics for tests, and the fallback for sessions without
+    * GraftExtensions. Allocates an intermediate array per row.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

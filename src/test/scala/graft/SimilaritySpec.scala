@@ -79,4 +79,23 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getDouble(0) === 32.0)
     assert(math.abs(row.getDouble(1) - math.sqrt(14.0)) < 1e-15)
   }
+
+  test("native vec_dot expression is bit-identical to the HOF formulation") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)((Seq.fill(64)(rnd.nextFloat() - 0.5f),
+      Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+        (Similarity.dot(col("a"), col("b")) -
+          Similarity.dotHof(col("a"), col("b"))).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diff === 0L)
+  }
+
+  test("vec_dot is callable from SQL via GraftExtensions") {
+    val row = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").head()
+    assert(row.getDouble(0) === 11.0)
+  }
 }
