@@ -560,6 +560,16 @@ object Queries {
       },
       None),
 
+    // Embedding-cosine near-dup pairs via sign-bit LSH buckets (the
+    // embedding-space dedup modality; bucket-bounded like MinHash).
+    "q_embedding_neardup" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        Similarity.cosineNearDupPairs(t("embeddings"), "vec_id", "embedding",
+          threshold = 0.95)
+      },
+      None),
+
     // ---- Multimodal plumbing ----------------------------------------------
 
     // Binary payload + typed metadata; metadata-only projection (the blob is

@@ -90,6 +90,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: bucket vectors by sign-bit LSH,
+    * compare only within buckets (plus Hamming-1 neighbor buckets via the
+    * probe expansion on side B), verify with exact cosine. The
+    * embedding-space analog of MinHash near-dup — bucket-bounded, never
+    * all-pairs.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nPlanes: Int = 12,
+                         dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val withBucket = embeddings.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+    val probes = array((lit(0L) +: (0 until nPlanes).map(i => lit(1L << i))): _*)
+    val a = withBucket.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      explode(transform(probes, m => col("__bucket").bitwiseXOR(m))).as("__bucket"))
+    val b = withBucket.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("__bucket"))
+    a.join(b, "__bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+  }
+
   /** Brute-force all-pairs top-k per vector against a SMALL probe set
     * (e.g. centroids) — the IVF assignment step: each vector gets its
     * nearest centroid id via a broadcast nested loop, no N² shuffle.

@@ -98,4 +98,18 @@ class SimilaritySpec extends SparkSpec {
         "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").head()
     assert(row.getDouble(0) === 11.0)
   }
+
+  test("cosineNearDupPairs finds planted near-identical vectors, bounded buckets") {
+    val rnd = new scala.util.Random(9)
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val nearDup = base.map(x => x + rnd.nextGaussian().toFloat * 0.01f)
+    val others = Seq.tabulate(50)(i => (100L + i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val df = (Seq((0L, base.toSeq), (1L, nearDup.toSeq)) ++ others).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.95, nPlanes = 8, dim = dim)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"planted near-dup missed: $pairs")
+    // random gaussian pairs at dim 16 essentially never reach cos >= 0.95
+    assert(pairs.size <= 3, s"too many spurious pairs: $pairs")
+  }
 }
