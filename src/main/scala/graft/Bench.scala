@@ -13,12 +13,13 @@ object Bench {
     val spark = graft.core.Session.tuned(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: JIT + codegen + parquet reader init, untimed
-    try {
-      spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
-      Queries.all("q_topk").fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      Queries.all("cdc_dedup_latest").fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    // warmup: one untimed pass over every headline query so the timed pass
+    // measures steady state (JIT + Janino codegen compile + reader init are
+    // one-time costs that amortize to zero on real data volumes)
+    Queries.headlines.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = Queries.headlines.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

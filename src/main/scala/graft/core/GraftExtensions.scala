@@ -4,18 +4,39 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatDotProduct
+import graft.functions.{FloatDotProduct, MinHashBandHashes, MinHashSignature, ShingleHashes}
 
 /** Engine extensions, injected via `spark.sql.extensions` (set by
   * [[Session.tuned]]) — the SparkSessionExtensions registration path the
-  * build brief's tier (c) describes. Currently: the `vec_dot` native
-  * similarity kernel.
+  * build brief's tier (c) describes: the `vec_dot` similarity kernel and the
+  * MinHash family (`shingle_hashes`, `minhash_signature`, `minhash_bands`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"expected integer literal argument, got $other")
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getCanonicalName, "vec_dot"),
       (children: Seq[Expression]) => FloatDotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getCanonicalName, "shingle_hashes"),
+      (c: Seq[Expression]) => ShingleHashes(c(0), intArg(c(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getCanonicalName, "minhash_signature"),
+      (c: Seq[Expression]) => MinHashSignature(c(0), intArg(c(1)), intArg(c(2)))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBandHashes].getCanonicalName, "minhash_bands"),
+      (c: Seq[Expression]) => MinHashBandHashes(c(0), intArg(c(1)), intArg(c(2)), intArg(c(3)))))
   }
 }

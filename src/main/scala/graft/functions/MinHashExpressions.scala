@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash kernels.
+  *
+  * The composable formulation (`aggregate` + `zip_with` + `transform` over
+  * shingle arrays) is semantically right but runs on Spark's interpreted
+  * higher-order-function path: one boxed lambda call per (shingle ×
+  * perm-hash), ~2.2k per document — measured as the dominant cost of
+  * near-dedup at sf0.1. These expressions do the identical computation in
+  * one JVM method with primitive loops over xxHash64 (Spark's own XXH64),
+  * no boxing, no intermediate arrays beyond the k-long signature.
+  *
+  * On 100 TB the MinHash map stage is the bulk of a near-dedup pass, so this
+  * kernel is the difference between a scan-bound and a CPU-bound pipeline.
+  */
+private[functions] object MinHashKernel {
+
+  private val Seed = 42L
+
+  /** Whitespace-token 64-bit hashes (each token hashed once). */
+  def tokenHashes(text: UTF8String): Array[Long] = {
+    val toks = text.split(UTF8String.fromString(" "), -1)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      out(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, Seed)
+      i += 1
+    }
+    out
+  }
+
+  /** Rolling shingle hashes: combine n consecutive token hashes. */
+  def shingleHashes(th: Array[Long], n: Int): Array[Long] = {
+    val m = math.max(th.length - (n - 1), 0)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = Seed
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** k-perm MinHash signature over the shingle hashes. */
+  def signature(sh: Array[Long], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val h = sh(i)
+      var p = 0
+      while (p < k) {
+        val v = XXH64.hashLong(h, p.toLong)
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Banded LSH hashes of a signature. */
+  def bandHashes(sig: Array[Long], bands: Int): Array[Long] = {
+    val rpb = sig.length / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong
+      var j = 0
+      while (j < rpb) { h = XXH64.hashLong(sig(b * rpb + j), h); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+}
+
+private[functions] trait TextArrayExpression extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+}
+
+/** `shingle_hashes(text, n)`: 64-bit hash per n-token shingle. */
+case class ShingleHashes(child: Expression, n: Int) extends TextArrayExpression {
+  override def nullSafeEval(t: Any): Any =
+    new GenericArrayData(MinHashKernel.shingleHashes(
+      MinHashKernel.tokenHashes(t.asInstanceOf[UTF8String]), n))
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** `minhash_signature(text, k, n)`: k-perm MinHash signature. */
+case class MinHashSignature(child: Expression, numHashes: Int, shingleN: Int)
+    extends TextArrayExpression {
+  override def nullSafeEval(t: Any): Any =
+    new GenericArrayData(MinHashKernel.signature(
+      MinHashKernel.shingleHashes(
+        MinHashKernel.tokenHashes(t.asInstanceOf[UTF8String]), shingleN), numHashes))
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** `minhash_bands(text, k, bands, n)`: banded LSH hashes in one pass. */
+case class MinHashBandHashes(child: Expression, numHashes: Int, bands: Int,
+                             shingleN: Int) extends TextArrayExpression {
+  override def nullSafeEval(t: Any): Any =
+    new GenericArrayData(MinHashKernel.bandHashes(
+      MinHashKernel.signature(
+        MinHashKernel.shingleHashes(
+          MinHashKernel.tokenHashes(t.asInstanceOf[UTF8String]), shingleN), numHashes),
+      bands))
+  override protected def withNewChildInternal(c: Expression): MinHashBandHashes = copy(child = c)
+  override def prettyName: String = "minhash_bands"
+}

@@ -25,52 +25,67 @@ object FuzzyDedup {
     docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** n-token shingles of a document. */
+  /** n-token shingles of a document (string form — exact-verify side). */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     val starts = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
     transform(starts, i => concat_ws(" ", slice(toks, i, lit(n))))
   }
 
-  /** MinHash signature (k values, h_p(s) = xxhash64(s, p)) computed in ONE
-    * pass over the shingles: per shingle the k hashes, folded with an
-    * elementwise-min. Naively mapping `array_min(transform(...))` per hash
-    * function recomputes the shingle array k times once Catalyst collapses
-    * projections — this formulation touches each shingle exactly once.
+  /** 64-bit hash per n-token shingle, with each TOKEN string hashed exactly
+    * once: token → xxhash64 long, shingle hash = xxhash64 over the n-long
+    * slice. Hashing strings repeatedly is the cost center of MinHash (k
+    * perm-hashes per shingle string made the naive form ~10× slower at
+    * sf0.1); downstream everything operates on longs.
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val toksH = transform(split(text, " "), t => xxhash64(t))
+    val starts = sequence(lit(1), greatest(size(toksH) - (n - 1), lit(0)))
+    transform(starts, i => xxhash64(slice(toksH, i, lit(n))))
+  }
+
+  /** MinHash signature (k values, h_p(s) = xxhash64(sh, p) over the 64-bit
+    * shingle hash) computed in ONE pass: per shingle the k perm-hashes,
+    * folded with an elementwise-min. Naively mapping
+    * `array_min(transform(...))` per hash function recomputes the shingle
+    * array k times once Catalyst collapses projections.
     */
   def minhashSignature(text: Column, numHashes: Int = 32, shingle: Int = 3): Column =
     aggregate(
-      shingles(text, shingle),
+      shingleHashes(text, shingle),
       array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), p => xxhash64(s, p)),
+      (acc, sh) => zip_with(acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), p => xxhash64(sh, p)),
         (a, b) => least(a, b)))
 
   /** Signature → `bands` band hashes, with the signature bound ONCE via the
-    * aggregate finish-lambda (no per-band recompute under project collapse).
+    * aggregate finish-lambda (no per-band recompute under project collapse);
+    * band hash = xxhash64 over the band's long-slice directly.
     */
   def bandHashes(text: Column, numHashes: Int = 32, bands: Int = 8,
                  shingle: Int = 3): Column = {
     val rowsPerBand = numHashes / bands
     aggregate(
-      shingles(text, shingle),
+      shingleHashes(text, shingle),
       array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), p => xxhash64(s, p)),
+      (acc, sh) => zip_with(acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), p => xxhash64(sh, p)),
         (a, b) => least(a, b)),
       sig => transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast("string"))), b)))
+        b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b)))
   }
 
   /** Candidate near-dup pairs from banded LSH: equi-join on (band, hash),
     * ordered ids, distinct. Bucket-bounded — never an all-pairs product.
+    * Uses the native `minhash_bands` kernel
+    * ([[graft.functions.MinHashBandHashes]]); [[bandHashes]] is the
+    * composable reference formulation.
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 32, bands: Int = 8, shingle: Int = 3): DataFrame = {
     val banded = docs.select(col(idCol),
-      posexplode(bandHashes(col(textCol), numHashes, bands, shingle))
+      posexplode(call_function("minhash_bands", col(textCol),
+        lit(numHashes), lit(bands), lit(shingle)))
         .as(Seq("band_id", "band_hash")))
     val a = banded.select(col(idCol).as("id_a"), col("band_id"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("band_id"), col("band_hash"))
@@ -82,12 +97,15 @@ object FuzzyDedup {
   /** Exact shingle-set Jaccard for candidate pairs (verification step).
     * Shingle sets (not unigram token sets): on n-gram granularity unrelated
     * docs over a small vocabulary still score near 0, so the verify step
-    * actually discriminates.
+    * actually discriminates. Sets are 64-bit shingle hashes — set
+    * intersection on longs, not strings (collision probability at 64 bits is
+    * negligible next to the similarity threshold).
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, threshold: Double, shingle: Int = 3): DataFrame = {
     val sets = docs.select(col(idCol).as("__jid"),
-      array_distinct(shingles(col(textCol), shingle)).as("__set"))
+      array_distinct(call_function("shingle_hashes", col(textCol), lit(shingle)))
+        .as("__set"))
     pairs
       .join(sets.withColumnRenamed("__jid", "id_a").withColumnRenamed("__set", "set_a"), "id_a")
       .join(sets.withColumnRenamed("__jid", "id_b").withColumnRenamed("__set", "set_b"), "id_b")
