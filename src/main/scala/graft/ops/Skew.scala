@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation: salted two-phase aggregation.
+  *
+  * AQE's skew-join splitting handles join-side skew at runtime; what it does
+  * NOT fix is a hash aggregation where one grouping key holds a large share
+  * of all rows — that key's entire partial state still lands on one reducer.
+  * Salting splits each key into `saltBuckets` subkeys for the first
+  * (map-side-combinable) aggregation, then re-aggregates the per-salt
+  * partials — two small shuffles instead of one hot one.
+  *
+  * Use for known-skewed keys (CDC hot entities, head-heavy event types) when
+  * per-key state is algebraic (count/sum/min/max — anything with a partial
+  * form).
+  */
+object Skew {
+
+  /** Salted groupBy-count: exact same result as
+    * `df.groupBy(keys).count()`, skew-resistant.
+    */
+  def saltedCount(df: DataFrame, keys: Seq[String], saltBuckets: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("__partial").as("count"))
+
+  /** Salted groupBy-sum over `valueCol` (exact, skew-resistant). */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                saltBuckets: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("__partial").as(s"sum_$valueCol"))
+
+  /** Salt column usable to pre-split a skewed join: replicate the small side
+    * `saltBuckets` times (`explode(sequence(0, n-1))` on that side) and join
+    * on (key, salt). Provided for layouts where AQE is unavailable.
+    */
+  def saltColumn(saltBuckets: Int): Column =
+    pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets))
+}

@@ -52,19 +52,34 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val applied = lineage.exists(l =>
-          l.exists && l.read().filter(col("batch_id") === batchId).limit(1).count() > 0)
-        if (!applied) {
-          val deduped = Dedup.dedupLatest(batch, table.keys, ordering)
-          val n = deduped.count()
-          if (n > 0) table.merge(deduped, opCol)
-          lineage.foreach { l =>
-            l.append(Seq(BatchLineage(batchId, n, "applied")).toDF())
-          }
-        }
+        applyBatch(batch, batchId, table, ordering, lineage, opCol)
         ()
       }
       .start()
+  }
+
+  /** Apply ONE micro-batch idempotently: skip if the lineage table already
+    * records `batchId` (covers the crash window between merge-commit and
+    * checkpoint-commit, where Structured Streaming re-delivers the batch),
+    * else dedup → merge → record lineage. Returns true if applied.
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, table: KeyedParquetTable,
+                 ordering: Seq[Column], lineage: Option[KeyedParquetTable],
+                 opCol: String = "operation"): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val applied = lineage.exists(l =>
+      l.exists && l.read().filter(col("batch_id") === batchId).limit(1).count() > 0)
+    if (applied) false
+    else {
+      val deduped = Dedup.dedupLatest(batch, table.keys, ordering)
+      val n = deduped.count()
+      if (n > 0) table.merge(deduped, opCol)
+      lineage.foreach { l =>
+        l.append(Seq(BatchLineage(batchId, n, "applied")).toDF())
+      }
+      true
+    }
   }
 
   /** Batch-mode replay twin: apply a bounded CDC frame as one merge —

@@ -1,0 +1,52 @@
+package graft.validate
+
+import org.apache.spark.sql.SparkSession
+
+/** Validation CLI — parity with the reference's
+  * `python validation.py --check ...` entry point (validation.py:976-1107),
+  * over two parquet tables (source of truth vs sink).
+  *
+  * Usage:
+  *   runMain graft.validate.ValidateCli <srcParquet> <sinkParquet> \
+  *     <keyCols,comma-sep> [checkCols,comma-sep] [check]
+  * where check ∈ row_count | checksum | sample_data | validation_suite
+  * (default: validation_suite). Prints one JSON line per check.
+  */
+object ValidateCli {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: ValidateCli <src> <sink> <keys> [cols] [check]")
+    val Array(srcPath, sinkPath, keyArg) = args.take(3)
+    val keys = keyArg.split(",").toSeq
+    val spark = graft.core.Session.tuned(
+      SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"),
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = spark.read.parquet(srcPath)
+    val sink = spark.read.parquet(sinkPath)
+    val cols = if (args.length >= 4 && args(3).nonEmpty) args(3).split(",").toSeq
+      else src.columns.toSeq.intersect(sink.columns.toSeq)
+    val which = if (args.length >= 5) args(4) else "validation_suite"
+
+    def run(name: String): Seq[Validation.CheckResult] = name match {
+      case "row_count" => Seq(Validation.rowCount(src, sink))
+      case "checksum" => Seq(Validation.checksum(src, sink, cols))
+      case "sample_data" => Seq(Validation.sampleConsistency(src, sink, keys))
+      case "validation_suite" =>
+        run("row_count") ++ run("checksum") ++ run("sample_data")
+      case other => sys.error(s"unknown check: $other")
+    }
+
+    val results = run(which)
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    results.foreach { r =>
+      val details = r.details.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(",")
+      println(s"""{"check":${q(r.check)},"valid":${r.valid},$details}""")
+    }
+    if (which == "validation_suite") {
+      val (band, rate, _) = Validation.suite(results)
+      println(s"""{"check":"validation_suite","band":${q(band)},"pass_rate":$rate}""")
+    }
+    spark.stop()
+    if (!results.forall(_.valid)) sys.exit(1)
+  }
+}

@@ -87,4 +87,18 @@ class IngestSpec extends SparkSpec {
     assert(rows.contains(("a", 2L)) && rows.contains(("b", 1L)))
     assert(!rows.exists(_._1 == "late"), s"late row leaked: $rows")
   }
+
+  test("applyBatch is idempotent on batchId (crash between merge and checkpoint commit)") {
+    val table = new KeyedParquetTable(spark, tmpDir("dup_tbl"), Seq("id"))
+    table.createIfNotExists(tableSchema)
+    val lineage = new KeyedParquetTable(spark, tmpDir("dup_lin"), Seq("batch_id"))
+    val batch = Seq(Cdc(1, "a", "u", 1), Cdc(2, "b", "u", 2)).toDF()
+    assert(Ingest.applyBatch(batch, 7L, table, Seq(col("seq").desc), Some(lineage)))
+    val v = table.currentVersion
+    // redelivery of the same batchId (simulated crash window) must be a no-op
+    assert(!Ingest.applyBatch(batch, 7L, table, Seq(col("seq").desc), Some(lineage)))
+    assert(table.currentVersion === v)
+    assert(table.read().count() === 2)
+    assert(lineage.read().count() === 1)
+  }
 }

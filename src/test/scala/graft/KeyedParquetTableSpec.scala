@@ -72,4 +72,34 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(oldReader.count() === 1)
     assert(t.read().count() === 2)
   }
+
+  test("bucket-scoped merge: correct result, untouched buckets hard-linked not rewritten") {
+    import org.apache.spark.sql.functions._
+    val full = new KeyedParquetTable(spark, tmpDir("kpt_full"), Seq("id"))
+    val bucketed = new KeyedParquetTable(spark, tmpDir("kpt_buck"), Seq("id"), Nil, 16)
+    val init = (0L until 2000L).map(i => (i, s"v$i")).toDF("id", "v")
+    full.commit(init); bucketed.commit(init)
+    // batch touching few keys -> few buckets
+    val batch = Seq((5L, "v5b", "u"), (6L, null.asInstanceOf[String], "d"),
+      (9999L, "new", "u")).toDF("id", "v", "operation")
+    full.merge(batch); bucketed.merge(batch)
+    val a = full.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = bucketed.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSeq === b.toSeq)
+    assert(b.length === 2000) // 2000 - 1 delete + 1 insert
+    // hard-link evidence: some v1 bucket files share an inode with v0 (nlink >= 2)
+    val v1 = java.nio.file.Paths.get(bucketed.root, "v1")
+    val linked = java.nio.file.Files.walk(v1).iterator()
+    var found = 0
+    while (linked.hasNext) {
+      val f = linked.next()
+      if (f.toString.endsWith(".parquet") &&
+          java.nio.file.Files.getAttribute(f, "unix:nlink").asInstanceOf[Integer] >= 2)
+        found += 1
+    }
+    assert(found > 0, "no hard-linked (unrewritten) bucket files found")
+    // and the merged state survives another scoped merge
+    bucketed.merge(Seq((9999L, null.asInstanceOf[String], "d")).toDF("id", "v", "operation"))
+    assert(bucketed.read().count() === 1999)
+  }
 }

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Skew
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted count/sum equal direct aggregation on a skewed distribution") {
+    // 90% of rows share one key
+    val rows = (0 until 20000).map { i =>
+      (if (i % 10 == 0) s"k${i % 50}" else "hot", i.toLong)
+    }
+    val df = rows.toDF("k", "v")
+    val directC = df.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val saltedC = Skew.saltedCount(df, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(saltedC === directC)
+    val directS = df.groupBy("k").agg(sum("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val saltedS = Skew.saltedSum(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(saltedS === directS)
+  }
+}
