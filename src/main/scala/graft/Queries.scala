@@ -135,7 +135,9 @@ object Queries {
         val maxId = parsed.agg(max("event_id")).head.getLong(0)
         val nBatches = 4L
         val tmp = Files.createTempDirectory("graft_merge_").toString
-        val table = new KeyedParquetTable(s, tmp, Seq("user_id"))
+        // bucketCount=8 → the driver's oracle gate exercises the
+        // bucket-scoped (touched-buckets-only) merge path
+        val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
         table.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
         (0L until nBatches).foreach { b =>
           val lo = b * (maxId + 1) / nBatches

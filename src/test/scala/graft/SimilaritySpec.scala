@@ -112,4 +112,27 @@ class SimilaritySpec extends SparkSpec {
     // random gaussian pairs at dim 16 essentially never reach cos >= 0.95
     assert(pairs.size <= 3, s"too many spurious pairs: $pairs")
   }
+
+  test("IVF layout: centroid-partitioned table scan prunes to the probe partition") {
+    val emb = clustered
+    val cents = emb.filter(col("vec_id") % 30 === 0)
+      .select((col("vec_id") / 30).cast("long").as("cid"), col("embedding").as("cvec"))
+    val assigned = Similarity.assignNearestCentroid(emb, cents,
+        "vec_id", "embedding", "cid", "cvec")
+      .join(emb, "vec_id")
+    val dir = tmpDir("ivf")
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    // probe: nearest centroid of the query, scan only that partition
+    val probe = spark.read.parquet(dir).filter(col("centroid_id") === 0)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    val top = Similarity.cosineTopK(probe.filter(col("vec_id") =!= 0),
+      emb.filter(col("vec_id") === 0).select("embedding"), "vec_id", "embedding", 10)
+    // partition-pruned candidates still contain the true neighbors
+    val exact = Similarity.cosineTopK(emb.filter(col("vec_id") =!= 0),
+      emb.filter(col("vec_id") === 0).select("embedding"), "vec_id", "embedding", 10)
+      .collect().map(_.getLong(0)).toSet
+    val got = top.collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(got).size >= 9, s"exact=$exact ivf=$got")
+  }
 }
