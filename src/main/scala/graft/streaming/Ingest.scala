@@ -91,6 +91,44 @@ object Ingest {
     table.merge(deduped, opCol)
   }
 
+  /** Keyed running-latest state carried across micro-batches. */
+  final case class KeyedLatest(seq: Long, payload: String, deleted: Boolean)
+
+  /** One emitted change of the keyed materialized view. */
+  final case class LatestUpdate(key: Long, seq: Long, payload: String, deleted: Boolean)
+
+  /** Continuously-materialized latest-per-key view via
+    * `KeyValueGroupedDataset.mapGroupsWithState` — custom keyed state the
+    * built-in operators can't express (the brief's `mapGroupsWithState`
+    * path). Each micro-batch folds its rows into per-key state (latest by
+    * `seqCol`, delete-aware) and emits the key's current state; downstream
+    * sinks see a CDC-style update stream of the materialized view.
+    *
+    * State is O(distinct keys) and partitioned by key — at cluster scale
+    * the state store shards across executors with the shuffle.
+    */
+  def runningLatest(parsed: DataFrame, keyCol: String, seqCol: String,
+                    opCol: String): org.apache.spark.sql.Dataset[LatestUpdate] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    val kv = parsed.select(
+      col(keyCol).cast("long").as("key"),
+      col(seqCol).cast("long").as("seq"),
+      to_json(struct(parsed.columns.map(col): _*)).as("payload"),
+      (col(opCol) === "d").as("deleted")).as[LatestUpdate]
+    kv.groupByKey(_.key)
+      .mapGroupsWithState[KeyedLatest, LatestUpdate](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (key, rows, state: org.apache.spark.sql.streaming.GroupState[KeyedLatest]) =>
+          val incoming = rows.maxBy(_.seq)
+          val current = state.getOption
+            .filter(_.seq > incoming.seq)
+            .getOrElse(KeyedLatest(incoming.seq, incoming.payload, incoming.deleted))
+          state.update(current)
+          LatestUpdate(key, current.seq, current.payload, current.deleted)
+      }
+  }
+
   /** Event-time windowed aggregation with a watermark — the streaming
     * extension the reference leaves room for but never builds (SURVEY
     * §2.10): counts + sums per (window, key), late data beyond

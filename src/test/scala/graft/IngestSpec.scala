@@ -101,4 +101,40 @@ class IngestSpec extends SparkSpec {
     assert(table.read().count() === 2)
     assert(lineage.read().count() === 1)
   }
+
+  test("runningLatest (mapGroupsWithState) materializes latest-per-key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Cdc]
+    val updates = Ingest.runningLatest(stream.toDF(), "id", "seq", "operation")
+    val q = updates.toDF().writeStream.format("memory").queryName("latest_view")
+      .outputMode("update").start()
+    stream.addData(Cdc(1, "a", "u", 1), Cdc(2, "b", "u", 2))
+    q.processAllAvailable()
+    stream.addData(Cdc(1, "a2", "u", 3), Cdc(2, null, "d", 4), Cdc(1, "stale", "u", 0))
+    q.processAllAvailable()
+    q.stop()
+    val finalByKey = spark.table("latest_view").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(3))))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).maxBy(_._1) }
+    // key 1: stale seq=0 in batch 2 must NOT displace seq=3
+    assert(finalByKey(1L) === ((3L, false)))
+    // key 2: deleted at seq=4
+    assert(finalByKey(2L) === ((4L, true)))
+  }
+
+  test("year/month-partitioned CDC sink lays out reference-parity partitions") {
+    import graft.cdc.CdcParse
+    val raw = Seq(
+      """{"schema":"s","payload":{"id":1,"name":"n","description":"d","price":5,"on_offer":true,"__deleted":"false"}}"""
+    ).toDF("value")
+    val enriched = CdcParse.pipeline(raw,
+      eventTime = lit("2024-07-15 12:00:00").cast("timestamp"))
+    val table = new KeyedParquetTable(spark, tmpDir("ym_tbl"), Seq("id"),
+      Seq("year", "month"))
+    table.commit(enriched)
+    val v0 = new java.io.File(s"${table.root}/v0")
+    assert(v0.listFiles().exists(_.getName == "year=2024"))
+    assert(new java.io.File(v0, "year=2024").listFiles().exists(_.getName == "month=07"))
+    assert(table.read().filter(col("month") === "07").count() === 1)
+  }
 }
