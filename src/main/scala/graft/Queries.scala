@@ -390,6 +390,42 @@ object Queries {
              |WHERE ts > (SELECT MAX(ts) - INTERVAL 7 DAY FROM events)
              |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin)),
 
+    // Analytic window (lag): per-user value delta between consecutive events
+    // — beyond the reference's ranking-only window surface.
+    "q_window_lag" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+        t("events").select(col("event_id"), col("user_id"),
+          (col("value") - lag("value", 1).over(w)).as("delta"))
+      },
+      Some("""SELECT event_id, user_id,
+             |value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+             |FROM events""".stripMargin)),
+
+    // Rollup aggregation (multi-level totals) — beyond the reference's flat
+    // group-bys; null-filled supertotal rows hash-match across engines.
+    "q_rollup" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        // rollup over a renamed projection trips Spark's ambiguous-self-join
+        // detector when fed the join directly; SQL form sidesteps it
+        t("region").createOrReplaceTempView("v_region")
+        t("nation").createOrReplaceTempView("v_nation")
+        t("customer").createOrReplaceTempView("v_customer")
+        s.sql("""SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_custs
+                |FROM v_region
+                |JOIN v_nation ON r_regionkey = n_regionkey
+                |JOIN v_customer ON n_nationkey = c_nationkey
+                |GROUP BY ROLLUP(region, nation)""".stripMargin)
+      },
+      Some("""SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_custs
+             |FROM region
+             |JOIN nation ON r_regionkey = n_regionkey
+             |JOIN customer ON n_nationkey = c_nationkey
+             |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)),
+
     // ---- Text analysis over `documents` (LLM-pipeline extensions) ----------
 
     // Token counting + length stats as pure column expressions.

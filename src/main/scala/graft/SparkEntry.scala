@@ -9,8 +9,14 @@ object SparkEntry {
     * deletes), i.e. the reference's core pipeline
     * (/root/reference/src/processor/spark_batch.py:101-280) as one plan.
     */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    // the harness events table stores TIMESTAMP(NANOS); if the caller's
+    // session wasn't built by Session.tuned, set the legacy conf here so the
+    // scan resolves (runtime-settable SQLConf)
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
     Queries.all("cdc_fold_final_state").fn(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
