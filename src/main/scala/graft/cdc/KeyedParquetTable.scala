@@ -132,7 +132,15 @@ final class KeyedParquetTable(
           Files.createDirectories(dst)
           Files.list(dir).iterator().asScala
             .filter(Files.isRegularFile(_))
-            .foreach(f => Files.createLink(dst.resolve(f.getFileName.toString), f))
+            .foreach { f =>
+              val target = dst.resolve(f.getFileName.toString)
+              // hard link = free snapshot copy for immutable parquet; fall
+              // back to a real copy on filesystems without link support
+              try Files.createLink(target, f)
+              catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+                Files.copy(f, target)
+              }
+            }
         }
     }
     val tmp = rootPath.resolve(s"_latest.tmp$next")

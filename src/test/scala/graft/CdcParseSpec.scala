@@ -61,4 +61,17 @@ class CdcParseSpec extends SparkSpec {
     assert(parsed.count() === 1)
     assert(parsed.select("id").head().isNullAt(0))
   }
+
+  test("parseEnvelope accepts binary-typed value columns (Kafka value shape)") {
+    val raw = Seq(good.getBytes("UTF-8"), "garbage".getBytes("UTF-8"))
+      .toDF("value")
+    val parsed = CdcParse.parseEnvelope(raw)
+    assert(parsed.count() === 1)
+    assert(parsed.select("id").head().getInt(0) === 1)
+  }
+
+  test("parseEnvelope tolerates duplicate envelopes (at-least-once delivery)") {
+    val raw = Seq(good, good, deleted).toDF("value")
+    assert(CdcParse.parseEnvelope(raw).count() === 3) // parse keeps both; dedup is downstream
+  }
 }
