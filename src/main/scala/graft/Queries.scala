@@ -390,6 +390,20 @@ object Queries {
              |WHERE ts > (SELECT MAX(ts) - INTERVAL 7 DAY FROM events)
              |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin)),
 
+    // Sketch aggregates — the scale substitutes for exact distinct/quantile
+    // (A3 at 100 TB): HyperLogLog++ distinct count and approximate
+    // percentiles. Approximations don't cross-engine-match → rows-only;
+    // tolerance vs exact is asserted in ScalaTest.
+    "q_sketch_stats" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("lineitem").agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
+            .as("price_quantiles"))
+      },
+      None),
+
     // Analytic window (lag): per-user value delta between consecutive events
     // — beyond the reference's ranking-only window surface.
     "q_window_lag" -> Q(

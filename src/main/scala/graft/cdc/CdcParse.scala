@@ -39,6 +39,29 @@ object CdcParse {
       .drop("__envelope", valueCol)
   }
 
+  /** Parse with a dead-letter channel: returns (valid, rejected). The
+    * reference silently drops invalid messages (try/except-continue,
+    * `spark_batch.py:152-190`); routing them to a quarantine table instead
+    * preserves them for replay/debugging — at scale, silent drops are
+    * unauditable data loss.
+    */
+  def parseWithDeadLetter(raw: DataFrame, valueCol: String = "value",
+                          schema: org.apache.spark.sql.types.StructType = CdcModel.envelopeSchema)
+      : (DataFrame, DataFrame) = {
+    val asString = col(valueCol).cast("string")
+    val withEnv = raw.withColumn("__envelope",
+      when(asString.isNull || asString === "" || asString === "empty", lit(null))
+        .otherwise(from_json(asString, schema)))
+    val valid = withEnv
+      .filter(col("__envelope").isNotNull && col("__envelope.payload").isNotNull)
+      .select(col("*"), col("__envelope.payload.*"))
+      .drop("__envelope", valueCol)
+    val rejected = withEnv
+      .filter(col("__envelope").isNull || col("__envelope.payload").isNull)
+      .select(asString.as("raw_value"), current_timestamp().as("rejected_at"))
+    (valid, rejected)
+  }
+
   /** Operation classifier (`determine_operation`, `spark_batch.py:101-116`):
     * `__deleted == 'true'` → 'd'; missing id → 'c'; otherwise 'u'.
     * Kept bug-compatible on purpose: Debezium rewrite payloads always carry

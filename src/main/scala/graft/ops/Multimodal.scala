@@ -69,12 +69,13 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("id", LongType),
       StructField("features", ArrayType(FloatType))))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    // project first so the scan reads only (id, blob) — .rdd materializes
+    // whatever the plan carries
+    val pruned = df.select(col(idCol), col(binCol))
+    val rdd = pruned.rdd.mapPartitions { rows =>
       // real impl: initialize codec once here
       rows.map { r =>
-        Row(r.getLong(idIdx), fakeDecode(r.getAs[Array[Byte]](binIdx)).toSeq)
+        Row(r.getLong(0), fakeDecode(r.getAs[Array[Byte]](1)).toSeq)
       }
     }
     spark.createDataFrame(rdd, outSchema)

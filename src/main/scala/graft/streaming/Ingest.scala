@@ -62,6 +62,12 @@ object Ingest {
     * records `batchId` (covers the crash window between merge-commit and
     * checkpoint-commit, where Structured Streaming re-delivers the batch),
     * else dedup → merge → record lineage. Returns true if applied.
+    *
+    * The remaining window — crash between table merge and lineage append —
+    * is also safe: re-applying the SAME deduped batch is a semantic no-op
+    * (upserts overwrite with identical values, deletes of absent keys are
+    * no-ops), so the merge itself is idempotent per batch; the lineage
+    * guard exists to avoid the wasted work, not for correctness.
     */
   def applyBatch(batch: DataFrame, batchId: Long, table: KeyedParquetTable,
                  ordering: Seq[Column], lineage: Option[KeyedParquetTable],

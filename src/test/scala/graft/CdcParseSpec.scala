@@ -74,4 +74,14 @@ class CdcParseSpec extends SparkSpec {
     val raw = Seq(good, good, deleted).toDF("value")
     assert(CdcParse.parseEnvelope(raw).count() === 3) // parse keeps both; dedup is downstream
   }
+
+  test("parseWithDeadLetter routes invalid messages to the quarantine side") {
+    val raw = Seq(Some(good), Some("{not json"), None, Some("empty")).toDF("value")
+    val (valid, rejected) = CdcParse.parseWithDeadLetter(raw)
+    assert(valid.count() === 1)
+    assert(rejected.count() === 3)
+    val rejectedVals = rejected.select("raw_value").collect().map(r =>
+      Option(r.getString(0))).toSet
+    assert(rejectedVals === Set(Some("{not json"), None, Some("empty")))
+  }
 }

@@ -24,4 +24,14 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(saltedS === directS)
   }
+
+  test("sketch aggregates land within tolerance of exact answers") {
+    val df = spark.range(100000).select((col("id") % 9173L).as("k"),
+      (col("id") % 1000L).cast("double").as("v"))
+    val row = df.agg(
+      approx_count_distinct(col("k")).as("ad"),
+      expr("approx_percentile(v, 0.5)").as("p50")).head()
+    assert(math.abs(row.getLong(0) - 9173L).toDouble / 9173 < 0.05)
+    assert(math.abs(row.getDouble(1) - 500.0) < 25.0)
+  }
 }
