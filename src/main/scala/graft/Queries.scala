@@ -390,6 +390,44 @@ object Queries {
              |WHERE ts > (SELECT MAX(ts) - INTERVAL 7 DAY FROM events)
              |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin)),
 
+    // Generate/explode + two-level agg: term document-frequency (the
+    // vocabulary-building step of a text pipeline).
+    "q_term_doc_freq" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("token")
+          .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+          .orderBy(col("df").desc, col("token").asc)
+          .limit(50)
+      },
+      Some("""SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+             |GROUP BY token ORDER BY df DESC, token ASC LIMIT 50""".stripMargin)),
+
+    // Gap-based sessionization over the Long-nanos event timestamps
+    // (lag window + cumulative flag — the batch analog of session windows).
+    "q_sessionize" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+        t("events")
+          .withColumn("new_sess",
+            when(col("ts") - lag("ts", 1).over(w) > 3600L * 1000000000L, 1L)
+              .otherwise(0L))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            (sum("new_sess") + 1L).as("n_sessions"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |CAST(SUM(new_sess) AS BIGINT) + 1 AS n_sessions FROM (
+             |  SELECT user_id, CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+             |    OVER (PARTITION BY user_id ORDER BY event_id) > 3600000000000
+             |    THEN 1 ELSE 0 END AS new_sess
+             |  FROM events) t GROUP BY user_id""".stripMargin)),
+
     // Sketch aggregates — the scale substitutes for exact distinct/quantile
     // (A3 at 100 TB): HyperLogLog++ distinct count and approximate
     // percentiles. Approximations don't cross-engine-match → rows-only;
