@@ -404,7 +404,8 @@ object Queries {
       },
       Some("""SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
              |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
-             |GROUP BY token ORDER BY df DESC, token ASC LIMIT 50""".stripMargin)),
+             |GROUP BY token ORDER BY df DESC, token ASC LIMIT 50""".stripMargin),
+      headline = true),
 
     // Gap-based sessionization over the Long-nanos event timestamps
     // (lag window + cumulative flag — the batch analog of session windows).
@@ -426,7 +427,8 @@ object Queries {
              |  SELECT user_id, CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
              |    OVER (PARTITION BY user_id ORDER BY event_id) > 3600000000000
              |    THEN 1 ELSE 0 END AS new_sess
-             |  FROM events) t GROUP BY user_id""".stripMargin)),
+             |  FROM events) t GROUP BY user_id""".stripMargin),
+      headline = true),
 
     // Sketch aggregates — the scale substitutes for exact distinct/quantile
     // (A3 at 100 TB): HyperLogLog++ distinct count and approximate
@@ -540,7 +542,8 @@ object Queries {
         FuzzyDedup.exactDedup(t("documents"), "doc_id", "text")
       },
       Some("""SELECT MD5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-             |FROM documents GROUP BY text""".stripMargin)),
+             |FROM documents GROUP BY text""".stripMargin),
+      headline = true),
 
     // 128-bit content fingerprints (exact-dedup key, P9 for documents).
     "q_doc_fingerprint" -> Q(
@@ -562,7 +565,8 @@ object Queries {
           .agg(expr("bit_xor(h)").as("checksum"), count(lit(1)).as("n_rows"))
       },
       Some("""SELECT bit_xor(CAST(('0x' || substr(MD5(text), 1, 15)) AS BIGINT)) AS checksum,
-             |COUNT(*) AS n_rows FROM documents""".stripMargin)),
+             |COUNT(*) AS n_rows FROM documents""".stripMargin),
+      headline = true),
 
     // A6 reference-parity mode: exact MD5 over the sorted row-fingerprint
     // list (small-table mode; the scale path is q_global_checksum).
