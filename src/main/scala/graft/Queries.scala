@@ -251,6 +251,48 @@ object Queries {
              |GROUP BY r_name, n_name""".stripMargin),
       headline = true),
 
+    // TPC-H Q3 shape: multi-join + filter + grouped revenue + top-k.
+    "q3_shipping_priority" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("customer").filter(col("c_mktsegment") === "BUILDING")
+          .join(t("orders"), col("c_custkey") === col("o_custkey"))
+          .join(t("lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate"))
+          .groupBy("o_orderkey", "o_orderdate")
+          .agg(expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)")
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+             |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+             |GROUP BY o_orderkey, o_orderdate
+             |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // TPC-H Q18 shape: HAVING over a grouped quantity, joined back (top-k).
+    "q18_large_orders" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val bigOrders = t("lineitem").groupBy("l_orderkey")
+          .agg(expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("total_qty"))
+          .filter(col("total_qty") > 150.0)
+        bigOrders.join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+          .select("o_orderkey", "o_custkey", "total_qty")
+          .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      Some("""SELECT o_orderkey, o_custkey, total_qty FROM (
+             |  SELECT l_orderkey,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+             |  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150.0) t
+             |JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin)),
+
     // J3 semi: customers that have at least one order.
     "q_semi_join" -> Q(
       (s, dir) => {

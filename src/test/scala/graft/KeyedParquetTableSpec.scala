@@ -102,4 +102,22 @@ class KeyedParquetTableSpec extends SparkSpec {
     bucketed.merge(Seq((9999L, null.asInstanceOf[String], "d")).toDF("id", "v", "operation"))
     assert(bucketed.read().count() === 1999)
   }
+
+  test("expireSnapshots after scoped merges keeps hard-linked data alive; compact preserves buckets") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_link_exp"), Seq("id"), Nil, 8)
+    t.commit((0L until 500L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.merge(Seq((1L, "b", "u")).toDF("id", "v", "operation"))
+    t.merge(Seq((2L, "c", "u")).toDF("id", "v", "operation"))
+    assert(t.currentVersion === 2)
+    // expire v0/v1 (hardlink sources) — inode refcount keeps v2's data alive
+    val expired = t.expireSnapshots(olderThanMs = 0L, retainLast = 1)
+    assert(expired.toSet === Set(0L, 1L))
+    val rows = t.read().filter(col("id").isin(1L, 2L)).orderBy("id")
+      .collect().map(_.getString(1))
+    assert(rows.toSeq === Seq("b", "c"))
+    assert(t.read().count() === 500)
+    // compact on a bucketed table keeps the bucket layout readable
+    t.compact(minInputFiles = 2, targetPartitions = 1)
+    assert(t.read().count() === 500)
+  }
 }
