@@ -472,6 +472,41 @@ object Queries {
              |  FROM events) t GROUP BY user_id""".stripMargin),
       headline = true),
 
+    // Pivot: per-user event-type count matrix (map-side combinable).
+    "q_pivot_event_counts" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("events").groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .count()
+          .na.fill(0L)
+      },
+      Some("""SELECT user_id,
+             |COUNT(*) FILTER (event_type = 'click') AS click,
+             |COUNT(*) FILTER (event_type = 'error') AS error,
+             |COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+             |COUNT(*) FILTER (event_type = 'signup') AS signup,
+             |COUNT(*) FILTER (event_type = 'view') AS view
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // Distribution ranks: ntile quartile + percent_rank over order values.
+    "q_rank_distribution" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        t("orders").select(col("o_orderkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pct_rank"))
+          .filter(col("o_orderkey") % 37 === 0)
+      },
+      Some("""SELECT o_orderkey, quartile, pct_rank FROM (
+             |  SELECT o_orderkey,
+             |  ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile,
+             |  percent_rank() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS pct_rank
+             |  FROM orders) t
+             |WHERE o_orderkey % 37 = 0""".stripMargin)),
+
     // Sketch aggregates — the scale substitutes for exact distinct/quantile
     // (A3 at 100 TB): HyperLogLog++ distinct count and approximate
     // percentiles. Approximations don't cross-engine-match → rows-only;

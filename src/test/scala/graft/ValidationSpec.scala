@@ -73,4 +73,15 @@ class ValidationSpec extends SparkSpec {
     assert(Validation.suite(Seq.fill(17)(ok) :+ bad :+ bad :+ bad)._1 === "Warning")
     assert(Validation.suite(Seq(ok, bad, bad))._1 === "Poor")
   }
+
+  test("XorChecksum typed Aggregator equals the bit_xor built-in") {
+    import graft.functions.XorChecksum
+    val df = spark.range(10000).select(xxhash64(col("id")).as("h"))
+    val typed = df.agg(XorChecksum.column(col("h"))).head().getLong(0)
+    val builtin = df.agg(expr("bit_xor(h)")).head().getLong(0)
+    assert(typed === builtin)
+    // order independence: shuffled input, same checksum
+    val shuffled = df.orderBy(rand(3)).agg(XorChecksum.column(col("h"))).head().getLong(0)
+    assert(shuffled === typed)
+  }
 }
