@@ -313,6 +313,30 @@ object Queries {
       Some("""SELECT c_custkey, c_name FROM customer
              |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin)),
 
+    // Set ops (§2.8): custkeys with any order EXCEPT those with a
+    // high-value order.
+    "q_except" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val o = t("orders")
+        o.select("o_custkey")
+          .except(o.filter(col("o_totalprice") > 300000.0).select("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders
+             |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0""".stripMargin)),
+
+    // Set ops (§2.8): customers appearing in both the BUILDING segment and
+    // the high-value-order population.
+    "q_intersect" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("customer").filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+          .intersect(t("orders").filter(col("o_totalprice") > 200000.0)
+            .select(col("o_custkey").as("k")))
+      },
+      Some("""SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+             |INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0""".stripMargin)),
+
     // V3 shape: deterministic key sample probed via anti join (one join, not
     // N per-key scans like the reference's validation.py:389-410).
     "q_sample_consistency" -> Q(
