@@ -767,6 +767,22 @@ object Queries {
 
     // ---- Multimodal plumbing ----------------------------------------------
 
+    // Decode/feature-extract path (mapPartitions; deterministic stub codec)
+    // aggregated per source — exercises the full multimodal plumbing.
+    "q_media_features" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents")
+        val withBin = Multimodal.attachBinary(docs, "text", "text/plain")
+        val feats = Multimodal.decodeStub(withBin, "doc_id", "media")
+        feats.join(docs.select(col("doc_id").as("id"), col("source")), "id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("CAST(SUM(CAST(round(element_at(features, 1) * 1000) AS BIGINT)) AS BIGINT)")
+              .as("f0_sum_milli"))
+      },
+      None),
+
     // Binary payload + typed metadata; metadata-only projection (the blob is
     // pruned at the scan).
     "q_binary_meta" -> Q(

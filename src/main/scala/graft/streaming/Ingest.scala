@@ -135,6 +135,58 @@ object Ingest {
       }
   }
 
+  /** Per-key session accumulator state. */
+  final case class SessionState(nEvents: Long, firstSeq: Long, lastSeq: Long)
+
+  /** A closed session emitted on processing-time timeout. */
+  final case class ClosedSession(key: Long, n_events: Long, first_seq: Long, last_seq: Long)
+
+  /** Pure state transition of the session machine — one invocation of the
+    * flatMapGroupsWithState function, factored out so the logic is unit-
+    * testable without driving timeout wall-clocks through a live query.
+    *
+    * @return (next state — None closes/removes, emitted closed session)
+    */
+  def sessionTransition(key: Long, seqs: Seq[Long], state: Option[SessionState],
+                        timedOut: Boolean): (Option[SessionState], Option[ClosedSession]) =
+    if (timedOut) {
+      (None, state.map(s => ClosedSession(key, s.nEvents, s.firstSeq, s.lastSeq)))
+    } else if (seqs.isEmpty) {
+      (state, None)
+    } else {
+      val prev = state.getOrElse(SessionState(0L, seqs.min, seqs.max))
+      (Some(SessionState(prev.nEvents + seqs.size,
+        math.min(prev.firstSeq, seqs.min), math.max(prev.lastSeq, seqs.max))), None)
+    }
+
+  /** Session assembly via `flatMapGroupsWithState` with processing-time
+    * timeouts: events accumulate per key ([[sessionTransition]]); when a key
+    * goes quiet for `timeoutMs` the session closes and is emitted downstream
+    * (the flatMap shape — 0 or 1 outputs per invocation). Complements
+    * [[windowedCounts]] (event-time windows) with the timeout-driven state
+    * machine the built-in operators can't express.
+    */
+  def sessionStream(parsed: DataFrame, keyCol: String, seqCol: String,
+                    timeoutMs: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val kv = parsed.select(col(keyCol).cast("long").as("_1"),
+      col(seqCol).cast("long").as("_2")).as[(Long, Long)]
+    kv.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (key, rows, state: GroupState[SessionState]) =>
+          val (next, emitted) = sessionTransition(key, rows.map(_._2).toSeq,
+            state.getOption, state.hasTimedOut)
+          next match {
+            case Some(s) => state.update(s); state.setTimeoutDuration(timeoutMs)
+            case None => if (state.exists) state.remove()
+          }
+          emitted.iterator
+      }
+  }
+
   /** Event-time windowed aggregation with a watermark — the streaming
     * extension the reference leaves room for but never builds (SURVEY
     * §2.10): counts + sums per (window, key), late data beyond

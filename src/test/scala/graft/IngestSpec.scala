@@ -137,4 +137,37 @@ class IngestSpec extends SparkSpec {
     assert(new java.io.File(v0, "year=2024").listFiles().exists(_.getName == "month=07"))
     assert(table.read().filter(col("month") === "07").count() === 1)
   }
+  test("session state machine: accumulate, extend, close on timeout") {
+    import Ingest.{SessionState, sessionTransition}
+    // first events open a session
+    val (s1, e1) = sessionTransition(1L, Seq(10L, 12L), None, timedOut = false)
+    assert(s1 === Some(SessionState(2L, 10L, 12L)) && e1.isEmpty)
+    // more events extend it
+    val (s2, e2) = sessionTransition(1L, Seq(15L), s1, timedOut = false)
+    assert(s2 === Some(SessionState(3L, 10L, 15L)) && e2.isEmpty)
+    // timeout closes and emits
+    val (s3, e3) = sessionTransition(1L, Seq.empty, s2, timedOut = true)
+    assert(s3.isEmpty)
+    assert(e3 === Some(Ingest.ClosedSession(1L, 3L, 10L, 15L)))
+    // timeout with no state emits nothing
+    assert(sessionTransition(2L, Seq.empty, None, timedOut = true) === ((None, None)))
+  }
+
+  test("sessionStream wires the state machine into a runnable streaming query") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Cdc]
+    val sessions = Ingest.sessionStream(stream.toDF(), "id", "seq", timeoutMs = 60000L)
+    val q = sessions.toDF().writeStream.format("memory").queryName("sessions_smoke")
+      .outputMode("append").start()
+    stream.addData(Cdc(1, "a", "u", 10), Cdc(1, "b", "u", 12))
+    // NOTE: processAllAvailable never quiesces under ProcessingTimeTimeout
+    // (the engine keeps constructing timeout-check batches) — poll progress.
+    val deadline = System.currentTimeMillis() + 30000
+    while (q.recentProgress.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(q.isActive && q.exception.isEmpty)
+    // long timeout -> no session closed yet; state accumulated without error
+    assert(spark.table("sessions_smoke").count() === 0)
+    q.stop()
+  }
 }
