@@ -187,6 +187,24 @@ object Ingest {
       }
   }
 
+  /** Stream-stream interval join: match rows of two event streams on a key
+    * when their event times fall within `withinSeconds` of each other. Both
+    * sides are watermarked so the join state is bounded — the canonical
+    * correlate-two-feeds operator (e.g. clicks→purchases attribution).
+    *
+    * @param left / right streaming frames with `keyCol` and a timestamp col
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String, withinSeconds: Long,
+                   watermarkDelay: String = "1 minute"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $withinSeconds SECONDS"))
+  }
+
   /** Event-time windowed aggregation with a watermark — the streaming
     * extension the reference leaves room for but never builds (SURVEY
     * §2.10): counts + sums per (window, key), late data beyond

@@ -170,4 +170,29 @@ class IngestSpec extends SparkSpec {
     assert(spark.table("sessions_smoke").count() === 0)
     q.stop()
   }
+
+  case class Click(ts: java.sql.Timestamp, user: Long, page: String)
+  case class Buy(ts: java.sql.Timestamp, user: Long, amount: Double)
+
+  test("stream-stream interval join correlates events within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+    val joined = Ingest.intervalJoin(
+      clicks.toDF().withColumnRenamed("ts", "click_ts"),
+      buys.toDF().withColumnRenamed("ts", "buy_ts"),
+      "user", "click_ts", "buy_ts", withinSeconds = 30L)
+    val q = joined.select(col("l.user"), col("page"), col("amount"))
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    clicks.addData(Click(ts(0), 1L, "home"), Click(ts(5), 2L, "shop"))
+    buys.addData(Buy(ts(10), 1L, 9.99),   // within 30s of user 1's click -> match
+      Buy(ts(500), 2L, 5.0))              // 495s after user 2's click -> no match
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attributed").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows === Set((1L, "home", 9.99)))
+  }
 }
