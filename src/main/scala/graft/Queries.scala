@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.cdc.{CdcParse, KeyedParquetTable, Merge}
-import graft.ops.{Dedup, FuzzyDedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, FuzzyDedup, Multimodal, Ranks, Similarity, TextOps}
 
 /** The engine's registered query workload.
   *
@@ -514,14 +514,17 @@ object Queries {
              |FROM events GROUP BY user_id""".stripMargin)),
 
     // Distribution ranks: ntile quartile + percent_rank over order values.
+    // NOT a global `Window.orderBy` (which is a single task over all rows):
+    // [[Ranks.globalRank]] computes the identical unique rank with bucketed
+    // parallel windows, then quartile/pct_rank are row-local arithmetic.
     "q_rank_distribution" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-        t("orders").select(col("o_orderkey"),
-            ntile(4).over(w).cast("long").as("quartile"),
-            percent_rank().over(w).as("pct_rank"))
+        val (ranked, n) = Ranks.globalRank(t("orders"),
+          col("o_totalprice"), Seq(col("o_orderkey")), "__rn")
+        ranked.select(col("o_orderkey"),
+            Ranks.ntileFromRank(col("__rn"), n, 4).cast("long").as("quartile"),
+            Ranks.percentRankFromRank(col("__rn"), n).as("pct_rank"))
           .filter(col("o_orderkey") % 37 === 0)
       },
       Some("""SELECT o_orderkey, quartile, pct_rank FROM (
@@ -534,14 +537,20 @@ object Queries {
     // Sketch aggregates — the scale substitutes for exact distinct/quantile
     // (A3 at 100 TB): HyperLogLog++ distinct count and approximate
     // percentiles. Approximations don't cross-engine-match → rows-only;
-    // tolerance vs exact is asserted in ScalaTest.
+    // tolerance vs exact is asserted in ScalaTest. Quantiles are emitted as
+    // flat scalar columns (NOT one array column): the driver's pandas
+    // compare sorts output values and cannot factorize ndarray cells.
     "q_sketch_stats" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         t("lineitem").agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
-            .as("price_quantiles"))
+            approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+            expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
+              .as("__pq"))
+          .select(col("approx_orders"),
+            element_at(col("__pq"), 1).as("p50"),
+            element_at(col("__pq"), 2).as("p95"),
+            element_at(col("__pq"), 3).as("p99"))
       },
       None),
 
@@ -626,15 +635,31 @@ object Queries {
              |FROM (SELECT doc_id, text,
              |  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS nt FROM documents) t""".stripMargin)),
 
-    // Language ID (stopword-table heuristic) — not ANSI-expressible cheaply;
-    // verified against a reimplementation in ScalaTest instead.
+    // Language ID (stopword-table heuristic): argmax of per-language
+    // whole-word stopword hit counts, first language in (de,en,es,fr,zh)
+    // order wins ties, zero hits everywhere → 'und'. Mirrored exactly in
+    // DuckDB (regexp_count ≡ len(regexp_extract_all); both engines use
+    // ASCII \b word boundaries, so CJK behaves identically too).
     "q_lang_id" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         t("documents").select(col("doc_id"), col("lang").as("labeled_lang"),
           TextOps.langId(col("text")).as("predicted_lang"))
       },
-      None),
+      Some("""SELECT doc_id, lang AS labeled_lang,
+             |  CASE WHEN GREATEST(de, en, es, fr, zh) = 0 THEN 'und'
+             |       WHEN de = GREATEST(de, en, es, fr, zh) THEN 'de'
+             |       WHEN en = GREATEST(de, en, es, fr, zh) THEN 'en'
+             |       WHEN es = GREATEST(de, en, es, fr, zh) THEN 'es'
+             |       WHEN fr = GREATEST(de, en, es, fr, zh) THEN 'fr'
+             |       ELSE 'zh' END AS predicted_lang
+             |FROM (SELECT doc_id, lang,
+             |  len(regexp_extract_all(text, '\b(der|die|und|das|ist|nicht)\b')) AS de,
+             |  len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS en,
+             |  len(regexp_extract_all(text, '\b(el|la|de|que|y|los)\b')) AS es,
+             |  len(regexp_extract_all(text, '\b(le|la|et|les|des|une)\b')) AS fr,
+             |  len(regexp_extract_all(text, '\b(的|了|是|我|不)\b')) AS zh
+             |  FROM documents) t""".stripMargin)),
 
     // Exact dedup by content hash (hash-groupBy).
     "q_exact_dedup" -> Q(

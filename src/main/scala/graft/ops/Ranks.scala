@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking — the scale-safe replacement for an
+  * unpartitioned `Window.orderBy(...)` (which Spark plans as ONE task
+  * holding every row: correct at sf0.1, dead at 100 TB).
+  *
+  * Recipe (the classic three-pass distributed rank):
+  *  1. sample approximate value boundaries and EMBED them as literals —
+  *     the boundaries only steer parallelism; correctness never depends on
+  *     their placement, so approximation/nondeterminism in pass 1 is
+  *     harmless once the chosen values are frozen into the plan;
+  *  2. count rows per bucket (one parallel agg; ≤ `buckets` rows to the
+  *     driver) → cumulative offsets;
+  *  3. per-bucket window `row_number` (hash exchange on the bucket id —
+  *     every bucket is an independent task) + the bucket's offset.
+  *
+  * Every pass is fully parallel; the only driver-side data is O(buckets).
+  * At cluster scale raise `buckets` to ~2-3× total cores; offsets then ride
+  * a broadcast join instead of a literal CASE chain (same plan shape).
+  */
+object Ranks {
+
+  /** Append a 1-based dense global rank column over the total order
+    * `(value, tiebreaks...)` ascending. The order must be unique per row
+    * (supply tiebreaks), so rank ≡ row_number ≡ dense rank.
+    *
+    * Returns the ranked frame and the total row count N (pass-2 byproduct,
+    * needed by percent_rank/ntile arithmetic).
+    */
+  def globalRank(df: DataFrame, value: Column, tiebreaks: Seq[Column],
+                 rankName: String, buckets: Int = 32): (DataFrame, Long) = {
+    val v = value.cast("double")
+    // pass 1: boundary sample, frozen into the plan as literals
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val sampled = df.select(percentile_approx(v, typedLit(probs), lit(10000))
+      .as("__b")).head.getSeq[Double](0)
+    val boundaries = sampled.distinct.sorted
+    val bucket: Column =
+      if (boundaries.isEmpty) lit(0)
+      else boundaries.map(b => when(v > lit(b), 1).otherwise(0)).reduce(_ + _)
+    // pass 2: per-bucket histogram → cumulative offsets (O(buckets) rows)
+    val counts = df.groupBy(bucket.as("__bucket")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toMap
+    val offsetExpr = counts.map(_._1).foldRight(lit(0L)) { (b, rest) =>
+      when(col("__bucket") === b, lit(offsets(b))).otherwise(rest)
+    }
+    // pass 3: per-bucket local rank + offset — parallel across buckets
+    val w = Window.partitionBy("__bucket").orderBy(value.asc +: tiebreaks.map(_.asc): _*)
+    val ranked = df.withColumn("__bucket", bucket)
+      .withColumn(rankName, row_number().over(w).cast("long") + offsetExpr)
+      .drop("__bucket")
+    (ranked, total)
+  }
+
+  /** SQL `ntile(n)` bucket number from a unique global rank and total count:
+    * the first `N mod n` tiles hold `⌈N/n⌉` rows, the rest `⌊N/n⌋`.
+    * Pure row-local arithmetic once the rank exists — no window at all.
+    */
+  def ntileFromRank(rank: Column, total: Long, n: Int): Column = {
+    val base = total / n
+    val rem = total % n
+    if (base == 0) rank // degenerate: fewer rows than tiles
+    else when(rank <= rem * (base + 1), floor((rank - 1) / (base + 1)) + 1L)
+      .otherwise(lit(rem) + floor((rank - 1 - rem * (base + 1)) / base) + 1L)
+  }
+
+  /** SQL `percent_rank()` from a unique global rank: (rank-1)/(N-1).
+    * Exact-double identical to the window form for N < 2^53.
+    */
+  def percentRankFromRank(rank: Column, total: Long): Column =
+    if (total <= 1) lit(0.0)
+    else (rank - 1).cast("double") / lit((total - 1).toDouble)
+}
