@@ -54,18 +54,39 @@ final class KeyedParquetTable(
   def commit(df: DataFrame): Long = {
     val next = currentVersion + 1
     Files.createDirectories(rootPath)
-    val (out, parts) =
-      if (bucketCount > 0 && df.columns.nonEmpty)
-        (df.withColumn("__bucket", bucketExpr), Seq("__bucket") ++ partitionBy)
-      else (df, partitionBy)
+    val (out, parts) = withLayout(df)
     val writer = out.write.mode("overwrite")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(versionDir(next).toString)
+    swingPointer(next)
+  }
+
+  /** Apply the table's physical layout (bucket column + partition spec). */
+  private def withLayout(df: DataFrame): (DataFrame, Seq[String]) =
+    if (bucketCount > 0 && df.columns.nonEmpty)
+      (df.withColumn("__bucket", bucketExpr), Seq("__bucket") ++ partitionBy)
+    else (df, partitionBy)
+
+  /** Atomically make `next` the current snapshot. */
+  private def swingPointer(next: Long): Long = {
     val tmp = rootPath.resolve(s"_latest.tmp$next")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
     next
+  }
+
+  /** Hard-link `f` into the mirrored location under `nextDir` (immutable
+    * parquet — a link is a free snapshot copy); real copy as the fallback
+    * on filesystems without link support.
+    */
+  private def linkInto(srcRoot: Path, nextDir: Path, f: Path): Unit = {
+    val target = nextDir.resolve(srcRoot.relativize(f))
+    Files.createDirectories(target.getParent)
+    try Files.createLink(target, f)
+    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+      Files.copy(f, target, StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Create with an explicit schema if absent (K1). */
@@ -128,35 +149,37 @@ final class KeyedParquetTable(
           v.toIntOption.exists(touched.contains)
         }
         .foreach { dir =>
-          val dst = nextDir.resolve(dir.getFileName.toString)
-          Files.createDirectories(dst)
-          Files.list(dir).iterator().asScala
-            .filter(Files.isRegularFile(_))
-            .foreach { f =>
-              val target = dst.resolve(f.getFileName.toString)
-              // hard link = free snapshot copy for immutable parquet; fall
-              // back to a real copy on filesystems without link support
-              try Files.createLink(target, f)
-              catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-                Files.copy(f, target)
-              }
-            }
+          Files.walk(dir).iterator().asScala.filter(Files.isRegularFile(_))
+            .foreach(linkInto(curDir, nextDir, _))
         }
     }
-    val tmp = rootPath.resolve(s"_latest.tmp$next")
-    Files.writeString(tmp, next.toString)
-    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    next
+    swingPointer(next)
   }
 
   /** Append rows as a new snapshot (K5) — one commit per batch, by design;
     * the reference commits once per Kafka partition per batch
     * (`spark_exactly_once.py:351-360`), its main scalability bug.
+    *
+    * SNAPSHOT-INCREMENTAL: only the new batch's files are written; every
+    * file of the previous snapshot is hard-linked into `v{N+1}` unchanged.
+    * Commit cost is O(batch), not O(table) — N appends produce O(N) total
+    * file writes, where a read-union-rewrite append would produce O(N²)
+    * (the cumulative-cost trap for a lineage table taking one append per
+    * micro-batch forever).
     */
   def append(df: DataFrame): Long = {
-    val cur = if (exists) read() else df.limit(0)
-    commit(cur.unionByName(df))
+    if (!exists) return commit(df)
+    val cur = currentVersion
+    val next = cur + 1
+    val curDir = versionDir(cur)
+    val nextDir = versionDir(next)
+    Files.createDirectories(nextDir)
+    walkParquet(curDir).foreach(linkInto(curDir, nextDir, _))
+    val (out, parts) = withLayout(df)
+    val writer = out.write.mode("append")
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      .parquet(nextDir.toString)
+    swingPointer(next)
   }
 
   /** Snapshot history — analog of Iceberg's `.history` metadata table. */

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -33,6 +35,42 @@ class KeyedParquetTableSpec extends SparkSpec {
     t.append(Seq((1L, "x")).toDF("id", "v"))
     t.append(Seq((2L, "y")).toDF("id", "v"))
     assert(t.read().count() === 2 && t.currentVersion === 1)
+  }
+
+  test("append is snapshot-incremental: O(N) total writes, prior files hard-linked") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_inc"), Seq("id"))
+    val n = 6
+    (0 until n).foreach(i => t.append(Seq((i.toLong, s"b$i")).toDF("id", "v").coalesce(1)))
+    assert(t.currentVersion === (n - 1).toLong)
+    assert(t.read().count() === n.toLong)
+    // each snapshot adds exactly one NEW file; a read-union-rewrite append
+    // would make the final snapshot alone re-materialize all n
+    val lastDir = java.nio.file.Paths.get(t.root, s"v${n - 1}")
+    val lastFiles = java.nio.file.Files.walk(lastDir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toSeq
+    assert(lastFiles.size === n)
+    val nlinks = lastFiles.map(f => java.nio.file.Files
+      .getAttribute(f, "unix:nlink").asInstanceOf[Integer].toInt)
+    // n-1 carried files are links shared with earlier snapshots; 1 is fresh
+    assert(nlinks.count(_ >= 2) === n - 1, s"nlinks=$nlinks")
+    // cumulative distinct inodes across ALL snapshots = n (no rewrites ever)
+    val inodes = java.nio.file.Files.walk(java.nio.file.Paths.get(t.root))
+      .iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => java.nio.file.Files.getAttribute(p, "unix:ino"))
+      .toSet
+    assert(inodes.size === n, s"expected $n distinct data files, got ${inodes.size}")
+  }
+
+  test("incremental append honors partition layout and expire keeps linked data alive") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_inc_part"), Seq("id"), Seq("year"))
+    t.append(Seq((1L, "2024")).toDF("id", "year"))
+    t.append(Seq((2L, "2025")).toDF("id", "year"))
+    t.append(Seq((3L, "2024")).toDF("id", "year"))
+    assert(t.read().filter(col("year") === "2024").count() === 2)
+    // expiring the hardlink-source snapshots must not lose current data
+    t.expireSnapshots(olderThanMs = 0L, retainLast = 1)
+    assert(t.read().count() === 3)
   }
 
   test("partitioned writes lay out partition directories (pruning-capable)") {
