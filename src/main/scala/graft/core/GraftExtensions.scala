@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, MinHashBandHashes, MinHashSignature, ShingleHashes}
+import graft.functions.{FloatDotProduct, MinHashBandHashes, MinHashSignature, ShingleHashes, SimHash64}
 
 /** Engine extensions, injected via `spark.sql.extensions` (set by
   * [[Session.tuned]]) — the SparkSessionExtensions registration path the
@@ -38,5 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinHashBandHashes].getCanonicalName, "minhash_bands"),
       (c: Seq[Expression]) => MinHashBandHashes(c(0), intArg(c(1)), intArg(c(2)), intArg(c(3)))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getCanonicalName, "simhash64"),
+      (c: Seq[Expression]) => SimHash64(c(0))))
   }
 }

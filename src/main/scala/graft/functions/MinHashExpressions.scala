@@ -69,6 +69,30 @@ private[functions] object MinHashKernel {
     sig
   }
 
+  /** 64-bit SimHash over token hashes, one pass: bit b of the fingerprint
+    * is the sign of Σ_tokens (+1 if bit b of the token hash else -1).
+    * Identical result to the HOF form `aggregate(sequence(0,63), ...)` —
+    * but that form re-tokenizes and re-hashes the document once PER BIT
+    * (64×) on the interpreted path; here the token hashes exist once.
+    */
+  def simhash64(th: Array[Long]): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < th.length) {
+      val h = th(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
   /** Banded LSH hashes of a signature. */
   def bandHashes(sig: Array[Long], bands: Int): Array[Long] = {
     val rpb = sig.length / bands
@@ -111,6 +135,19 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleN: Int)
         MinHashKernel.tokenHashes(t.asInstanceOf[UTF8String]), shingleN), numHashes))
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
   override def prettyName: String = "minhash_signature"
+}
+
+/** `simhash64(text)`: 64-bit SimHash fingerprint over whitespace tokens. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+  override def nullSafeEval(t: Any): Any =
+    MinHashKernel.simhash64(MinHashKernel.tokenHashes(t.asInstanceOf[UTF8String]))
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
 }
 
 /** `minhash_bands(text, k, bands, n)`: banded LSH hashes in one pass. */

@@ -125,11 +125,19 @@ object FuzzyDedup {
     jaccardVerify(candidatePairs(docs, idCol, textCol, numHashes, bands, shingle),
       docs, idCol, textCol, threshold, shingle)
 
-  /** 64-bit SimHash over whitespace tokens, as one codegen'd expression:
-    * bit i of the fingerprint is the sign of Σ_tokens (±1 by bit i of the
-    * token hash).
+  /** 64-bit SimHash over whitespace tokens: bit i of the fingerprint is the
+    * sign of Σ_tokens (±1 by bit i of the token hash). Uses the native
+    * one-pass kernel ([[graft.functions.SimHash64]]); [[simhashRef]] is the
+    * composable HOF reference formulation (same result, but it re-tokenizes
+    * and re-hashes the document once per bit — 64× — on the interpreted
+    * higher-order-function path).
     */
-  def simhash(textCol: String): Column =
+  def simhash(textCol: String): Column = call_function("simhash64", col(textCol))
+
+  /** Reference HOF formulation of [[simhash]] (equivalence is asserted in
+    * FuzzyDedupSpec; kept for engines/sessions without GraftExtensions).
+    */
+  def simhashRef(textCol: String): Column =
     expr(s"""aggregate(
       sequence(0, 63),
       0L,

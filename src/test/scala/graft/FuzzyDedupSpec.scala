@@ -50,6 +50,17 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sims(0L) ^ sims(3L)) > 16)
   }
 
+  test("simhash64 kernel is bit-identical to the HOF reference formulation") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (frame <- Seq(docs, real)) {
+      val mismatches = frame
+        .select(FuzzyDedup.simhash("text").as("k"), FuzzyDedup.simhashRef("text").as("r"))
+        .filter(col("k") =!= col("r")).count()
+      assert(mismatches === 0L)
+    }
+  }
+
   test("simhashNearDups pairs exact duplicates via quarter buckets") {
     val pairs = FuzzyDedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
