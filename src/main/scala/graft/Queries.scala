@@ -293,6 +293,117 @@ object Queries {
              |JOIN orders ON l_orderkey = o_orderkey
              |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin)),
 
+    // TPC-H Q5 shape: 6-way join (customer⋈orders⋈lineitem⋈supplier⋈nation
+    // ⋈region) with the local-supplier constraint c_nationkey = s_nationkey —
+    // the join-reorder workout. Dims (region/nation/supplier) broadcast; the
+    // two fact tables shuffle on their join keys exactly once.
+    "q5_local_supplier_volume" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("customer")
+          .join(t("orders").filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01")), col("c_custkey") === col("o_custkey"))
+          .join(t("lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(t("supplier")), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t("nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t("region")).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)")
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name").asc)
+      },
+      Some("""SELECT n_name,
+             |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'EUROPE'
+             |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin)),
+
+    // TPC-H Q7 shape: bidirectional two-nation volume — the same dim table
+    // joined twice under different roles, with the classic two-way
+    // disjunction on the (supplier-nation, customer-nation) pair.
+    "q7_volume_shipping" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val n1 = t("nation").select(col("n_nationkey").as("__snk"),
+          col("n_name").as("supp_nation"))
+        val n2 = t("nation").select(col("n_nationkey").as("__cnk"),
+          col("n_name").as("cust_nation"))
+        t("supplier")
+          .join(t("lineitem"), col("s_suppkey") === col("l_suppkey"))
+          .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t("customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("__snk"))
+          .join(broadcast(n2), col("c_nationkey") === col("__cnk"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)")
+            .as("volume"))
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS volume
+             |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |        l_extendedprice, l_discount
+             |      FROM supplier
+             |      JOIN lineitem ON s_suppkey = l_suppkey
+             |      JOIN orders ON l_orderkey = o_orderkey
+             |      JOIN customer ON o_custkey = c_custkey
+             |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) t
+             |GROUP BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // TPC-H Q21 shape: exists/not-exists anti-join chain — suppliers whose
+    // returned ('R') line in a finished order was the ONLY returned line
+    // while other suppliers shipped in the same order. (The testdata carries
+    // no commit/receipt dates, so returnflag='R' plays Q21's "late" role.)
+    // The correlated EXISTS / NOT EXISTS decorrelate to one semi- and one
+    // anti-join on l_orderkey — no correlated per-row subquery execution.
+    "q21_waiting_supplier" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val li = t("lineitem")
+        val l1 = li.filter(col("l_returnflag") === "R")
+          .join(t("orders").filter(col("o_orderstatus") === "F").select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_suppkey")
+        val l2 = li.select(col("l_orderkey").as("__ok2"), col("l_suppkey").as("__sk2"))
+        val l3 = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("__ok3"), col("l_suppkey").as("__sk3"))
+        l1.join(l2, col("l_orderkey") === col("__ok2") &&
+            col("l_suppkey") =!= col("__sk2"), "left_semi")
+          .join(l3, col("l_orderkey") === col("__ok3") &&
+            col("l_suppkey") =!= col("__sk3"), "left_anti")
+          .join(broadcast(t("supplier")), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name").asc)
+          .limit(100)
+      },
+      Some("""SELECT s_name, COUNT(*) AS numwait
+             |FROM lineitem l1
+             |JOIN orders ON o_orderkey = l1.l_orderkey
+             |JOIN supplier ON s_suppkey = l1.l_suppkey
+             |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_returnflag = 'R')
+             |GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin)),
+
     // J3 semi: customers that have at least one order.
     "q_semi_join" -> Q(
       (s, dir) => {

@@ -21,6 +21,22 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("TPC-H join plans: dims broadcast, never a cartesian/nested-loop join") {
+    for (name <- Seq("q5_local_supplier_volume", "q7_volume_shipping",
+        "q21_waiting_supplier", "q_join_agg")) {
+      val plan = Queries.all(name).fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name nested-loops:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"$name broadcasts no dim:\n$plan")
+    }
+  }
+
+  test("q_rank_distribution plans no single-partition exchange") {
+    val plan = Queries.all("q_rank_distribution").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-task stage:\n$plan")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
