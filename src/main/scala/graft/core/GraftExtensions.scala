@@ -42,5 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getCanonicalName, "simhash64"),
       (c: Seq[Expression]) => SimHash64(c(0))))
+    // tier (d): physical planning — ORDER BY <vec_dot score> LIMIT k becomes
+    // a bounded-heap two-phase top-k for ANY k (never a global sort)
+    ext.injectPlannerStrategy(_ => graft.plans.ScoreTopKStrategy)
   }
 }
