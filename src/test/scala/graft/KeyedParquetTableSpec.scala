@@ -101,6 +101,18 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(!t.exists)
   }
 
+  test("DropTableCli lists, drops with purge, and reports a missing table") {
+    import graft.cdc.DropTableCli
+    val wh = tmpDir("kpt_wh")
+    val t = new KeyedParquetTable(spark, s"$wh/items", Seq("id"))
+    t.commit(Seq((1L, "a")).toDF("id", "v"))
+    assert(DropTableCli.listTables(wh) === Seq("items"))
+    assert(DropTableCli.run(spark, wh, "items"))
+    assert(DropTableCli.listTables(wh).isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(wh, "items")))
+    assert(!DropTableCli.run(spark, wh, "items")) // already gone
+  }
+
   test("concurrent-reader safety: read of old version still works after new commit") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_mvcc"), Seq("id"))
     t.commit(Seq((1L, "a")).toDF("id", "v"))
