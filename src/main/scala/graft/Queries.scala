@@ -404,6 +404,31 @@ object Queries {
              |                    AND l3.l_returnflag = 'R')
              |GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin)),
 
+    // As-of join (temporal): each purchase matched to the user's most
+    // recent view at or before it. Spark has no ASOF JOIN; [[AsofJoin]]
+    // composes it as union + one per-key window (single hash exchange,
+    // |L|+|R| shuffle rows, no range explosion). DuckDB's native ASOF
+    // LEFT JOIN is the oracle. Right side pre-deduped per (user, ts) so
+    // equal-timestamp ties are deterministic in both engines.
+    "q_asof_join" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val ev = t("events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"), col("user_id"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("event_id").as("v_event_id"))
+        graft.ops.AsofJoin.asofBackward(p, v, Seq("user_id"), "ts", "ts",
+            rightTiebreak = Some("v_event_id"), rightPrefix = "")
+          .select("p_event_id", "user_id", "v_event_id")
+      },
+      Some("""WITH p AS (SELECT event_id AS p_event_id, user_id, ts
+             |           FROM events WHERE event_type = 'purchase'),
+             |     v AS (SELECT user_id, ts, MAX(event_id) AS v_event_id
+             |           FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+             |SELECT p.p_event_id, p.user_id, v.v_event_id
+             |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin)),
+
     // J3 semi: customers that have at least one order.
     "q_semi_join" -> Q(
       (s, dir) => {
