@@ -429,6 +429,35 @@ object Queries {
              |SELECT p.p_event_id, p.user_id, v.v_event_id
              |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin)),
 
+    // Range (interval) join: clicks within ±1 hour of each purchase by the
+    // same user, counted per purchase. [[RangeJoin.within]] bucketizes time
+    // by the window width so the pair search is a standard (key, bucket)
+    // equi-join — |L|+3|R| shuffle rows, never the nested-loop plan Spark
+    // would pick for a raw |ts_a - ts_b| <= delta predicate. ts is epoch
+    // nanos (nanosAsLong), so delta = 3.6e12.
+    "q_range_join" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val ev = t("events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"), col("user_id"), col("ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_event_id"), col("user_id"),
+            col("ts").as("cts"))
+        val pairs = graft.ops.RangeJoin.within(p, c, Seq("user_id"),
+          "ts", "cts", 3600L * 1000 * 1000 * 1000)
+        val counts = pairs.groupBy("p_event_id").agg(count(lit(1)).as("n_clicks"))
+        p.select("p_event_id").join(counts, Seq("p_event_id"), "left")
+          .select(col("p_event_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      },
+      Some("""SELECT p.event_id AS p_event_id, COUNT(c.event_id) AS n_clicks
+             |FROM events p
+             |LEFT JOIN events c ON p.user_id = c.user_id
+             |  AND c.event_type = 'click'
+             |  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+             |WHERE p.event_type = 'purchase'
+             |GROUP BY p.event_id""".stripMargin)),
+
     // J3 semi: customers that have at least one order.
     "q_semi_join" -> Q(
       (s, dir) => {
