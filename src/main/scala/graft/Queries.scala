@@ -324,7 +324,8 @@ object Queries {
              |JOIN region ON n_regionkey = r_regionkey
              |WHERE r_name = 'EUROPE'
              |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
-             |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin)),
+             |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin),
+      headline = true),
 
     // TPC-H Q7 shape: bidirectional two-nation volume — the same dim table
     // joined twice under different roles, with the classic two-way
@@ -402,7 +403,56 @@ object Queries {
              |                  WHERE l3.l_orderkey = l1.l_orderkey
              |                    AND l3.l_suppkey <> l1.l_suppkey
              |                    AND l3.l_returnflag = 'R')
-             |GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin)),
+             |GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin),
+      headline = true),
+
+    // TPC-H Q4 shape: EXISTS decorrelated to a semi-join on l_orderkey
+    // (late-line role again played by l_shipdate > o_orderdate).
+    "q4_order_priority" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val o = t("orders").filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        o.join(t("lineitem"),
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q22 shape: scalar aggregate subquery (global average balance,
+    // joined back as a one-row broadcast — never a collect) + NOT EXISTS
+    // decorrelated to an anti-join. Average follows the engine's
+    // determinism rule: decimal-exact SUM / COUNT, not native AVG.
+    "q22_global_sales_opportunity" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val cust = t("customer")
+        val avgBal = cust.filter(col("c_acctbal") > 0.0)
+          .agg((expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)") /
+            count(lit(1))).as("__avg_bal"))
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("__avg_bal"))
+          .join(t("orders").filter(col("o_totalprice") > 300000.0),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").cast("long").as("cntry"))
+          .agg(count(lit(1)).as("numcust"),
+            expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").as("totacctbal"))
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS cntry, COUNT(*) AS numcust,
+             |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+             |FROM customer
+             |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             |                   FROM customer WHERE c_acctbal > 0.0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+             |GROUP BY c_nationkey""".stripMargin)),
 
     // As-of join (temporal): each purchase matched to the user's most
     // recent view at or before it. Spark has no ASOF JOIN; [[AsofJoin]]
@@ -427,7 +477,8 @@ object Queries {
              |     v AS (SELECT user_id, ts, MAX(event_id) AS v_event_id
              |           FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
              |SELECT p.p_event_id, p.user_id, v.v_event_id
-             |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin)),
+             |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin),
+      headline = true),
 
     // Range (interval) join: clicks within ±1 hour of each purchase by the
     // same user, counted per purchase. [[RangeJoin.within]] bucketizes time
@@ -456,7 +507,8 @@ object Queries {
              |  AND c.event_type = 'click'
              |  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
              |WHERE p.event_type = 'purchase'
-             |GROUP BY p.event_id""".stripMargin)),
+             |GROUP BY p.event_id""".stripMargin),
+      headline = true),
 
     // J3 semi: customers that have at least one order.
     "q_semi_join" -> Q(
