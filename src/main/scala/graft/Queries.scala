@@ -730,6 +730,46 @@ object Queries {
              |COUNT(*) FILTER (event_type = 'view') AS view
              |FROM events GROUP BY user_id""".stripMargin)),
 
+    // Grouped top-n (top-3 customers by balance per nation): rank filter
+    // over a partitioned window — Spark 4 pushes the limit into the shuffle
+    // as WindowGroupLimit, so each group materializes only n rows.
+    "q_top3_per_nation" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        t("customer")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("c_nationkey").cast("long").as("nation"),
+            col("c_custkey"), col("c_acctbal"), col("rn"))
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation, c_custkey, c_acctbal, rn
+             |FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+             |        PARTITION BY c_nationkey
+             |        ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rn
+             |      FROM customer) t
+             |WHERE rn <= 3""".stripMargin)),
+
+    // Exact (not approximate) distributed median: the element at global
+    // rank ceil(N/2) under a total order, located with [[Ranks.globalRank]]
+    // — no single-partition stage, unlike a naive ORDER BY ... OFFSET.
+    "q_exact_median" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val (ranked, n) = Ranks.globalRank(t("orders"),
+          col("o_totalprice"), Seq(col("o_orderkey")), "__rn")
+        ranked.filter(col("__rn") === lit((n - 1) / 2 + 1))
+          .select(col("o_totalprice").as("median_price"))
+      },
+      Some("""SELECT o_totalprice AS median_price
+             |FROM (SELECT o_totalprice, ROW_NUMBER() OVER (
+             |        ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+             |        COUNT(*) OVER () AS n
+             |      FROM orders) t
+             |WHERE rn = (n - 1) // 2 + 1""".stripMargin)),
+
     // Distribution ranks: ntile quartile + percent_rank over order values.
     // NOT a global `Window.orderBy` (which is a single task over all rows):
     // [[Ranks.globalRank]] computes the identical unique rank with bucketed
@@ -877,6 +917,32 @@ object Queries {
              |  len(regexp_extract_all(text, '\b(le|la|et|les|des|une)\b')) AS fr,
              |  len(regexp_extract_all(text, '\b(的|了|是|我|不)\b')) AS zh
              |  FROM documents) t""".stripMargin)),
+
+    // Mergeable KMV sketch: estimated distinct shingles of each corpus half
+    // and their OVERLAP — the question HLL can't answer (union-only). One
+    // grouped aggregation builds both sketches (map-side partial merge);
+    // the intersection estimate is a driver-side merge of two k-arrays, not
+    // a distributed join. Estimates are engine-specific → rows-only;
+    // tolerance proven in KmvSketchSpec.
+    "q_kmv_corpus_overlap" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        import s.implicits._
+        val k = 256
+        val agg = new graft.functions.KmvSketch(k)
+        val sketches = t("documents")
+          .select((col("doc_id") % 2).as("half"),
+            explode(call_function("shingle_hashes", col("text"), lit(3))).as("h"))
+          .groupBy("half").agg(agg.column(col("h")).as("sketch"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+        val (sa, sb) = (sketches(0L), sketches(1L))
+        Seq((
+          math.round(graft.functions.KmvSketch.estimate(sa, k)),
+          math.round(graft.functions.KmvSketch.estimate(sb, k)),
+          math.round(graft.functions.KmvSketch.intersectionEstimate(sa, sb, k))))
+          .toDF("even_distinct_est", "odd_distinct_est", "overlap_est")
+      },
+      None),
 
     // Exact dedup by content hash (hash-groupBy).
     "q_exact_dedup" -> Q(
