@@ -944,6 +944,33 @@ object Queries {
       },
       None),
 
+    // Per-label embedding centroids (the IVF training step / class
+    // prototype op), emitted LONG-format (label, dim, value) — flat scalar
+    // rows, no array columns in the gate. Cross-row float summation is
+    // order-dependent in doubles, so both engines fold the values in the
+    // same explicit order (sort by vec_id): Spark sort_array∘collect_list
+    // + sequential aggregate ≡ DuckDB list(... ORDER BY) + list_sum.
+    "q_embedding_centroids" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("embeddings")
+          .select(col("label"), col("vec_id"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label").cast("long").as("label"),
+            col("pos").cast("long").as("pos"))
+          .agg((aggregate(
+              transform(sort_array(collect_list(struct(col("vec_id"), col("v")))),
+                x => x.getField("v").cast("double")),
+              lit(0.0), (a, b) => a + b) / count(lit(1))).as("centroid"))
+      },
+      Some("""SELECT CAST(label AS BIGINT) AS label, pos, list_sum(vs) / len(vs) AS centroid
+             |FROM (
+             |  SELECT label, pos, list(CAST(v AS DOUBLE) ORDER BY vec_id) AS vs
+             |  FROM (SELECT label, vec_id, unnest(embedding) AS v,
+             |               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos
+             |        FROM embeddings)
+             |  GROUP BY label, pos)""".stripMargin)),
+
     // Exact dedup by content hash (hash-groupBy).
     "q_exact_dedup" -> Q(
       (s, dir) => {

@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table layout — the shuffle-ELIMINATION strategy for repeated
+  * large-to-large joins.
+  *
+  * A shuffled join at 100 TB moves both fact tables across the network every
+  * query. Writing each side `bucketBy(n, key)` fixes the hash partitioning
+  * ON DISK: scans of two tables bucketed on the join key with the same
+  * bucket count come up already co-partitioned, and Catalyst plans the join
+  * with NO Exchange on either side (BucketingSpec asserts this). `sortBy`
+  * within buckets additionally removes the per-task Sort of a sort-merge
+  * join. This is the batch analog of [[graft.cdc.KeyedParquetTable]]'s
+  * `bucketCount` (which uses the same hash layout for scoped CDC merges).
+  *
+  * Cluster notes: bucket count is fixed at write time — choose ~table-size /
+  * target-file-size and keep it a multiple of likely parallelism; both join
+  * sides must agree on it (or be multiples) for exchange-free planning.
+  */
+object Bucketing {
+
+  /** Write `df` as a catalog table bucketed (and optionally bucket-sorted)
+    * on `bucketCol`.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, sorted: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+    (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
+  }
+}
