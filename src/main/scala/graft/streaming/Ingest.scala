@@ -205,6 +205,28 @@ object Ingest {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $withinSeconds SECONDS"))
   }
 
+  /** Stream-static dimension enrichment: join the CDC stream against a
+    * batch dimension table. Planned per micro-batch as a broadcast hash
+    * join (the dim re-reads each batch, so late dim updates are picked up
+    * without restarting the query) — the standard pattern for decorating a
+    * 100 TB/day stream with small reference data, costing no stream-side
+    * shuffle at all.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, keyCol: String,
+                    joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), joinType)
+
+  /** Watermarked streaming dedup: drop re-deliveries of the same `idCols`
+    * whose event times fall inside the watermark window, with state GC'd
+    * as the watermark advances — bounded-state exactly-once filtering ahead
+    * of the merge (vs [[applyBatch]]'s batch-scoped dedup, which cannot see
+    * across micro-batch boundaries).
+    */
+  def dedupWithinWatermark(stream: DataFrame, tsCol: String,
+                           watermarkDelay: String, idCols: String*): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols.toSeq)
+
   /** Event-time windowed aggregation with a watermark — the streaming
     * extension the reference leaves room for but never builds (SURVEY
     * §2.10): counts + sums per (window, key), late data beyond
