@@ -43,4 +43,21 @@ object Skew {
     */
   def saltColumn(saltBuckets: Int): Column =
     pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets))
+
+  /** Salted equi-join for a skewed BIG side: the big side gets a random
+    * salt, the small-but-not-broadcastable side is replicated `saltBuckets`
+    * times, and the join runs on (keys..., salt) — the hot key's rows fan
+    * out over `saltBuckets` reducers instead of one. Exact same rows as
+    * `big.join(small, keys)`; shuffle volume grows by (saltBuckets-1)·|small|,
+    * the price of splitting the hot partition. Prefer AQE's skew splitting
+    * when it fires; this is the explicit form for static layouts and for
+    * engines-as-libraries where AQE thresholds can't be tuned per query.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltBuckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    val salted = big.withColumn("__salt", saltColumn(saltBuckets))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
 }
