@@ -454,6 +454,59 @@ object Queries {
              |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
              |GROUP BY c_nationkey""".stripMargin)),
 
+    // TPC-H Q9 shape: 5-way product-profit join with a part-name predicate
+    // and signed money arithmetic, grouped by supplier nation × order year.
+    // (No partsupp table in the testdata; unit cost is modeled as
+    // 0.5 × p_retailprice, keeping the profit expression's shape.)
+    "q9_product_profit" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("lineitem")
+          .join(t("part").filter(col("p_name").contains("red")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t("supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t("nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(expr("""CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       - 0.5 * p_retailprice * l_quantity AS DECIMAL(27,6))) AS DOUBLE)""")
+            .as("profit"))
+      },
+      Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+             |     - 0.5 * p_retailprice * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS profit
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |WHERE p_name LIKE '%red%'
+             |GROUP BY n_name, year(o_orderdate)""".stripMargin)),
+
+    // Frame-window aggregate: 3-order trailing average spend per customer
+    // (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). The frame sum is
+    // decimal-cast so it is exact regardless of either engine's in-frame
+    // accumulation order.
+    "q_moving_avg" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(-2, 0)
+        t("orders").select(col("o_custkey"), col("o_orderkey"),
+            (sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).over(w).cast("double") /
+              count(lit(1)).over(w)).as("trailing_avg"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             |  / COUNT(*) OVER w AS trailing_avg
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate ASC, o_orderkey ASC
+             |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // As-of join (temporal): each purchase matched to the user's most
     // recent view at or before it. Spark has no ASOF JOIN; [[AsofJoin]]
     // composes it as union + one per-key window (single hash exchange,
