@@ -823,6 +823,29 @@ object Queries {
              |      FROM orders) t
              |WHERE rn = (n - 1) // 2 + 1""".stripMargin)),
 
+    // Grouped exact median (lower median per order priority): in-group
+    // rank + in-group count, pick the middle row — per-group windows
+    // parallelize across groups; integer floor-division on both engines
+    // (Spark `div`, DuckDB `//`; plain `/` is float division in both).
+    "q_grouped_median" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val part = org.apache.spark.sql.expressions.Window.partitionBy("o_orderpriority")
+        val w = part.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        t("orders").select(col("o_orderpriority"), col("o_totalprice"),
+            row_number().over(w).cast("long").as("__rn"),
+            count(lit(1)).over(part).as("__n"))
+          .filter(col("__rn") === expr("(__n - 1) div 2 + 1"))
+          .select(col("o_orderpriority"), col("o_totalprice").as("median_price"))
+      },
+      Some("""SELECT o_orderpriority, o_totalprice AS median_price
+             |FROM (SELECT o_orderpriority, o_totalprice,
+             |        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |          ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+             |        COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+             |      FROM orders) t
+             |WHERE rn = (n - 1) // 2 + 1""".stripMargin)),
+
     // Distribution ranks: ntile quartile + percent_rank over order values.
     // NOT a global `Window.orderBy` (which is a single task over all rows):
     // [[Ranks.globalRank]] computes the identical unique rank with bucketed
