@@ -903,6 +903,20 @@ object Queries {
 
     // Rollup aggregation (multi-level totals) — beyond the reference's flat
     // group-bys; null-filled supertotal rows hash-match across engines.
+    // CUBE grouping sets: all 4 margin combinations of (status, priority)
+    // in one pass (Spark expands to a single Expand + hash aggregate, not
+    // 4 scans); decimal-exact revenue so every margin hash-matches.
+    "q_cube" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("orders").cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("revenue"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
+
     "q_rollup" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
