@@ -454,6 +454,24 @@ object Queries {
              |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
              |GROUP BY c_nationkey""".stripMargin)),
 
+    // TPC-H Q2 shape: correlated min-scalar subquery (cheapest part per
+    // brand) decorrelated to a grouped-min + equi-join-back; ties kept,
+    // both engines agree on the set.
+    "q2_min_cost_part" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val minCost = t("part").groupBy(col("p_brand").as("__mb"))
+          .agg(min("p_retailprice").as("__min_price"))
+        t("part").join(broadcast(minCost),
+            col("p_brand") === col("__mb") &&
+              col("p_retailprice") === col("__min_price"))
+          .select("p_brand", "p_partkey", "p_retailprice")
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice
+             |FROM part p
+             |WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+             |                       WHERE p2.p_brand = p.p_brand)""".stripMargin)),
+
     // TPC-H Q9 shape: 5-way product-profit join with a part-name predicate
     // and signed money arithmetic, grouped by supplier nation × order year.
     // (No partsupp table in the testdata; unit cost is modeled as

@@ -85,6 +85,16 @@ object KmvSketch {
     if (sketch.length < k) sketch.length.toDouble
     else (k - 1).toDouble / norm(sketch(k - 1))
 
+  /** Union-cardinality estimate: merge (any [[KmvSketch]] instance of the
+    * same k) then estimate — exactly what HLL union gives, for symmetry.
+    */
+  def unionEstimate(a: Array[Long], b: Array[Long], k: Int): Double =
+    estimate(new KmvSketch(k).merge(a, b), k)
+
+  /** Difference-cardinality estimate |A \ B| = |A| - |A ∩ B| (clamped). */
+  def differenceEstimate(a: Array[Long], b: Array[Long], k: Int): Double =
+    math.max(0.0, estimate(a, k) - intersectionEstimate(a, b, k))
+
   /** Intersection-cardinality estimate between two same-k sketches
     * (theta-sketch style): count common values below the joint threshold
     * theta = min of the two k-th minima, scale by 1/theta.

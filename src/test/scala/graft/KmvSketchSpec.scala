@@ -68,6 +68,19 @@ class KmvSketchSpec extends SparkSpec {
     assert(estDisjoint < 0.02 * 8000, s"disjoint estimate $estDisjoint not near 0")
   }
 
+  test("union and difference estimates complete the set algebra within tolerance") {
+    val agg = new KmvSketch(k)
+    val a = spark.range(0, 8000).select(xxhash64(col("id")).as("h"))
+    val b = spark.range(6000, 14000).select(xxhash64(col("id")).as("h"))
+    val sa = a.agg(agg.column(col("h"))).head.getSeq[Long](0).toArray
+    val sb = b.agg(agg.column(col("h"))).head.getSeq[Long](0).toArray
+    // KMV stderr ≈ 1/√(k-2) ≈ 6.3% at k=256; allow ~2.4σ
+    val u = KmvSketch.unionEstimate(sa, sb, k) // true 14000
+    assert(math.abs(u - 14000.0) / 14000.0 < 0.15, s"union $u vs 14000")
+    val d = KmvSketch.differenceEstimate(sa, sb, k) // true |A\B| = 6000
+    assert(math.abs(d - 6000.0) / 6000.0 < 0.20, s"difference $d vs 6000")
+  }
+
   test("small exact sketches intersect exactly") {
     val agg = new KmvSketch(k)
     val a = spark.range(0, 60).select(xxhash64(col("id")).as("h"))
