@@ -502,6 +502,88 @@ object Queries {
              |WHERE p_name LIKE '%red%'
              |GROUP BY n_name, year(o_orderdate)""".stripMargin)),
 
+    // TPC-H Q13 shape: left-outer join with the exclusion predicate INSIDE
+    // the join condition (customers with zero qualifying orders survive with
+    // c_count = 0), folded to a two-level count histogram. The null-group
+    // semantics ride COUNT(o_orderkey) — nulls from the outer join don't
+    // count — in both engines. (Testdata has no o_comment; the priority
+    // filter plays the NOT LIKE '%special%requests%' role.)
+    "q13_customer_distribution" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("customer")
+          .join(t("orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist
+             |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |      FROM customer LEFT OUTER JOIN orders
+             |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |      GROUP BY c_custkey) c_orders
+             |GROUP BY c_count""".stripMargin)),
+
+    // TPC-H Q17 shape: correlated per-part AVG threshold (the Q2 pattern
+    // with an aggregate threshold) decorrelated to a grouped-avg computed
+    // over the SAME part-filtered slice (the filter is on part attributes
+    // only, so per-part averages are unchanged) and broadcast-joined back.
+    // The average follows the engine's determinism rule: decimal-exact
+    // SUM / COUNT, never native AVG. (Testdata has no p_container; the
+    // brand + size predicate plays its role.)
+    "q17_small_quantity_revenue" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val relevant = t("lineitem").join(
+          broadcast(t("part").filter(col("p_brand") === "Brand#12" && col("p_size") <= 10)
+            .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        val avgQty = relevant.groupBy(col("p_partkey").as("__pk"))
+          .agg((expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)") /
+            count(lit(1))).as("__avg_qty"))
+        relevant.join(broadcast(avgQty), col("p_partkey") === col("__pk"))
+          .filter(col("l_quantity") < lit(0.2) * col("__avg_qty"))
+          .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0")
+            .as("avg_yearly"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+             |FROM lineitem
+             |JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand = 'Brand#12' AND p_size <= 10
+             |  AND l_quantity < 0.2 * (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |                                 / COUNT(*)
+             |                          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)),
+
+    // TPC-H Q19 shape: disjunctive multi-predicate join — three OR'd
+    // conjunct groups sharing the p_partkey = l_partkey equi-key. Catalyst's
+    // CNF conversion keeps the equi-hash-join and pushes the part-only
+    // disjunction to the part scan; the mixed residual evaluates post-join.
+    // Never a cartesian (plan-asserted in QueriesSpec). (Testdata has no
+    // l_shipmode/p_container; brand × size × quantity keep the shape.)
+    "q19_disjunctive_revenue" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("lineitem").join(broadcast(t("part")),
+            col("l_partkey") === col("p_partkey") && (
+              (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+                col("l_quantity").between(1, 11)) ||
+              (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+                col("l_quantity").between(10, 20)) ||
+              (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+                col("l_quantity").between(20, 30))))
+          .agg(expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)")
+            .as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+             |COUNT(*) AS n_lines
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
     // Frame-window aggregate: 3-order trailing average spend per customer
     // (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). The frame sum is
     // decimal-cast so it is exact regardless of either engine's in-frame
@@ -1043,7 +1125,9 @@ object Queries {
             explode(call_function("shingle_hashes", col("text"), lit(3))).as("h"))
           .groupBy("half").agg(agg.column(col("h")).as("sketch"))
           .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-        val (sa, sb) = (sketches(0L), sketches(1L))
+        // an empty parity class (small/filtered corpus) estimates to 0, not NSEE
+        val (sa, sb) = (sketches.getOrElse(0L, Array.emptyLongArray),
+          sketches.getOrElse(1L, Array.emptyLongArray))
         Seq((
           math.round(graft.functions.KmvSketch.estimate(sa, k)),
           math.round(graft.functions.KmvSketch.estimate(sb, k)),
@@ -1055,29 +1139,26 @@ object Queries {
     // Per-label embedding centroids (the IVF training step / class
     // prototype op), emitted LONG-format (label, dim, value) — flat scalar
     // rows, no array columns in the gate. Cross-row float summation is
-    // order-dependent in doubles, so both engines fold the values in the
-    // same explicit order (sort by vec_id): Spark sort_array∘collect_list
-    // + sequential aggregate ≡ DuckDB list(... ORDER BY) + list_sum.
+    // order-dependent in doubles, so both engines sum an exact wide-decimal
+    // image of the float value instead (the engine's own determinism rule):
+    // order-independent, constant-size aggregation buffer — no per-group
+    // collect_list materialization (the round-3 scale anti-pattern).
     "q_embedding_centroids" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         t("embeddings")
-          .select(col("label"), col("vec_id"),
-            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("label").cast("long").as("label"),
             col("pos").cast("long").as("pos"))
-          .agg((aggregate(
-              transform(sort_array(collect_list(struct(col("vec_id"), col("v")))),
-                x => x.getField("v").cast("double")),
-              lit(0.0), (a, b) => a + b) / count(lit(1))).as("centroid"))
+          .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double")
+            / count(lit(1))).as("centroid"))
       },
-      Some("""SELECT CAST(label AS BIGINT) AS label, pos, list_sum(vs) / len(vs) AS centroid
-             |FROM (
-             |  SELECT label, pos, list(CAST(v AS DOUBLE) ORDER BY vec_id) AS vs
-             |  FROM (SELECT label, vec_id, unnest(embedding) AS v,
-             |               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos
-             |        FROM embeddings)
-             |  GROUP BY label, pos)""".stripMargin)),
+      Some("""SELECT CAST(label AS BIGINT) AS label, pos,
+             |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS centroid
+             |FROM (SELECT label, unnest(embedding) AS v,
+             |             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos
+             |      FROM embeddings)
+             |GROUP BY label, pos""".stripMargin)),
 
     // Exact dedup by content hash (hash-groupBy).
     "q_exact_dedup" -> Q(

@@ -172,6 +172,7 @@ final class KeyedParquetTable(
     val cur = currentVersion
     val next = cur + 1
     val curDir = versionDir(cur)
+    requireAppendCompatible(df, curDir)
     val nextDir = versionDir(next)
     Files.createDirectories(nextDir)
     walkParquet(curDir).foreach(linkInto(curDir, nextDir, _))
@@ -180,6 +181,36 @@ final class KeyedParquetTable(
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(nextDir.toString)
     swingPointer(next)
+  }
+
+  /** Schema-evolution guard for [[append]]: the snapshot-incremental path
+    * hard-links prior files and raw-writes the batch, so a batch with
+    * missing/extra/renamed columns (or a changed type) would silently
+    * produce a mixed-schema snapshot that `spark.read.parquet` (no
+    * mergeSchema) resolves to an arbitrary file's schema, dropping columns
+    * on read. Fail loudly instead: appends require the batch to carry
+    * exactly the snapshot's columns with compatible types; schema evolution
+    * goes through a full [[commit]], which rewrites every file uniformly.
+    */
+  private def requireAppendCompatible(df: DataFrame, curDir: Path): Unit = {
+    if (walkParquet(curDir).isEmpty) return // empty snapshot: nothing to clash with
+    val current = spark.read.parquet(curDir.toString).schema
+    val incoming = withLayout(df)._1.schema
+    val curNames = current.fieldNames.toSet
+    val inNames = incoming.fieldNames.toSet
+    require(curNames == inNames,
+      s"append schema mismatch for $root: snapshot columns " +
+        s"${curNames.toSeq.sorted.mkString("[", ",", "]")} vs batch columns " +
+        s"${inNames.toSeq.sorted.mkString("[", ",", "]")}; " +
+        "schema evolution requires a full commit()")
+    // types: partition/bucket columns are directory-encoded on disk (their
+    // read-back type is inference-dependent), so compare data columns only
+    val layoutCols = (partitionBy :+ "__bucket").toSet
+    val curTypes = current.fields.map(f => f.name -> f.dataType).toMap
+    for (f <- incoming.fields if !layoutCols.contains(f.name))
+      require(f.dataType.sameType(curTypes(f.name)),
+        s"append type mismatch for $root.${f.name}: snapshot ${curTypes(f.name)} " +
+          s"vs batch ${f.dataType}; schema evolution requires a full commit()")
   }
 
   /** Snapshot history — analog of Iceberg's `.history` metadata table. */

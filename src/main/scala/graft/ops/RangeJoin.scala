@@ -36,9 +36,12 @@ object RangeJoin {
     // exact integer floor-division: epoch-nano values (~1e18) exceed double's
     // 53-bit mantissa, so a double divide could mis-bucket boundary rows.
     // (x - pmod(x, d)) is exactly divisible by d, and `div` on the exact
-    // multiple equals floor(x/d) for negatives too.
-    def bucketOf(ts: String) =
-      expr(s"($ts - pmod($ts, ${delta}L)) div ${delta}L")
+    // multiple equals floor(x/d) for negatives too. Column names are
+    // backtick-escaped — dots/spaces/reserved words must not re-parse.
+    def bucketOf(ts: String) = {
+      val c = s"`${ts.replace("`", "``")}`"
+      expr(s"($c - pmod($c, ${delta}L)) div ${delta}L")
+    }
     val lb = left.withColumn("__bucket", bucketOf(leftTs))
     val rBucket = bucketOf(rightTs)
     val rb = right.withColumn("__bucket",

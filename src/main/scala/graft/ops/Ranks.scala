@@ -32,7 +32,8 @@ object Ranks {
     * needed by percent_rank/ntile arithmetic).
     */
   def globalRank(df: DataFrame, value: Column, tiebreaks: Seq[Column],
-                 rankName: String, buckets: Int = 32): (DataFrame, Long) = {
+                 rankName: String, buckets: Int = 32,
+                 offsetJoinThreshold: Int = 64): (DataFrame, Long) = {
     val v = value.cast("double")
     // pass 1: boundary sample, frozen into the plan as literals
     val probs = (1 until buckets).map(_.toDouble / buckets)
@@ -48,15 +49,32 @@ object Ranks {
     val total = counts.map(_._2).sum
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
       .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toMap
-    val offsetExpr = counts.map(_._1).foldRight(lit(0L)) { (b, rest) =>
-      when(col("__bucket") === b, lit(offsets(b))).otherwise(rest)
-    }
-    // pass 3: per-bucket local rank + offset — parallel across buckets
+    // pass 3: per-bucket local rank + offset — parallel across buckets.
+    // Few buckets → inline the offsets as a literal CASE chain (no extra
+    // operator); many buckets (cluster settings run 2-3× total cores, i.e.
+    // hundreds-plus) → a thousand-branch expression bloats codegen, so the
+    // offsets ride a broadcast hash join instead (same plan parallelism —
+    // the O(buckets) offset table broadcasts, never shuffles).
     val w = Window.partitionBy("__bucket").orderBy(value.asc +: tiebreaks.map(_.asc): _*)
-    val ranked = df.withColumn("__bucket", bucket)
-      .withColumn(rankName, row_number().over(w).cast("long") + offsetExpr)
-      .drop("__bucket")
-    (ranked, total)
+    val bucketed = df.withColumn("__bucket", bucket)
+    val ranked =
+      if (counts.length <= offsetJoinThreshold) {
+        val offsetExpr = counts.map(_._1).foldRight(lit(0L)) { (b, rest) =>
+          when(col("__bucket") === b, lit(offsets(b))).otherwise(rest)
+        }
+        bucketed.withColumn(rankName, row_number().over(w).cast("long") + offsetExpr)
+      } else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val offsetTable = broadcast(
+          counts.map { case (b, _) => (b, offsets(b)) }.toSeq.toDF("__bucket", "__offset"))
+        bucketed
+          .withColumn("__rn", row_number().over(w).cast("long"))
+          .join(offsetTable, Seq("__bucket"))
+          .withColumn(rankName, col("__rn") + col("__offset"))
+          .drop("__rn", "__offset")
+      }
+    (ranked.drop("__bucket"), total)
   }
 
   /** SQL `ntile(n)` bucket number from a unique global rank and total count:

@@ -55,6 +55,14 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBuckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    // only join types that never null-pad or emit the REPLICATED side are
+    // correct here: an outer/right join would surface each unmatched small
+    // -side replica saltBuckets times as spurious rows
+    val allowed = Set("inner", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "leftanti", "left_anti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got '$joinType' " +
+        "(outer-on-replicated-side types would duplicate unmatched rows)")
     val salted = big.withColumn("__salt", saltColumn(saltBuckets))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))

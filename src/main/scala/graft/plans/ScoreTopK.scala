@@ -64,6 +64,9 @@ private[plans] object ScoreTopK {
     */
   def topK(it: Iterator[InternalRow], k: Int,
            ord: Ordering[InternalRow]): Iterator[InternalRow] = {
+    // LIMIT 0 normally dies in OptimizeLimitZero before planning, but the
+    // operator must not NPE (pq.peek() == null) if it ever arrives here
+    if (k <= 0) return Iterator.empty
     // max-heap on "worst of the kept": poll evicts the loser. Initial
     // capacity is clamped — k can legally exceed the data size (or be
     // Int.MaxValue-ish); the queue grows to at most min(k, n).

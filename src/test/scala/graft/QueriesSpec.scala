@@ -23,12 +23,27 @@ class QueriesSpec extends SparkSpec {
 
   test("TPC-H join plans: dims broadcast, never a cartesian/nested-loop join") {
     for (name <- Seq("q5_local_supplier_volume", "q7_volume_shipping",
-        "q21_waiting_supplier", "q_join_agg")) {
+        "q21_waiting_supplier", "q_join_agg", "q17_small_quantity_revenue",
+        "q19_disjunctive_revenue")) {
       val plan = Queries.all(name).fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name nested-loops:\n$plan")
       assert(plan.contains("BroadcastHashJoin"), s"$name broadcasts no dim:\n$plan")
     }
+  }
+
+  test("q13 plans a hash outer join — exclusion predicate never degrades to nested-loop") {
+    val plan = Queries.all("q13_customer_distribution").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"q13 cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"q13 nested-loops:\n$plan")
+  }
+
+  test("q_embedding_centroids aggregates with a constant-size buffer (no collect_list)") {
+    val plan = Queries.all("q_embedding_centroids").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), s"per-group materialization:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"), s"non-codegen agg path:\n$plan")
   }
 
   test("q_rank_distribution plans no single-partition exchange") {
