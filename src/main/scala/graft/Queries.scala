@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.cdc.{CdcParse, KeyedParquetTable, Merge}
-import graft.ops.{Dedup, FuzzyDedup, Multimodal, Ranks, Similarity, TextOps}
+import graft.ops.{Bucketing, Dedup, FuzzyDedup, Multimodal, Ranks, Similarity, TextOps}
+import graft.validate.Validation
 
 /** The engine's registered query workload.
   *
@@ -470,7 +471,8 @@ object Queries {
       Some("""SELECT p_brand, p_partkey, p_retailprice
              |FROM part p
              |WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
-             |                       WHERE p2.p_brand = p.p_brand)""".stripMargin)),
+             |                       WHERE p2.p_brand = p.p_brand)""".stripMargin),
+      headline = true),
 
     // TPC-H Q9 shape: 5-way product-profit join with a part-name predicate
     // and signed money arithmetic, grouped by supplier nation × order year.
@@ -500,7 +502,8 @@ object Queries {
              |JOIN nation ON s_nationkey = n_nationkey
              |JOIN orders ON l_orderkey = o_orderkey
              |WHERE p_name LIKE '%red%'
-             |GROUP BY n_name, year(o_orderdate)""".stripMargin)),
+             |GROUP BY n_name, year(o_orderdate)""".stripMargin),
+      headline = true),
 
     // TPC-H Q13 shape: left-outer join with the exclusion predicate INSIDE
     // the join condition (customers with zero qualifying orders survive with
@@ -524,7 +527,8 @@ object Queries {
              |      FROM customer LEFT OUTER JOIN orders
              |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
              |      GROUP BY c_custkey) c_orders
-             |GROUP BY c_count""".stripMargin)),
+             |GROUP BY c_count""".stripMargin),
+      headline = true),
 
     // TPC-H Q17 shape: correlated per-part AVG threshold (the Q2 pattern
     // with an aggregate threshold) decorrelated to a grouped-avg computed
@@ -554,7 +558,8 @@ object Queries {
              |WHERE p_brand = 'Brand#12' AND p_size <= 10
              |  AND l_quantity < 0.2 * (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              |                                 / COUNT(*)
-             |                          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)),
+             |                          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin),
+      headline = true),
 
     // TPC-H Q19 shape: disjunctive multi-predicate join — three OR'd
     // conjunct groups sharing the p_partkey = l_partkey equi-key. Catalyst's
@@ -582,7 +587,8 @@ object Queries {
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
              |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
-             |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+             |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+      headline = true),
 
     // Frame-window aggregate: 3-order trailing average spend per customer
     // (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). The frame sum is
@@ -903,7 +909,8 @@ object Queries {
              |        PARTITION BY c_nationkey
              |        ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rn
              |      FROM customer) t
-             |WHERE rn <= 3""".stripMargin)),
+             |WHERE rn <= 3""".stripMargin),
+      headline = true),
 
     // Exact (not approximate) distributed median: the element at global
     // rank ceil(N/2) under a total order, located with [[Ranks.globalRank]]
@@ -965,7 +972,8 @@ object Queries {
              |  ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile,
              |  percent_rank() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS pct_rank
              |  FROM orders) t
-             |WHERE o_orderkey % 37 = 0""".stripMargin)),
+             |WHERE o_orderkey % 37 = 0""".stripMargin),
+      headline = true),
 
     // Sketch aggregates — the scale substitutes for exact distinct/quantile
     // (A3 at 100 TB): HyperLogLog++ distinct count and approximate
@@ -1015,7 +1023,8 @@ object Queries {
       },
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin),
+      headline = true),
 
     "q_rollup" -> Q(
       (s, dir) => {
@@ -1146,15 +1155,24 @@ object Queries {
     "q_embedding_centroids" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
+        // Exact constant-buffer mean, cross-engine deterministic: each
+        // component is quantized to integer 1e-6 units with the SAME IEEE
+        // double multiply + half-away-from-zero round in both engines
+        // (float→double widening is exact, so the rounded integers agree
+        // bit-for-bit), summed exactly in a decimal buffer, divided back.
+        // NOT float→decimal casting: DuckDB converts via a double multiply
+        // and misrounds the last decimal digit vs Spark's exact BigDecimal
+        // path, which flaked the r4 form of this query at ~1e-12.
         t("embeddings")
           .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("label").cast("long").as("label"),
             col("pos").cast("long").as("pos"))
-          .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double")
-            / count(lit(1))).as("centroid"))
+          .agg((sum(round(col("v").cast("double") * lit(1e6)).cast("decimal(20,0)"))
+            .cast("double") / lit(1e6) / count(lit(1))).as("centroid"))
       },
       Some("""SELECT CAST(label AS BIGINT) AS label, pos,
-             |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS centroid
+             |  CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+             |    / 1000000.0 / COUNT(*) AS centroid
              |FROM (SELECT label, unnest(embedding) AS v,
              |             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos
              |      FROM embeddings)
@@ -1198,14 +1216,70 @@ object Queries {
     "q_ordered_checksum" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
-        t("nation")
-          .select(concat_ws("#", col("n_nationkey").cast("string"), col("n_name"),
-            col("n_regionkey").cast("string")).as("fp"))
-          .agg(md5(concat_ws(",", sort_array(collect_list(col("fp"))))).as("checksum"))
+        // routed through the guarded helper: its row-count gate fails fast
+        // if this single-task mode is ever pointed at a big table
+        Validation.orderedMd5ChecksumDf(t("nation"),
+          Seq("n_nationkey", "n_name", "n_regionkey"))
       },
       Some("""SELECT MD5(STRING_AGG(fp, ',' ORDER BY fp)) AS checksum
              |FROM (SELECT CONCAT_WS('#', CAST(n_nationkey AS VARCHAR), n_name,
              |             CAST(n_regionkey AS VARCHAR)) AS fp FROM nation) t""".stripMargin)),
+
+    // Bucketed co-located join — the shuffle-ELIMINATION layout for repeated
+    // large-to-large joins: both sides written bucketBy(8, join key), so the
+    // scans come up co-partitioned and the join plans with NO Exchange on
+    // either side (BucketingSpec asserts the plan; here the oracle proves the
+    // results match the plain shuffled join over raw parquet).
+    "q_bucketed_join_agg" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        Bucketing.writeBucketed(t("customer").select("c_custkey", "c_nationkey"),
+          "g_bkt_customer", "c_custkey", 8)
+        Bucketing.writeBucketed(t("orders").select("o_custkey", "o_totalprice"),
+          "g_bkt_orders", "o_custkey", 8)
+        s.table("g_bkt_customer")
+          .join(s.table("g_bkt_orders"), col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nation"))
+          .agg(count(lit(1)).as("n_orders"),
+            expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("revenue"))
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation, COUNT(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_nationkey""".stripMargin)),
+
+    // Exactly-once restart read (ST2/ST3 recovery): the reference restores
+    // Kafka positions by ranking its offsets/lineage table per partition and
+    // taking the latest commit (spark_exactly_once.py:377-389). Here the
+    // offsets log is derived deterministically from events (part_id =
+    // user_id % 8, offset = event_id, one commit per 500-id batch), persisted
+    // through the engine's lineage store (KeyedParquetTable, as Ingest writes
+    // it), and recovered with the same ranked-offset read.
+    "q_lineage_recovery" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val offsets = t("events")
+          .groupBy(expr("event_id DIV 500").as("batch_id"),
+            (col("user_id") % 8).as("part_id"))
+          .agg(max("event_id").as("last_offset"))
+        val tmp = Files.createTempDirectory("graft_lineage_").toString
+        val store = new KeyedParquetTable(s, tmp, Seq("batch_id", "part_id"), Nil, 4)
+        store.createIfNotExists(offsets.schema)
+        store.append(offsets)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("part_id").orderBy(col("batch_id").desc)
+        store.read()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("part_id"), col("last_offset"))
+      },
+      Some("""SELECT part_id, last_offset FROM (
+             |  SELECT part_id, last_offset,
+             |    ROW_NUMBER() OVER (PARTITION BY part_id ORDER BY batch_id DESC) AS rn
+             |  FROM (SELECT event_id // 500 AS batch_id, user_id % 8 AS part_id,
+             |               MAX(event_id) AS last_offset
+             |        FROM events GROUP BY 1, 2) offs) t
+             |WHERE rn = 1""".stripMargin)),
 
     // MinHash-LSH near-dup candidate pairs with exact-Jaccard verification.
     // Banded LSH — shuffle bounded by band buckets, no all-pairs join.

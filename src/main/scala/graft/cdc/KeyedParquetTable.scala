@@ -208,7 +208,7 @@ final class KeyedParquetTable(
     val layoutCols = (partitionBy :+ "__bucket").toSet
     val curTypes = current.fields.map(f => f.name -> f.dataType).toMap
     for (f <- incoming.fields if !layoutCols.contains(f.name))
-      require(f.dataType.sameType(curTypes(f.name)),
+      require(f.dataType.sql == curTypes(f.name).sql,
         s"append type mismatch for $root.${f.name}: snapshot ${curTypes(f.name)} " +
           s"vs batch ${f.dataType}; schema evolution requires a full commit()")
   }

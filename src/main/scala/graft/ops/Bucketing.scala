@@ -1,5 +1,8 @@
 package graft.ops
 
+import java.util.Locale
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 
 /** Bucketed-table layout — the shuffle-ELIMINATION strategy for repeated
@@ -25,6 +28,16 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int, sorted: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    // idempotence across sessions: with the in-memory catalog, a previous
+    // JVM's managed-table directory survives in the warehouse while the
+    // catalog entry doesn't, and saveAsTable then refuses the location even
+    // in overwrite mode — drop both the entry and any stale directory
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")),
+      table.toLowerCase(Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCol)
     (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)

@@ -64,12 +64,27 @@ object Validation {
     * side. Small-table mode only — the row list materializes in one task;
     * use [[tableChecksum]] at scale.
     */
-  def orderedMd5Checksum(df: DataFrame, columns: Seq[String]): String = {
+  def orderedMd5Checksum(df: DataFrame, columns: Seq[String],
+                         maxRows: Long = 10000000L): String =
+    orderedMd5ChecksumDf(df, columns, maxRows).head().getString(0)
+
+  /** One-row DataFrame form of [[orderedMd5Checksum]] (column `checksum`).
+    * Guarded: `sort_array∘collect_list` materializes every row fingerprint
+    * in ONE task, so pointing it at a big table would OOM an executor
+    * rather than degrade gracefully. Counting first costs one cheap
+    * count-only scan and converts that failure mode into a loud error
+    * directing callers to the scale path ([[tableChecksum]]).
+    */
+  def orderedMd5ChecksumDf(df: DataFrame, columns: Seq[String],
+                           maxRows: Long = 10000000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"orderedMd5Checksum is single-task small-table mode: $n rows exceeds " +
+        s"limit $maxRows; use tableChecksum / q_global_checksum at scale")
     val fp = concat_ws("#",
       columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
     df.select(fp.as("fp"))
-      .agg(md5(concat_ws(",", sort_array(collect_list(col("fp"))))).as("m"))
-      .head().getString(0)
+      .agg(md5(concat_ws(",", sort_array(collect_list(col("fp"))))).as("checksum"))
   }
 
   /** Checksum equality of the shared columns of two tables. */

@@ -45,6 +45,23 @@ class RanksSpec extends SparkSpec {
     assert(got === expected) // exact, doubles included
   }
 
+  test("broadcast-offset branch (buckets > offsetJoinThreshold) ranks identically") {
+    val df = fixture
+    // force the join path: any realized bucket count above 2 takes it
+    val (ranked, n) = Ranks.globalRank(df, col("price"), Seq(col("id")), "rn",
+      buckets = 8, offsetJoinThreshold = 2)
+    assert(n === 997L)
+    val w = Window.orderBy(col("price").asc, col("id").asc)
+    val expected = df.select(col("id"), row_number().over(w).cast("long").as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = ranked.select("id", "rn")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // the offset table must ride a broadcast, not a shuffle
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"offset join not broadcast:\n$plan")
+  }
+
   test("ranked plan contains no single-partition exchange") {
     val df = fixture
     val (ranked, _) = Ranks.globalRank(df, col("price"), Seq(col("id")), "rn", buckets = 8)

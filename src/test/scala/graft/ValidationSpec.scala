@@ -74,6 +74,18 @@ class ValidationSpec extends SparkSpec {
     assert(Validation.suite(Seq(ok, bad, bad))._1 === "Poor")
   }
 
+  test("orderedMd5Checksum fails fast above its single-task row limit") {
+    val df = spark.range(100).select(col("id"))
+    // under the limit: computes (and matches a recompute — deterministic)
+    val a = Validation.orderedMd5Checksum(df, Seq("id"))
+    assert(a === Validation.orderedMd5Checksum(df, Seq("id")))
+    // over the limit: loud failure pointing at the scale path, no OOM attempt
+    val e = intercept[IllegalArgumentException] {
+      Validation.orderedMd5Checksum(df, Seq("id"), maxRows = 99L)
+    }
+    assert(e.getMessage.contains("tableChecksum"))
+  }
+
   test("XorChecksum typed Aggregator equals the bit_xor built-in") {
     import graft.functions.XorChecksum
     val df = spark.range(10000).select(xxhash64(col("id")).as("h"))
