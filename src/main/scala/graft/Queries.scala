@@ -590,6 +590,127 @@ object Queries {
              |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
       headline = true),
 
+    // TPC-H Q6 shape: forecast-revenue — pure scan + conjunctive filter +
+    // one global sum. The whole predicate pushes to the parquet scan
+    // (PushedFilters), no join, no shuffle beyond the final partial-agg
+    // fan-in; the canonical "is pushdown working" probe.
+    "q6_forecast_revenue" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(expr("CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE)")
+            .as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+             |COUNT(*) AS n_lines
+             |FROM lineitem
+             |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q10 shape: returned-item losers — fact-to-fact join on orderkey
+    // (shuffle), dimension joins broadcast, top-20 by lost revenue with a
+    // key tiebreak (TakeOrderedAndProject, never a global sort).
+    "q10_returned_items" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("lineitem").filter(col("l_returnflag") === "R")
+          .join(t("orders").filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1996-07-01")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t("customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)")
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name
+             |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)),
+
+    // TPC-H Q12 shape: late-shipment priority accounting. Testdata has no
+    // l_shipmode/l_receiptdate, so the grouping key is l_returnflag and
+    // "late" is shipped >60 days after the order — interval arithmetic on
+    // both engines (timestamp + INTERVAL, no date/timestamp coercion drift).
+    "q12_late_lines" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("lineitem")
+          .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+              .otherwise(0)).as("high_line_count"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+              .otherwise(0)).as("low_line_count"))
+      },
+      Some("""SELECT l_returnflag AS flag,
+             |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // TPC-H Q14 shape: promo-revenue share — conditional aggregate ratio in
+    // one pass (two decimal-exact sums, then pure double arithmetic written
+    // identically in both engines).
+    "q14_promo_revenue" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("lineitem")
+          .filter(col("l_shipdate") >= lit("1996-09-01") &&
+            col("l_shipdate") < lit("1996-12-01"))
+          .join(broadcast(t("part")), col("l_partkey") === col("p_partkey"))
+          .agg((lit(100.0) *
+            expr("""CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                    AS DECIMAL(24,6))) AS DOUBLE)""") /
+            expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)"))
+            .as("promo_revenue_pct"))
+      },
+      Some("""SELECT 100.0 *
+             |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+             |       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+             |       AS DECIMAL(24,6))) AS DOUBLE) /
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+             |  AS promo_revenue_pct
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-12-01'""".stripMargin)),
+
+    // TPC-H Q16 shape: supplier diversity per part attribute — distinct
+    // count after a broadcast-filtered join (testdata has no partsupp; the
+    // lineitem l_suppkey link plays its role). COUNT(DISTINCT) shuffles on
+    // the group key with partial distinct aggregation — no global distinct.
+    "q16_supplier_diversity" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("lineitem")
+          .join(broadcast(t("part")
+            .filter(col("p_brand") =!= "Brand#15" &&
+              col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+          .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some("""SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+             |COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#15' AND p_size IN (1,5,9,13,17,21,25,29)
+             |GROUP BY p_brand, p_type, p_size""".stripMargin)),
+
     // Frame-window aggregate: 3-order trailing average spend per customer
     // (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). The frame sum is
     // decimal-cast so it is exact regardless of either engine's in-frame
@@ -1350,6 +1471,19 @@ object Queries {
         Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
           emb.filter(col("vec_id") === 0).select("embedding"),
           "vec_id", "embedding", 20)
+      },
+      None),
+
+    // IVF ANN (train → assign → probe-limited exact search) — the indexed
+    // scale path: the scan shrinks to ~nProbe/nCells of the corpus. Recall
+    // vs brute force is asserted in SimilaritySpec.
+    "q_ann_ivf" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val emb = t("embeddings")
+        Similarity.ivfSearch(emb.filter(col("vec_id") =!= 0),
+          emb.filter(col("vec_id") === 0).select("embedding"),
+          "vec_id", "embedding", k = 20, nProbe = 6)
       },
       None),
 

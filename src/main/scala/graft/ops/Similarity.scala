@@ -116,15 +116,87 @@ object Similarity {
   /** Brute-force all-pairs top-k per vector against a SMALL probe set
     * (e.g. centroids) — the IVF assignment step: each vector gets its
     * nearest centroid id via a broadcast nested loop, no N² shuffle.
+    * `byCosine = true` assigns by cosine (the metric the IVF search path
+    * ranks with) instead of raw dot product.
     */
   def assignNearestCentroid(embeddings: DataFrame, centroids: DataFrame,
                             idCol: String, vecCol: String,
-                            centIdCol: String, centVecCol: String): DataFrame = {
+                            centIdCol: String, centVecCol: String,
+                            byCosine: Boolean = false): DataFrame = {
     val c = broadcast(centroids.select(col(centIdCol).as("__cid"),
       col(centVecCol).as("__cvec")))
+    val sim = if (byCosine) cosine(col(vecCol), col("__cvec"))
+              else dot(col(vecCol), col("__cvec"))
     embeddings.crossJoin(c)
-      .withColumn("__sim", dot(col(vecCol), col("__cvec")))
+      .withColumn("__sim", sim)
       .groupBy(col(idCol))
       .agg(max_by(col("__cid"), struct(col("__sim"), -col("__cid"))).as("centroid_id"))
+  }
+
+  /** Component-wise mean vector per cell. Constant-buffer at data scale:
+    * the shuffle aggregates (cell, pos) → mean (a plain hash agg), and the
+    * only collect_list is the ≤dim-element reassembly per CELL — O(cells·dim)
+    * rows total, never O(data rows).
+    */
+  private def meanVectors(cells: DataFrame, vecCol: String): DataFrame =
+    cells
+      .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy("__cell", "__pos")
+      .agg(avg(col("__v").cast("double")).as("__m"))
+      .groupBy("__cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__m")))),
+        s => s.getField("__m")).as("centroid"))
+
+  /** IVF index build (train): cells seeded deterministically by sign-bit
+    * LSH (2^nPlanes cells), refined with one Lloyd step — assign every
+    * vector to its nearest seed centroid by cosine, then re-average.
+    * Returns the small (≤2^nPlanes row) centroid table
+    * `(centroid_id: long, centroid: array<double>)`.
+    *
+    * At 100 TB this runs as two shuffles over (cell, pos) pairs plus one
+    * broadcast assignment pass; the centroid table itself stays tiny and
+    * is meant to be persisted alongside the corpus (the assignment column
+    * is then partition-prunable by `centroid_id`).
+    */
+  def ivfTrain(embeddings: DataFrame, idCol: String, vecCol: String,
+               nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed = 7L)
+    val seeds = meanVectors(
+      embeddings.withColumn("__cell", lshBucket(col(vecCol), planes)), vecCol)
+      .select(col("__cell").as("centroid_id"), col("centroid"))
+    val assigned = assignNearestCentroid(embeddings, seeds, idCol, vecCol,
+      "centroid_id", "centroid", byCosine = true)
+    meanVectors(
+      embeddings.join(assigned, idCol)
+        .withColumn("__cell", col("centroid_id")), vecCol)
+      .select(col("__cell").as("centroid_id"), col("centroid"))
+  }
+
+  /** IVF ANN top-k: rank the query against the centroid table, keep the
+    * nProbe nearest cells, and run exact cosine ONLY over rows assigned to
+    * those cells — the scan shrinks to ~nProbe/nCells of the corpus, and
+    * everything query-sided is a broadcast. The scale path when LSH
+    * multi-probe recall is not enough and an index build is affordable.
+    */
+  def ivfSearch(embeddings: DataFrame, query: DataFrame, idCol: String,
+                vecCol: String, k: Int, nProbe: Int = 4,
+                nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val cents = ivfTrain(embeddings, idCol, vecCol, nPlanes, dim)
+    val assigned = assignNearestCentroid(embeddings, cents, idCol, vecCol,
+      "centroid_id", "centroid", byCosine = true)
+    // query → its nProbe nearest cells (tiny: ≤cells rows ranked)
+    val qcells = query.select(col(vecCol).as("__qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__qsim", cosine(col("__qvec"), col("centroid")))
+      .orderBy(col("__qsim").desc, col("centroid_id").asc)
+      .limit(nProbe)
+      .select(col("centroid_id"), col("__qvec"))
+    embeddings.join(assigned, idCol)
+      .join(broadcast(qcells), "centroid_id")
+      .withColumn("sim", cosine(col(vecCol), col("__qvec")))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
   }
 }

@@ -113,6 +113,37 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.size <= 3, s"too many spurious pairs: $pairs")
   }
 
+  test("ivfSearch recall ≥ 0.8 vs brute force, scans only probe cells") {
+    val emb = clustered
+    val query = emb.filter(col("vec_id") === 0).select("embedding")
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.cosineTopK(rest, query, "vec_id", "embedding", 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfSearch(rest, query, "vec_id", "embedding", 10,
+      nProbe = 4, nPlanes = 4, dim = dim).collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall exact=$exact ivf=$ivf")
+  }
+
+  test("ivfTrain centroids are cluster-coherent and few") {
+    val emb = clustered
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      nPlanes = 4, dim = dim).collect()
+    assert(cents.length <= 16, s"more cells than 2^nPlanes: ${cents.length}")
+    assert(cents.forall(_.getSeq[Double](1).length == dim))
+    // assignment under the trained centroids keeps generating clusters
+    // together: most vectors of a cluster land in one cell
+    val assigned = Similarity.assignNearestCentroid(emb,
+      spark.createDataFrame(spark.sparkContext.parallelize(cents.toSeq),
+        cents.head.schema),
+      "vec_id", "embedding", "centroid_id", "centroid", byCosine = true)
+      .withColumn("cluster", (col("vec_id") / 30).cast("long"))
+    val coherence = assigned.groupBy("cluster")
+      .agg(count_distinct(col("centroid_id")).as("cells"))
+      .agg(max("cells")).head().getLong(0)
+    assert(coherence <= 3, s"clusters scattered over $coherence cells")
+  }
+
   test("IVF layout: centroid-partitioned table scan prunes to the probe partition") {
     val emb = clustered
     val cents = emb.filter(col("vec_id") % 30 === 0)
