@@ -1526,6 +1526,37 @@ object Queries {
       },
       Some("""SELECT doc_id, 'text/plain' AS mime,
              |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             |FROM documents""".stripMargin)),
+
+    // Frame-sampling plumbing: every blob split into 4 even "frames"
+    // (posexplode over byte ranges — one pass, no shuffle before the agg).
+    // The oracle checks the chunk arithmetic numerically: 4 frames per doc,
+    // frame bytes sum back to the payload length.
+    "q_frame_sample" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val withBin = Multimodal.attachBinary(t("documents"), "text", "text/plain")
+        Multimodal.frameSample(withBin, "doc_id", "media", 4)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(octet_length(col("frame_bytes")).cast("long")).as("total_frame_bytes"))
+      },
+      Some("""SELECT doc_id, CAST(4 AS BIGINT) AS n_frames,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS total_frame_bytes
+             |FROM documents""".stripMargin)),
+
+    // Resize plumbing: normalize every blob to a fixed byte budget
+    // (truncate/zero-pad) with refreshed metadata — metadata-only readback,
+    // so the blob column itself is pruned from this query's output.
+    "q_media_resize" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val withBin = Multimodal.attachBinary(t("documents"), "text", "text/plain")
+        Multimodal.resizeStub(withBin, "media", "image/thumb", 64)
+          .groupBy(col("media_meta.n_bytes").as("n_bytes"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""SELECT CAST(64 AS BIGINT) AS n_bytes, COUNT(*) AS n_docs
              |FROM documents""".stripMargin))
   )
 

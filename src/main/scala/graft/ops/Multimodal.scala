@@ -89,11 +89,32 @@ object Multimodal {
     df.select(col(idCol), posexplode(split_part_bytes(col(binCol), n))
       .as(Seq("frame_idx", "frame_bytes")))
 
-  /** Even byte-range chunks of a binary column as array<binary>. */
+  /** Resize stub: normalize every blob to exactly `targetBytes` (truncate
+    * long payloads, zero-pad short ones) and refresh the metadata struct.
+    * A real image/audio resample keeps exactly this shape — binary in,
+    * fixed-budget binary out, metadata recomputed. Pure column expressions:
+    * codegen'd, no shuffle, no driver involvement.
+    */
+  def resizeStub(df: DataFrame, binCol: String, mime: String,
+                 targetBytes: Int): DataFrame = {
+    val resized = rpad(col(binCol).substr(lit(1), lit(targetBytes)),
+      targetBytes, Array(0.toByte))
+    df.withColumn(binCol, resized)
+      .withColumn("media_meta", struct(
+        lit(mime).as("mime"),
+        octet_length(col(binCol)).cast("long").as("n_bytes"),
+        xxhash64(col(binCol)).as("checksum64")))
+  }
+
+  /** Even byte-range chunks of a binary column as array<binary>.
+    * Chunk size is computed with INTEGER ceil-division — Column `/` is
+    * double division, and a fractional chunk width makes frame starts
+    * drift and skip bytes at some lengths.
+    */
   private def split_part_bytes(bin: org.apache.spark.sql.Column, n: Int) = {
     val len = octet_length(bin)
-    val chunk = (len + n - 1) / n
+    val chunk = floor((len + n - 1) / n).cast("int")
     transform(sequence(lit(0), lit(n - 1)),
-      i => bin.substr((i * chunk + 1).cast("int"), chunk.cast("int")))
+      i => bin.substr((i * chunk + 1).cast("int"), chunk))
   }
 }

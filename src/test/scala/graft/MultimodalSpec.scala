@@ -35,6 +35,21 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.getSeq[Float](1)).toSeq === again.map(_.getSeq[Float](1)).toSeq)
   }
 
+  test("resizeStub truncates/zero-pads every blob to the target budget") {
+    val withBin = Multimodal.attachBinary(docs, "text", "text/plain")
+    val resized = Multimodal.resizeStub(withBin, "media", "image/thumb", 8)
+    val rows = resized.select(col("doc_id"), col("media"),
+      col("media_meta.n_bytes"), col("media_meta.mime")).orderBy("doc_id").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Array[Byte]](1).length === 8)
+      assert(r.getLong(2) === 8L)
+      assert(r.getString(3) === "image/thumb")
+    }
+    // truncation preserves the prefix; padding is zero bytes
+    val first = rows.head.getAs[Array[Byte]](1)
+    assert(new String(first.take(8), "UTF-8") === "hello wo")
+  }
+
   test("frameSample splits a blob into n indexed frames that reassemble") {
     val withBin = Multimodal.attachBinary(docs, "text", "text/plain")
     val frames = Multimodal.frameSample(withBin, "doc_id", "media", 3)
