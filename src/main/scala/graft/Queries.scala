@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.cdc.{CdcParse, KeyedParquetTable, Merge}
-import graft.ops.{Bucketing, Dedup, FuzzyDedup, Multimodal, Ranks, Similarity, TextOps}
+import graft.ops.{Bucketing, Dedup, FuzzyDedup, Multimodal, Ranks, Similarity, Skew, TextOps}
 import graft.validate.Validation
 
 /** The engine's registered query workload.
@@ -203,6 +203,37 @@ object Queries {
         t("orders").groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
       },
       Some("SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority")),
+
+    // A4 skew-resistant form: salted two-phase count — identical result to
+    // the plain groupBy, but a hot key's state fans over saltBuckets
+    // reducers before the (tiny) re-aggregation. Registered so the gate
+    // proves exactness, not just the SkewSpec parity test.
+    "q_salted_group_count" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        Skew.saltedCount(t("events"), Seq("event_type"), saltBuckets = 8)
+          .select(col("event_type"), col("count").as("n_events"))
+      },
+      Some("SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type")),
+
+    // Salted equi-join for a skewed big side: big side salted, small side
+    // replicated saltBuckets times, join on (key, salt) — exact same rows
+    // as the plain join (the post-join aggregate proves it against the
+    // oracle's plain-join SQL).
+    "q_salted_join_agg" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val big = t("lineitem").select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+        val small = t("orders").select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+        Skew.saltedJoin(big, small, Seq("okey"), saltBuckets = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+            expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_lines,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin)),
 
     // A5: multi-agg min/max/avg per group.
     "q_multi_agg" -> Q(

@@ -95,6 +95,12 @@ object Similarity {
     * probe expansion on side B), verify with exact cosine. The
     * embedding-space analog of MinHash near-dup — bucket-bounded, never
     * all-pairs.
+    *
+    * Plan note (scale): side A is exploded ×(nPlanes+1) — the multi-probe
+    * replication — so shuffle volume is (nPlanes+1)·N rows, a CONSTANT
+    * factor chosen at call time, before the (bucket-bounded) join. Raise
+    * nPlanes to shrink buckets (less join fan-out) at the cost of more
+    * replication; both knobs are data-independent.
     */
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nPlanes: Int = 12,
