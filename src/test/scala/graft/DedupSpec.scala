@@ -33,6 +33,20 @@ class DedupSpec extends SparkSpec {
     assert(out.select("payload").head().getString(0) === "second")
   }
 
+  test("null ordering values lose to any real value under desc (nulls last)") {
+    // a CDC row with a missing timestamp must never win dedup-to-latest:
+    // Spark's desc default is NULLS LAST, so the null-ts row ranks below
+    // every real timestamp; the offset tiebreak keeps it deterministic
+    val df = Seq(
+      (1L, Some(10L), 0L, "real"), (1L, None, 1L, "missing_ts"),
+      (2L, None, 0L, "only_null_a"), (2L, None, 1L, "only_null_b")
+    ).toDF("id", "ts", "offset", "payload")
+    val out = Dedup.dedupLatest(df, Seq("id"),
+        Seq(col("ts").desc, col("offset").desc))
+      .select("id", "payload").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out === Map(1L -> "real", 2L -> "only_null_b"))
+  }
+
   test("latestByKey (max_by aggregate) agrees with the window formulation") {
     val rnd = new scala.util.Random(1)
     val rows = Seq.fill(500)((rnd.nextLong(20).abs, rnd.nextLong(10000).abs, rnd.nextInt(100)))

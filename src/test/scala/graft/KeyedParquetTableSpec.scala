@@ -37,6 +37,27 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(t.read().count() === 2 && t.currentVersion === 1)
   }
 
+  test("append of an empty batch keeps the table readable and data unchanged") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_empty"), Seq("id"))
+    t.append(Seq((1L, "x")).toDF("id", "v"))
+    t.append(Seq.empty[(Long, String)].toDF("id", "v"))
+    val rows = t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows === Array((1L, "x")))
+  }
+
+  test("append rejects a schema-mismatched batch loudly (no silent mixed snapshot)") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_mismatch"), Seq("id"))
+    t.append(Seq((1L, "x")).toDF("id", "v"))
+    val missing = intercept[IllegalArgumentException] {
+      t.append(Seq(Tuple1(2L)).toDF("id"))
+    }
+    assert(missing.getMessage.contains("schema mismatch"))
+    val retyped = intercept[IllegalArgumentException] {
+      t.append(Seq((3L, 3.5)).toDF("id", "v"))
+    }
+    assert(retyped.getMessage.contains("type mismatch"))
+  }
+
   test("append is snapshot-incremental: O(N) total writes, prior files hard-linked") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_inc"), Seq("id"))
     val n = 6

@@ -34,6 +34,22 @@ class MergeSpec extends SparkSpec {
     assert(out.count() === 4)
   }
 
+  test("mergeUpsert with an empty batch returns the target unchanged") {
+    val empty = Seq.empty[(Long, String, Int, String)]
+      .toDF("id", "name", "price", "operation")
+    val out = Merge.mergeUpsert(target, empty, Seq("id"), "operation")
+    assert(out.orderBy("id").collect().toSeq ===
+      target.orderBy("id").collect().toSeq)
+  }
+
+  test("mergeUpsert with a delete-only batch removes exactly those keys") {
+    val dels = Seq((1L, null.asInstanceOf[String], 0, "d"),
+      (3L, null.asInstanceOf[String], 0, "d"))
+      .toDF("id", "name", "price", "operation")
+    val out = Merge.mergeUpsert(target, dels, Seq("id"), "operation")
+    assert(out.select("id").as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("CRUD-fold oracle: engine final state == in-memory map fold (10 random histories)") {
     for (seed <- 0 until 10) {
       val rnd = new scala.util.Random(seed)
