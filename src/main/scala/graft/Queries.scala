@@ -640,7 +640,8 @@ object Queries {
              |COUNT(*) AS n_lines
              |FROM lineitem
              |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
-             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+      headline = true),
 
     // TPC-H Q10 shape: returned-item losers — fact-to-fact join on orderkey
     // (shuffle), dimension joins broadcast, top-20 by lost revenue with a
@@ -669,7 +670,8 @@ object Queries {
              |WHERE l_returnflag = 'R'
              |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
              |GROUP BY c_custkey, c_name, c_acctbal, n_name
-             |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)),
+             |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin),
+      headline = true),
 
     // TPC-H Q12 shape: late-shipment priority accounting. Testdata has no
     // l_shipmode/l_receiptdate, so the grouping key is l_returnflag and
@@ -693,7 +695,8 @@ object Queries {
              |CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
-             |GROUP BY l_returnflag""".stripMargin)),
+             |GROUP BY l_returnflag""".stripMargin),
+      headline = true),
 
     // TPC-H Q14 shape: promo-revenue share — conditional aggregate ratio in
     // one pass (two decimal-exact sums, then pure double arithmetic written
@@ -719,7 +722,8 @@ object Queries {
              |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
              |  AS promo_revenue_pct
              |FROM lineitem JOIN part ON l_partkey = p_partkey
-             |WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-12-01'""".stripMargin)),
+             |WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-12-01'""".stripMargin),
+      headline = true),
 
     // TPC-H Q16 shape: supplier diversity per part attribute — distinct
     // count after a broadcast-filtered join (testdata has no partsupp; the
@@ -740,7 +744,8 @@ object Queries {
              |COUNT(DISTINCT l_suppkey) AS supplier_cnt
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE p_brand <> 'Brand#15' AND p_size IN (1,5,9,13,17,21,25,29)
-             |GROUP BY p_brand, p_type, p_size""".stripMargin)),
+             |GROUP BY p_brand, p_type, p_size""".stripMargin),
+      headline = true),
 
     // Frame-window aggregate: 3-order trailing average spend per customer
     // (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). The frame sum is

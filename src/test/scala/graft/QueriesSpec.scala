@@ -24,12 +24,25 @@ class QueriesSpec extends SparkSpec {
   test("TPC-H join plans: dims broadcast, never a cartesian/nested-loop join") {
     for (name <- Seq("q5_local_supplier_volume", "q7_volume_shipping",
         "q21_waiting_supplier", "q_join_agg", "q17_small_quantity_revenue",
-        "q19_disjunctive_revenue")) {
+        "q19_disjunctive_revenue", "q10_returned_items", "q14_promo_revenue",
+        "q16_supplier_diversity")) {
       val plan = Queries.all(name).fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name nested-loops:\n$plan")
       assert(plan.contains("BroadcastHashJoin"), s"$name broadcasts no dim:\n$plan")
     }
+  }
+
+  test("q6 pushes its whole predicate into the parquet scan") {
+    val plan = Queries.all("q6_forecast_revenue").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(plan.contains(s"IsNotNull($c)") || plan.contains(s"($c"),
+        s"$c missing from pushed filters:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull"), s"no pushed filters:\n$plan")
+    // projection pruned to exactly the needed columns
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp"), s"scan reads extra columns:\n$plan")
   }
 
   test("q13 plans a hash outer join — exclusion predicate never degrades to nested-loop") {
