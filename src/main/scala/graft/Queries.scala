@@ -1345,6 +1345,21 @@ object Queries {
              |FROM documents GROUP BY text""".stripMargin),
       headline = true),
 
+    // Canonical text normalization (lowercase, collapse non-alnum runs,
+    // trim) — the standard cleaning stage before dedup/tokenization;
+    // md5 of the normalized form keeps the comparison compact.
+    "q_text_normalize" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("documents").select(col("doc_id"),
+          md5(TextOps.normalizeText(col("text"))).as("norm_fp"),
+          length(TextOps.normalizeText(col("text"))).cast("long").as("norm_len"))
+      },
+      Some("""SELECT doc_id,
+             |MD5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_fp,
+             |CAST(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS BIGINT) AS norm_len
+             |FROM documents""".stripMargin)),
+
     // 128-bit content fingerprints (exact-dedup key, P9 for documents).
     "q_doc_fingerprint" -> Q(
       (s, dir) => {

@@ -31,6 +31,15 @@ object TextOps {
   /** Distinct whitespace tokens as an array (for set-similarity ops). */
   def tokenSet(text: Column): Column = array_distinct(split(text, " "))
 
+  /** Canonical cleaning normalization (the standard pre-dedup /
+    * pre-tokenization stage): lowercase, collapse every non-alphanumeric
+    * run to one space, trim. Pure codegen'd column expressions; the regex
+    * semantics are identical in DuckDB (with its 'g' flag), so the result
+    * is oracle-checkable byte-for-byte.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   /** Average token length in characters. */
   def avgTokenLen(text: Column): Column = {
     val nTok = tokenCountWs(text)

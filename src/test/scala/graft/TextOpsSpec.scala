@@ -22,6 +22,16 @@ class TextOpsSpec extends SparkSpec {
     assert(got.map(_.getLong(3)).toSeq === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("normalizeText lowercases, collapses non-alnum runs, trims") {
+    val df = Seq(
+      "  Hello,   WORLD!! 42 ",
+      "a--b__c",
+      "",
+      "ALL CAPS").toDF("t")
+    val out = df.select(TextOps.normalizeText(col("t"))).as[String].collect().toSeq
+    assert(out === Seq("hello world 42", "a b c", "", "all caps"))
+  }
+
   test("langId picks the stopword-dominant language with deterministic ties") {
     val df = Seq(
       ("the cat is of the house and a dog", "en"),
