@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.cdc.{CdcParse, KeyedParquetTable, Merge}
-import graft.ops.{Bucketing, Dedup, FuzzyDedup, Multimodal, Ranks, Similarity, Skew, TextOps}
+import graft.ops.{Bucketing, Dedup, FuzzyDedup, Multimodal, Prefilter, Ranks, Similarity, Skew, TextOps}
 import graft.validate.Validation
 
 /** The engine's registered query workload.
@@ -215,6 +215,27 @@ object Queries {
           .select(col("event_type"), col("count").as("n_events"))
       },
       Some("SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type")),
+
+    // Bloom-prefiltered semi join: a 128KiB broadcast bloom of the small
+    // side's keys prunes the big side AT THE SCAN before the join shuffle;
+    // the exact semi join afterwards clears false positives, so results are
+    // identical to the plain semi join (the oracle) — only shuffle volume
+    // changes. The 100 TB form of "ship the filter to the data".
+    "q_bloom_semi_join" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val urgent = t("orders").filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1997-07-01"))
+        Prefilter.semiJoinBloom(t("lineitem"), urgent, "l_orderkey", "o_orderkey")
+          .agg(count(lit(1)).as("n_lines"),
+            expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"))
+      },
+      Some("""SELECT COUNT(*) AS n_lines,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem
+             |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+             |  WHERE o_orderpriority = '1-URGENT'
+             |    AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01')""".stripMargin)),
 
     // Salted equi-join for a skewed big side: big side salted, small side
     // replicated saltBuckets times, join on (key, salt) — exact same rows
