@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.cdc.{CdcParse, KeyedParquetTable, Merge}
-import graft.ops.{Bucketing, Dedup, FuzzyDedup, Multimodal, Prefilter, Ranks, Similarity, Skew, TextOps}
+import graft.ops.{Bucketing, Components, Dedup, FuzzyDedup, Multimodal, Prefilter, Ranks, Similarity, Skew, TextOps}
 import graft.validate.Validation
 
 /** The engine's registered query workload.
@@ -1484,6 +1484,43 @@ object Queries {
       },
       None,
       headline = true),
+
+    // Dedup cluster resolution: near-dup candidate pairs → connected
+    // components (min-label propagation, one equi-join per round) → one
+    // keeper id per duplicate cluster. Not SQL-expressible (the edge set
+    // comes from MinHash); ComponentsSpec proves chains/cliques/keepers.
+    "q_neardup_components" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val pairs = FuzzyDedup.nearDupPairs(t("documents"), "doc_id", "text",
+          threshold = 0.5).select("id_a", "id_b")
+        Components.dedupKeepers(pairs)
+      },
+      None),
+
+    // Deterministic train/val/test split: pure key arithmetic (no RNG), so
+    // the assignment is stable across runs/engines and any doc's split is
+    // recomputable from its id — the reproducibility property a training
+    // pipeline needs. 80/10/10 by doc_id mod 10.
+    "q_dataset_split" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("documents")
+          .withColumn("split",
+            when(col("doc_id") % 10 < 8, "train")
+              .when(col("doc_id") % 10 === 8, "val")
+              .otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextOps.tokenCountWs(col("text"))).as("n_tokens"))
+      },
+      Some("""SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+             |            WHEN doc_id % 10 = 8 THEN 'val'
+             |            ELSE 'test' END AS split,
+             |COUNT(*) AS n_docs,
+             |CAST(SUM(CASE WHEN length(text) = 0 THEN 0
+             |     ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS BIGINT) AS n_tokens
+             |FROM documents GROUP BY 1""".stripMargin)),
 
     // SimHash fingerprints per document.
     "q_simhash" -> Q(

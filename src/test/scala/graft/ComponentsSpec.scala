@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Components, FuzzyDedup}
+
+/** Connected components: cluster resolution from near-dup pairs. */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains, cliques, and singletons resolve to min-id components") {
+    // chain 1-2-3-4-5, clique {10,11,12}, isolated edge 20-21
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val comp = Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comp(_) === 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) === 10L))
+    assert(comp(20L) === 20L && comp(21L) === 20L)
+  }
+
+  test("long path converges within maxIter via min propagation") {
+    val n = 18 // diameter 17 < default maxIter
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until n).forall(comp(_) === 0L))
+  }
+
+  test("dedupKeepers over planted minhash near-dups keeps one id per cluster") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (4L, "completely unrelated content about distributed query engines and parquet"),
+      (5L, "another standalone document mentioning bloom filters and bucketed joins")
+    ).toDF("doc_id", "text")
+    val pairs = FuzzyDedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b")
+    val keepers = Components.dedupKeepers(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1,2,3 form one cluster kept by doc 1; 4 and 5 appear in no pair
+    assert(keepers(1L) === 1L && keepers(2L) === 1L && keepers(3L) === 1L)
+    assert(!keepers.contains(4L) && !keepers.contains(5L))
+  }
+}
