@@ -768,6 +768,110 @@ object Queries {
              |GROUP BY p_brand, p_type, p_size""".stripMargin),
       headline = true),
 
+    // TPC-H Q8 shape: market share — nation joined TWICE in different roles
+    // (customer region filter vs supplier share attribution), conditional
+    // revenue ratio per order year. All dims broadcast; one fact shuffle.
+    "q8_market_share" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val asiaNationKeys = t("nation")
+          .join(broadcast(t("region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cust_nk"))
+        t("lineitem")
+          .join(broadcast(t("part").filter(col("p_type") === "PROMO")
+            .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+          .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t("customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(asiaNationKeys), col("c_nationkey") === col("cust_nk"))
+          .join(broadcast(t("supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t("nation")
+            .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("supp_nk"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg((expr("""CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                        AS DECIMAL(24,6))) AS DOUBLE)""") /
+            expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)"))
+            .as("mkt_share"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |  CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+             |       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+             |       AS DECIMAL(24,6))) AS DOUBLE) /
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+             |  AS mkt_share
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |JOIN region ON n1.n_regionkey = r_regionkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+             |GROUP BY year(o_orderdate)""".stripMargin)),
+
+    // TPC-H Q11 shape: value concentration — per-part value vs a global-
+    // total scalar threshold (the HAVING > fraction-of-SUM decorrelation:
+    // the one-row total broadcasts, never recomputed per group). Testdata
+    // has no partsupp; lineitem value from NATION_5 suppliers plays its role.
+    "q11_value_concentration" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val li = t("lineitem")
+          .join(broadcast(t("supplier")
+            .join(broadcast(t("nation").filter(col("n_name") === "NATION_5")),
+              col("s_nationkey") === col("n_nationkey"))
+            .select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+        val pv = li.groupBy(col("l_partkey"))
+          .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("value"))
+        val total = li.agg(
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("__total"))
+        pv.crossJoin(broadcast(total))
+          .filter(col("value") > col("__total") * lit(0.001))
+          .select(col("l_partkey"), col("value"))
+      },
+      Some("""SELECT l_partkey, value FROM (
+             |  SELECT l_partkey,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE n_name = 'NATION_5' GROUP BY l_partkey) pv
+             |WHERE value > (
+             |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.001
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE n_name = 'NATION_5')""".stripMargin)),
+
+    // TPC-H Q15 shape: top supplier by period revenue — grouped revenue +
+    // global-max scalar join-back, ties kept (the view-with-MAX
+    // decorrelation; no window, no single-partition sort).
+    "q15_top_supplier" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val rev = t("lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1996-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)")
+            .as("total_revenue"))
+        val mx = rev.agg(max("total_revenue").as("__mx"))
+        rev.join(broadcast(mx), col("total_revenue") === col("__mx"))
+          .join(broadcast(t("supplier")), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+             |      AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, total_revenue
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin)),
+
     // Frame-window aggregate: 3-order trailing average spend per customer
     // (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). The frame sum is
     // decimal-cast so it is exact regardless of either engine's in-frame

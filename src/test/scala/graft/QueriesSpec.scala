@@ -25,12 +25,22 @@ class QueriesSpec extends SparkSpec {
     for (name <- Seq("q5_local_supplier_volume", "q7_volume_shipping",
         "q21_waiting_supplier", "q_join_agg", "q17_small_quantity_revenue",
         "q19_disjunctive_revenue", "q10_returned_items", "q14_promo_revenue",
-        "q16_supplier_diversity")) {
+        "q16_supplier_diversity", "q8_market_share")) {
       val plan = Queries.all(name).fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name nested-loops:\n$plan")
       assert(plan.contains("BroadcastHashJoin"), s"$name broadcasts no dim:\n$plan")
     }
+  }
+
+  test("q11's scalar-threshold join broadcasts ONE row, never a cartesian over data") {
+    // the global-total threshold rides a one-row BroadcastNestedLoopJoin —
+    // that IS the scalar-subquery decorrelation plan (broadcast cost: one
+    // row); what must never appear is a cartesian or a non-broadcast NLJ
+    val plan = Queries.all("q11_value_concentration").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"q11 cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"q11 supplier dim not broadcast:\n$plan")
   }
 
   test("q6 pushes its whole predicate into the parquet scan") {
