@@ -872,6 +872,65 @@ object Queries {
              |FROM rev JOIN supplier ON l_suppkey = s_suppkey
              |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin)),
 
+    // TPC-H Q20 shape: semi join against a grouped-HAVING subquery —
+    // suppliers that moved > 50 units of any red part. The aggregate
+    // subquery reduces before the (broadcast) semi join; no correlated
+    // re-execution.
+    "q20_heavy_suppliers" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val heavy = t("lineitem")
+          .join(broadcast(t("part").filter(col("p_name").contains("red"))
+            .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("__q"))
+          .filter(col("__q") > 50.0)
+          .select(col("l_suppkey")).distinct()
+        t("supplier")
+          .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+      },
+      Some("""SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+             |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_name LIKE '%red%'
+             |  GROUP BY l_suppkey, l_partkey
+             |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 50.0)""".stripMargin)),
+
+    // Grouped exact quartiles (p25/p50/p75 lower-quantile per priority):
+    // one in-group rank + count window pair, three middle-row picks folded
+    // to a single pass — per-group windows parallelize across groups, and
+    // the quantile index arithmetic is integer floor-division in both
+    // engines (never percentile interpolation, which differs cross-engine).
+    "q_grouped_quartiles" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val part = org.apache.spark.sql.expressions.Window.partitionBy("o_orderpriority")
+        val w = part.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        val ranked = t("orders").select(col("o_orderpriority"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("__rn"),
+          count(lit(1)).over(part).as("__n"))
+        ranked
+          .filter(col("__rn") === expr("(__n - 1) div 4 + 1") ||
+            col("__rn") === expr("(__n - 1) div 2 + 1") ||
+            col("__rn") === expr("(3 * (__n - 1)) div 4 + 1"))
+          .groupBy("o_orderpriority")
+          .agg(min(when(col("__rn") === expr("(__n - 1) div 4 + 1"), col("o_totalprice"))).as("p25"),
+            min(when(col("__rn") === expr("(__n - 1) div 2 + 1"), col("o_totalprice"))).as("p50"),
+            min(when(col("__rn") === expr("(3 * (__n - 1)) div 4 + 1"), col("o_totalprice"))).as("p75"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  MIN(CASE WHEN rn = (n - 1) // 4 + 1 THEN o_totalprice END) AS p25,
+             |  MIN(CASE WHEN rn = (n - 1) // 2 + 1 THEN o_totalprice END) AS p50,
+             |  MIN(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN o_totalprice END) AS p75
+             |FROM (SELECT o_orderpriority, o_totalprice,
+             |        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |          ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+             |        COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+             |      FROM orders) t
+             |WHERE rn = (n - 1) // 4 + 1 OR rn = (n - 1) // 2 + 1
+             |   OR rn = (3 * (n - 1)) // 4 + 1
+             |GROUP BY o_orderpriority""".stripMargin)),
+
     // Frame-window aggregate: 3-order trailing average spend per customer
     // (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). The frame sum is
     // decimal-cast so it is exact regardless of either engine's in-frame
