@@ -32,6 +32,11 @@ object Session {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime bloom-filter join pruning: the optimizer's automatic form
+      // of ops.Prefilter.semiJoinBloom — selective join sides inject a
+      // bloom into the big side's scan (cuts shuffle volume at 100 TB;
+      // thresholds keep it off for tiny local inputs)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")
       // dynamic partition overwrite: parity with the reference's
