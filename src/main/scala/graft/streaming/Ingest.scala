@@ -88,6 +88,32 @@ object Ingest {
     }
   }
 
+  /** Drain-and-stop ingest: `Trigger.AvailableNow` processes everything
+    * available at start (respecting source rate limits, checkpointed batch
+    * boundaries) and terminates — the production pattern for SCHEDULED
+    * ingest jobs, and the structured equivalent of the reference's
+    * poll-until-empty-then-flush loop (`spark_exactly_once.py:399-562`)
+    * with the offset bookkeeping handled by the checkpoint instead of
+    * hand-rolled commits. Same idempotent [[applyBatch]] core as [[start]];
+    * restarting after a crash resumes from the checkpoint and the lineage
+    * guard skips any batch that already committed.
+    */
+  def drainAvailable(parsed: DataFrame, table: KeyedParquetTable,
+                     ordering: Seq[Column], checkpointDir: String,
+                     lineage: Option[KeyedParquetTable] = None,
+                     opCol: String = "operation"): StreamingQuery = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, table, ordering, lineage, opCol)
+        ()
+      }
+      .start()
+  }
+
   /** Batch-mode replay twin: apply a bounded CDC frame as one merge —
     * used for backfill and for the reference's batch path.
     */

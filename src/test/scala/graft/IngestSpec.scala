@@ -54,6 +54,34 @@ class IngestSpec extends SparkSpec {
     assert(lin.count() > batches1)
   }
 
+  test("drainAvailable (AvailableNow) processes what's there, terminates, resumes cleanly") {
+    implicit val sqlCtx = spark.sqlContext
+    val checkpoint = tmpDir("drain_ckpt")
+    val table = new KeyedParquetTable(spark, tmpDir("drain_tbl"), Seq("id"))
+    table.createIfNotExists(tableSchema)
+    val lineage = new KeyedParquetTable(spark, tmpDir("drain_lin"), Seq("batch_id"))
+
+    val stream = MemoryStream[Cdc]
+    stream.addData(Cdc(1, "a", "u", 1), Cdc(2, "b", "u", 2))
+    val q = Ingest.drainAvailable(stream.toDF(), table, Seq(col("seq").desc),
+      checkpoint, Some(lineage))
+    q.awaitTermination(30000) // AvailableNow self-terminates after the drain
+    assert(!q.isActive, "drain query should stop on its own")
+    assert(table.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      === Array((1L, "a"), (2L, "b")))
+
+    // scheduled re-run: new data since the last drain, same checkpoint
+    stream.addData(Cdc(1, "a2", "u", 3), Cdc(2, null, "d", 4))
+    val q2 = Ingest.drainAvailable(stream.toDF(), table, Seq(col("seq").desc),
+      checkpoint, Some(lineage))
+    q2.awaitTermination(30000)
+    assert(!q2.isActive)
+    assert(table.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      === Array((1L, "a2")))
+    val lin = lineage.read()
+    assert(lin.count() === lin.select("batch_id").distinct().count())
+  }
+
   test("replayOnce applies a bounded frame as a single merge") {
     val table = new KeyedParquetTable(spark, tmpDir("replay_tbl"), Seq("id"))
     table.createIfNotExists(tableSchema)
