@@ -45,6 +45,22 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(rows === Array((1L, "x")))
   }
 
+  test("schema evolution goes through commit(): uniform rewrite, then appends resume") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_evolve"), Seq("id"))
+    t.append(Seq((1L, "x")).toDF("id", "v"))
+    // evolve: add a column by rewriting the full snapshot (the policy the
+    // append guard's error message directs to)
+    t.commit(t.read().withColumn("score", lit(0.0)))
+    assert(t.read().schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    // appends with the evolved schema are accepted again
+    t.append(Seq((2L, "y", 1.5)).toDF("id", "v", "score"))
+    val rows = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows === Array((1L, "x", 0.0), (2L, "y", 1.5)))
+    // and the old two-column shape is now the one that's rejected
+    intercept[IllegalArgumentException] { t.append(Seq((3L, "z")).toDF("id", "v")) }
+  }
+
   test("append rejects a schema-mismatched batch loudly (no silent mixed snapshot)") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_mismatch"), Seq("id"))
     t.append(Seq((1L, "x")).toDF("id", "v"))
