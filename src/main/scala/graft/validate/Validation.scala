@@ -26,6 +26,32 @@ object Validation {
       valid: Boolean,
       details: Map[String, String])
 
+  // --- V0: in-flight observation ---------------------------------------------
+
+  /** Attach zero-extra-pass statistics to a frame via Spark's Observation
+    * API: row count, null-key count, and a dual bit_xor content checksum
+    * ride the SAME action that materializes the frame (a write, a merge) —
+    * no second scan. At 100 TB a separate validation pass re-reads the
+    * table; this gets the numbers for free while the data streams through.
+    *
+    * Usage: `val (obs, frame) = observedStats(df, keys, cols);
+    * frame.write...; obs.get` — `get` blocks until the action finishes and
+    * returns row_count / null_keys / checksum / checksum2.
+    */
+  def observedStats(df: DataFrame, keys: Seq[String],
+                    columns: Seq[String]): (org.apache.spark.sql.Observation, DataFrame) = {
+    val obs = org.apache.spark.sql.Observation()
+    val fpSql = "xxhash64(concat_ws('#', " +
+      columns.map(c => s"coalesce(cast(`$c` as string), '')").mkString(", ") + "))"
+    val nullKey = keys.map(k => col(k).isNull).reduce(_ || _)
+    val observed = df.observe(obs,
+      count(lit(1)).as("row_count"),
+      sum(when(nullKey, 1L).otherwise(0L)).as("null_keys"),
+      expr(s"bit_xor($fpSql)").as("checksum"),
+      expr(s"bit_xor(xxhash64($fpSql, 1))").as("checksum2"))
+    (obs, observed)
+  }
+
   // --- V1: row count ---------------------------------------------------------
 
   /** Row-count drift between source and sink; valid if |diff| ≤ tolerance

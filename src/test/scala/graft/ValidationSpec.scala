@@ -74,6 +74,21 @@ class ValidationSpec extends SparkSpec {
     assert(Validation.suite(Seq(ok, bad, bad))._1 === "Poor")
   }
 
+  test("observedStats rides the write action: counts, null keys, checksum match the direct pass") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "v")
+      .unionAll(Seq((null.asInstanceOf[java.lang.Long], "x")).toDF("id", "v")
+        .select(col("id").cast("long"), col("v")))
+    val (obs, observed) = Validation.observedStats(df, Seq("id"), Seq("id", "v"))
+    observed.write.format("noop").mode("overwrite").save() // ONE action
+    val m = obs.get
+    assert(m("row_count") === 4L)
+    assert(m("null_keys") === 1L)
+    // checksum equals the standalone two-fold checksum over the same columns
+    val (x, x2, n) = Validation.tableChecksum(df, Seq("id", "v"))
+    assert(m("checksum") === x && m("checksum2") === x2 && n === 4L)
+  }
+
   test("orderedMd5Checksum fails fast above its single-task row limit") {
     val df = spark.range(100).select(col("id"))
     // under the limit: computes (and matches a recompute — deterministic)
