@@ -38,6 +38,7 @@ object Components {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
+      // loop body below; convergence REQUIRED — see the guard after the loop
       val neighborMin = sym
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy("src").agg(min("component").as("nmin"))
@@ -51,6 +52,13 @@ object Components {
       labels = materialized.drop("__chg")
       i += 1
     }
+    // un-propagated labels are silently WRONG answers, not approximations:
+    // fail loudly rather than return a half-merged clustering
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — the graph has a component with " +
+          s"diameter > $maxIter; raise maxIter")
     labels
   }
 

@@ -30,6 +30,14 @@ class ComponentsSpec extends SparkSpec {
     assert((0L until n).forall(comp(_) === 0L))
   }
 
+  test("non-convergence within maxIter fails loudly instead of returning half-merged labels") {
+    val edges = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b") // diameter 10
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(edges, maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dedupKeepers over planted minhash near-dups keeps one id per cluster") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
