@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.cdc.{CdcParse, KeyedParquetTable, Merge}
+import graft.streaming.IncrementalAgg
 import graft.ops.{Bucketing, Components, Dedup, FuzzyDedup, Multimodal, Prefilter, Ranks, Similarity, Skew, TextOps}
 import graft.validate.Validation
 
@@ -151,6 +152,32 @@ object Queries {
         table.read().select("user_id", "event_id", "event_type", "value")
       },
       Some(finalStateOracle)),
+
+    // Incremental view maintenance: per-user (count, exact decimal sum)
+    // maintained by folding 4 batch partials into a keyed aggregate table —
+    // O(batch) per refresh instead of O(history) — then read back. The
+    // oracle is the from-scratch aggregate: maintained ≡ recomputed.
+    "q_incremental_agg" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val events = t("events")
+        val maxId = events.agg(max("event_id")).head.getLong(0)
+        val nBatches = 4L
+        val tmp = Files.createTempDirectory("graft_incragg_").toString
+        val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
+        (0L until nBatches).foreach { b =>
+          val lo = b * (maxId + 1) / nBatches
+          val hi = (b + 1) * (maxId + 1) / nBatches
+          IncrementalAgg.applyBatch(table,
+            events.filter(col("event_id") >= lo && col("event_id") < hi),
+            "user_id", "value")
+        }
+        IncrementalAgg.snapshot(table, "value")
+          .withColumnRenamed("sum_value", "sum_value")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_rows,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY user_id""".stripMargin)),
 
     // ---- Analytics over the TPC-H-ish tables (A*, W*, O*, J*, P*) ----------
 

@@ -82,6 +82,27 @@ class IngestSpec extends SparkSpec {
     assert(lin.count() === lin.select("batch_id").distinct().count())
   }
 
+  test("IncrementalAgg: maintained aggregate equals from-scratch, batch split invariant") {
+    import graft.streaming.IncrementalAgg
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(400)((rnd.nextLong(20).abs, rnd.nextDouble() * 100))
+    val df = rows.toDF("k", "v")
+    // maintained over 5 uneven batches
+    val table = new KeyedParquetTable(spark, tmpDir("incr_agg"), Seq("k"))
+    val cuts = Seq(0, 50, 90, 220, 300, 400)
+    cuts.sliding(2).foreach { case Seq(lo, hi) =>
+      IncrementalAgg.applyBatch(table,
+        rows.slice(lo, hi).toDF("k", "v"), "k", "v")
+    }
+    val got = IncrementalAgg.snapshot(table, "v")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val want = df.groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)").as("s"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === want) // decimal folding → exact, split-invariant
+  }
+
   test("replayOnce applies a bounded frame as a single merge") {
     val table = new KeyedParquetTable(spark, tmpDir("replay_tbl"), Seq("id"))
     table.createIfNotExists(tableSchema)
