@@ -46,7 +46,20 @@ final class KeyedParquetTable(
   def read(): DataFrame = {
     val v = currentVersion
     require(v >= 0, s"table $root has no snapshot")
-    val df = spark.read.parquet(versionDir(v).toString)
+    readVersion(v)
+  }
+
+  /** Time-travel read: the table exactly as of snapshot `version` —
+    * Iceberg's `VERSION AS OF` over the same immutable-snapshot model.
+    * Valid until [[expireSnapshots]] prunes the version (hard links keep
+    * shared data files alive for every retained snapshot).
+    */
+  def readVersion(version: Long): DataFrame = {
+    require(version >= 0 && version <= currentVersion,
+      s"table $root has no snapshot v$version (current: v$currentVersion)")
+    require(Files.exists(versionDir(version)),
+      s"snapshot v$version of $root was expired; retained versions only")
+    val df = spark.read.parquet(versionDir(version).toString)
     if (bucketCount > 0 && df.columns.contains("__bucket")) df.drop("__bucket") else df
   }
 

@@ -30,6 +30,21 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(hist.length === 3 && hist.count(_.getBoolean(2)) === 1)
   }
 
+  test("time-travel readVersion returns each historical snapshot; expired versions refuse") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_tt"), Seq("id"))
+    t.createIfNotExists(schema)
+    t.merge(Seq((1L, "a", "u")).toDF("id", "v", "operation"))
+    t.merge(Seq((1L, "a2", "u"), (2L, "b", "u")).toDF("id", "v", "operation"))
+    assert(t.readVersion(0).count() === 0L) // created empty
+    assert(t.readVersion(1).orderBy("id").collect().map(_.getString(1)).toSeq === Seq("a"))
+    assert(t.readVersion(2).orderBy("id").collect().map(_.getString(1)).toSeq === Seq("a2", "b"))
+    assert(t.read().count() === t.readVersion(t.currentVersion).count())
+    intercept[IllegalArgumentException] { t.readVersion(99) }
+    // expire old snapshots, then time travel to them must refuse loudly
+    t.expireSnapshots(olderThanMs = 0L, retainLast = 1)
+    intercept[IllegalArgumentException] { t.readVersion(0) }
+  }
+
   test("append unions rows as a new snapshot") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_app"), Seq("id"))
     t.append(Seq((1L, "x")).toDF("id", "v"))
