@@ -153,6 +153,49 @@ object Queries {
       },
       Some(finalStateOracle)),
 
+    // Changelog (incremental) read: merge the events-CDC stream in two
+    // halves, then diff the two snapshots — every key classified
+    // insert/update/delete, unchanged keys absent. The oracle recomputes
+    // both folded states in SQL and takes the same keyed diff.
+    "q_snapshot_changes" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val parsed = parsedEvents(t("events"))
+          .select("user_id", "event_id", "event_type", "value", "operation")
+        val maxId = parsed.agg(max("event_id")).head.getLong(0)
+        val mid = (maxId + 1) / 2
+        val tmp = Files.createTempDirectory("graft_changes_").toString
+        val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
+        table.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
+        def applyHalf(cond: Column): Unit = {
+          val batch = parsed.filter(cond)
+          val deduped = Dedup.dedupLatest(batch, Seq("user_id"), Seq(col("event_id").desc))
+          table.merge(deduped.select(
+            (parsed.columns.filterNot(_ == "operation").map(col) :+ col("operation")): _*))
+        }
+        applyHalf(col("event_id") < mid)
+        val v1 = table.currentVersion
+        applyHalf(col("event_id") >= mid)
+        table.changesBetween(v1, table.currentVersion)
+      },
+      Some(s"""WITH s1 AS (
+             |  SELECT user_id, event_id, event_type, value FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |    FROM events WHERE event_id < (SELECT (MAX(event_id) + 1) // 2 FROM events)) t
+             |  WHERE rn = 1 AND event_type <> 'error'),
+             |s2 AS (
+             |  SELECT user_id, event_id, event_type, value FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |    FROM events) t
+             |  WHERE rn = 1 AND event_type <> 'error')
+             |SELECT COALESCE(s2.user_id, s1.user_id) AS user_id,
+             |  CASE WHEN s1.user_id IS NULL THEN 'insert'
+             |       WHEN s2.user_id IS NULL THEN 'delete'
+             |       ELSE 'update' END AS change_type
+             |FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+             |WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+             |   OR s1.event_id <> s2.event_id""".stripMargin)),
+
     // Incremental view maintenance: per-user (count, exact decimal sum)
     // maintained by folding 4 batch partials into a keyed aggregate table —
     // O(batch) per refresh instead of O(history) — then read back. The

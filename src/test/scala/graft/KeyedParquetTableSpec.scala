@@ -45,6 +45,33 @@ class KeyedParquetTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.readVersion(0) }
   }
 
+  test("readAppendedSince returns only post-version data, O(new files)") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_since"), Seq("id"))
+    t.append(Seq((1L, "x"), (2L, "y")).toDF("id", "v"))
+    val v0 = t.currentVersion
+    t.append(Seq((3L, "z")).toDF("id", "v"))
+    t.append(Seq((4L, "w")).toDF("id", "v"))
+    val fresh = t.readAppendedSince(v0).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(fresh === Array((3L, "z"), (4L, "w")))
+    // nothing new since current → empty, schema preserved
+    val none = t.readAppendedSince(t.currentVersion)
+    assert(none.count() === 0L && none.columns.toSeq === Seq("id", "v"))
+  }
+
+  test("changesBetween classifies insert/update/delete and drops unchanged") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_diff"), Seq("id"))
+    t.createIfNotExists(schema)
+    t.merge(Seq((1L, "a", "u"), (2L, "b", "u"), (3L, "c", "u"))
+      .toDF("id", "v", "operation"))
+    val v1 = t.currentVersion
+    t.merge(Seq((2L, "b2", "u"), (3L, null.asInstanceOf[String], "d"), (4L, "d", "u"))
+      .toDF("id", "v", "operation"))
+    val changes = t.changesBetween(v1, t.currentVersion)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(changes === Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
+  }
+
   test("append unions rows as a new snapshot") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_app"), Seq("id"))
     t.append(Seq((1L, "x")).toDF("id", "v"))
