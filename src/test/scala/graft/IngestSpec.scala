@@ -82,6 +82,35 @@ class IngestSpec extends SparkSpec {
     assert(lin.count() === lin.select("batch_id").distinct().count())
   }
 
+  test("streaming drain maintaining an incremental aggregate: end state equals direct groupBy") {
+    import graft.streaming.IncrementalAgg
+    implicit val sqlCtx = spark.sqlContext
+    val checkpoint = tmpDir("incr_ckpt")
+    val aggTable = new KeyedParquetTable(spark, tmpDir("incr_stream_tbl"), Seq("id"))
+    val stream = MemoryStream[Cdc]
+    stream.addData(Cdc(1, "a", "u", 10), Cdc(1, "b", "u", 20), Cdc(2, "c", "u", 30))
+    val q = stream.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IncrementalAgg.applyBatch(aggTable, batch, "id", "seq")
+        ()
+      }.start()
+    q.awaitTermination(30000)
+    stream.addData(Cdc(1, "d", "u", 40))
+    val q2 = stream.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IncrementalAgg.applyBatch(aggTable, batch, "id", "seq")
+        ()
+      }.start()
+    q2.awaitTermination(30000)
+    val got = IncrementalAgg.snapshot(aggTable, "seq")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(1L -> ((3L, 70.0)), 2L -> ((1L, 30.0))))
+  }
+
   test("IncrementalAgg: maintained aggregate equals from-scratch, batch split invariant") {
     import graft.streaming.IncrementalAgg
     val rnd = new scala.util.Random(13)
