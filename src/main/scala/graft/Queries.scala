@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.cdc.{CdcParse, KeyedParquetTable, Merge}
+import graft.functions.HeavyHitters
 import graft.streaming.IncrementalAgg
 import graft.ops.{Bucketing, Components, Dedup, FuzzyDedup, Multimodal, Prefilter, Ranks, Similarity, Skew, TextOps}
 import graft.validate.Validation
@@ -152,6 +153,32 @@ object Queries {
         table.read().select("user_id", "event_id", "event_type", "value")
       },
       Some(finalStateOracle)),
+
+    // Heavy-hitter detection, two-pass: a bounded Misra–Gries sketch (one
+    // map-side-combinable agg, O(k) state) surfaces candidate hot keys,
+    // then ONE filtered groupBy exact-counts just the candidates. The
+    // threshold stays above 2N/(k+1), where the sketch's retention
+    // guarantee holds — so the result equals the from-scratch HAVING
+    // oracle at ANY scale, while only ever exact-counting ≤k keys.
+    "q_heavy_hitters" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val k = 256
+        val events = t("events")
+        val sketch = events.agg(new HeavyHitters(k).column(col("user_id")))
+          .head().getMap[Long, Long](0)
+        val candidates = sketch.keys.toSeq // bounded by k — driver-safe
+        val n = events.count()
+        val thr = math.max(80.0, 2.0 * n / (k + 1).toDouble)
+        events.filter(col("user_id").isInCollection(candidates))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"))
+          .filter(col("n_events").cast("double") > lit(thr))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events
+             |FROM events GROUP BY user_id
+             |HAVING CAST(COUNT(*) AS DOUBLE) >
+             |  GREATEST(80.0, 2.0 * (SELECT COUNT(*) FROM events) / 257.0)""".stripMargin)),
 
     // Changelog (incremental) read: merge the events-CDC stream in two
     // halves, then diff the two snapshots — every key classified

@@ -70,6 +70,11 @@ final class KeyedParquetTable(
     * appended data is exactly the current snapshot's files whose names the
     * old snapshot lacks. The downstream-consumer primitive: "give me what
     * arrived since I last looked" without a changelog table.
+    *
+    * APPEND-STREAM SEMANTICS ONLY: a merge/compact between the versions
+    * rewrites files under new names, which this read would report as
+    * "appended". For merge-path tables use [[changesBetween]], which diffs
+    * by key, not by file.
     */
   def readAppendedSince(sinceVersion: Long): DataFrame = {
     require(sinceVersion >= 0 && sinceVersion <= currentVersion,
