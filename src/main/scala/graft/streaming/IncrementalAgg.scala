@@ -29,9 +29,12 @@ object IncrementalAgg {
   def applyBatch(table: KeyedParquetTable, batch: DataFrame,
                  key: String, valueCol: String): Unit = {
     val sumCol = s"sum_$valueCol"
+    // coalesce: a batch where a key's values are ALL null would otherwise
+    // produce a null partial, and null + current poisons the fold forever
     val partial = batch.groupBy(col(key))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col(valueCol).cast("decimal(18,6)")).cast("decimal(38,6)").as(sumCol))
+        coalesce(sum(col(valueCol).cast("decimal(18,6)")), lit(BigDecimal(0)))
+          .cast("decimal(38,6)").as(sumCol))
     if (partial.isEmpty) return // empty batch: nothing to fold
     // first use: the just-created empty snapshot has no parquet footers to
     // read a schema from — the first partial IS the aggregate
