@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 import graft.cdc.{CdcParse, KeyedParquetTable, Merge}
 import graft.functions.HeavyHitters
 import graft.streaming.IncrementalAgg
-import graft.ops.{Bucketing, Components, Dedup, FuzzyDedup, Multimodal, Prefilter, Ranks, Similarity, Skew, TextOps}
+import graft.ops.{Bucketing, Components, Dedup, FuzzyDedup, Multimodal, Prefilter, Ranks, Sampling, Similarity, Skew, TextOps}
 import graft.validate.Validation
 
 /** The engine's registered query workload.
@@ -153,6 +153,19 @@ object Queries {
         table.read().select("user_id", "event_id", "event_type", "value")
       },
       Some(finalStateOracle)),
+
+    // Exact stratified sampling: deterministic hash-order cut per stratum,
+    // exactly ceil(0.2·N_h) rows each — the balanced-dataset constructor.
+    // The oracle checks the per-stratum quotas (membership is hash-order-
+    // dependent and engine-internal; determinism is SamplingSpec's job).
+    "q_stratified_sample" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        Sampling.stratifiedExact(t("documents"), "source", "doc_id", 0.2)
+          .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+      },
+      Some("""SELECT source, CAST(CEIL(COUNT(*) * 0.2) AS BIGINT) AS n_sampled
+             |FROM documents GROUP BY source""".stripMargin)),
 
     // Heavy-hitter detection, two-pass: a bounded Misra–Gries sketch (one
     // map-side-combinable agg, O(k) state) surfaces candidate hot keys,

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for dataset construction.
+  *
+  * `df.sample()` is nondeterministic across runs/partitionings and only
+  * approximates the fraction; a training pipeline needs (a) the SAME
+  * sample on every run, (b) exact per-stratum quotas for balanced sets.
+  * Both come from ordering rows by a content hash (stable, uniform) and
+  * cutting at a computed rank — no RNG, no seed bookkeeping.
+  */
+object Sampling {
+
+  /** Exact stratified sample: per stratum, exactly ceil(fraction · N_h)
+    * rows (every non-empty stratum keeps ≥1 — the "no empty class" rule),
+    * chosen deterministically by hash order of `idCol` with the id as
+    * tiebreak. One window per stratum (hash exchange on the stratum
+    * column); a skewed stratum parallelizes no worse than any per-group
+    * window — pre-salt upstream if one class dominates at extreme scale.
+    */
+  def stratifiedExact(df: DataFrame, strataCol: String, idCol: String,
+                      fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"fraction in (0,1], got $fraction")
+    val part = Window.partitionBy(strataCol)
+    val w = part.orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__quota", ceil(count(lit(1)).over(part) * lit(fraction)))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
+  /** Deterministic Bernoulli-style sample by key hash: keeps a row iff its
+    * id hashes into the keep range. Unlike `df.sample`, membership is a
+    * pure function of the id — stable across runs, re-partitioning, and
+    * engines that share the hash. Fraction is approximate (hash-uniform).
+    */
+  def deterministicByKey(df: DataFrame, idCol: String, mod: Long,
+                         keepBelow: Long): Column =
+    pmod(xxhash64(col(idCol)), lit(mod)) < keepBelow
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+/** Deterministic sampling: exact quotas, stability across runs/shuffles. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = {
+    val rows = for (s <- 0 until 5; i <- 0 until (10 + s * 37))
+      yield (s.toLong, s.toLong * 1000 + i)
+    rows.toDF("stratum", "id")
+  }
+
+  test("stratifiedExact keeps exactly ceil(f*N_h) rows per stratum") {
+    val df = fixture
+    val out = Sampling.stratifiedExact(df, "stratum", "id", 0.2)
+    val got = out.groupBy("stratum").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.groupBy("stratum").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> math.ceil(r.getLong(1) * 0.2).toLong).toMap
+    assert(got === want)
+  }
+
+  test("sample is deterministic across runs and repartitionings") {
+    val df = fixture
+    val a = Sampling.stratifiedExact(df, "stratum", "id", 0.3)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.stratifiedExact(df.repartition(13, col("id")), "stratum", "id", 0.3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
+  test("tiny strata keep at least one row; fraction 1.0 keeps everything") {
+    val df = Seq((0L, 1L), (1L, 2L), (1L, 3L)).toDF("stratum", "id")
+    val one = Sampling.stratifiedExact(df, "stratum", "id", 0.01)
+    assert(one.groupBy("stratum").count().collect().map(_.getLong(1)).toSeq.sorted === Seq(1L, 1L))
+    assert(Sampling.stratifiedExact(df, "stratum", "id", 1.0).count() === 3L)
+  }
+
+  test("deterministicByKey membership is a pure function of the id") {
+    val df = fixture
+    val kept = df.filter(Sampling.deterministicByKey(df, "id", 100L, 25L))
+      .select("id").as[Long].collect().toSet
+    val keptAgain = df.orderBy(rand(7))
+      .filter(Sampling.deterministicByKey(df, "id", 100L, 25L))
+      .select("id").as[Long].collect().toSet
+    assert(kept === keptAgain)
+    // roughly a quarter (hash-uniform; loose bound)
+    assert(kept.size > df.count() * 0.15 && kept.size < df.count() * 0.35)
+  }
+}
