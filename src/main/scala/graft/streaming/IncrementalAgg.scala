@@ -43,9 +43,16 @@ object IncrementalAgg {
     val merged =
       if (firstUse) partial
       else {
+        // touched-keys-only read: semi-filter the current table with the
+        // BROADCAST batch key set (one table scan, no table-wide shuffle —
+        // the filter travels to the data), then fold two batch-sized
+        // frames. Assumes the batch's key spread is broadcastable, the
+        // same bound the bucket-scoped merge already relies on.
         val cur = table.read()
           .select(col(key).as("__k"), col("n_rows").as("__n"), col(sumCol).as("__s"))
-        partial.join(cur, col(key) === col("__k"), "left")
+        val touched = cur.join(broadcast(partial.select(col(key).as("__pk"))),
+          col("__k") === col("__pk"), "left_semi")
+        partial.join(touched, col(key) === col("__k"), "left")
           .select(col(key),
             (col("n_rows") + coalesce(col("__n"), lit(0L))).as("n_rows"),
             (col(sumCol) + coalesce(col("__s"), lit(BigDecimal(0)).cast("decimal(38,6)")))
