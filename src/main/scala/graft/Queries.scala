@@ -154,6 +154,26 @@ object Queries {
       },
       Some(finalStateOracle)),
 
+    // Token-window chunking (32-token windows, stride 16 → 50% overlap) —
+    // the segmentation stage of a training pipeline. Chunk TEXT is
+    // oracle-checked byte-for-byte: both engines slice the same
+    // whitespace-token list.
+    "q_doc_chunks" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("documents")
+          .select(col("doc_id"),
+            explode(TextOps.chunkByTokens(col("text"), window = 32, stride = 16))
+              .as("c"))
+          .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+            col("c.chunk").as("chunk"))
+      },
+      Some("""SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_idx,
+             |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk
+             |FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+             |        unnest(range(0, len(string_split(text, ' ')), 16)) AS start
+             |      FROM documents) t""".stripMargin)),
+
     // Exact stratified sampling: deterministic hash-order cut per stratum,
     // exactly ceil(0.2·N_h) rows each — the balanced-dataset constructor.
     // The oracle checks the per-stratum quotas (membership is hash-order-

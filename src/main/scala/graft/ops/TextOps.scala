@@ -40,6 +40,21 @@ object TextOps {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** Sliding token-window chunks — the training-data segmentation stage:
+    * whitespace tokens sliced into `window`-token chunks every `stride`
+    * tokens (stride < window ⇒ overlap). Returns an array of
+    * (chunk_idx, chunk_text) structs to posexplode; all pure column
+    * expressions — one pass, no UDF, no shuffle before any downstream agg.
+    */
+  def chunkByTokens(text: Column, window: Int, stride: Int): Column = {
+    require(window >= 1 && stride >= 1, s"window/stride must be >= 1")
+    val toks = split(text, " ")
+    val starts = sequence(lit(0), size(toks) - 1, lit(stride))
+    transform(starts, s =>
+      struct((s / stride).cast("long").as("chunk_idx"),
+        array_join(slice(toks, s + 1, lit(window)), " ").as("chunk")))
+  }
+
   /** Average token length in characters. */
   def avgTokenLen(text: Column): Column = {
     val nTok = tokenCountWs(text)

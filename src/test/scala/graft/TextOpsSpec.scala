@@ -32,6 +32,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Seq("hello world 42", "a b c", "", "all caps"))
   }
 
+  test("chunkByTokens: windows, stride overlap, short-doc and reassembly invariants") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq(text, "single", "").toDF("t")
+    val chunks = df.select(col("t"),
+        explode(TextOps.chunkByTokens(col("t"), window = 4, stride = 2)).as("c"))
+      .select(col("t"), col("c.chunk_idx"), col("c.chunk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val ten = chunks.filter(_._1 == text).sortBy(_._2).map(_._3).toSeq
+    // starts 0,2,4,6,8 → 5 chunks; first is w1..w4, last truncates to w9 w10
+    assert(ten === Seq("w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8",
+      "w7 w8 w9 w10", "w9 w10"))
+    // stride-2 windows cover every token at least once
+    assert((1 to 10).forall(i => ten.exists(_.split(" ").contains(s"w$i"))))
+    assert(chunks.filter(_._1 == "single").map(_._3).toSeq === Seq("single"))
+    assert(chunks.filter(_._1 == "").map(_._3).toSeq === Seq(""))
+  }
+
   test("langId picks the stopword-dominant language with deterministic ties") {
     val df = Seq(
       ("the cat is of the house and a dog", "en"),
