@@ -172,7 +172,8 @@ object Queries {
              |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk
              |FROM (SELECT doc_id, string_split(text, ' ') AS toks,
              |        unnest(range(0, len(string_split(text, ' ')), 16)) AS start
-             |      FROM documents) t""".stripMargin)),
+             |      FROM documents) t""".stripMargin),
+      headline = true),
 
     // Exact stratified sampling: deterministic hash-order cut per stratum,
     // exactly ceil(0.2·N_h) rows each — the balanced-dataset constructor.
@@ -365,7 +366,8 @@ object Queries {
              |FROM lineitem
              |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
              |  WHERE o_orderpriority = '1-URGENT'
-             |    AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01')""".stripMargin)),
+             |    AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01')""".stripMargin),
+      headline = true),
 
     // Salted equi-join for a skewed big side: big side salted, small side
     // replicated saltBuckets times, join on (key, salt) — exact same rows
