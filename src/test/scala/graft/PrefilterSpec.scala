@@ -42,6 +42,13 @@ class PrefilterSpec extends SparkSpec {
     assert(hits === 1000L)
   }
 
+  test("empty small side yields an empty result (zero-buffer bloom rejects everything)") {
+    val big = spark.range(0, 100).select(col("id"))
+    val small = spark.range(0, 0).select(col("id").as("k"))
+    assert(Prefilter.semiJoinBloom(big, small, "id", "k", numBits = 1 << 10, k = 3)
+      .count() === 0L)
+  }
+
   test("merge is an OR: split-built filter equals whole-built filter") {
     val numBits = 1 << 12
     val agg = new BloomAgg(numBits)
