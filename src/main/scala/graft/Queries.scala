@@ -135,7 +135,7 @@ object Queries {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val parsed = parsedEvents(t("events"))
           .select("user_id", "event_id", "event_type", "value", "operation")
-        val maxId = parsed.agg(max("event_id")).head.getLong(0)
+        val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val nBatches = 4L
         val tmp = Files.createTempDirectory("graft_merge_").toString
         // bucketCount=8 → the driver's oracle gate exercises the
@@ -148,7 +148,7 @@ object Queries {
           val batch = parsed.filter(col("event_id") >= lo && col("event_id") < hi)
           val deduped = Dedup.dedupLatest(batch, Seq("user_id"), Seq(col("event_id").desc))
           table.merge(deduped.select(
-            (parsed.columns.filterNot(_ == "operation").map(col) :+ col("operation")): _*))
+            (parsed.columns.filterNot(_ == "operation").map(col).toIndexedSeq :+ col("operation")): _*))
         }
         table.read().select("user_id", "event_id", "event_type", "value")
       },
@@ -223,7 +223,7 @@ object Queries {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val parsed = parsedEvents(t("events"))
           .select("user_id", "event_id", "event_type", "value", "operation")
-        val maxId = parsed.agg(max("event_id")).head.getLong(0)
+        val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val mid = (maxId + 1) / 2
         val tmp = Files.createTempDirectory("graft_changes_").toString
         val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
@@ -232,7 +232,7 @@ object Queries {
           val batch = parsed.filter(cond)
           val deduped = Dedup.dedupLatest(batch, Seq("user_id"), Seq(col("event_id").desc))
           table.merge(deduped.select(
-            (parsed.columns.filterNot(_ == "operation").map(col) :+ col("operation")): _*))
+            (parsed.columns.filterNot(_ == "operation").map(col).toIndexedSeq :+ col("operation")): _*))
         }
         applyHalf(col("event_id") < mid)
         val v1 = table.currentVersion
@@ -265,7 +265,7 @@ object Queries {
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val events = t("events")
-        val maxId = events.agg(max("event_id")).head.getLong(0)
+        val maxId = events.agg(max("event_id")).head().getLong(0)
         val nBatches = 4L
         val tmp = Files.createTempDirectory("graft_incragg_").toString
         val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)

@@ -39,14 +39,14 @@ object AsofJoin {
     require(keys.nonEmpty, "as-of join requires at least one equi-key")
     val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
     val lSchema = org.apache.spark.sql.types.StructType(left.schema.fields)
-    val rPayload = struct(payloadCols.map(col): _*)
+    val rPayload = struct(payloadCols.map(col).toIndexedSeq: _*)
     val rPayloadSchema = org.apache.spark.sql.types.StructType(
       right.schema.fields.filter(f => payloadCols.contains(f.name)))
 
     val lTagged = left.select(
       keys.map(col) ++ Seq(
         col(leftTs).as("__ts"), lit(1).as("__tag"),
-        struct(left.columns.map(col): _*).as("__l"),
+        struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
         lit(null).cast(rPayloadSchema).as("__r"),
         lit(null).cast("long").as("__tb")): _*)
     val rTagged = right.select(
@@ -64,6 +64,6 @@ object AsofJoin {
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
       .select(col("__l.*") +:
-        payloadCols.map(c => col(s"__m.$c").as(s"$rightPrefix$c")): _*)
+        payloadCols.toIndexedSeq.map(c => col(s"__m.$c").as(s"$rightPrefix$c")): _*)
   }
 }

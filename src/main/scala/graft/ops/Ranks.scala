@@ -38,7 +38,7 @@ object Ranks {
     // pass 1: boundary sample, frozen into the plan as literals
     val probs = (1 until buckets).map(_.toDouble / buckets)
     val sampled = df.select(percentile_approx(v, typedLit(probs), lit(10000))
-      .as("__b")).head.getSeq[Double](0)
+      .as("__b")).head().getSeq[Double](0)
     val boundaries = sampled.distinct.sorted
     val bucket: Column =
       if (boundaries.isEmpty) lit(0)

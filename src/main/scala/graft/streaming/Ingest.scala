@@ -146,7 +146,7 @@ object Ingest {
     val kv = parsed.select(
       col(keyCol).cast("long").as("key"),
       col(seqCol).cast("long").as("seq"),
-      to_json(struct(parsed.columns.map(col): _*)).as("payload"),
+      to_json(struct(parsed.columns.toIndexedSeq.map(col): _*)).as("payload"),
       (col(opCol) === "d").as("deleted")).as[LatestUpdate]
     kv.groupByKey(_.key)
       .mapGroupsWithState[KeyedLatest, LatestUpdate](
