@@ -89,8 +89,11 @@ final class KeyedParquetTable(
     if (fresh.isEmpty)
       read().limit(0)
     else {
+      // basePath: partition-column values live only in directory names, so
+      // reading leaf files without it would return NULL partition columns.
       val df = spark.read.schema(
         spark.read.parquet(versionDir(currentVersion).toString).schema)
+        .option("basePath", versionDir(currentVersion).toString)
         .parquet(fresh: _*)
       if (bucketCount > 0 && df.columns.contains("__bucket")) df.drop("__bucket") else df
     }
@@ -106,9 +109,21 @@ final class KeyedParquetTable(
     import org.apache.spark.sql.functions.{coalesce => fCoalesce}
     val a = readVersion(fromVersion)
     val b = readVersion(toVersion)
-    val dataCols = a.columns.filterNot(keys.contains).toSeq
-    def fp(df: DataFrame) = xxhash64(concat_ws("#",
-      dataCols.map(c => fCoalesce(df(c).cast("string"), lit(""))): _*))
+    val aCols = a.columns.filterNot(keys.contains).toSeq
+    val bCols = b.columns.filterNot(keys.contains).toSeq
+    require(aCols == bCols,
+      s"changesBetween requires identical schemas: v$fromVersion data columns " +
+        s"${aCols.mkString("[", ",", "]")} vs v$toVersion ${bCols.mkString("[", ",", "]")}" +
+        " — diff schema-evolved snapshots explicitly")
+    val dataCols = aCols
+    // Unambiguous row encoding: each value is length-prefixed (so '#' inside
+    // a value cannot shift field boundaries) and NULL gets its own marker
+    // distinct from '' — then one xxhash64 over the joined encoding.
+    def enc(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val s = c.cast("string")
+      when(c.isNull, lit("N")).otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }
+    def fp(df: DataFrame) = xxhash64(concat_ws("#", dataCols.map(c => enc(df(c))): _*))
     val left = a.select(keys.map(a(_)) :+ fp(a).as("__fa"): _*)
     val right = b.select(keys.map(c => b(c).as(s"__r_$c")) :+ fp(b).as("__fb"): _*)
     val cond = keys.map(k => left(k) === right(s"__r_$k")).reduce(_ && _)

@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.util.Locale
-
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 
@@ -29,13 +27,17 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int, sorted: Boolean = true): Unit = {
     val spark = df.sparkSession
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     // idempotence across sessions: with the in-memory catalog, a previous
     // JVM's managed-table directory survives in the warehouse while the
     // catalog entry doesn't, and saveAsTable then refuses the location even
-    // in overwrite mode — drop both the entry and any stale directory
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")),
-      table.toLowerCase(Locale.ROOT))
+    // in overwrite mode. Drop any live entry (managed drop removes its own
+    // data), then clear a leftover directory ONLY at the catalog-computed
+    // managed location for THIS identifier — never a hand-built path that
+    // could point at someone else's directory for db-qualified names.
+    spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
+    val loc = new Path(catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")

@@ -59,6 +59,44 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(none.count() === 0L && none.columns.toSeq === Seq("id", "v"))
   }
 
+  test("readAppendedSince reconstructs partition-column values (basePath)") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_since_part"), Seq("id"),
+      partitionBy = Seq("part"))
+    t.append(Seq((1L, "x", "p0"), (2L, "y", "p1")).toDF("id", "v", "part"))
+    val v0 = t.currentVersion
+    t.append(Seq((3L, "z", "p1"), (4L, "w", "p0")).toDF("id", "v", "part"))
+    val fresh = t.readAppendedSince(v0).select("id", "v", "part").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // partition values live only in directory names — they must come back
+    // non-NULL on the leaf-file incremental read
+    assert(fresh === Array((3L, "z", "p1"), (4L, "w", "p0")))
+  }
+
+  test("changesBetween distinguishes NULL from '' and shifted separators") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_diff_enc"), Seq("id"))
+    t.commit(Seq((1L, "a#", "b"), (2L, "", "x"), (3L, "a", "b"))
+      .toDF("id", "c1", "c2"))
+    val v1 = t.currentVersion
+    t.commit(Seq((1L, "a", "#b"), (2L, null.asInstanceOf[String], "x"), (3L, "a", "b"))
+      .toDF("id", "c1", "c2"))
+    val ch = t.changesBetween(v1, t.currentVersion)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // ('a#','b')→('a','#b') is a real update (no concat ambiguity);
+    // ''→NULL is a real update (no coalesce conflation); 3 is unchanged
+    assert(ch === Map(1L -> "update", 2L -> "update"))
+  }
+
+  test("changesBetween refuses schema-evolved snapshot pairs loudly") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_diff_schema"), Seq("id"))
+    t.commit(Seq((1L, "a")).toDF("id", "v"))
+    val v1 = t.currentVersion
+    t.commit(Seq((1L, "a", "extra")).toDF("id", "v", "v2"))
+    val e = intercept[IllegalArgumentException] {
+      t.changesBetween(v1, t.currentVersion).collect()
+    }
+    assert(e.getMessage.contains("identical schemas"))
+  }
+
   test("changesBetween classifies insert/update/delete and drops unchanged") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_diff"), Seq("id"))
     t.createIfNotExists(schema)
