@@ -7,19 +7,26 @@ import org.apache.spark.sql.functions._
   * resolution step a dedup pipeline needs between "near-dup PAIRS" (MinHash/
   * SimHash/embedding candidates) and "keep ONE doc per duplicate cluster".
   *
-  * Algorithm: min-label propagation. Every vertex starts labeled with its
-  * own id; each round every vertex takes the min of its own and its
-  * neighbors' labels; fixpoint = components labeled by their minimum vertex
-  * id. Rounds needed ≤ the largest component's diameter — near-dup clusters
-  * are shallow (dups of dups of one original), so this converges in a few
-  * rounds; `maxIter` bounds pathological chains.
+  * Algorithm: alternating large-star / small-star contraction (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC'14 — public
+  * algorithm, re-expressed on DataFrames):
   *
-  * Scale shape: each round is ONE equi-join (edges ⋈ labels on dst) + one
-  * groupBy(src) min + one left join back — all hash exchanges on vertex id,
-  * no cartesian anywhere, state is one (id, label) row per vertex.
-  * `localCheckpoint` truncates the iterative lineage so the plan does not
-  * grow with rounds (the classic Spark iterative-algorithm trap), and the
-  * convergence check piggybacks on a count aggregate, one action per round.
+  *  - large-star: every node connects its strictly-LARGER neighbors to the
+  *    minimum of its closed neighborhood;
+  *  - small-star: every node (edges oriented larger→smaller) connects itself
+  *    and its smaller neighbors to that minimum.
+  *
+  * Each round halves component heights, so a component of n nodes converges
+  * in O(log n) rounds REGARDLESS of diameter — a 1M-node chain needs ~20
+  * rounds where label propagation would need 1M. Fixpoint = every component
+  * is a star whose center is its minimum id.
+  *
+  * Scale shape: each round is two groupBy-min shuffles + two equi-joins on
+  * vertex id — no cartesian, state is one row per EDGE (monotonically
+  * non-increasing after round 1). `localCheckpoint` truncates iterative
+  * lineage so the plan does not grow with rounds (the classic Spark
+  * iterative-algorithm trap); convergence is an exact set-equality check
+  * (distinct count + EXCEPT), never a hash heuristic.
   */
 object Components {
 
@@ -28,38 +35,56 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
-    var changed = 1L
+    val nodes = edges.select(col(idA).as("id"))
+      .union(edges.select(col(idB).as("id")))
+      .distinct().localCheckpoint(true)
+    // canonical orientation (larger → smaller), self-loops dropped
+    var e = edges.select(col(idA).as("a"), col(idB).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    var eCount = e.count()
+    var converged = eCount == 0L
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      // loop body below; convergence REQUIRED — see the guard after the loop
-      val neighborMin = sym
-        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
-        .groupBy("src").agg(min("component").as("nmin"))
-      val next = labels
-        .join(neighborMin, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
-          (col("nmin") < col("component")).as("__chg"))
-      val materialized = next.localCheckpoint(true)
-      changed = materialized.filter(col("__chg")).count()
-      labels = materialized.drop("__chg")
+    while (!converged && i < maxIter) {
+      // LARGE-STAR: for each u, m = min(N(u) ∪ {u}); connect every neighbor
+      // v > u to m. Output edges all satisfy bigger > smaller already.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lmins = sym.groupBy("u").agg(min("v").as("__nmin"))
+        .select(col("u"), least(col("u"), col("__nmin")).as("m"))
+      val large = sym.join(lmins, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: edges already oriented (u > v); m = min neighbor of u;
+      // connect u and each of its smaller neighbors to m.
+      val smins = large.groupBy("u").agg(min("v").as("m"))
+      val joined = large.join(smins, "u")
+      val small = joined.select(col("v").as("u"), col("m").as("v"))
+        .union(joined.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val next = small.localCheckpoint(true)
+      val nextCount = next.count()
+      // exact fixpoint: both sides distinct, so equal counts + empty EXCEPT
+      // means equal sets
+      converged = nextCount == eCount && next.except(e).isEmpty
+      e = next
+      eCount = nextCount
       i += 1
     }
-    // un-propagated labels are silently WRONG answers, not approximations:
-    // fail loudly rather than return a half-merged clustering
-    if (changed > 0)
+    // an un-converged edge set is a silently WRONG clustering, not an
+    // approximation: fail loudly
+    if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          s"($changed labels still changing) — the graph has a component with " +
-          s"diameter > $maxIter; raise maxIter")
-    labels
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          s"star contraction needs O(log n) rounds, so this graph is larger " +
+          s"than maxIter=$maxIter supports; raise maxIter")
+    // fixpoint = stars: every non-center node has its component min as its
+    // (unique) smaller neighbor; centers label themselves
+    nodes.join(e.groupBy("u").agg(min("v").as("__m")),
+        col("id") === col("u"), "left")
+      .select(col("id"), coalesce(col("__m"), col("id")).as("component"))
   }
 
   /** Resolve duplicate clusters to a keeper: every doc that appears in a

@@ -61,24 +61,23 @@ object Multimodal {
     out
   }
 
-  /** Decode/feature-extract every blob: mapPartitions so codec init is
-    * per-partition, output is (original id, features array<float>).
+  /** Decode/feature-extract every blob: TYPED `Dataset.mapPartitions`, so
+    * per-partition codec init amortizes across rows while the operator stays
+    * inside the Dataset plan (object-serde nodes, not a severed `.rdd` →
+    * `createDataFrame` round trip — column pruning above, AQE below, and
+    * codegen on both sides of the serde boundary all keep working).
+    * Output is (original id, features array<float>).
     */
   def decodeStub(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("id", LongType),
-      StructField("features", ArrayType(FloatType))))
-    // project first so the scan reads only (id, blob) — .rdd materializes
-    // whatever the plan carries
-    val pruned = df.select(col(idCol), col(binCol))
-    val rdd = pruned.rdd.mapPartitions { rows =>
-      // real impl: initialize codec once here
-      rows.map { r =>
-        Row(r.getLong(0), fakeDecode(r.getAs[Array[Byte]](1)).toSeq)
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real impl: initialize codec once here
+        rows.map { case (id, bytes) => (id, fakeDecode(bytes)) }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF("id", "features")
   }
 
   /** Frame sampling stub: split the blob into `n` even chunks ("frames"),

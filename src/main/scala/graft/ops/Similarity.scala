@@ -2,7 +2,7 @@ package graft.ops
 
 import scala.util.Random
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -179,27 +179,66 @@ object Similarity {
       .select(col("__cell").as("centroid_id"), col("centroid"))
   }
 
-  /** IVF ANN top-k: rank the query against the centroid table, keep the
-    * nProbe nearest cells, and run exact cosine ONLY over rows assigned to
-    * those cells — the scan shrinks to ~nProbe/nCells of the corpus, and
-    * everything query-sided is a broadcast. The scale path when LSH
-    * multi-probe recall is not enough and an index build is affordable.
+  /** Build and PERSIST the IVF index under `indexDir`:
+    *  - `<indexDir>/centroids` — the tiny (≤2^nPlanes row) centroid table;
+    *  - `<indexDir>/vectors`   — the full corpus `(id, vec, …)` written
+    *    `partitionBy(centroid_id)` (repartitioned on the cell first, so each
+    *    cell is a handful of files, not one file per upstream task).
+    *
+    * This is the expensive, ONCE-per-corpus half: two (cell, pos) shuffles
+    * for training, one broadcast assignment pass, one clustering shuffle for
+    * the layout. Every subsequent [[ivfQuery]] touches only its probed
+    * cells' files — the scan cost is ~nProbe/nCells of the corpus, paid per
+    * query, with NO retraining.
     */
-  def ivfSearch(embeddings: DataFrame, query: DataFrame, idCol: String,
-                vecCol: String, k: Int, nProbe: Int = 4,
-                nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+  def ivfBuild(embeddings: DataFrame, idCol: String, vecCol: String,
+               indexDir: String, nPlanes: Int = 4, dim: Int = 64): Unit = {
     val cents = ivfTrain(embeddings, idCol, vecCol, nPlanes, dim)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     val assigned = assignNearestCentroid(embeddings, cents, idCol, vecCol,
       "centroid_id", "centroid", byCosine = true)
-    // query → its nProbe nearest cells (tiny: ≤cells rows ranked)
-    val qcells = query.select(col(vecCol).as("__qvec"))
+    embeddings.join(assigned, idCol)
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$indexDir/vectors")
+  }
+
+  /** The probe-limited corpus scan of a persisted index: only the listed
+    * cells' partition directories are read (static partition pruning on the
+    * literal ids — `.explain` shows the `centroid_id IN (…)` partition
+    * filter and a pruned file count). Exposed separately so callers/tests
+    * can assert the pruning.
+    */
+  def ivfProbeScan(spark: SparkSession, indexDir: String,
+                   probedCells: Seq[Long]): DataFrame =
+    // cast: partition-column type inference may narrow centroid_id to int;
+    // the predicate still references only the partition column, so the
+    // partition pruner evaluates it per directory — files outside the probed
+    // cells are never listed into the scan.
+    spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("centroid_id").cast("long").isInCollection(probedCells))
+
+  /** IVF ANN top-k against a PERSISTED index ([[ivfBuild]]): rank the query
+    * against the centroid table (tiny), keep the nProbe nearest cells, and
+    * run exact cosine ONLY over those cells' files. The probed cell ids are
+    * collected to the driver — O(nProbe) longs, bounded by construction —
+    * so they push down as literal partition filters; nothing else leaves
+    * the executors. No full-corpus pass, no retraining.
+    */
+  def ivfQuery(spark: SparkSession, indexDir: String, query: DataFrame,
+               idCol: String, vecCol: String, k: Int,
+               nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val probed = query.select(col(vecCol).as("__qvec"))
       .crossJoin(broadcast(cents))
       .withColumn("__qsim", cosine(col("__qvec"), col("centroid")))
       .orderBy(col("__qsim").desc, col("centroid_id").asc)
       .limit(nProbe)
-      .select(col("centroid_id"), col("__qvec"))
-    embeddings.join(assigned, idCol)
-      .join(broadcast(qcells), "centroid_id")
+      .select("centroid_id")
+      .collect().map(_.getLong(0)).toIndexedSeq // O(nProbe): driver-safe
+    val q = query.select(col(vecCol).as("__qvec"))
+    ivfProbeScan(spark, indexDir, probed)
+      .crossJoin(broadcast(q))
       .withColumn("sim", cosine(col(vecCol), col("__qvec")))
       .select(col(idCol), col("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)

@@ -22,18 +22,31 @@ class ComponentsSpec extends SparkSpec {
     assert(comp(20L) === 20L && comp(21L) === 20L)
   }
 
-  test("long path converges within maxIter via min propagation") {
-    val n = 18 // diameter 17 < default maxIter
+  test("deep chain (diameter ≫ maxIter) converges in O(log n) star rounds") {
+    // label propagation would need 59 rounds here; star contraction must
+    // finish well inside the default maxIter=25
+    val n = 60
     val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val comp = Components.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L until n).forall(comp(_) === 0L))
   }
 
+  test("shuffled-id deep chain converges (worst-case orientation for star steps)") {
+    // permute ids so the chain's min sits mid-chain and neighbors alternate
+    // direction — exercises both star steps' orientation handling
+    val n = 64
+    val perm = new scala.util.Random(3).shuffle((0L until n).toVector)
+    val edges = (0 until n.toInt - 1).map(i => (perm(i), perm(i + 1))).toDF("id_a", "id_b")
+    val comp = Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet === Set(0L) && comp.size === n)
+  }
+
   test("non-convergence within maxIter fails loudly instead of returning half-merged labels") {
-    val edges = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b") // diameter 10
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Components.connectedComponents(edges, maxIter = 3)
+      Components.connectedComponents(edges, maxIter = 1)
     }
     assert(e.getMessage.contains("did not converge"))
   }

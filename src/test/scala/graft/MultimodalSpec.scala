@@ -35,6 +35,16 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.getSeq[Float](1)).toSeq === again.map(_.getSeq[Float](1)).toSeq)
   }
 
+  test("decodeStub stays inside the Dataset plan (no severed RDD scan)") {
+    val withBin = Multimodal.attachBinary(docs, "text", "text/plain")
+    val feats = Multimodal.decodeStub(withBin, "doc_id", "media")
+    // a .rdd → createDataFrame round trip would plan as Scan ExistingRDD,
+    // cutting column pruning and AQE off from the source
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("MapPartitions"), plan)
+  }
+
   test("resizeStub truncates/zero-pads every blob to the target budget") {
     val withBin = Multimodal.attachBinary(docs, "text", "text/plain")
     val resized = Multimodal.resizeStub(withBin, "media", "image/thumb", 8)

@@ -113,16 +113,36 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.size <= 3, s"too many spurious pairs: $pairs")
   }
 
-  test("ivfSearch recall ≥ 0.8 vs brute force, scans only probe cells") {
+  test("ivfBuild + ivfQuery: recall ≥ 0.8 vs brute force from the persisted index") {
     val emb = clustered
     val query = emb.filter(col("vec_id") === 0).select("embedding")
     val rest = emb.filter(col("vec_id") =!= 0)
     val exact = Similarity.cosineTopK(rest, query, "vec_id", "embedding", 10)
       .collect().map(_.getLong(0)).toSet
-    val ivf = Similarity.ivfSearch(rest, query, "vec_id", "embedding", 10,
-      nProbe = 4, nPlanes = 4, dim = dim).collect().map(_.getLong(0)).toSet
+    val dir = tmpDir("ivfidx")
+    Similarity.ivfBuild(rest, "vec_id", "embedding", dir, nPlanes = 4, dim = dim)
+    val ivf = Similarity.ivfQuery(spark, dir, query, "vec_id", "embedding", 10,
+      nProbe = 4).collect().map(_.getLong(0)).toSet
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall=$recall exact=$exact ivf=$ivf")
+  }
+
+  test("ivfQuery probe scan reads a strict subset of the index files") {
+    val emb = clustered
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val dir = tmpDir("ivfprune")
+    Similarity.ivfBuild(rest, "vec_id", "embedding", dir, nPlanes = 4, dim = dim)
+    val all = spark.read.parquet(s"$dir/vectors")
+    val cells = all.select(col("centroid_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(cells.length >= 2, s"need ≥2 cells to show pruning, got ${cells.length}")
+    val probe = Similarity.ivfProbeScan(spark, dir, cells.take(1).toSeq)
+    val totalFiles = all.select(input_file_name()).distinct().count()
+    val probedFiles = probe.select(input_file_name()).distinct().count()
+    assert(probedFiles > 0 && probedFiles < totalFiles,
+      s"probe read $probedFiles of $totalFiles files — not pruned")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"), plan)
   }
 
   test("ivfTrain centroids are cluster-coherent and few") {
