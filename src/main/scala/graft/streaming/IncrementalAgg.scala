@@ -23,6 +23,20 @@ import graft.cdc.KeyedParquetTable
   */
 object IncrementalAgg {
 
+  private val zeroDec = lit(BigDecimal(0)).cast("decimal(38,6)")
+
+  /** decimal(28,6): sum's +10-digit widening lands exactly on the stored
+    * decimal(38,6), so the fold itself cannot overflow below 1e32. A value
+    * outside ±1e22 would cast to NULL under non-ANSI semantics and silently
+    * vanish from the maintained sum — raise instead.
+    */
+  private def guarded(c: Column, label: String): Column = {
+    val widened = c.cast("decimal(28,6)")
+    when(c.isNotNull && widened.isNull,
+      raise_error(lit(s"IncrementalAgg: $label value exceeds decimal(28,6) range")))
+      .otherwise(widened)
+  }
+
   /** Fold one raw batch into `table` (schema: key, n_rows long,
     * sum_<valueCol> decimal(38,6)). Creates the table on first use.
     */
@@ -33,7 +47,7 @@ object IncrementalAgg {
     // produce a null partial, and null + current poisons the fold forever
     val partial = batch.groupBy(col(key))
       .agg(count(lit(1)).as("n_rows"),
-        coalesce(sum(col(valueCol).cast("decimal(18,6)")), lit(BigDecimal(0)))
+        coalesce(sum(guarded(col(valueCol), valueCol)), lit(BigDecimal(0)))
           .cast("decimal(38,6)").as(sumCol))
     if (partial.isEmpty) return // empty batch: nothing to fold
     // first use: the just-created empty snapshot has no parquet footers to
@@ -59,6 +73,81 @@ object IncrementalAgg {
               .cast("decimal(38,6)").as(sumCol))
       }
     table.merge(merged.withColumn("operation", lit("u")))
+  }
+
+  /** Retraction-aware fold of one CDC batch — incremental view maintenance
+    * over a CHANGELOG, not just an append stream. Maintains
+    *
+    * {{{ SELECT groupCol, count(*) AS n_rows, sum(valueCol) AS sum_<valueCol>
+    *     FROM <current entity state> GROUP BY groupCol }}}
+    *
+    * as entities are inserted, updated (possibly moving between groups) and
+    * deleted: each touched entity's CURRENT row (read back from
+    * `entityTable`, the keyed state table this same batch then merges into)
+    * retracts as a negative partial (count −1, sum −old), and each surviving
+    * post-image adds a positive one. Groups whose live-entity count reaches
+    * zero leave the view; a negative count raises (it means the changelog
+    * was replayed or mis-ordered).
+    *
+    * Scale shape, per batch: one dedup window over the batch, one
+    * touched-keys semi-filtered entity read (the broadcast key-set filter
+    * travels to the data), one delta aggregation, one keyed merge into each
+    * table — O(batch), never O(table).
+    */
+  def applyCdcBatch(entityTable: KeyedParquetTable, aggTable: KeyedParquetTable,
+                    batch: DataFrame, groupCol: String, valueCol: String,
+                    ordering: Seq[Column], opCol: String = "operation"): Unit = {
+    val keys = entityTable.keys
+    require(aggTable.keys == Seq(groupCol),
+      s"aggTable must be keyed by the group column '$groupCol' (got ${aggTable.keys})")
+    val sumCol = s"sum_$valueCol"
+    // merge-cardinality rule: one row per entity per batch, latest wins
+    val latest = graft.ops.Dedup.dedupLatest(batch, keys, ordering)
+    if (latest.isEmpty) return
+    // post-images: every surviving latest row adds to its (new) group
+    val additions = latest.filter(col(opCol) =!= "d" || col(opCol).isNull)
+      .select(col(groupCol).as("__g"), lit(1L).as("__dn"),
+        guarded(col(valueCol), valueCol).as("__ds"))
+    // pre-images: touched entities' current rows retract from their old group
+    val delta0 =
+      if (entityTable.exists) {
+        val retractions = entityTable.read()
+          .join(broadcast(latest.select(keys.map(col): _*)), keys, "left_semi")
+          .select(col(groupCol).as("__g"), lit(-1L).as("__dn"),
+            (-guarded(col(valueCol), valueCol)).as("__ds"))
+        additions.unionByName(retractions)
+      } else additions
+    val delta = delta0.groupBy(col("__g"))
+      .agg(sum(col("__dn")).as("__dnet"),
+        coalesce(sum(col("__ds")), lit(BigDecimal(0)))
+          .cast("decimal(38,6)").as("__dsum"))
+    val firstUse = !aggTable.exists
+    val folded =
+      if (firstUse)
+        delta.select(col("__g").as(groupCol), col("__dnet").as("n_rows"),
+          col("__dsum").as(sumCol))
+      else {
+        val cur = aggTable.read()
+          .select(col(groupCol).as("__k"), col("n_rows").as("__n"), col(sumCol).as("__s"))
+        val touched = cur.join(broadcast(delta.select(col("__g").as("__pk"))),
+          col("__k") === col("__pk"), "left_semi")
+        delta.join(touched, col("__g") === col("__k"), "left")
+          .select(col("__g").as(groupCol),
+            (col("__dnet") + coalesce(col("__n"), lit(0L))).as("n_rows"),
+            (col("__dsum") + coalesce(col("__s"), zeroDec))
+              .cast("decimal(38,6)").as(sumCol))
+      }
+    aggTable.createIfNotExists(
+      org.apache.spark.sql.types.StructType(folded.schema.fields))
+    aggTable.merge(folded.withColumn("operation",
+      when(col("n_rows") < 0,
+        raise_error(lit("IncrementalAgg: negative group count — changelog replayed or mis-ordered")))
+        .when(col("n_rows") === 0, lit("d"))
+        .otherwise(lit("u"))))
+    // advance the entity state only AFTER the delta read its pre-images
+    entityTable.createIfNotExists(
+      org.apache.spark.sql.types.StructType(latest.drop(opCol).schema.fields))
+    entityTable.merge(latest, opCol)
   }
 
   /** Read the maintained aggregate with the sum surfaced as double. */

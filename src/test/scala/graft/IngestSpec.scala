@@ -132,6 +132,109 @@ class IngestSpec extends SparkSpec {
     assert(got === want) // decimal folding → exact, split-invariant
   }
 
+  test("applyBatch raises loudly on values beyond the decimal fold range") {
+    import graft.streaming.IncrementalAgg
+    val table = new KeyedParquetTable(spark, tmpDir("incr_overflow"), Seq("k"))
+    val e = intercept[Exception] {
+      IncrementalAgg.applyBatch(table, Seq((1L, 1e23)).toDF("k", "v"), "k", "v")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // ANSI sessions throw NUMERIC_VALUE_OUT_OF_RANGE at the cast itself;
+    // non-ANSI sessions hit the explicit raise_error guard. Either way the
+    // value must never silently vanish from the maintained sum.
+    assert(msgs(e).exists(m => m.contains("exceeds decimal(28,6) range")
+      || m.contains("cannot be represented as Decimal(28, 6)")), msgs(e).mkString(" | "))
+  }
+
+  test("applyCdcBatch: retractions keep the view equal to the folded state " +
+    "(update moves groups, delete-then-reinsert, group vanishes)") {
+    import graft.streaming.IncrementalAgg
+    val entity = new KeyedParquetTable(spark, tmpDir("cdc_view_ent"), Seq("id"))
+    val agg = new KeyedParquetTable(spark, tmpDir("cdc_view_agg"), Seq("grp"))
+    def fold(rows: Seq[(Long, Option[String], Option[Double], String, Long)]): Unit =
+      IncrementalAgg.applyCdcBatch(entity, agg,
+        rows.toDF("id", "grp", "v", "operation", "seq"),
+        "grp", "v", Seq(col("seq").desc))
+    def view: Map[String, (Long, Double)] = IncrementalAgg.snapshot(agg, "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    fold(Seq((1L, Some("a"), Some(10.0), "u", 1L), (2L, Some("a"), Some(20.0), "u", 2L),
+      (3L, Some("b"), Some(30.0), "u", 3L)))
+    assert(view === Map("a" -> ((2L, 30.0)), "b" -> ((1L, 30.0))))
+
+    // entity 1 moves group a→b (retract from a, add to b); entity 2 deleted —
+    // group a's live count hits 0, so it leaves the view entirely
+    fold(Seq((1L, Some("b"), Some(15.0), "u", 4L), (2L, None, None, "d", 5L)))
+    assert(view === Map("b" -> ((2L, 45.0))))
+
+    // delete-then-reinsert: entity 2 comes back with a new value
+    fold(Seq((2L, Some("a"), Some(25.0), "u", 6L)))
+    assert(view === Map("a" -> ((1L, 25.0)), "b" -> ((2L, 45.0))))
+
+    // group b vanishes entirely (both members deleted in one batch)
+    fold(Seq((1L, None, None, "d", 7L), (3L, None, None, "d", 8L)))
+    assert(view === Map("a" -> ((1L, 25.0))))
+
+    // invariant: view always equals from-scratch aggregate over entity state
+    val scratch = entity.read().groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(view === scratch)
+  }
+
+  test("streaming KMV maintenance: maintained sketch is bit-identical to from-scratch " +
+    "across uneven batches, and replay-idempotent") {
+    import graft.functions.KmvSketch
+    import graft.streaming.SketchMaintenance
+    val k = 64
+    val table = new KeyedParquetTable(spark, tmpDir("kmv_stream"), Seq("sketch_id"))
+    val rnd = new scala.util.Random(21)
+    val all = Seq.fill(500)(rnd.nextLong() % 300) // heavy cross-batch duplication
+    // uneven cuts, including an EMPTY batch
+    val cuts = Seq(0, 37, 100, 100, 350, 500)
+    cuts.sliding(2).foreach { case Seq(lo, hi) =>
+      SketchMaintenance.applyBatch(table, all.slice(lo, hi).toDF("v"),
+        xxhash64(col("v")), k)
+    }
+    val maintained = SketchMaintenance.read(table)
+    val scratch = all.toDF("v").agg(new KmvSketch(k).column(xxhash64(col("v"))))
+      .head().getSeq[Long](0).toArray
+    assert(maintained.toSeq === scratch.toSeq) // bit-identical, not just close
+    // at-least-once delivery: re-applying a batch must not move the sketch
+    SketchMaintenance.applyBatch(table, all.slice(100, 350).toDF("v"),
+      xxhash64(col("v")), k)
+    assert(SketchMaintenance.read(table).toSeq === scratch.toSeq)
+    // and the estimate is sane
+    val est = KmvSketch.estimate(maintained, k)
+    val exact = all.distinct.size.toDouble
+    assert(math.abs(est - exact) / exact < 0.35, s"est=$est exact=$exact")
+  }
+
+  test("streaming heavy-hitters maintenance retains hot keys within the MG error bound") {
+    import graft.streaming.SketchMaintenance
+    val table = new KeyedParquetTable(spark, tmpDir("hh_stream"), Seq("sketch_id"))
+    val rnd = new scala.util.Random(31)
+    // hot key 7 ≈ 30% of the stream; the rest spread over ~200 cold keys
+    val all = Seq.fill(600)(if (rnd.nextInt(10) < 3) 7L else rnd.nextLong(200) + 100L)
+    val k = 16
+    val cuts = Seq(0, 80, 230, 230, 600) // uneven + one empty batch
+    cuts.sliding(2).foreach { case Seq(lo, hi) =>
+      SketchMaintenance.applyHeavyHittersBatch(table,
+        all.slice(lo, hi).toDF("v"), col("v"), k)
+    }
+    val sketch = SketchMaintenance.readHeavyHitters(table)
+    val trueCount = all.count(_ == 7L).toLong
+    val bound = all.size / (k + 1)
+    assert(trueCount > bound) // precondition: key 7 IS a heavy hitter
+    // MG merges compose: retention + underestimate-by-≤N/(k+1) must survive
+    // batch boundaries
+    assert(sketch.contains(7L), s"hot key lost: $sketch")
+    assert(sketch(7L) <= trueCount && sketch(7L) >= trueCount - bound,
+      s"count ${sketch(7L)} outside [${trueCount - bound}, $trueCount]")
+  }
+
   test("replayOnce applies a bounded frame as a single merge") {
     val table = new KeyedParquetTable(spark, tmpDir("replay_tbl"), Seq("id"))
     table.createIfNotExists(tableSchema)
