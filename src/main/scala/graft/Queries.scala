@@ -1950,6 +1950,21 @@ object Queries {
       None,
       headline = true),
 
+    // Batched IVF ANN over the same persisted index: top-k for a whole query
+    // TABLE in one job (bulk-inference shape) — union-of-probed-cells scan,
+    // per-query window top-k. Recall asserted in SimilaritySpec.
+    "q_ann_ivf_batch" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val emb = t("embeddings")
+        val indexDir = ivfIndexFor(s, dir, emb)
+        Similarity.ivfQueryAll(s, indexDir,
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "vec_id", "embedding", k = 10, nProbe = 4)
+      },
+      None),
+
     // Embedding-cosine near-dup pairs via sign-bit LSH buckets (the
     // embedding-space dedup modality; bucket-bounded like MinHash).
     "q_embedding_neardup" -> Q(

@@ -244,4 +244,45 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Batched IVF ANN: top-k for EVERY query row in ONE job against a
+    * persisted index — the bulk-inference shape (score a whole query table,
+    * not one vector at a time).
+    *
+    * Plan: each query ranks the broadcast centroid table and keeps its
+    * nProbe cells (a window over query id — the cross join is
+    * |queries|·|cells| rows, both factors index-bounded); the corpus scan is
+    * restricted to the UNION of all probed cells, which is collected as
+    * literal cell ids — O(nCells) driver data, bounded by the INDEX size,
+    * not the data — so the read file-prunes exactly like the single-query
+    * path. Candidates then join (query, cell) pairs on centroid_id (an
+    * equi-join AQE can skew-split if some cell is hot) and a per-query
+    * window keeps the top k.
+    */
+  def ivfQueryAll(spark: SparkSession, indexDir: String, queries: DataFrame,
+                  qidCol: String, idCol: String, vecCol: String, k: Int,
+                  nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val probes = queries
+      .select(col(qidCol).as("query_id"), col(vecCol).as("__qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__qsim", cosine(col("__qvec"), col("centroid")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("__qsim").desc, col("centroid_id").asc)))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("__qvec"), col("centroid_id"))
+    val probedCells = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq // ≤ nCells: driver-safe
+    ivfProbeScan(spark, indexDir, probedCells)
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+      .join(probes, "centroid_id")
+      .withColumn("sim", cosine(col(vecCol), col("__qvec")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col(idCol).asc)))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col(idCol), col("sim"))
+  }
 }

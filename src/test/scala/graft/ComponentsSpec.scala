@@ -43,6 +43,28 @@ class ComponentsSpec extends SparkSpec {
     assert(comp.values.toSet === Set(0L) && comp.size === n)
   }
 
+  test("random graph matches driver-side union-find ground truth") {
+    val rnd = new scala.util.Random(17)
+    val n = 500
+    val edges = Seq.fill(550)((rnd.nextLong(n), rnd.nextLong(n)))
+      .filter { case (a, b) => a != b }
+    // ground truth: classic union-find over the same edges (test-only)
+    val parent = Array.tabulate(n.toInt)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    def root(x: Int): Long = find(x).toLong
+    // min-id per union-find component
+    val minOf = (0 until n.toInt).groupBy(root).map { case (r, xs) => r -> xs.min.toLong }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> minOf(root(v.toInt))).toMap
+    val got = Components.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("non-convergence within maxIter fails loudly instead of returning half-merged labels") {
     val edges = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {

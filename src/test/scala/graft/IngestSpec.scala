@@ -212,6 +212,35 @@ class IngestSpec extends SparkSpec {
     assert(math.abs(est - exact) / exact < 0.35, s"est=$est exact=$exact")
   }
 
+  test("KMV maintenance driven through checkpointed foreachBatch micro-batches") {
+    import graft.functions.KmvSketch
+    import graft.streaming.SketchMaintenance
+    implicit val sqlCtx = spark.sqlContext
+    val k = 32
+    val table = new KeyedParquetTable(spark, tmpDir("kmv_fb"), Seq("sketch_id"))
+    val checkpoint = tmpDir("kmv_fb_ckpt")
+    val stream = MemoryStream[Long]
+    def drain(): Unit = {
+      val q = stream.toDF().writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          SketchMaintenance.applyBatch(table, b, xxhash64(col("value")), k)
+          ()
+        }.start()
+      q.awaitTermination(30000)
+    }
+    stream.addData(1L to 200L: _*)
+    drain()
+    stream.addData(150L to 400L: _*) // overlapping values across micro-batches
+    drain()
+    val maintained = SketchMaintenance.read(table)
+    val scratch = (1L to 400L).toDF("value")
+      .agg(new KmvSketch(k).column(xxhash64(col("value"))))
+      .head().getSeq[Long](0)
+    assert(maintained.toSeq === scratch.toSeq)
+  }
+
   test("streaming heavy-hitters maintenance retains hot keys within the MG error bound") {
     import graft.streaming.SketchMaintenance
     val table = new KeyedParquetTable(spark, tmpDir("hh_stream"), Seq("sketch_id"))

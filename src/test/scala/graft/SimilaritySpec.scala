@@ -127,6 +127,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall exact=$exact ivf=$ivf")
   }
 
+  test("ivfQueryAll: batched per-query top-k keeps recall ≥ 0.8 vs brute force") {
+    val emb = clustered
+    val qids = Seq(0L, 30L, 60L) // one query from each of three clusters
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val corpus = emb.filter(!col("vec_id").isin(qids: _*))
+    val dir = tmpDir("ivfbatch")
+    Similarity.ivfBuild(corpus, "vec_id", "embedding", dir, nPlanes = 4, dim = dim)
+    val got = Similarity.ivfQueryAll(spark, dir, queries, "qid", "vec_id",
+        "embedding", 10, nProbe = 4)
+      .collect().groupBy(_.getLong(0)).map { case (q, rows) =>
+        q -> rows.map(_.getLong(1)).toSet }
+    qids.foreach { q =>
+      val exact = Similarity.cosineTopK(corpus,
+        emb.filter(col("vec_id") === q).select("embedding"),
+        "vec_id", "embedding", 10).collect().map(_.getLong(0)).toSet
+      val recall = exact.intersect(got(q)).size.toDouble / exact.size
+      assert(recall >= 0.8, s"query $q recall=$recall exact=$exact got=${got(q)}")
+      assert(got(q).size === 10)
+    }
+  }
+
   test("ivfQuery probe scan reads a strict subset of the index files") {
     val emb = clustered
     val rest = emb.filter(col("vec_id") =!= 0)
