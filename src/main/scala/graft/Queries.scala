@@ -1723,6 +1723,75 @@ object Queries {
              |CAST(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS BIGINT) AS norm_len
              |FROM documents""".stripMargin)),
 
+    // PII scrubbing before corpus admission: emails → <EMAIL>, IPv4 → <IP>,
+    // phone-shaped digit runs → <PHONE>. Deterministic PII is synthesized
+    // from doc_id so the redaction paths are actually exercised; both
+    // engines build, redact, and md5 the identical string.
+    "q_pii_redact" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val withPii = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via 10.1."), (col("doc_id") % 200).cast("string"),
+          lit(".7 or +1 555-01"), (col("doc_id") % 90 + 10).cast("string"))
+        t("documents").select(col("doc_id"),
+          md5(TextOps.redactPii(withPii)).as("redacted_md5"))
+      },
+      Some("""SELECT doc_id, MD5(
+             |  regexp_replace(regexp_replace(regexp_replace(
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |         || '@example.com via 10.1.' || CAST(doc_id % 200 AS VARCHAR)
+             |         || '.7 or +1 555-01' || CAST(doc_id % 90 + 10 AS VARCHAR),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             |    '\+?[0-9][0-9() \-]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+             |FROM documents""".stripMargin)),
+
+    // Repetition/boilerplate signals: repeated-token and repeated-trigram
+    // fractions (template spam repeats whole n-grams; natural text doesn't).
+    "q_repetition_stats" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("documents").select(col("doc_id"),
+          TextOps.dupTokenRatio(col("text")).as("dup_token_ratio"),
+          TextOps.dupNgramRatio(col("text"), 3).as("dup_trigram_ratio"))
+      },
+      Some("""WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents),
+             |s AS (SELECT doc_id, text, toks,
+             |        list_transform(generate_series(1, len(toks) - 2),
+             |          i -> array_to_string(toks[i:i+2], ' ')) AS grams
+             |      FROM t)
+             |SELECT doc_id,
+             |CASE WHEN length(text) = 0 THEN 0.0
+             |     ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+             |END AS dup_token_ratio,
+             |CASE WHEN len(toks) < 3 THEN 0.0
+             |     ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+             |END AS dup_trigram_ratio
+             |FROM s""".stripMargin)),
+
+    // Train/test decontamination: test-split docs sharing any 5-gram with
+    // the train split. Engine path joins on 64-bit shingle hashes (the
+    // 100 TB shape); the oracle joins the shingle STRINGS — equal results
+    // prove the hashed semi-join computes the set-overlap semantics.
+    "q_contamination" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents")
+        TextOps.contaminatedDocs(
+          docs.filter(col("doc_id") % 10 < 8),
+          docs.filter(col("doc_id") % 10 >= 8),
+          "doc_id", "text", n = 5)
+      },
+      Some("""WITH tok AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         list_transform(generate_series(1, len(toks) - 4),
+             |           i -> array_to_string(toks[i:i+4], ' ')))) AS g
+             |       FROM tok)
+             |SELECT DISTINCT doc_id FROM sh
+             |WHERE doc_id % 10 >= 8
+             |  AND g IN (SELECT g FROM sh WHERE doc_id % 10 < 8)""".stripMargin)),
+
     // 128-bit content fingerprints (exact-dedup key, P9 for documents).
     "q_doc_fingerprint" -> Q(
       (s, dir) => {

@@ -128,4 +128,81 @@ object TextOps {
   /** Winnowed fingerprint: min shingle hash (deterministic, order-free). */
   def winnowFingerprint(text: Column, n: Int = 3): Column =
     array_min(shingleHashes(text, n))
+
+  /** n-token shingles as STRINGS (empty array when the text is shorter than
+    * n tokens — no descending-sequence artifacts). String form exists so
+    * semantics are oracle-checkable; production joins use the hashed form.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    val toks = split(text, " ")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  // ---- PII redaction ------------------------------------------------------
+
+  /** Redact emails, IPv4 addresses and phone-number-shaped digit runs with
+    * typed placeholder tokens — the standard scrubbing pass before text
+    * enters a training corpus. Patterns avoid lookarounds so the same regex
+    * semantics hold in Java regex and RE2-style engines (oracle-checkable).
+    * Order matters: emails first (contain digits), then IPs (contain dots),
+    * then the greedy phone pattern.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?[0-9][0-9() \\-]{6,}[0-9]", "<PHONE>")
+  }
+
+  // ---- Repetition / boilerplate detection ---------------------------------
+
+  /** Fraction of repeated whitespace tokens: 1 − distinct/total (0 for empty
+    * text). High values flag boilerplate and degenerate generations.
+    */
+  def dupTokenRatio(text: Column): Column = {
+    val toks = split(text, " ")
+    when(length(text) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Fraction of repeated n-token shingles: 1 − distinct/total (0 when the
+    * text has fewer than n tokens). The standard template-spam signal —
+    * natural text repeats words but rarely whole n-grams.
+    */
+  def dupNgramRatio(text: Column, n: Int = 3): Column = {
+    val sh = shingles(text, n)
+    when(size(sh) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+  }
+
+  // ---- Train/test decontamination -----------------------------------------
+
+  /** Test-set docs sharing at least one n-token shingle with the training
+    * corpus — the decontamination check run before any benchmark claim.
+    *
+    * Scale shape: each side explodes to its DISTINCT per-doc shingle hashes
+    * (8-byte keys, O(tokens) rows), the train side collapses to a distinct
+    * hash set, and one LEFT SEMI join marks contaminated test docs — no
+    * all-pairs comparison anywhere; at 100 TB this is the same
+    * shuffle-on-hash shape as exact dedup, and
+    * [[graft.ops.Prefilter.semiJoinBloom]] composes in front of it when the
+    * train side is huge.
+    */
+  def contaminatedDocs(train: org.apache.spark.sql.DataFrame,
+                       test: org.apache.spark.sql.DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 5): org.apache.spark.sql.DataFrame = {
+    def hashed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol), explode(array_distinct(
+        transform(shingles(col(textCol), n), g => xxhash64(g)))).as("__g"))
+    val trainSet = hashed(train).select("__g").distinct()
+    hashed(test).join(trainSet, Seq("__g"), "left_semi")
+      .select(idCol).distinct()
+  }
 }

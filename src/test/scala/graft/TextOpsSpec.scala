@@ -83,4 +83,58 @@ class TextOpsSpec extends SparkSpec {
     val df = Seq("a b c d e").toDF("text")
     assert(df.select(size(TextOps.shingleHashes(col("text"), 3))).head().getInt(0) === 3)
   }
+
+  test("shingles: string n-grams, empty below n tokens") {
+    val df = Seq("a b c d").toDF("text")
+    assert(df.select(TextOps.shingles(col("text"), 3)).head().getSeq[String](0)
+      === Seq("a b c", "b c d"))
+    assert(Seq("a b").toDF("text").select(TextOps.shingles(col("text"), 3))
+      .head().getSeq[String](0).isEmpty)
+  }
+
+  test("redactPii scrubs emails, IPv4s and phone runs; clean text untouched") {
+    val df = Seq(
+      "mail bob.smith+x@sub.example.org now",
+      "server at 192.168.001.7 port open",
+      "call +1 (415) 555-0142 today",
+      "version 1.2 of chapter 3 unchanged"
+    ).toDF("text")
+    val out = df.select(TextOps.redactPii(col("text"))).collect().map(_.getString(0))
+    assert(out(0) === "mail <EMAIL> now")
+    assert(out(1) === "server at <IP> port open")
+    assert(out(2) === "call <PHONE> today")
+    assert(out(3) === "version 1.2 of chapter 3 unchanged")
+  }
+
+  test("repetition ratios separate template spam from natural text") {
+    val spam = ("buy now " * 20).trim            // 40 tokens, 2 distinct
+    val natural = "the quick brown fox jumps over one lazy dog near the old barn"
+    val df = Seq(spam, natural).toDF("text")
+    val rows = df.select(TextOps.dupTokenRatio(col("text")),
+      TextOps.dupNgramRatio(col("text"), 3)).collect()
+    assert(rows(0).getDouble(0) > 0.9 && rows(0).getDouble(1) > 0.9)
+    assert(rows(1).getDouble(0) < 0.1 && rows(1).getDouble(1) === 0.0)
+    // degenerate inputs: empty text and sub-n token counts → 0.0
+    val edge = Seq("", "a b").toDF("text")
+      .select(TextOps.dupTokenRatio(col("text")), TextOps.dupNgramRatio(col("text"), 3))
+      .collect()
+    edge.foreach { r =>
+      assert(r.getDouble(0) === 0.0)
+      assert(r.getDouble(1) === 0.0)
+    }
+  }
+
+  test("contaminatedDocs flags exactly the test docs sharing an n-gram with train") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "prefix alpha beta gamma delta epsilon suffix"), // shares a 5-gram
+      (11L, "totally different content with no overlap at all"),
+      (12L, "one two three four five and more")               // shares a 5-gram
+    ).toDF("doc_id", "text")
+    val got = TextOps.contaminatedDocs(train, test, "doc_id", "text", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(10L, 12L))
+  }
 }
