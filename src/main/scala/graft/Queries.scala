@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 import graft.cdc.{CdcParse, KeyedParquetTable, Merge}
 import graft.functions.HeavyHitters
 import graft.streaming.IncrementalAgg
-import graft.ops.{Bucketing, Components, Dedup, FuzzyDedup, Multimodal, Prefilter, Ranks, Sampling, Similarity, Skew, TextOps}
+import graft.ops.{Bucketing, Components, Dedup, FuzzyDedup, Multimodal, Prefilter, Quantize, Ranks, Sampling, Similarity, Skew, TextOps}
 import graft.validate.Validation
 
 /** The engine's registered query workload.
@@ -2018,6 +2018,28 @@ object Queries {
       },
       None,
       headline = true),
+
+    // int8 symmetric quantization of the embedding corpus (4× storage at
+    // 100 TB): per-vector scale + codes, identical IEEE op order in both
+    // engines so the codes hash-match bit-for-bit.
+    "q_embedding_quantize" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("embeddings").select(col("vec_id"),
+          Quantize.int8Scale(col("embedding")).as("scale"),
+          md5(concat_ws(",",
+            transform(Quantize.quantizeInt8(col("embedding")),
+              c => c.cast("string")))).as("codes_md5"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding,
+             |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+             |  FROM embeddings)
+             |SELECT vec_id, mx / 127.0 AS scale,
+             |MD5(array_to_string(list_transform(embedding, x ->
+             |  CAST(CASE WHEN mx = 0.0 THEN 0
+             |       ELSE CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS INTEGER)
+             |  END AS VARCHAR)), ',')) AS codes_md5
+             |FROM e""".stripMargin)),
 
     // Batched IVF ANN over the same persisted index: top-k for a whole query
     // TABLE in one job (bulk-inference shape) — union-of-probed-cells scan,

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Quantize
+
+/** int8 embedding quantization: bounded codes, tight reconstruction. */
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("int8 round trip: codes bounded, reconstruction within scale/2") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(100)(Seq.fill(16)((rnd.nextGaussian() * 3).toFloat))
+    val df = rows.toDF("embedding")
+    val out = df.select(col("embedding"),
+        Quantize.int8Scale(col("embedding")).as("scale"),
+        Quantize.quantizeInt8(col("embedding")).as("codes"))
+      .withColumn("recon", Quantize.dequantizeInt8(col("codes"), col("scale")))
+      .collect()
+    out.foreach { r =>
+      val emb = r.getSeq[Float](0)
+      val scale = r.getDouble(1)
+      val codes = r.getSeq[Int](2)
+      val recon = r.getSeq[Double](3)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(codes.exists(c => math.abs(c) === 127)) // max component saturates
+      emb.zip(recon).foreach { case (x, xr) =>
+        assert(math.abs(x.toDouble - xr) <= scale / 2 + 1e-12,
+          s"err ${math.abs(x.toDouble - xr)} > half-scale ${scale / 2}")
+      }
+    }
+  }
+
+  test("zero vector quantizes to zero codes with zero scale") {
+    val r = Seq(Seq(0f, 0f, 0f)).toDF("embedding")
+      .select(Quantize.int8Scale(col("embedding")),
+        Quantize.quantizeInt8(col("embedding"))).head()
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getSeq[Int](1).forall(_ === 0))
+  }
+}
