@@ -1790,7 +1790,35 @@ object Queries {
              |       FROM tok)
              |SELECT DISTINCT doc_id FROM sh
              |WHERE doc_id % 10 >= 8
-             |  AND g IN (SELECT g FROM sh WHERE doc_id % 10 < 8)""".stripMargin)),
+             |  AND g IN (SELECT g FROM sh WHERE doc_id % 10 < 8)""".stripMargin),
+      headline = true),
+
+    // Source-mix report: domains mentioned per document (synthesized
+    // deterministically from doc_id so the extractor paths are exercised),
+    // counted per domain — the blocklist/source-weighting input.
+    "q_domain_mix" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val withUrls = concat(col("text"),
+          lit(" via https://cdn"), (col("doc_id") % 7).cast("string"),
+          lit(".example.org or www.site"), (col("doc_id") % 5).cast("string"),
+          lit(".net"))
+        t("documents")
+          .select(col("doc_id"), explode(TextOps.extractDomains(withUrls)).as("domain"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_mentions"),
+            count_distinct(col("doc_id")).as("n_docs"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |  lower(text || ' via https://cdn' || CAST(doc_id % 7 AS VARCHAR)
+             |        || '.example.org or www.site' || CAST(doc_id % 5 AS VARCHAR)
+             |        || '.net') AS t FROM documents),
+             |d AS (SELECT doc_id, unnest(regexp_extract_all(t,
+             |  '(^|[^a-z0-9.-])((https?://)?(www\.)?(([a-z0-9-]+\.)+[a-z]{2,}))', 5)) AS domain
+             |  FROM w)
+             |SELECT domain, COUNT(*) AS n_mentions,
+             |CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+             |FROM d GROUP BY domain""".stripMargin)),
 
     // 128-bit content fingerprints (exact-dedup key, P9 for documents).
     "q_doc_fingerprint" -> Q(

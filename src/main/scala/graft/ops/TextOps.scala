@@ -181,6 +181,22 @@ object TextOps {
         size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
   }
 
+  // ---- URL / domain extraction --------------------------------------------
+
+  /** All registrable domains mentioned in the text (lowercased), extracted
+    * from URL-ish and bare-host mentions — the input to source-mix reports
+    * and domain blocklists. Lookaround-free pattern (Java ≡ RE2); the
+    * scheme/www prefix is stripped by capture-group CHOICE (group 5 is the
+    * host), not lookbehind.
+    */
+  def extractDomains(text: Column): Column = {
+    // host = dotted labels ending in an alpha TLD of length ≥2; groups:
+    // 1 boundary, 2 full url, 3 scheme, 4 www., 5 host
+    val host = "([a-z0-9-]+\\.)+[a-z]{2,}"
+    regexp_extract_all(lower(text),
+      lit(s"(^|[^a-z0-9.-])((https?://)?(www\\.)?($host))"), lit(5))
+  }
+
   // ---- Train/test decontamination -----------------------------------------
 
   /** Test-set docs sharing at least one n-token shingle with the training

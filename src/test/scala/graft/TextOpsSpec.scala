@@ -124,6 +124,17 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("extractDomains finds hosts under schemes, www, and bare mentions") {
+    val df = Seq(
+      "read https://News.Example.org/a?b=1 then www.blog.co.uk and bare cdn-7.site.net here",
+      "no domains at all, just words. e.g. v1.2 isn't one"
+    ).toDF("text")
+    val got = df.select(TextOps.extractDomains(col("text"))).collect()
+      .map(_.getSeq[String](0))
+    assert(got(0) === Seq("news.example.org", "blog.co.uk", "cdn-7.site.net"))
+    assert(got(1).isEmpty)
+  }
+
   test("contaminatedDocs flags exactly the test docs sharing an n-gram with train") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
