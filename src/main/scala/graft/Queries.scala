@@ -2069,6 +2069,35 @@ object Queries {
              |  END AS VARCHAR)), ',')) AS codes_md5
              |FROM e""".stripMargin)),
 
+    // ANN over the int8 codes themselves: scales cancel out of cosine, so
+    // the ranking runs on exact integer dot products — fully oracle-checkable
+    // (unlike float-sum approximations) and 4× less scan I/O at scale.
+    "q_ann_int8" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val emb = t("embeddings")
+        Quantize.int8CosineTopK(emb.filter(col("vec_id") =!= 0),
+          emb.filter(col("vec_id") === 0).select("embedding"),
+          "vec_id", "embedding", k = 20)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding,
+             |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+             |  FROM embeddings),
+             |qz AS (SELECT vec_id,
+             |  CASE WHEN mx = 0.0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+             |       ELSE list_transform(embedding, x ->
+             |         CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT))
+             |  END AS codes FROM e)
+             |SELECT b.vec_id,
+             |  CAST(list_sum(list_transform(list_zip(b.codes, q.codes), p -> p[1]*p[2])) AS DOUBLE)
+             |  / (sqrt(CAST(list_sum(list_transform(b.codes, x -> x*x)) AS DOUBLE))
+             |     * sqrt(CAST(list_sum(list_transform(q.codes, x -> x*x)) AS DOUBLE))) AS sim
+             |FROM qz b, (SELECT codes FROM qz WHERE vec_id = 0) q
+             |WHERE b.vec_id <> 0
+             |  AND list_sum(list_transform(b.codes, x -> x*x)) > 0
+             |  AND list_sum(list_transform(q.codes, x -> x*x)) > 0
+             |ORDER BY sim DESC, b.vec_id ASC LIMIT 20""".stripMargin)),
+
     // Batched IVF ANN over the same persisted index: top-k for a whole query
     // TABLE in one job (bulk-inference shape) — union-of-probed-cells scan,
     // per-query window top-k. Recall asserted in SimilaritySpec.

@@ -36,4 +36,37 @@ object Quantize {
   /** Reconstruct doubles from codes + scale: `q_i · scale`. */
   def dequantizeInt8(codes: Column, scale: Column): Column =
     transform(codes, q => q.cast("double") * scale)
+
+  /** Integer dot product over two code arrays (long accumulation — products
+    * are ≤127², so no overflow below ~10^14 dimensions).
+    */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (s, v) => s + v)
+
+  /** Exact top-k by QUANTIZED cosine: in symmetric quantization the
+    * per-vector scales cancel out of cosine (cos ≈ A·B / (|A|·|B|) over the
+    * int8 codes), so ranking runs entirely on integer MACs over the 4×-
+    * smaller codes — the compute half of the quantization trade. Zero
+    * vectors (unrankable) are filtered; ties broken by id. Integer dots are
+    * EXACT, so the result is oracle-checkable cross-engine, unlike
+    * float-sum approximations.
+    */
+  def int8CosineTopK(embeddings: org.apache.spark.sql.DataFrame,
+                     query: org.apache.spark.sql.DataFrame,
+                     idCol: String, vecCol: String,
+                     k: Int): org.apache.spark.sql.DataFrame = {
+    val c = embeddings.select(col(idCol), quantizeInt8(col(vecCol)).as("__codes"))
+    val q = query.select(quantizeInt8(col(vecCol)).as("__qcodes"))
+    c.crossJoin(broadcast(q))
+      .withColumn("__dot", intDot(col("__codes"), col("__qcodes")))
+      .withColumn("__na", intDot(col("__codes"), col("__codes")))
+      .withColumn("__nb", intDot(col("__qcodes"), col("__qcodes")))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .withColumn("sim", col("__dot").cast("double") /
+        (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

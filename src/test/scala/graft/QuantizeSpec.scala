@@ -31,6 +31,24 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("int8CosineTopK keeps recall ≥ 0.8 vs float brute force on clustered data") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(5)
+    val centers = Seq.fill(10)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = for { (c, ci) <- centers.zipWithIndex; j <- 0 until 30 }
+      yield (ci.toLong * 30 + j,
+        c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+    val query = emb.filter(col("vec_id") === 0).select("embedding")
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.cosineTopK(rest, query, "vec_id", "embedding", 10)
+      .collect().map(_.getLong(0)).toSet
+    val int8 = Quantize.int8CosineTopK(rest, query, "vec_id", "embedding", 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(int8).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall exact=$exact int8=$int8")
+  }
+
   test("zero vector quantizes to zero codes with zero scale") {
     val r = Seq(Seq(0f, 0f, 0f)).toDF("embedding")
       .select(Quantize.int8Scale(col("embedding")),
