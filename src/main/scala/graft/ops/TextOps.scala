@@ -214,11 +214,45 @@ object TextOps {
                        test: org.apache.spark.sql.DataFrame,
                        idCol: String, textCol: String,
                        n: Int = 5): org.apache.spark.sql.DataFrame = {
-    def hashed(df: org.apache.spark.sql.DataFrame) =
-      df.select(col(idCol), explode(array_distinct(
-        transform(shingles(col(textCol), n), g => xxhash64(g)))).as("__g"))
-    val trainSet = hashed(train).select("__g").distinct()
-    hashed(test).join(trainSet, Seq("__g"), "left_semi")
+    val trainSet = shingleHashSet(train, idCol, textCol, n).select("__g").distinct()
+    shingleHashSet(test, idCol, textCol, n)
+      .join(trainSet, Seq("__g"), "left_semi")
       .select(idCol).distinct()
   }
+
+  /** (id, __g) rows: each doc's DISTINCT n-gram shingle hashes. */
+  private def shingleHashSet(df: org.apache.spark.sql.DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(array_distinct(
+      transform(shingles(col(textCol), n), g => xxhash64(g)))).as("__g"))
+
+  /** INCREMENTAL decontamination, for a train corpus that grows over time:
+    * fold each train batch's distinct shingle hashes into a keyed table
+    * (one 8-byte-keyed row per distinct shingle — give the table a
+    * `bucketCount` so each merge rewrites only touched buckets), then check
+    * any candidate batch with [[checkContamination]] at O(batch shingles)
+    * instead of rescanning the train corpus.
+    */
+  def indexTrainShingles(table: graft.cdc.KeyedParquetTable,
+                         trainBatch: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String, n: Int = 5): Unit = {
+    require(table.keys == Seq("g"),
+      s"shingle index table must be keyed by 'g' (got ${table.keys})")
+    table.createIfNotExists(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.LongType))))
+    table.merge(shingleHashSet(trainBatch, idCol, textCol, n)
+      .select(col("__g").as("g")).distinct()
+      .withColumn("operation", lit("u")))
+  }
+
+  /** Candidate docs sharing any n-gram with the indexed train corpus. */
+  def checkContamination(table: graft.cdc.KeyedParquetTable,
+                         candidates: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 5): org.apache.spark.sql.DataFrame =
+    shingleHashSet(candidates, idCol, textCol, n)
+      .join(table.read().select(col("g").as("__g")), Seq("__g"), "left_semi")
+      .select(idCol).distinct()
 }

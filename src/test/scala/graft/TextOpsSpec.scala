@@ -148,4 +148,28 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got === Set(10L, 12L))
   }
+
+  test("incremental shingle index matches the one-shot check as train grows") {
+    import graft.cdc.KeyedParquetTable
+    val trainA = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val trainB = Seq((2L, "one two three four five six")).toDF("doc_id", "text")
+    val cands = Seq(
+      (10L, "prefix alpha beta gamma delta epsilon suffix"),
+      (11L, "totally different content with no overlap at all"),
+      (12L, "one two three four five and more")
+    ).toDF("doc_id", "text")
+    val idx = new KeyedParquetTable(spark, tmpDir("shingle_idx"), Seq("g"),
+      Nil, bucketCount = 4)
+    TextOps.indexTrainShingles(idx, trainA, "doc_id", "text")
+    // after batch A only doc 10 is contaminated
+    assert(TextOps.checkContamination(idx, cands, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet === Set(10L))
+    TextOps.indexTrainShingles(idx, trainB, "doc_id", "text")
+    // after batch B the incremental result equals the one-shot union check
+    val oneShot = TextOps.contaminatedDocs(trainA.union(trainB), cands,
+      "doc_id", "text").collect().map(_.getLong(0)).toSet
+    assert(TextOps.checkContamination(idx, cands, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet === oneShot)
+    assert(oneShot === Set(10L, 12L))
+  }
 }
