@@ -95,4 +95,22 @@ object Components {
                    idB: String = "id_b"): DataFrame =
     connectedComponents(pairs, idA, idB)
       .select(col("id").as("doc_id"), col("component").as("keep_id"))
+
+  /** Keeper policy by QUALITY instead of id: each doc in a candidate pair
+    * maps to its component's argmax by `scoreCol` (ties → smaller id) — the
+    * "keep the best copy" a curation pipeline wants when near-dups differ
+    * in quality. One join to attach scores + one max_by aggregate + one
+    * join back, all equi-joins on component/id.
+    */
+  def dedupKeepersBy(pairs: DataFrame, docs: DataFrame, idCol: String,
+                     scoreCol: String, idA: String = "id_a",
+                     idB: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, idA, idB)
+    val withScore = comp.join(
+      docs.select(col(idCol).as("id"), col(scoreCol).as("__s")), "id")
+    val best = withScore.groupBy("component")
+      .agg(max_by(col("id"), struct(col("__s"), -col("id"))).as("keep_id"))
+    withScore.join(best, "component")
+      .select(col("id").as("doc_id"), col("keep_id"))
+  }
 }

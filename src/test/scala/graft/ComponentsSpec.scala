@@ -73,6 +73,17 @@ class ComponentsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("dedupKeepersBy keeps the highest-scored doc per cluster, ties to smaller id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq(
+      (1L, 0.1), (2L, 0.9), (3L, 0.5), // cluster {1,2,3}: best is 2
+      (10L, 0.4), (11L, 0.4)           // cluster {10,11}: tie → keep 10
+    ).toDF("doc_id", "score")
+    val keepers = Components.dedupKeepersBy(pairs, docs, "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("dedupKeepers over planted minhash near-dups keeps one id per cluster") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -264,6 +264,41 @@ class IngestSpec extends SparkSpec {
       s"count ${sketch(7L)} outside [${trueCount - bound}, $trueCount]")
   }
 
+  test("one exactly-once foreachBatch maintains entity table, aggregate view, and sketch together") {
+    import graft.functions.KmvSketch
+    import graft.streaming.{IncrementalAgg, SketchMaintenance}
+    implicit val sqlCtx = spark.sqlContext
+    val checkpoint = tmpDir("combo_ckpt")
+    val entity = new KeyedParquetTable(spark, tmpDir("combo_ent"), Seq("id"))
+    val aggT = new KeyedParquetTable(spark, tmpDir("combo_agg"), Seq("v"))
+    val sketch = new KeyedParquetTable(spark, tmpDir("combo_sk"), Seq("sketch_id"))
+    val stream = MemoryStream[Cdc]
+    def drain(): Unit = {
+      val q = stream.toDF().writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          IncrementalAgg.applyCdcBatch(entity, aggT, b, "v", "seq", Seq(col("seq").desc))
+          SketchMaintenance.applyBatch(sketch, b, xxhash64(col("id")), 16)
+          ()
+        }.start()
+      q.awaitTermination(30000)
+    }
+    stream.addData(Cdc(1, "a", "u", 1), Cdc(2, "b", "u", 2), Cdc(3, "a", "u", 3))
+    drain()
+    stream.addData(Cdc(1, "b", "u", 4), Cdc(2, null, "d", 5)) // group move + delete
+    drain()
+    // entity state: 1→b, 3→a
+    assert(entity.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      === Array((1L, "b"), (3L, "a")))
+    // maintained view == from-scratch over the surviving state
+    val view = IncrementalAgg.snapshot(aggT, "seq")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(view === Map("a" -> ((1L, 3.0)), "b" -> ((1L, 4.0))))
+    // sketch saw 3 distinct entity ids (below k → exact)
+    assert(KmvSketch.estimate(SketchMaintenance.read(sketch), 16) === 3.0)
+  }
+
   test("replayOnce applies a bounded frame as a single merge") {
     val table = new KeyedParquetTable(spark, tmpDir("replay_tbl"), Seq("id"))
     table.createIfNotExists(tableSchema)
