@@ -25,23 +25,32 @@ object Bench {
     // the mean rides along for drift detection)
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = Queries.headlines.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to nRuns).map { _ =>
+      // a failed run's elapsed time is NOT a measurement — keep only
+      // successful runs, so one fast failure can't become the reported min
+      val times = (1 to nRuns).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
       name -> times
     }
+    // -1 marks a query with zero successful runs (visible, never mistaken
+    // for a fast time); failed list makes it machine-readable
     def asJson(f: Seq[Double] => Double) = results
-      .map { case (k, ts) => "\"" + k + "\":" + f(ts) }.mkString("{", ",", "}")
+      .map { case (k, ts) => "\"" + k + "\":" + (if (ts.isEmpty) -1.0 else f(ts)) }
+      .mkString("{", ",", "}")
     val qs = asJson(_.min)
     val qsMean = asJson(ts => ts.sum / ts.size)
-    val total = results.map(_._2.min).sum
+    val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
+    val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,""" +
-      s""""queries":$qs,"queries_mean":$qsMean,"sf":"$sfDir"}"""
+      s""""queries":$qs,"queries_mean":$qsMean,""" +
+      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
     // sbt frames stdout with [info]/[error] prefixes that can defeat the
     // driver's line parser — also persist the result where it's always

@@ -137,15 +137,40 @@ final class KeyedParquetTable(
         fCoalesce(col(s"__r_$k"), left(k)).as(k)) :+ col("change_type"): _*)
   }
 
-  /** Commit a new snapshot containing exactly `df`. */
-  def commit(df: DataFrame): Long = {
+  /** Commit a new snapshot containing exactly `df`. An optional `txn` id is
+    * recorded INSIDE the snapshot directory before the pointer swings, so it
+    * is atomic with the commit — the idempotent-writer primitive (Delta's
+    * txnAppId/txnVersion idea): a single writer can check [[lastTxn]] and
+    * skip a commit it already made, closing at-least-once replay windows.
+    */
+  def commit(df: DataFrame, txn: Option[String] = None): Long = {
     val next = currentVersion + 1
     Files.createDirectories(rootPath)
     val (out, parts) = withLayout(df)
     val writer = out.write.mode("overwrite")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(versionDir(next).toString)
+    txn.foreach(writeTxn(versionDir(next), _))
     swingPointer(next)
+  }
+
+  /** The txn id recorded by the commit that produced the CURRENT snapshot
+    * (None if that commit carried none). Single-writer semantics: only the
+    * latest commit's marker is retained, which is exactly what a
+    * foreachBatch maintainer needs to recognize its own replayed batch.
+    */
+  def lastTxn: Option[String] = {
+    val v = currentVersion
+    if (v < 0) None
+    else {
+      val f = versionDir(v).resolve("_txn")
+      if (Files.exists(f)) Some(Files.readString(f).trim) else None
+    }
+  }
+
+  private def writeTxn(dir: Path, txn: String): Unit = {
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("_txn"), txn)
   }
 
   /** Apply the table's physical layout (bucket column + partition spec). */
@@ -192,24 +217,26 @@ final class KeyedParquetTable(
     * property that makes CDC merges viable on a 100 TB table. Without
     * buckets the merge rewrites the full snapshot (fine for small tables).
     */
-  def merge(source: DataFrame, opCol: String = "operation"): Long = {
+  def merge(source: DataFrame, opCol: String = "operation",
+            txn: Option[String] = None): Long = {
     require(exists, s"merge target $root does not exist")
-    if (bucketCount > 0) mergeScoped(source, opCol)
-    else commit(Merge.mergeUpsert(read(), source, keys, opCol))
+    if (bucketCount > 0) mergeScoped(source, opCol, txn)
+    else commit(Merge.mergeUpsert(read(), source, keys, opCol), txn)
   }
 
   /** Bucket id expression: stable hash of the key columns. */
   private def bucketExpr: org.apache.spark.sql.Column =
     pmod(abs(xxhash64(keys.map(col): _*)), lit(bucketCount)).cast("int")
 
-  private def mergeScoped(source: DataFrame, opCol: String): Long = {
+  private def mergeScoped(source: DataFrame, opCol: String,
+                          txn: Option[String]): Long = {
     val cur = currentVersion
     val curDir = versionDir(cur)
     // flat (non-bucket-partitioned) layout from a foreign writer → full merge
     val hasFlatFiles = Files.exists(curDir) &&
       Files.list(curDir).iterator().asScala.exists(p =>
         Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-    if (hasFlatFiles) return commit(Merge.mergeUpsert(read(), source, keys, opCol))
+    if (hasFlatFiles) return commit(Merge.mergeUpsert(read(), source, keys, opCol), txn)
     val next = cur + 1
     val nextDir = versionDir(next)
     val src = source.withColumn("__bucket", bucketExpr)
@@ -240,6 +267,7 @@ final class KeyedParquetTable(
             .foreach(linkInto(curDir, nextDir, _))
         }
     }
+    txn.foreach(writeTxn(nextDir, _))
     swingPointer(next)
   }
 

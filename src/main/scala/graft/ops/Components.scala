@@ -52,10 +52,13 @@ object Components {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val lmins = sym.groupBy("u").agg(min("v").as("__nmin"))
         .select(col("u"), least(col("u"), col("__nmin")).as("m"))
+      // localCheckpoint: the round's heaviest subtree feeds BOTH small-star
+      // branches — materialize once rather than trusting exchange reuse
       val large = sym.join(lmins, "u")
         .filter(col("v") > col("u") && col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
+        .localCheckpoint(true)
       // SMALL-STAR: edges already oriented (u > v); m = min neighbor of u;
       // connect u and each of its smaller neighbors to m.
       val smins = large.groupBy("u").agg(min("v").as("m"))
@@ -101,13 +104,19 @@ object Components {
     * "keep the best copy" a curation pipeline wants when near-dups differ
     * in quality. One join to attach scores + one max_by aggregate + one
     * join back, all equi-joins on component/id.
+    *
+    * LEFT join on scores: a paired doc missing from `docs` (or with a NULL
+    * score) stays in the mapping — it can never WIN, but it must never
+    * silently escape dedup resolution either.
     */
   def dedupKeepersBy(pairs: DataFrame, docs: DataFrame, idCol: String,
                      scoreCol: String, idA: String = "id_a",
                      idB: String = "id_b"): DataFrame = {
     val comp = connectedComponents(pairs, idA, idB)
     val withScore = comp.join(
-      docs.select(col(idCol).as("id"), col(scoreCol).as("__s")), "id")
+        docs.select(col(idCol).as("id"), col(scoreCol).as("__s0")), Seq("id"), "left")
+      .withColumn("__s", coalesce(col("__s0").cast("double"),
+        lit(Double.NegativeInfinity)))
     val best = withScore.groupBy("component")
       .agg(max_by(col("id"), struct(col("__s"), -col("id"))).as("keep_id"))
     withScore.join(best, "component")

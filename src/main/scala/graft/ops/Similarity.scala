@@ -273,6 +273,9 @@ object Similarity {
           .orderBy(col("__qsim").desc, col("centroid_id").asc)))
       .filter(col("__rn") <= nProbe)
       .select(col("query_id"), col("__qvec"), col("centroid_id"))
+      // two consumers (cell collect + candidate join): materialize the
+      // |queries|·nProbe-row ranking once instead of re-running it
+      .localCheckpoint(true)
     val probedCells = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq // ≤ nCells: driver-safe
     ivfProbeScan(spark, indexDir, probedCells)

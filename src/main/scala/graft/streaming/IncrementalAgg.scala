@@ -62,11 +62,13 @@ object IncrementalAgg {
         // the filter travels to the data), then fold two batch-sized
         // frames. Assumes the batch's key spread is broadcastable, the
         // same bound the bucket-scoped merge already relies on.
+        // <=> throughout: a NULL key is a legitimate group, and === would
+        // never match its stored row (silently resetting it every batch).
         val cur = table.read()
           .select(col(key).as("__k"), col("n_rows").as("__n"), col(sumCol).as("__s"))
         val touched = cur.join(broadcast(partial.select(col(key).as("__pk"))),
-          col("__k") === col("__pk"), "left_semi")
-        partial.join(touched, col(key) === col("__k"), "left")
+          col("__k") <=> col("__pk"), "left_semi")
+        partial.join(touched, col(key) <=> col("__k"), "left")
           .select(col(key),
             (col("n_rows") + coalesce(col("__n"), lit(0L))).as("n_rows"),
             (col(sumCol) + coalesce(col("__s"), lit(BigDecimal(0)).cast("decimal(38,6)")))
@@ -96,58 +98,76 @@ object IncrementalAgg {
     */
   def applyCdcBatch(entityTable: KeyedParquetTable, aggTable: KeyedParquetTable,
                     batch: DataFrame, groupCol: String, valueCol: String,
-                    ordering: Seq[Column], opCol: String = "operation"): Unit = {
+                    ordering: Seq[Column], opCol: String = "operation",
+                    txnId: Option[String] = None): Unit = {
     val keys = entityTable.keys
     require(aggTable.keys == Seq(groupCol),
       s"aggTable must be keyed by the group column '$groupCol' (got ${aggTable.keys})")
     val sumCol = s"sum_$valueCol"
-    // merge-cardinality rule: one row per entity per batch, latest wins
+    // at-least-once replay guard: each table's merge commits the batch's
+    // txn id ATOMICALLY with its snapshot, so after a crash anywhere
+    // between the two merges the replay applies exactly the missing half —
+    // the delta is never folded twice (without a txnId, a replay between
+    // the merges WOULD double-apply; pass one from foreachBatch's batchId).
+    val aggDone = txnId.isDefined && aggTable.exists && aggTable.lastTxn == txnId
+    val entityDone = txnId.isDefined && entityTable.exists && entityTable.lastTxn == txnId
+    if (aggDone && entityDone) return
+    // merge-cardinality rule: one row per entity per batch, latest wins.
+    // localCheckpoint: four downstream actions read this — materialize the
+    // dedup window once instead of rescanning the batch source per action.
     val latest = graft.ops.Dedup.dedupLatest(batch, keys, ordering)
+      .localCheckpoint(true)
     if (latest.isEmpty) return
-    // post-images: every surviving latest row adds to its (new) group
-    val additions = latest.filter(col(opCol) =!= "d" || col(opCol).isNull)
-      .select(col(groupCol).as("__g"), lit(1L).as("__dn"),
-        guarded(col(valueCol), valueCol).as("__ds"))
-    // pre-images: touched entities' current rows retract from their old group
-    val delta0 =
-      if (entityTable.exists) {
-        val retractions = entityTable.read()
-          .join(broadcast(latest.select(keys.map(col): _*)), keys, "left_semi")
-          .select(col(groupCol).as("__g"), lit(-1L).as("__dn"),
-            (-guarded(col(valueCol), valueCol)).as("__ds"))
-        additions.unionByName(retractions)
-      } else additions
-    val delta = delta0.groupBy(col("__g"))
-      .agg(sum(col("__dn")).as("__dnet"),
-        coalesce(sum(col("__ds")), lit(BigDecimal(0)))
-          .cast("decimal(38,6)").as("__dsum"))
-    val firstUse = !aggTable.exists
-    val folded =
-      if (firstUse)
-        delta.select(col("__g").as(groupCol), col("__dnet").as("n_rows"),
-          col("__dsum").as(sumCol))
-      else {
-        val cur = aggTable.read()
-          .select(col(groupCol).as("__k"), col("n_rows").as("__n"), col(sumCol).as("__s"))
-        val touched = cur.join(broadcast(delta.select(col("__g").as("__pk"))),
-          col("__k") === col("__pk"), "left_semi")
-        delta.join(touched, col("__g") === col("__k"), "left")
-          .select(col("__g").as(groupCol),
-            (col("__dnet") + coalesce(col("__n"), lit(0L))).as("n_rows"),
-            (col("__dsum") + coalesce(col("__s"), zeroDec))
-              .cast("decimal(38,6)").as(sumCol))
-      }
-    aggTable.createIfNotExists(
-      org.apache.spark.sql.types.StructType(folded.schema.fields))
-    aggTable.merge(folded.withColumn("operation",
-      when(col("n_rows") < 0,
-        raise_error(lit("IncrementalAgg: negative group count — changelog replayed or mis-ordered")))
-        .when(col("n_rows") === 0, lit("d"))
-        .otherwise(lit("u"))))
+    if (!aggDone) {
+      // post-images: every surviving latest row adds to its (new) group
+      val additions = latest.filter(col(opCol) =!= "d" || col(opCol).isNull)
+        .select(col(groupCol).as("__g"), lit(1L).as("__dn"),
+          guarded(col(valueCol), valueCol).as("__ds"))
+      // pre-images: touched entities' current rows retract from their old group
+      val delta0 =
+        if (entityTable.exists) {
+          val retractions = entityTable.read()
+            .join(broadcast(latest.select(keys.map(col): _*)), keys, "left_semi")
+            .select(col(groupCol).as("__g"), lit(-1L).as("__dn"),
+              (-guarded(col(valueCol), valueCol)).as("__ds"))
+          additions.unionByName(retractions)
+        } else additions
+      val delta = delta0.groupBy(col("__g"))
+        .agg(sum(col("__dn")).as("__dnet"),
+          coalesce(sum(col("__ds")), lit(BigDecimal(0)))
+            .cast("decimal(38,6)").as("__dsum"))
+      val firstUse = !aggTable.exists
+      val folded =
+        if (firstUse)
+          delta.select(col("__g").as(groupCol), col("__dnet").as("n_rows"),
+            col("__dsum").as(sumCol))
+        else {
+          // <=> throughout: a NULL group is a legitimate group, and ===
+          // would never match its stored row (silently resetting it)
+          val cur = aggTable.read()
+            .select(col(groupCol).as("__k"), col("n_rows").as("__n"), col(sumCol).as("__s"))
+          val touched = cur.join(broadcast(delta.select(col("__g").as("__pk"))),
+            col("__k") <=> col("__pk"), "left_semi")
+          delta.join(touched, col("__g") <=> col("__k"), "left")
+            .select(col("__g").as(groupCol),
+              (col("__dnet") + coalesce(col("__n"), lit(0L))).as("n_rows"),
+              (col("__dsum") + coalesce(col("__s"), zeroDec))
+                .cast("decimal(38,6)").as(sumCol))
+        }
+      aggTable.createIfNotExists(
+        org.apache.spark.sql.types.StructType(folded.schema.fields))
+      aggTable.merge(folded.withColumn("operation",
+        when(col("n_rows") < 0,
+          raise_error(lit("IncrementalAgg: negative group count — changelog replayed or mis-ordered")))
+          .when(col("n_rows") === 0, lit("d"))
+          .otherwise(lit("u"))), txn = txnId)
+    }
     // advance the entity state only AFTER the delta read its pre-images
-    entityTable.createIfNotExists(
-      org.apache.spark.sql.types.StructType(latest.drop(opCol).schema.fields))
-    entityTable.merge(latest, opCol)
+    if (!entityDone) {
+      entityTable.createIfNotExists(
+        org.apache.spark.sql.types.StructType(latest.drop(opCol).schema.fields))
+      entityTable.merge(latest, opCol, txnId)
+    }
   }
 
   /** Read the maintained aggregate with the sum surfaced as double. */

@@ -82,7 +82,14 @@ object SketchMaintenance {
     require(table.keys == Seq("sketch_id"),
       s"sketch table must be keyed by sketch_id (got ${table.keys})")
     val hh = new HeavyHitters(k)
-    val partial = batch.select(keyCol.cast("long").as("__k"))
+    // NULL keys carry no key and are skipped (documented); a NON-null key
+    // that casts to NULL (non-numeric) would silently vanish — raise.
+    val asLong = keyCol.cast("long")
+    val guarded = when(keyCol.isNotNull && asLong.isNull,
+      raise_error(lit("SketchMaintenance: heavy-hitters key does not cast to long")))
+      .otherwise(asLong)
+    val partial = batch.select(guarded.as("__k"))
+      .filter(col("__k").isNotNull)
       .agg(hh.column(col("__k")).as("sketch"))
       .head().getAs[scala.collection.Map[Long, Long]](0)
     if (partial == null || partial.isEmpty) return // empty batch

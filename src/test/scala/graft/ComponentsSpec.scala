@@ -82,6 +82,12 @@ class ComponentsSpec extends SparkSpec {
     val keepers = Components.dedupKeepersBy(pairs, docs, "doc_id", "score")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(keepers === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L))
+    // a paired doc MISSING from the score frame must stay mapped (it can
+    // never win, but it must never silently escape dedup resolution)
+    val keepers2 = Components.dedupKeepersBy(pairs,
+        docs.filter(col("doc_id") =!= 3L), "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers2(3L) === 2L && keepers2.keySet === keepers.keySet)
   }
 
   test("dedupKeepers over planted minhash near-dups keeps one id per cluster") {

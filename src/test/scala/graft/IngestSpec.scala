@@ -299,6 +299,66 @@ class IngestSpec extends SparkSpec {
     assert(KmvSketch.estimate(SketchMaintenance.read(sketch), 16) === 3.0)
   }
 
+  test("maintained aggregates accumulate NULL keys/groups across batches (null-safe fold)") {
+    import graft.streaming.IncrementalAgg
+    // applyBatch: NULL key is a legitimate group and must accumulate
+    val t1 = new KeyedParquetTable(spark, tmpDir("null_key_agg"), Seq("k"))
+    IncrementalAgg.applyBatch(t1,
+      Seq((Option.empty[Long], 5.0), (Some(1L), 2.0)).toDF("k", "v"), "k", "v")
+    IncrementalAgg.applyBatch(t1,
+      Seq((Option.empty[Long], 7.0)).toDF("k", "v"), "k", "v")
+    val nullRow = IncrementalAgg.snapshot(t1, "v")
+      .filter(col("k").isNull).head()
+    assert(nullRow.getLong(1) === 2L && nullRow.getDouble(2) === 12.0)
+    // applyCdcBatch: NULL group accumulates and retracts correctly too
+    val entity = new KeyedParquetTable(spark, tmpDir("null_grp_ent"), Seq("id"))
+    val aggT = new KeyedParquetTable(spark, tmpDir("null_grp_agg"), Seq("grp"))
+    def fold(rows: Seq[(Long, Option[String], Option[Double], String, Long)]): Unit =
+      IncrementalAgg.applyCdcBatch(entity, aggT,
+        rows.toDF("id", "grp", "v", "operation", "seq"),
+        "grp", "v", Seq(col("seq").desc))
+    fold(Seq((1L, None, Some(5.0), "u", 1L)))
+    fold(Seq((2L, None, Some(7.0), "u", 2L)))
+    val g = IncrementalAgg.snapshot(aggT, "v").filter(col("grp").isNull).head()
+    assert(g.getLong(1) === 2L && g.getDouble(2) === 12.0)
+  }
+
+  test("applyCdcBatch txn guard: replaying a recorded txn id is a wholesale no-op") {
+    import graft.streaming.IncrementalAgg
+    val entity = new KeyedParquetTable(spark, tmpDir("txn_ent"), Seq("id"))
+    val aggT = new KeyedParquetTable(spark, tmpDir("txn_agg"), Seq("grp"))
+    def fold(rows: Seq[(Long, String, Double, String, Long)], txn: String): Unit =
+      IncrementalAgg.applyCdcBatch(entity, aggT,
+        rows.toDF("id", "grp", "v", "operation", "seq"),
+        "grp", "v", Seq(col("seq").desc), txnId = Some(txn))
+    fold(Seq((1L, "a", 10.0, "u", 1L), (2L, "b", 20.0, "u", 2L)), "b0")
+    val view1 = IncrementalAgg.snapshot(aggT, "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // redelivered batch (same txn, even different content) must change nothing
+    fold(Seq((1L, "a", 999.0, "u", 9L)), "b0")
+    val view2 = IncrementalAgg.snapshot(aggT, "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(view2 === view1)
+    assert(entity.read().count() === 2L)
+    // the NEXT txn applies normally
+    fold(Seq((1L, "a", 15.0, "u", 3L)), "b1")
+    val view3 = IncrementalAgg.snapshot(aggT, "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(view3 === Map("a" -> ((1L, 15.0)), "b" -> ((1L, 20.0))))
+  }
+
+  test("heavy-hitters maintenance skips NULL keys, raises on non-castable keys") {
+    import graft.streaming.SketchMaintenance
+    val table = new KeyedParquetTable(spark, tmpDir("hh_null"), Seq("sketch_id"))
+    SketchMaintenance.applyHeavyHittersBatch(table,
+      Seq(Some(1L), None, Some(1L)).toDF("v"), col("v"), 4)
+    assert(SketchMaintenance.readHeavyHitters(table) === Map(1L -> 2L))
+    val bad = Seq("not-a-number").toDF("v")
+    intercept[Exception] {
+      SketchMaintenance.applyHeavyHittersBatch(table, bad, col("v"), 4)
+    }
+  }
+
   test("replayOnce applies a bounded frame as a single merge") {
     val table = new KeyedParquetTable(spark, tmpDir("replay_tbl"), Seq("id"))
     table.createIfNotExists(tableSchema)

@@ -110,6 +110,22 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(changes === Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
   }
 
+  test("merge records an optional txn id atomically with the snapshot (both paths)") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_txn"), Seq("id"))
+    t.createIfNotExists(schema)
+    assert(t.lastTxn === None)
+    t.merge(Seq((1L, "a", "u")).toDF("id", "v", "operation"), "operation", Some("batch-1"))
+    assert(t.lastTxn === Some("batch-1"))
+    t.merge(Seq((2L, "b", "u")).toDF("id", "v", "operation")) // no txn
+    assert(t.lastTxn === None) // only the LATEST commit's marker counts
+    // bucket-scoped merge path records it too
+    val tb = new KeyedParquetTable(spark, tmpDir("kpt_txn_b"), Seq("id"), Nil, 4)
+    tb.createIfNotExists(schema)
+    tb.merge(Seq((1L, "a", "u")).toDF("id", "v", "operation"), "operation", Some("x7"))
+    assert(tb.lastTxn === Some("x7"))
+    assert(tb.read().count() === 1L) // _txn marker never read as data
+  }
+
   test("append unions rows as a new snapshot") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_app"), Seq("id"))
     t.append(Seq((1L, "x")).toDF("id", "v"))
