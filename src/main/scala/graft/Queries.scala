@@ -198,7 +198,7 @@ object Queries {
         Sampling.stratifiedExact(t("documents"), "source", "doc_id", 0.2)
           .groupBy("source").agg(count(lit(1)).as("n_sampled"))
       },
-      Some("""SELECT source, CAST(CEIL(COUNT(*) * 0.2) AS BIGINT) AS n_sampled
+      Some("""SELECT source, CAST(CEIL(ROUND(COUNT(*) * 0.2, 9)) AS BIGINT) AS n_sampled
              |FROM documents GROUP BY source""".stripMargin)),
 
     // Heavy-hitter detection, two-pass: a bounded Misra–Gries sketch (one
@@ -1854,8 +1854,11 @@ object Queries {
           Seq("n_nationkey", "n_name", "n_regionkey"))
       },
       Some("""SELECT MD5(STRING_AGG(fp, ',' ORDER BY fp)) AS checksum
-             |FROM (SELECT CONCAT_WS('#', CAST(n_nationkey AS VARCHAR), n_name,
-             |             CAST(n_regionkey AS VARCHAR)) AS fp FROM nation) t""".stripMargin)),
+             |FROM (SELECT CONCAT_WS('#',
+             |  CASE WHEN n_nationkey IS NULL THEN 'N' ELSE CAST(length(CAST(n_nationkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(n_nationkey AS VARCHAR) END,
+             |  CASE WHEN n_name IS NULL THEN 'N' ELSE CAST(length(n_name) AS VARCHAR) || ':' || n_name END,
+             |  CASE WHEN n_regionkey IS NULL THEN 'N' ELSE CAST(length(CAST(n_regionkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(n_regionkey AS VARCHAR) END
+             |  ) AS fp FROM nation) t""".stripMargin)),
 
     // Bucketed co-located join — the shuffle-ELIMINATION layout for repeated
     // large-to-large joins: both sides written bucketBy(8, join key), so the

@@ -42,19 +42,26 @@ object AsofJoin {
     val rPayload = struct(payloadCols.map(col).toIndexedSeq: _*)
     val rPayloadSchema = org.apache.spark.sql.types.StructType(
       right.schema.fields.filter(f => payloadCols.contains(f.name)))
+    // tiebreak keeps its NATIVE type (a cast-to-long would turn e.g. string
+    // event ids into all-NULL and silently break the documented total order)
+    val tbType = rightTiebreak.map(c => right.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType)
 
     val lTagged = left.select(
       keys.map(col) ++ Seq(
         col(leftTs).as("__ts"), lit(1).as("__tag"),
         struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
         lit(null).cast(rPayloadSchema).as("__r"),
-        lit(null).cast("long").as("__tb")): _*)
-    val rTagged = right.select(
+        lit(null).cast(tbType).as("__tb")): _*)
+    // a right row with a NULL timestamp can never satisfy ts <= left.ts —
+    // drop it up front (nulls-first ordering would otherwise carry its
+    // payload into every left row's window)
+    val rTagged = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"), lit(0).as("__tag"),
         lit(null).cast(lSchema).as("__l"),
         rPayload.as("__r"),
-        rightTiebreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("__tb")): _*)
+        rightTiebreak.map(col).getOrElse(lit(0L)).as("__tb")): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__tag").asc, col("__tb").asc_nulls_last)

@@ -26,7 +26,10 @@ object Prefilter {
     val pruned = big.crossJoin(broadcast(bloom))
       .filter(BloomFilter.mightContain(col("__bloom"), col(bigKey), numBits, k))
       .drop("__bloom")
-    pruned.join(small.select(col(smallKey).as("__sk")).distinct(),
+    // no distinct on the small side: semi-join semantics already dedup, and
+    // the hash build collapses duplicates — a distinct would only add an
+    // extra exchange+aggregate over the small side
+    pruned.join(small.select(col(smallKey).as("__sk")),
       col(bigKey) === col("__sk"), "left_semi")
   }
 }

@@ -37,8 +37,12 @@ object Ranks {
     val v = value.cast("double")
     // pass 1: boundary sample, frozen into the plan as literals
     val probs = (1 until buckets).map(_.toDouble / buckets)
-    val sampled = df.select(percentile_approx(v, typedLit(probs), lit(10000))
-      .as("__b")).head().getSeq[Double](0)
+    val sampledRow = df.select(percentile_approx(v, typedLit(probs), lit(10000))
+      .as("__b")).head()
+    // empty frame / all-null values → percentile_approx yields NULL: no
+    // boundaries, everything lands in bucket 0 (and ranks over zero rows)
+    val sampled =
+      if (sampledRow.isNullAt(0)) Seq.empty[Double] else sampledRow.getSeq[Double](0)
     val boundaries = sampled.distinct.sorted
     val bucket: Column =
       if (boundaries.isEmpty) lit(0)

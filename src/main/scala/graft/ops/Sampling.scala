@@ -26,8 +26,11 @@ object Sampling {
     require(fraction > 0.0 && fraction <= 1.0, s"fraction in (0,1], got $fraction")
     val part = Window.partitionBy(strataCol)
     val w = part.orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+    // round before ceil: the double product N·f can land one ulp ABOVE an
+    // integral value (100·0.07 = 7.000000000000001), and a bare ceil would
+    // then overshoot the documented exact quota by one
     df.withColumn("__rn", row_number().over(w).cast("long"))
-      .withColumn("__quota", ceil(count(lit(1)).over(part) * lit(fraction)))
+      .withColumn("__quota", ceil(round(count(lit(1)).over(part) * lit(fraction), 9)))
       .filter(col("__rn") <= col("__quota"))
       .drop("__rn", "__quota")
   }

@@ -26,6 +26,24 @@ object Validation {
       valid: Boolean,
       details: Map[String, String])
 
+  /** Unambiguous per-value encoding for row fingerprints: NULL gets its own
+    * marker distinct from '', every value is length-prefixed so a separator
+    * character inside a value cannot shift field boundaries (('a#','b') vs
+    * ('a','#b') must fingerprint differently — corruption that swaps them
+    * must NOT pass validation). Same scheme as
+    * [[graft.cdc.KeyedParquetTable.changesBetween]].
+    */
+  private def enc(c: Column): Column = {
+    val s = c.cast("string")
+    when(c.isNull, lit("N")).otherwise(concat(length(s).cast("string"), lit(":"), s))
+  }
+
+  /** SQL-text form of [[enc]] (for Observation metrics, which take exprs). */
+  private def encSql(c: String): String = {
+    val q = "`" + c.replace("`", "``") + "`"
+    s"CASE WHEN $q IS NULL THEN 'N' ELSE CONCAT(CAST(LENGTH(CAST($q AS STRING)) AS STRING), ':', CAST($q AS STRING)) END"
+  }
+
   // --- V0: in-flight observation ---------------------------------------------
 
   /** Attach zero-extra-pass statistics to a frame via Spark's Observation
@@ -42,8 +60,11 @@ object Validation {
                     columns: Seq[String]): (org.apache.spark.sql.Observation, DataFrame) = {
     val obs = org.apache.spark.sql.Observation()
     val fpSql = "xxhash64(concat_ws('#', " +
-      columns.map(c => s"coalesce(cast(`$c` as string), '')").mkString(", ") + "))"
-    val nullKey = keys.map(k => col(k).isNull).reduce(_ || _)
+      columns.map(encSql).mkString(", ") + "))"
+    // empty keys: a plausible count+checksum-only call, not an error
+    val nullKey =
+      if (keys.isEmpty) lit(false)
+      else keys.map(k => col(k).isNull).reduce(_ || _)
     val observed = df.observe(obs,
       count(lit(1)).as("row_count"),
       sum(when(nullKey, 1L).otherwise(0L)).as("null_keys"),
@@ -73,8 +94,7 @@ object Validation {
     * no driver materialization — valid at any scale.
     */
   def tableChecksum(df: DataFrame, columns: Seq[String]): (Long, Long, Long) = {
-    val fp = xxhash64(concat_ws("#",
-      columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+    val fp = xxhash64(concat_ws("#", columns.map(c => enc(col(c))): _*))
     val row = df.select(fp.as("h"), xxhash64(fp, lit(1)).as("h2"))
       .agg(expr("bit_xor(h)").as("x"), expr("bit_xor(h2)").as("x2"),
         count(lit(1)).as("n"))
@@ -107,8 +127,7 @@ object Validation {
     require(n <= maxRows,
       s"orderedMd5Checksum is single-task small-table mode: $n rows exceeds " +
         s"limit $maxRows; use tableChecksum / q_global_checksum at scale")
-    val fp = concat_ws("#",
-      columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    val fp = concat_ws("#", columns.map(c => enc(col(c))): _*)
     df.select(fp.as("fp"))
       .agg(md5(concat_ws(",", sort_array(collect_list(col("fp"))))).as("checksum"))
   }
@@ -156,13 +175,21 @@ object Validation {
       .join(sink.select((keys.map(col) :+ col(sinkTs).as("__sink_ts")): _*), keys)
       .withColumn("__lag",
         col("__sink_ts").cast("double") - col("__src_ts").cast("double"))
+    // avg over NON-NULL lags only: SUM/COUNT(*) would divide by rows whose
+    // timestamps failed the cast, biasing the average low (a false pass)
     val row = joined.agg(
-      expr("CAST(SUM(__lag) AS DOUBLE) / COUNT(*)").as("avg"),
-      min("__lag").as("min"), max("__lag").as("max"), count(lit(1)).as("n")).head()
+      avg(col("__lag")).as("avg"),
+      min("__lag").as("min"), max("__lag").as("max"),
+      count(lit(1)).as("n"), count(col("__lag")).as("n_lag")).head()
     val n = row.getLong(3)
-    val avg = if (n == 0) 0.0 else row.getDouble(0)
-    CheckResult("combined_lag", avg <= maxAvgLagSec,
-      Map("avg_lag_sec" -> avg.toString, "n_matched" -> n.toString))
+    val nLag = row.getLong(4)
+    val avgLag = if (nLag == 0) 0.0 else row.getDouble(0)
+    // matched rows whose lag is uncomputable (null/uncastable ts) mean the
+    // check cannot actually verify freshness — that is a failure, not a pass
+    val valid = if (n == 0) true else nLag == n && avgLag <= maxAvgLagSec
+    CheckResult("combined_lag", valid,
+      Map("avg_lag_sec" -> avgLag.toString, "n_matched" -> n.toString,
+        "n_null_lag" -> (n - nLag).toString))
   }
 
   // --- V7: table health ------------------------------------------------------
@@ -187,7 +214,8 @@ object Validation {
         .agg(count(lit(1)).as("cnt"))
         .agg(min("cnt").as("mn"), max("cnt").as("mx"),
           expr("CAST(SUM(cnt) AS DOUBLE)/COUNT(*)").as("av")).head()
-      if (counts.getDouble(2) > 0) {
+      // an empty table aggregates to one all-null row — healthy, not an NPE
+      if (!counts.isNullAt(2) && counts.getDouble(2) > 0) {
         skew = counts.getLong(1).toDouble / math.max(counts.getDouble(2), 1.0)
         if (skew > 10) score -= 15
       }

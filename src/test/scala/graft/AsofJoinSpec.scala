@@ -58,6 +58,21 @@ class AsofJoinSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("null right timestamps never match; string tiebreaks keep native order") {
+    // the null-ts right row would sort nulls-first and leak its payload
+    // into every window without the filter
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    val right = Seq((1L, Option.empty[Long], 9), (1L, Option(50L), 1)).toDF("k", "ts", "v")
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "ts", "ts").head()
+    assert(out.getInt(2) === 1)
+    // string tiebreak: greatest STRING wins at equal ts (a cast-to-long
+    // would null it out and leave the winner arbitrary)
+    val r2 = Seq((1L, 50L, "a"), (1L, 50L, "b")).toDF("k", "ts", "tag")
+    val got = AsofJoin.asofBackward(left, r2, Seq("k"), "ts", "ts",
+      rightTiebreak = Some("tag"))
+    assert(got.head().getString(2) === "b")
+  }
+
   test("agrees with the naive join+argmax formulation on real events data") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val p = ev.filter(col("event_type") === "purchase")

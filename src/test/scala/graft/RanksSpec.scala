@@ -69,6 +69,12 @@ class RanksSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"single-task stage in:\n$plan")
   }
 
+  test("empty input ranks to an empty frame with total 0 (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("v", "id")
+    val (ranked, n) = Ranks.globalRank(empty, col("v"), Seq(col("id")), "rn")
+    assert(n === 0L && ranked.count() === 0L)
+  }
+
   test("degenerate inputs: constant values and tiny N") {
     val tiny = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0)).toDF("id", "price")
     val (ranked, n) = Ranks.globalRank(tiny, col("price"), Seq(col("id")), "rn", buckets = 8)

@@ -40,6 +40,12 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.stratifiedExact(df, "stratum", "id", 1.0).count() === 3L)
   }
 
+  test("quota stays exact when N·fraction lands one ulp above an integer") {
+    // 100 * 0.07 = 7.000000000000001 in IEEE double: quota must be 7, not 8
+    val df = (1L to 100L).map(i => (0L, i)).toDF("stratum", "id")
+    assert(Sampling.stratifiedExact(df, "stratum", "id", 0.07).count() === 7L)
+  }
+
   test("deterministicByKey membership is a pure function of the id") {
     val df = fixture
     val kept = df.filter(Sampling.deterministicByKey(df, "id", 100L, 25L))

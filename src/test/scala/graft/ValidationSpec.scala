@@ -89,6 +89,42 @@ class ValidationSpec extends SparkSpec {
     assert(m("checksum") === x && m("checksum2") === x2 && n === 4L)
   }
 
+  test("checksum distinguishes NULL from '' and shifted separators") {
+    // corruption that swaps ('a#','b')→('a','#b') or ''→NULL must FAIL
+    val a = Seq((1L, Some("a#"), "b"), (2L, Some(""), "x")).toDF("id", "c1", "c2")
+    val b = Seq((1L, Some("a"), "#b"), (2L, Option.empty[String], "x")).toDF("id", "c1", "c2")
+    assert(!Validation.checksum(a, b, Seq("c1", "c2")).valid)
+    assert(Validation.checksum(a, a.orderBy(col("id").desc), Seq("c1", "c2")).valid)
+  }
+
+  test("combined lag: uncomputable lags fail the check instead of biasing the average") {
+    val source = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "ts")
+    // all sink timestamps null: no NPE, and the check cannot pass
+    val allNull = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double])).toDF("id", "ts")
+    val r1 = Validation.combinedLag(source, allNull, Seq("id"), "ts", "ts")
+    assert(!r1.valid)
+    // half null: the null row must not shrink the denominator silently
+    val half = Seq((1L, Option(20.0)), (2L, Option.empty[Double])).toDF("id", "ts")
+    val r2 = Validation.combinedLag(source, half, Seq("id"), "ts", "ts")
+    assert(!r2.valid && r2.details("n_null_lag") === "1")
+  }
+
+  test("table health handles an empty partitioned table (no NPE)") {
+    import org.apache.spark.sql.types._
+    val t = new KeyedParquetTable(spark, tmpDir("health_empty"), Seq("id"))
+    t.createIfNotExists(StructType(Seq(
+      StructField("id", LongType), StructField("day", StringType))))
+    assert(Validation.tableHealth(t, Seq("day")).valid)
+  }
+
+  test("observedStats with empty keys returns count+checksum (no reduce error)") {
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val (obs, frame) = Validation.observedStats(df, Nil, Seq("id", "v"))
+    frame.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("row_count") === 1L && m("null_keys") === 0L)
+  }
+
   test("orderedMd5Checksum fails fast above its single-task row limit") {
     val df = spark.range(100).select(col("id"))
     // under the limit: computes (and matches a recompute — deterministic)
