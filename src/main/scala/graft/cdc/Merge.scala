@@ -61,5 +61,8 @@ object Merge {
                      ordering: Seq[org.apache.spark.sql.Column],
                      opCol: String = "operation"): DataFrame =
     graft.ops.Dedup.dedupLatest(cdc, keys, ordering)
-      .filter(col(opCol) =!= "d")
+      // isNull branch: a NULL operation is an upsert (mergeUpsert keeps it),
+      // and a bare =!= would three-value it away — breaking the documented
+      // equivalence with batch-by-batch replay
+      .filter(col(opCol) =!= "d" || col(opCol).isNull)
 }

@@ -41,14 +41,22 @@ case class FloatDotProduct(left: Expression, right: Expression)
     case _ => false
   }
 
+  // NULL result on length mismatch or a NULL element — exactly the HOF
+  // semantics (zip_with pads the shorter side with nulls, a null product
+  // poisons the aggregate), so the two formulations stay interchangeable
+  // on edge cases, not just on the happy path. Hence always nullable.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (lf, rf) = (isFloat(left), isFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -65,12 +73,17 @@ case class FloatDotProduct(left: Expression, right: Expression)
       def get(v: String, fl: Boolean) =
         if (fl) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(a, isFloat(left))} * ${get(b, isFloat(right))};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${get(a, isFloat(left))} * ${get(b, isFloat(right))};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -52,15 +52,20 @@ private[functions] object MinHashKernel {
     out
   }
 
-  /** k-perm MinHash signature over the shingle hashes. */
+  /** k-perm MinHash signature over the shingle hashes. Perm-hash p of
+    * shingle h is EXACTLY Spark's `xxhash64(h, p)` — hashInt(p, hashLong(h,
+    * 42)) — so the HOF reference formulation is bit-identical and an index
+    * built with one can be probed with the other. (Also cheaper: the
+    * expensive hashLong happens once per shingle, not once per perm.)
+    */
   def signature(sh: Array[Long], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < sh.length) {
-      val h = sh(i)
+      val base = XXH64.hashLong(sh(i), Seed)
       var p = 0
       while (p < k) {
-        val v = XXH64.hashLong(h, p.toLong)
+        val v = XXH64.hashInt(p, base)
         if (v < sig(p)) sig(p) = v
         p += 1
       }
@@ -93,16 +98,19 @@ private[functions] object MinHashKernel {
     fp
   }
 
-  /** Banded LSH hashes of a signature. */
+  /** Banded LSH hashes of a signature. Band b's hash is EXACTLY Spark's
+    * `xxhash64(slice(sig, …), b)` — fold the band's longs from seed 42,
+    * then hashInt(b) — keeping the HOF reference formulation bit-identical.
+    */
   def bandHashes(sig: Array[Long], bands: Int): Array[Long] = {
     val rpb = sig.length / bands
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
-      var h = b.toLong
+      var h = Seed
       var j = 0
       while (j < rpb) { h = XXH64.hashLong(sig(b * rpb + j), h); j += 1 }
-      out(b) = h
+      out(b) = XXH64.hashInt(b, h)
       b += 1
     }
     out

@@ -25,23 +25,25 @@ object FuzzyDedup {
     docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** n-token shingles of a document (string form — exact-verify side). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    val starts = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
-    transform(starts, i => concat_ws(" ", slice(toks, i, lit(n))))
-  }
+  /** n-token shingles of a document (string form — exact-verify side).
+    * Delegates to [[TextOps.shingles]]: ONE guarded implementation (empty
+    * array below n tokens — a bare `sequence(1, 0)` descends to [1, 0] and
+    * `slice(toks, 0, n)` then throws, killing the stage on any short doc).
+    */
+  def shingles(text: Column, n: Int): Column = TextOps.shingles(text, n)
 
   /** 64-bit hash per n-token shingle, with each TOKEN string hashed exactly
     * once: token → xxhash64 long, shingle hash = xxhash64 over the n-long
     * slice. Hashing strings repeatedly is the cost center of MinHash (k
     * perm-hashes per shingle string made the naive form ~10× slower at
-    * sf0.1); downstream everything operates on longs.
+    * sf0.1); downstream everything operates on longs. Guarded: empty array
+    * below n tokens (same short-doc trap as [[shingles]]).
     */
   def shingleHashes(text: Column, n: Int): Column = {
     val toksH = transform(split(text, " "), t => xxhash64(t))
-    val starts = sequence(lit(1), greatest(size(toksH) - (n - 1), lit(0)))
-    transform(starts, i => xxhash64(slice(toksH, i, lit(n))))
+    when(size(toksH) < n, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), size(toksH) - (n - 1)),
+        i => xxhash64(slice(toksH, i, lit(n)))))
   }
 
   /** MinHash signature (k values, h_p(s) = xxhash64(sh, p) over the 64-bit
@@ -83,7 +85,12 @@ object FuzzyDedup {
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 32, bands: Int = 8, shingle: Int = 3): DataFrame = {
-    val banded = docs.select(col(idCol),
+    // docs below the shingle width have NO shingles: their signature is the
+    // degenerate all-MaxValue vector, which would bucket every short doc of
+    // the corpus together (a hot bucket with quadratic fan-out) only for the
+    // verify step to null their Jaccard out anyway — drop them up front
+    val eligible = docs.filter(size(split(col(textCol), " ")) >= shingle)
+    val banded = eligible.select(col(idCol),
       posexplode(call_function("minhash_bands", col(textCol),
         lit(numHashes), lit(bands), lit(shingle)))
         .as(Seq("band_id", "band_hash")))
@@ -157,6 +164,10 @@ object FuzzyDedup {
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
+    // pigeonhole bound: 4 quarters guarantee a shared quarter only for
+    // distance ≤ 3 — a larger maxHamming would silently miss pairs
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-quarter bucketing guarantees recall only for maxHamming ≤ 3, got $maxHamming")
     val withSim = docs.select(col(idCol), simhash(textCol).as("sim"))
     val banded = withSim.select(col(idCol), col("sim"), posexplode(
       array((0 until 4).map(q =>

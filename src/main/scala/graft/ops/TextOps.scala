@@ -119,11 +119,8 @@ object TextOps {
     * classic "rolling hash document fingerprint" — downstream ops take
     * `array_min` (winnowing-lite) or feed MinHash.
     */
-  def shingleHashes(text: Column, n: Int = 3): Column = {
-    val toks = split(text, " ")
-    val starts = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
-    transform(starts, i => xxhash64(concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(shingles(text, n), g => xxhash64(g))
 
   /** Winnowed fingerprint: min shingle hash (deterministic, order-free). */
   def winnowFingerprint(text: Column, n: Int = 3): Column =

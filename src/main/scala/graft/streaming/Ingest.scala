@@ -45,18 +45,25 @@ object Ingest {
     */
   def start(parsed: DataFrame, table: KeyedParquetTable, ordering: Seq[Column],
             checkpointDir: String, lineage: Option[KeyedParquetTable] = None,
-            triggerMs: Long = 1000L, opCol: String = "operation"): StreamingQuery = {
-    val spark = parsed.sparkSession
-    import spark.implicits._
+            triggerMs: Long = 1000L, opCol: String = "operation"): StreamingQuery =
+    run(parsed, table, ordering, checkpointDir, lineage, opCol,
+      Trigger.ProcessingTime(triggerMs))
+
+  /** Shared checkpoint/foreachBatch wiring for [[start]] and
+    * [[drainAvailable]] — one place to evolve query naming/error handling.
+    */
+  private def run(parsed: DataFrame, table: KeyedParquetTable,
+                  ordering: Seq[Column], checkpointDir: String,
+                  lineage: Option[KeyedParquetTable], opCol: String,
+                  trigger: Trigger): StreamingQuery =
     parsed.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime(triggerMs))
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, table, ordering, lineage, opCol)
         ()
       }
       .start()
-  }
 
   /** Apply ONE micro-batch idempotently: skip if the lineage table already
     * records `batchId` (covers the crash window between merge-commit and
@@ -78,7 +85,11 @@ object Ingest {
       l.exists && l.read().filter(col("batch_id") === batchId).limit(1).count() > 0)
     if (applied) false
     else {
+      // localCheckpoint: the count, the merge's bucket discovery, and the
+      // merge write would otherwise each re-run the dedup window (3× the
+      // batch shuffle on the hot ingest path)
       val deduped = Dedup.dedupLatest(batch, table.keys, ordering)
+        .localCheckpoint(true)
       val n = deduped.count()
       if (n > 0) table.merge(deduped, opCol)
       lineage.foreach { l =>
@@ -101,18 +112,9 @@ object Ingest {
   def drainAvailable(parsed: DataFrame, table: KeyedParquetTable,
                      ordering: Seq[Column], checkpointDir: String,
                      lineage: Option[KeyedParquetTable] = None,
-                     opCol: String = "operation"): StreamingQuery = {
-    val spark = parsed.sparkSession
-    import spark.implicits._
-    parsed.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, table, ordering, lineage, opCol)
-        ()
-      }
-      .start()
-  }
+                     opCol: String = "operation"): StreamingQuery =
+    run(parsed, table, ordering, checkpointDir, lineage, opCol,
+      Trigger.AvailableNow())
 
   /** Batch-mode replay twin: apply a bounded CDC frame as one merge —
     * used for backfill and for the reference's batch path.
@@ -225,9 +227,12 @@ object Ingest {
                    watermarkDelay: String = "1 minute"): DataFrame = {
     val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
     val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    // symmetric interval, as documented: |r.ts − l.ts| ≤ within — a right
+    // event slightly BEFORE its left counterpart (clock skew) still matches.
+    // Both bounds reference both sides, so state stays watermark-bounded.
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
-        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $withinSeconds SECONDS") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $withinSeconds SECONDS"))
   }
 

@@ -68,6 +68,43 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("short and empty documents survive the whole near-dup pipeline (no crash, no spurious pairs)") {
+    // a 0/1/2-token doc used to make sequence(1,0) descend and
+    // slice(toks, 0, n) throw, killing the stage
+    val withShort = docs.unionAll(Seq(
+      (10L, ""), (11L, "one"), (12L, "one two")).toDF("doc_id", "text"))
+    val pairs = FuzzyDedup.nearDupPairs(withShort, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(p => p._1 >= 10L || p._2 >= 10L))
+    assert(pairs.nonEmpty) // the planted long-doc dups still pair
+    // HOF forms are guarded too
+    val sig = withShort.select(FuzzyDedup.minhashSignature(col("text")))
+    assert(sig.count() === 8L)
+    assert(withShort.select(TextOps.winnowFingerprint(col("text"))).count() === 8L)
+  }
+
+  test("HOF minhash signature and band hashes are bit-identical to the native kernels") {
+    // an index persisted with one formulation MUST be probeable with the other
+    val longDocs = docs.filter(col("doc_id") <= 3L)
+    val sigDiff = longDocs.select(
+        FuzzyDedup.minhashSignature(col("text"), 32, 3).as("hof"),
+        call_function("minhash_signature", col("text"), lit(32), lit(3)).as("ker"))
+      .filter(col("hof") =!= col("ker")).count()
+    assert(sigDiff === 0L)
+    val bandDiff = longDocs.select(
+        FuzzyDedup.bandHashes(col("text"), 32, 8, 3).as("hof"),
+        call_function("minhash_bands", col("text"), lit(32), lit(8), lit(3)).as("ker"))
+      .filter(col("hof") =!= col("ker")).count()
+    assert(bandDiff === 0L)
+  }
+
+  test("simhashNearDups refuses maxHamming beyond the pigeonhole guarantee") {
+    val e = intercept[IllegalArgumentException] {
+      FuzzyDedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 4)
+    }
+    assert(e.getMessage.contains("maxHamming"))
+  }
+
   test("LSH candidate plan contains no cartesian product") {
     val plan = FuzzyDedup.candidatePairs(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString

@@ -92,6 +92,17 @@ class SimilaritySpec extends SparkSpec {
     assert(diff === 0L)
   }
 
+  test("vec_dot matches HOF null semantics: mismatched lengths and null elements → NULL") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(Similarity.dot(col("a"), col("b")).as("k"),
+      Similarity.dotHof(col("a"), col("b")).as("h")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1)) // both formulations agree
+    val withNull = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d")
+    assert(withNull.head().isNullAt(0))
+  }
+
   test("vec_dot is callable from SQL via GraftExtensions") {
     val row = spark.sql(
       "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
