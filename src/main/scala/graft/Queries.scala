@@ -290,7 +290,6 @@ object Queries {
             "user_id", "value")
         }
         IncrementalAgg.snapshot(table, "value")
-          .withColumnRenamed("sum_value", "sum_value")
       },
       Some("""SELECT user_id, COUNT(*) AS n_rows,
              |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -1578,9 +1577,11 @@ object Queries {
           TextOps.avgTokenLen(col("text")).as("avg_token_len"))
       },
       Some("""SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
-             |CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
-             |CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
-             |  / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS avg_token_len
+             |CAST(CASE WHEN LENGTH(text) = 0 THEN 0
+             |     ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS BIGINT) AS n_tokens,
+             |CASE WHEN LENGTH(text) = 0 THEN 0.0
+             |     ELSE CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             |       / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) END AS avg_token_len
              |FROM documents""".stripMargin),
       headline = true),
 

@@ -106,7 +106,6 @@ final class KeyedParquetTable(
     * Iceberg's changelog read.
     */
   def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce => fCoalesce}
     val a = readVersion(fromVersion)
     val b = readVersion(toVersion)
     val aCols = a.columns.filterNot(keys.contains).toSeq
@@ -124,17 +123,22 @@ final class KeyedParquetTable(
       when(c.isNull, lit("N")).otherwise(concat(length(s).cast("string"), lit(":"), s))
     }
     def fp(df: DataFrame) = xxhash64(concat_ws("#", dataCols.map(c => enc(df(c))): _*))
-    val left = a.select(keys.map(a(_)) :+ fp(a).as("__fa"): _*)
-    val right = b.select(keys.map(c => b(c).as(s"__r_$c")) :+ fp(b).as("__fb"): _*)
-    val cond = keys.map(k => left(k) === right(s"__r_$k")).reduce(_ && _)
+    // <=> keys + explicit presence flags: a NULL key is a legitimate key
+    // (merge matches it null-safely), and === plus key-IS-NULL classification
+    // would report an unchanged NULL-keyed row as a phantom insert+delete
+    val left = a.select(keys.map(a(_)) :+ fp(a).as("__fa") :+ lit(true).as("__pa"): _*)
+    val right = b.select(keys.map(c => b(c).as(s"__r_$c")) :+ fp(b).as("__fb")
+      :+ lit(true).as("__pb"): _*)
+    val cond = keys.map(k => left(k) <=> right(s"__r_$k")).reduce(_ && _)
     left.join(right, cond, "full_outer")
       .withColumn("change_type",
-        when(left(keys.head).isNull, "insert")
-          .when(col(s"__r_${keys.head}").isNull, "delete")
+        when(col("__pa").isNull, "insert")
+          .when(col("__pb").isNull, "delete")
           .when(col("__fa") =!= col("__fb"), "update"))
       .filter(col("change_type").isNotNull)
       .select(keys.map(k =>
-        fCoalesce(col(s"__r_$k"), left(k)).as(k)) :+ col("change_type"): _*)
+        when(col("__pb").isNotNull, col(s"__r_$k")).otherwise(left(k)).as(k))
+        :+ col("change_type"): _*)
   }
 
   /** Commit a new snapshot containing exactly `df`. An optional `txn` id is
@@ -234,11 +238,15 @@ final class KeyedParquetTable(
     val curDir = versionDir(cur)
     // flat (non-bucket-partitioned) layout from a foreign writer → full merge
     val hasFlatFiles = Files.exists(curDir) &&
-      Files.list(curDir).iterator().asScala.exists(p =>
+      listEntries(curDir).exists(p =>
         Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
     if (hasFlatFiles) return commit(Merge.mergeUpsert(read(), source, keys, opCol), txn)
     val next = cur + 1
     val nextDir = versionDir(next)
+    // retry safety: a previous attempt that died mid-write (pointer never
+    // swung) leaves partial files here — mode("append") below would
+    // duplicate rows next to them
+    if (Files.exists(nextDir)) deleteRecursively(nextDir)
     val src = source.withColumn("__bucket", bucketExpr)
     val touched = src.select("__bucket").distinct()
       .collect().map(_.getInt(0)).toSet // bounded by bucketCount — driver-safe
@@ -251,19 +259,23 @@ final class KeyedParquetTable(
         else spark.read.parquet(curDir.toString)
           .filter(col("__bucket").isin(touchedSeq: _*))
       val merged = Merge.mergeUpsert(targetTouched, src, keys, opCol)
-      merged.write.mode("append").partitionBy("__bucket")
+      // layout parity with commit()/withLayout: bucket dir FIRST, then the
+      // table's partition spec — dropping partitionBy here would mix
+      // directory depths across buckets and break partition discovery
+      merged.write.mode("append")
+        .partitionBy(("__bucket" +: partitionBy): _*)
         .parquet(nextDir.toString)
     }
     // hard-link every untouched bucket directory into the new snapshot
     if (Files.exists(curDir)) {
-      Files.list(curDir).iterator().asScala
+      listEntries(curDir)
         .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("__bucket="))
         .filterNot { p =>
           val v = p.getFileName.toString.stripPrefix("__bucket=")
           v.toIntOption.exists(touched.contains)
         }
         .foreach { dir =>
-          Files.walk(dir).iterator().asScala.filter(Files.isRegularFile(_))
+          walkEntries(dir).filter(Files.isRegularFile(_))
             .foreach(linkInto(curDir, nextDir, _))
         }
     }
@@ -289,6 +301,9 @@ final class KeyedParquetTable(
     val curDir = versionDir(cur)
     requireAppendCompatible(df, curDir)
     val nextDir = versionDir(next)
+    // retry safety: clear partial output of a failed prior attempt before
+    // re-linking and re-appending (the pointer only swings on success)
+    if (Files.exists(nextDir)) deleteRecursively(nextDir)
     Files.createDirectories(nextDir)
     walkParquet(curDir).foreach(linkInto(curDir, nextDir, _))
     val (out, parts) = withLayout(df)
@@ -332,13 +347,13 @@ final class KeyedParquetTable(
   def history(): DataFrame = {
     import spark.implicits._
     val rows = if (!Files.exists(rootPath)) Seq.empty else
-      Files.list(rootPath).iterator().asScala
+      listEntries(rootPath)
         .filter(p => p.getFileName.toString.startsWith("v"))
         .map { p =>
           (p.getFileName.toString.drop(1).toLong,
             new java.sql.Timestamp(Files.getLastModifiedTime(p).toMillis),
             p.getFileName.toString.drop(1).toLong == currentVersion)
-        }.toSeq.sortBy(_._1)
+        }.sortBy(_._1)
     rows.toDF("snapshot_id", "made_current_at", "is_current")
   }
 
@@ -350,10 +365,23 @@ final class KeyedParquetTable(
     fs.map(p => (p.toString, Files.size(p))).toDF("file_path", "size_bytes")
   }
 
+  /** Files.list/Files.walk return OPEN directory streams; drain them under
+    * try/finally — a long-lived driver doing one merge per micro-batch
+    * would otherwise accumulate un-GC'd fds until "Too many open files".
+    */
+  private def listEntries(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  private def walkEntries(dir: Path): Seq[Path] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private def walkParquet(dir: Path): Seq[Path] =
-    Files.walk(dir).iterator().asScala
+    walkEntries(dir)
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .toSeq
 
   /** M1: rewrite small files — re-commit the snapshot with sane file sizes
     * if the current one has at least `minInputFiles` fragments.
@@ -369,9 +397,9 @@ final class KeyedParquetTable(
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 5): Seq[Long] = {
     val cur = currentVersion
     val all = if (!Files.exists(rootPath)) Seq.empty[Long] else
-      Files.list(rootPath).iterator().asScala
+      listEntries(rootPath)
         .map(_.getFileName.toString).filter(_.matches("v\\d+"))
-        .map(_.drop(1).toLong).toSeq.sorted
+        .map(_.drop(1).toLong).sorted
     val keep = all.takeRight(retainLast).toSet + cur
     val cutoff = System.currentTimeMillis() - olderThanMs
     val victims = all.filterNot(keep).filter { v =>
@@ -384,11 +412,10 @@ final class KeyedParquetTable(
   /** M3: delete files under the root that belong to no live snapshot. */
   def removeOrphanFiles(): Seq[String] = {
     if (!Files.exists(rootPath)) return Nil
-    val live = Files.list(rootPath).iterator().asScala
-      .map(_.getFileName.toString)
+    val entries = listEntries(rootPath)
+    val live = entries.map(_.getFileName.toString)
       .filter(n => n == "_latest" || n == "_properties" || n.matches("v\\d+")).toSet
-    val orphans = Files.list(rootPath).iterator().asScala
-      .filterNot(p => live(p.getFileName.toString)).toSeq
+    val orphans = entries.filterNot(p => live(p.getFileName.toString))
     orphans.foreach(deleteRecursively)
     orphans.map(_.toString)
   }
@@ -416,8 +443,7 @@ final class KeyedParquetTable(
   def drop(): Unit = if (Files.exists(rootPath)) deleteRecursively(rootPath)
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listEntries(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

@@ -22,6 +22,8 @@ object Dedup {
     */
   def dedupLatest(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
     require(keys.nonEmpty && ordering.nonEmpty, "dedupLatest needs keys and ordering")
+    require(!df.columns.contains("__rn"),
+      "input must not carry a __rn column (reserved by dedupLatest)")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

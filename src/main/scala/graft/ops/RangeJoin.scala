@@ -33,6 +33,10 @@ object RangeJoin {
     require(delta > 0, s"delta must be positive, got $delta")
     require(leftTs != rightTs,
       "left and right timestamp columns must have distinct names")
+    // the temp bucket column would silently clobber (and then drop) a
+    // caller's column of the same name
+    require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
+      "inputs must not carry a __bucket column (reserved by RangeJoin.within)")
     // exact integer floor-division: epoch-nano values (~1e18) exceed double's
     // 53-bit mantissa, so a double divide could mis-bucket boundary rows.
     // (x - pmod(x, d)) is exactly divisible by d, and `div` on the exact

@@ -53,6 +53,11 @@ object Sources {
            partitionColumn: Option[String] = None,
            numPartitions: Int = 8,
            bounds: Option[(Long, Long)] = None): DataFrame = {
+    // half-specified partitioning would silently fall back to ONE jdbc task
+    // reading the whole table — the exact bottleneck this helper exists to
+    // avoid; fail loudly instead
+    require(partitionColumn.isDefined == bounds.isDefined,
+      "jdbc partitioned read needs BOTH partitionColumn and bounds (or neither)")
     val base = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)

@@ -97,6 +97,35 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(e.getMessage.contains("identical schemas"))
   }
 
+  test("bucketed AND partitioned table keeps a consistent directory layout across merges") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_bkt_part"), Seq("id"),
+      partitionBy = Seq("part"), bucketCount = 4)
+    t.createIfNotExists(StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("part", StringType))))
+    t.merge(Seq((1L, "a", "p0", "u"), (2L, "b", "p1", "u"))
+      .toDF("id", "v", "part", "operation"))
+    // second merge touches a subset of buckets: merged buckets must be laid
+    // out __bucket=N/part=P exactly like hard-linked untouched ones, or
+    // partition discovery sees conflicting directory depths
+    t.merge(Seq((1L, "a2", "p0", "u"), (3L, "c", "p1", "u"))
+      .toDF("id", "v", "part", "operation"))
+    val rows = t.read().select("id", "v", "part").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows === Array((1L, "a2", "p0"), (2L, "b", "p1"), (3L, "c", "p1")))
+  }
+
+  test("changesBetween matches NULL keys null-safely (no phantom insert+delete)") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_diff_nullkey"), Seq("id"))
+    t.commit(Seq((Option.empty[Long], "a"), (Option(1L), "b")).toDF("id", "v"))
+    val v1 = t.currentVersion
+    t.commit(Seq((Option.empty[Long], "a"), (Option(1L), "b2")).toDF("id", "v"))
+    val ch = t.changesBetween(v1, t.currentVersion).collect()
+      .map(r => (if (r.isNullAt(0)) -999L else r.getLong(0)) -> r.getString(1)).toMap
+    // the unchanged NULL-keyed row must produce NO change row at all
+    assert(ch === Map(1L -> "update"))
+  }
+
   test("changesBetween classifies insert/update/delete and drops unchanged") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_diff"), Seq("id"))
     t.createIfNotExists(schema)
