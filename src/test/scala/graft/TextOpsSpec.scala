@@ -149,6 +149,37 @@ class TextOpsSpec extends SparkSpec {
     assert(got === Set(10L, 12L))
   }
 
+  test("contamination screening inside a checkpointed stream of arriving train docs") {
+    import graft.cdc.KeyedParquetTable
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val idx = new KeyedParquetTable(spark, tmpDir("shingle_idx_stream"), Seq("g"),
+      Nil, bucketCount = 4)
+    val cands = Seq(
+      (10L, "prefix alpha beta gamma delta epsilon suffix"),
+      (12L, "one two three four five and more")).toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val checkpoint = tmpDir("shingle_idx_ckpt")
+    def drain(): Unit = {
+      val q = stream.toDF().toDF("doc_id", "text").writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          TextOps.indexTrainShingles(idx, b, "doc_id", "text")
+          ()
+        }.start()
+      q.awaitTermination(30000)
+    }
+    stream.addData((1L, "alpha beta gamma delta epsilon zeta"))
+    drain()
+    assert(TextOps.checkContamination(idx, cands, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet === Set(10L))
+    stream.addData((2L, "one two three four five six"))
+    drain()
+    assert(TextOps.checkContamination(idx, cands, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet === Set(10L, 12L))
+  }
+
   test("incremental shingle index matches the one-shot check as train grows") {
     import graft.cdc.KeyedParquetTable
     val trainA = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
