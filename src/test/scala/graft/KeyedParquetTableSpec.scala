@@ -126,6 +126,43 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(ch === Map(1L -> "update"))
   }
 
+  test("changesBetween matches a naive diff over adversarial values (seeded property)") {
+    // alphabet crafted to collide under naive encodings: '#' separators,
+    // 'len:' prefixes, the null marker, empty strings, real NULLs
+    val alphabet = Seq(Some(""), None, Some("#"), Some("a#"), Some("#b"),
+      Some("a"), Some("1:a"), Some("2:"), Some("N"), Some("a#0"), Some("0#b"))
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      def randRow(id: Long) = (id, alphabet(rnd.nextInt(alphabet.size)).orNull,
+        alphabet(rnd.nextInt(alphabet.size)).orNull)
+      val v1rows = (1L to 30L).map(randRow)
+      val v2rows = (1L to 30L).flatMap { id =>
+        rnd.nextInt(4) match {
+          case 0 => None                       // delete
+          case 1 => Some(randRow(id))          // rewrite (possibly identical)
+          case _ => Some(v1rows(id.toInt - 1)) // unchanged
+        }
+      } :+ randRow(100L)                       // insert
+      val t = new KeyedParquetTable(spark, tmpDir(s"kpt_prop_$seed"), Seq("id"))
+      t.commit(v1rows.toDF("id", "c1", "c2"))
+      val v1 = t.currentVersion
+      t.commit(v2rows.toDF("id", "c1", "c2"))
+      val got = t.changesBetween(v1, t.currentVersion).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val m1 = v1rows.map(r => r._1 -> ((r._2, r._3))).toMap
+      val m2 = v2rows.map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = (m1.keySet ++ m2.keySet).flatMap { id =>
+        (m1.get(id), m2.get(id)) match {
+          case (None, Some(_)) => Some(id -> "insert")
+          case (Some(_), None) => Some(id -> "delete")
+          case (Some(x), Some(y)) if x != y => Some(id -> "update")
+          case _ => None
+        }
+      }.toMap
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("changesBetween classifies insert/update/delete and drops unchanged") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_diff"), Seq("id"))
     t.createIfNotExists(schema)
