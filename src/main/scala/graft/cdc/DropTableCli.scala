@@ -20,9 +20,13 @@ object DropTableCli {
   def listTables(warehouse: String): Seq[String] = {
     val root = Paths.get(warehouse)
     if (!Files.isDirectory(root)) Nil
-    else Files.list(root).iterator().asScala
-      .filter(p => Files.exists(p.resolve("_latest")))
-      .map(_.getFileName.toString).toSeq.sorted
+    else {
+      val s = Files.list(root) // close: Files.list holds an open dir handle
+      try s.iterator().asScala
+        .filter(p => Files.exists(p.resolve("_latest")))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
   }
 
   /** Drop-with-purge; returns whether the table existed. */

@@ -21,27 +21,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"expected integer literal argument, got $other")
     }
 
+  /** Arity check with an actionable message — children(i) on a wrong-arity
+    * call would otherwise surface as a raw IndexOutOfBoundsException.
+    */
+  private def arity(c: Seq[Expression], n: Int, name: String): Seq[Expression] = {
+    require(c.length == n, s"$name expects $n arguments, got ${c.length}")
+    c
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getCanonicalName, "vec_dot"),
-      (children: Seq[Expression]) => FloatDotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        val c = arity(children, 2, "vec_dot"); FloatDotProduct(c(0), c(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getCanonicalName, "shingle_hashes"),
-      (c: Seq[Expression]) => ShingleHashes(c(0), intArg(c(1)))))
+      (children: Seq[Expression]) => {
+        val c = arity(children, 2, "shingle_hashes")
+        ShingleHashes(c(0), intArg(c(1)))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getCanonicalName, "minhash_signature"),
-      (c: Seq[Expression]) => MinHashSignature(c(0), intArg(c(1)), intArg(c(2)))))
+      (children: Seq[Expression]) => {
+        val c = arity(children, 3, "minhash_signature")
+        MinHashSignature(c(0), intArg(c(1)), intArg(c(2)))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinHashBandHashes].getCanonicalName, "minhash_bands"),
-      (c: Seq[Expression]) => MinHashBandHashes(c(0), intArg(c(1)), intArg(c(2)), intArg(c(3)))))
+      (children: Seq[Expression]) => {
+        val c = arity(children, 4, "minhash_bands")
+        MinHashBandHashes(c(0), intArg(c(1)), intArg(c(2)), intArg(c(3)))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getCanonicalName, "simhash64"),
-      (c: Seq[Expression]) => SimHash64(c(0))))
+      (children: Seq[Expression]) => {
+        val c = arity(children, 1, "simhash64"); SimHash64(c(0))
+      }))
     // tier (d): physical planning — ORDER BY <vec_dot score> LIMIT k becomes
     // a bounded-heap two-phase top-k for ANY k (never a global sort)
     ext.injectPlannerStrategy(_ => graft.plans.ScoreTopKStrategy)

@@ -26,6 +26,11 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int, sorted: Boolean = true): Unit = {
+    // validate BEFORE the destructive drop below — a bad argument must not
+    // cost the caller their existing table
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    require(df.columns.contains(bucketCol),
+      s"bucket column '$bucketCol' not in ${df.columns.mkString("[", ",", "]")}")
     val spark = df.sparkSession
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)

@@ -71,7 +71,11 @@ object Multimodal {
   def decodeStub(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // rows with a NULL id or NULL blob carry nothing decodable — drop them
+    // up front (the primitive (Long, Array[Byte]) encoder would otherwise
+    // throw, killing the job on one bad row)
     df.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull && col(binCol).isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // real impl: initialize codec once here

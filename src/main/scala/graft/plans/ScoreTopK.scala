@@ -32,9 +32,18 @@ import graft.functions.FloatDotProduct
   */
 object ScoreTopKStrategy extends SparkStrategy {
 
+  /** Memory bound: each task holds an UNSPILLABLE O(k)-row heap (and the
+    * merge task up to k·partitions survivors). Up to this k that is a few
+    * hundred MB worst case — the right trade; beyond it the strategy
+    * DECLINES so Spark's spillable global sort handles pathological limits
+    * instead of OOMing an executor.
+    */
+  private val MaxHeapK = 1 << 22
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case ReturnAnswer(root) => apply(root)
-    case Limit(IntegerLiteral(k), Sort(order, true, child, _)) if scoredBy(order, child) =>
+    case Limit(IntegerLiteral(k), Sort(order, true, child, _))
+        if k <= MaxHeapK && scoredBy(order, child) =>
       ScoreTopKGlobalExec(k, order,
         ScoreTopKLocalExec(k, order, planLater(child))) :: Nil
     case _ => Nil

@@ -39,16 +39,26 @@ object IncrementalAgg {
 
   /** Fold one raw batch into `table` (schema: key, n_rows long,
     * sum_<valueCol> decimal(38,6)). Creates the table on first use.
+    *
+    * Pass `txnId` (e.g. foreachBatch's batchId) for at-least-once sinks:
+    * the id commits atomically with the merge, so a redelivered batch is
+    * recognized via [[KeyedParquetTable.lastTxn]] and skipped instead of
+    * double-folded.
     */
   def applyBatch(table: KeyedParquetTable, batch: DataFrame,
-                 key: String, valueCol: String): Unit = {
+                 key: String, valueCol: String,
+                 txnId: Option[String] = None): Unit = {
+    if (txnId.isDefined && table.exists && table.lastTxn == txnId) return // replay
     val sumCol = s"sum_$valueCol"
     // coalesce: a batch where a key's values are ALL null would otherwise
-    // produce a null partial, and null + current poisons the fold forever
+    // produce a null partial, and null + current poisons the fold forever.
+    // localCheckpoint: isEmpty, the broadcast key-set build, and the merge
+    // write all read this — materialize the batch aggregation once.
     val partial = batch.groupBy(col(key))
       .agg(count(lit(1)).as("n_rows"),
         coalesce(sum(guarded(col(valueCol), valueCol)), lit(BigDecimal(0)))
           .cast("decimal(38,6)").as(sumCol))
+      .localCheckpoint(true)
     if (partial.isEmpty) return // empty batch: nothing to fold
     // first use: the just-created empty snapshot has no parquet footers to
     // read a schema from — the first partial IS the aggregate
@@ -74,7 +84,7 @@ object IncrementalAgg {
             (col(sumCol) + coalesce(col("__s"), lit(BigDecimal(0)).cast("decimal(38,6)")))
               .cast("decimal(38,6)").as(sumCol))
       }
-    table.merge(merged.withColumn("operation", lit("u")))
+    table.merge(merged.withColumn("operation", lit("u")), txn = txnId)
   }
 
   /** Retraction-aware fold of one CDC batch — incremental view maintenance
@@ -123,11 +133,17 @@ object IncrementalAgg {
       val additions = latest.filter(col(opCol) =!= "d" || col(opCol).isNull)
         .select(col(groupCol).as("__g"), lit(1L).as("__dn"),
           guarded(col(valueCol), valueCol).as("__ds"))
-      // pre-images: touched entities' current rows retract from their old group
+      // pre-images: touched entities' current rows retract from their old
+      // group. NULL-SAFE key match (the entity merge stores null keys via
+      // <=>; a usingColumns semi-join would never retract them, so the
+      // aggregate would double-count a null-keyed entity every update)
       val delta0 =
         if (entityTable.exists) {
-          val retractions = entityTable.read()
-            .join(broadcast(latest.select(keys.map(col): _*)), keys, "left_semi")
+          val pre = entityTable.read()
+          val keySet = broadcast(
+            latest.select(keys.map(k => col(k).as(s"__t_$k")): _*).distinct())
+          val cond = keys.map(k => pre(k) <=> keySet(s"__t_$k")).reduce(_ && _)
+          val retractions = pre.join(keySet, cond, "left_semi")
             .select(col(groupCol).as("__g"), lit(-1L).as("__dn"),
               (-guarded(col(valueCol), valueCol)).as("__ds"))
           additions.unionByName(retractions)

@@ -37,10 +37,21 @@ object ValidateCli {
     }
 
     val results = run(which)
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full JSON string escape (control chars included) — the contract is
+    // one PARSEABLE line per check
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     results.foreach { r =>
-      val details = r.details.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(",")
-      println(s"""{"check":${q(r.check)},"valid":${r.valid},$details}""")
+      val fields = Seq(s""""check":${q(r.check)}""", s""""valid":${r.valid}""") ++
+        r.details.map { case (k, v) => s"${q(k)}:${q(v)}" }
+      println(fields.mkString("{", ",", "}")) // no trailing comma on empty details
     }
     if (which == "validation_suite") {
       val (band, rate, _) = Validation.suite(results)

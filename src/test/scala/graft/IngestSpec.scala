@@ -323,6 +323,33 @@ class IngestSpec extends SparkSpec {
     assert(g.getLong(1) === 2L && g.getDouble(2) === 12.0)
   }
 
+  test("applyCdcBatch retracts NULL-KEY entities null-safely across batches") {
+    import graft.streaming.IncrementalAgg
+    val entity = new KeyedParquetTable(spark, tmpDir("nullkey_ent"), Seq("id"))
+    val aggT = new KeyedParquetTable(spark, tmpDir("nullkey_agg"), Seq("grp"))
+    def fold(rows: Seq[(Option[Long], String, Double, String, Long)]): Unit =
+      IncrementalAgg.applyCdcBatch(entity, aggT,
+        rows.toDF("id", "grp", "v", "operation", "seq"),
+        "grp", "v", Seq(col("seq").desc))
+    fold(Seq((Option.empty[Long], "a", 10.0, "u", 1L)))
+    // update of the SAME null-key entity: without a null-safe retraction
+    // semi-join this double-counts to (2, 22.0)
+    fold(Seq((Option.empty[Long], "a", 12.0, "u", 2L)))
+    val view = IncrementalAgg.snapshot(aggT, "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(view === Map("a" -> ((1L, 12.0))))
+  }
+
+  test("applyBatch txn guard skips a redelivered batch instead of double-folding") {
+    import graft.streaming.IncrementalAgg
+    val table = new KeyedParquetTable(spark, tmpDir("txn_plain_agg"), Seq("k"))
+    val batch = Seq((1L, 10.0), (1L, 20.0)).toDF("k", "v")
+    IncrementalAgg.applyBatch(table, batch, "k", "v", txnId = Some("b0"))
+    IncrementalAgg.applyBatch(table, batch, "k", "v", txnId = Some("b0")) // replay
+    val r = IncrementalAgg.snapshot(table, "v").head()
+    assert(r.getLong(1) === 2L && r.getDouble(2) === 30.0)
+  }
+
   test("applyCdcBatch txn guard: replaying a recorded txn id is a wholesale no-op") {
     import graft.streaming.IncrementalAgg
     val entity = new KeyedParquetTable(spark, tmpDir("txn_ent"), Seq("id"))

@@ -35,6 +35,14 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.getSeq[Float](1)).toSeq === again.map(_.getSeq[Float](1)).toSeq)
   }
 
+  test("decodeStub drops null blobs and null ids instead of failing the job") {
+    val df = Seq((Option(1L), Option("x")), (Option(2L), Option.empty[String]),
+      (Option.empty[Long], Option("y"))).toDF("doc_id", "text")
+    val withBin = Multimodal.attachBinary(df, "text", "text/plain")
+    val feats = Multimodal.decodeStub(withBin, "doc_id", "media").collect()
+    assert(feats.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("decodeStub stays inside the Dataset plan (no severed RDD scan)") {
     val withBin = Multimodal.attachBinary(docs, "text", "text/plain")
     val feats = Multimodal.decodeStub(withBin, "doc_id", "media")

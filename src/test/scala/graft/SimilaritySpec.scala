@@ -110,6 +110,15 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getDouble(0) === 11.0)
   }
 
+  test("wrong-arity SQL calls to registered kernels fail with an arity message") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(CAST(1.0 AS FLOAT)))").collect()
+    }
+    assert(msgs(e).exists(_.contains("expects 2 arguments")), msgs(e).mkString(" | "))
+  }
+
   test("cosineNearDupPairs finds planted near-identical vectors, bounded buckets") {
     val rnd = new scala.util.Random(9)
     val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
