@@ -23,7 +23,12 @@ object Bench {
     // n≥3 timed runs per query, report the MINIMUM (machine-load jitter on a
     // shared box only ever inflates a run, so min is the stable estimator;
     // the mean rides along for drift detection)
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap { s =>
+      val n = s.trim.toIntOption
+      if (n.isEmpty) System.err.println(
+        s"[bench] unparseable SPARK_GRAFT_BENCH_RUNS='$s', using 3")
+      n
+    }.getOrElse(3).max(1)
     val results = Queries.headlines.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failed run's elapsed time is NOT a measurement — keep only
       // successful runs, so one fast failure can't become the reported min

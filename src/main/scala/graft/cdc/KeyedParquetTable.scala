@@ -30,7 +30,21 @@ final class KeyedParquetTable(
     val root: String,
     val keys: Seq[String],
     val partitionBy: Seq[String] = Nil,
-    val bucketCount: Int = 0) {
+    val bucketCount: Int = 0,
+    bucketBy: Seq[String] = Nil) {
+
+  /** Columns the bucket hash is computed over — defaults to the full key.
+    * A PREFIX/SUBSET of the key (like a lakehouse bucket spec distinct from
+    * the primary key) lets [[readForKeys]] prune with only those columns:
+    * e.g. an LSH index keyed (band_id, band_hash, doc_id) but bucketed by
+    * (band_id, band_hash) is probed by band alone. Must be key columns —
+    * bucketing by a non-key column would scatter a key's old and new rows
+    * across buckets and break the scoped merge's upsert matching.
+    */
+  val bucketKeys: Seq[String] = if (bucketBy.nonEmpty) bucketBy else keys
+  require(bucketKeys.forall(keys.contains),
+    s"bucketBy ${bucketKeys.mkString("[", ",", "]")} must be a subset of keys " +
+      keys.mkString("[", ",", "]"))
 
   private def rootPath: Path = Paths.get(root)
   private def pointer: Path = rootPath.resolve("_latest")
@@ -99,6 +113,51 @@ final class KeyedParquetTable(
     }
   }
 
+  /** Bucket-pruned read: only the hash buckets that `keysDf`'s key rows fall
+    * into are scanned — O(touched buckets) I/O, not O(table). This is the
+    * READ half of [[merge]]'s bucket-scoped commit: an incremental
+    * maintainer (pre-image retraction, shingle-index probe) whose batch
+    * touches a bounded key spread reads only those buckets' files instead
+    * of rescanning a table that grows forever.
+    *
+    * `keysDf` must carry the table's [[bucketKeys]] columns under their own
+    * names and with the stored key types (the bucket id is a hash OF THE
+    * VALUES — a differently-typed key would hash into the wrong bucket and
+    * silently miss rows). The touched-bucket set is collected to the
+    * driver; it is bounded by [[bucketCount]], the same bound the scoped
+    * merge relies on.
+    *
+    * Falls back to a full [[read]] for unbucketed tables and for flat
+    * layouts written by a foreign writer. The pruning is physical — the
+    * scan is constructed from the touched buckets' directories only, so no
+    * optimizer pushdown has to cooperate for the I/O bound to hold.
+    */
+  def readForKeys(keysDf: DataFrame): DataFrame = {
+    val v = currentVersion
+    require(v >= 0, s"table $root has no snapshot")
+    if (bucketCount <= 0) return read()
+    val curDir = versionDir(v)
+    val bucketDirs = listEntries(curDir).filter(p => Files.isDirectory(p) &&
+      p.getFileName.toString.startsWith("__bucket="))
+    if (bucketDirs.isEmpty) return read() // flat/foreign layout: no bucket dirs
+    val touched = keysDf
+      .select(pmod(abs(xxhash64(bucketKeys.map(keysDf(_)): _*)), lit(bucketCount))
+        .cast("int").as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet // bounded by bucketCount
+    val chosen = bucketDirs.filter { p =>
+      p.getFileName.toString.stripPrefix("__bucket=").toIntOption.exists(touched)
+    }
+    if (chosen.isEmpty) read().limit(0)
+    else {
+      // basePath: partition values live in directory names; schema is
+      // inferred from the chosen subset only (uniform by construction —
+      // [[requireAppendCompatible]] rejects mixed-schema snapshots)
+      spark.read.option("basePath", curDir.toString)
+        .parquet(chosen.map(_.toString): _*)
+        .drop("__bucket")
+    }
+  }
+
   /** Changelog between two snapshots: one full-outer keyed join classifying
     * every key that differs as insert / update / delete (any non-key column
     * change counts as an update). Distributed — one shuffle on the key —
@@ -154,13 +213,17 @@ final class KeyedParquetTable(
     val writer = out.write.mode("overwrite")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(versionDir(next).toString)
-    txn.foreach(writeTxn(versionDir(next), _))
+    txn.fold(carryTxn(next - 1, versionDir(next)))(writeTxn(versionDir(next), _))
     swingPointer(next)
   }
 
-  /** The txn id recorded by the commit that produced the CURRENT snapshot
-    * (None if that commit carried none). Single-writer semantics: only the
-    * latest commit's marker is retained, which is exactly what a
+  /** The most recent txn id still in effect for the CURRENT snapshot (None
+    * if no commit in the chain carried one). Txn-LESS commits (compact,
+    * maintenance, a merge without a txn) carry the previous snapshot's
+    * marker forward, so an interleaved maintenance commit between a
+    * txn-carrying commit and a crash replay cannot erase the marker and
+    * reopen the at-least-once double-fold window. Single-writer semantics:
+    * a NEW txn-carrying commit replaces the marker — exactly what a
     * foreachBatch maintainer needs to recognize its own replayed batch.
     */
   def lastTxn: Option[String] = {
@@ -176,6 +239,18 @@ final class KeyedParquetTable(
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("_txn"), txn)
   }
+
+  /** Copy the previous snapshot's txn marker into a txn-less commit's
+    * directory (before the pointer swings, so it is atomic with the commit).
+    */
+  private def carryTxn(prevVersion: Long, nextDir: Path): Unit =
+    if (prevVersion >= 0) {
+      val f = versionDir(prevVersion).resolve("_txn")
+      if (Files.exists(f)) {
+        Files.createDirectories(nextDir)
+        Files.copy(f, nextDir.resolve("_txn"), StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
 
   /** Apply the table's physical layout (bucket column + partition spec). */
   private def withLayout(df: DataFrame): (DataFrame, Seq[String]) =
@@ -228,9 +303,9 @@ final class KeyedParquetTable(
     else commit(Merge.mergeUpsert(read(), source, keys, opCol), txn)
   }
 
-  /** Bucket id expression: stable hash of the key columns. */
+  /** Bucket id expression: stable hash of the bucket-key columns. */
   private def bucketExpr: org.apache.spark.sql.Column =
-    pmod(abs(xxhash64(keys.map(col): _*)), lit(bucketCount)).cast("int")
+    pmod(abs(xxhash64(bucketKeys.map(col): _*)), lit(bucketCount)).cast("int")
 
   private def mergeScoped(source: DataFrame, opCol: String,
                           txn: Option[String]): Long = {
@@ -279,7 +354,7 @@ final class KeyedParquetTable(
             .foreach(linkInto(curDir, nextDir, _))
         }
     }
-    txn.foreach(writeTxn(nextDir, _))
+    txn.fold(carryTxn(cur, nextDir))(writeTxn(nextDir, _))
     swingPointer(next)
   }
 
@@ -310,6 +385,7 @@ final class KeyedParquetTable(
     val writer = out.write.mode("append")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(nextDir.toString)
+    carryTxn(cur, nextDir)
     swingPointer(next)
   }
 

@@ -117,8 +117,12 @@ object Components {
         docs.select(col(idCol).as("id"), col(scoreCol).as("__s0")), Seq("id"), "left")
       .withColumn("__s", coalesce(col("__s0").cast("double"),
         lit(Double.NegativeInfinity)))
+    // min_by over (-score, id): maximizes score, ties → smaller id — WITHOUT
+    // negating the id, so string/uuid doc ids work (negating a string id
+    // casts to double → NULL under non-ANSI, silently breaking the
+    // documented tiebreak). __s is already a double, so -__s is exact.
     val best = withScore.groupBy("component")
-      .agg(max_by(col("id"), struct(col("__s"), -col("id"))).as("keep_id"))
+      .agg(min_by(col("id"), struct(-col("__s"), col("id"))).as("keep_id"))
     withScore.join(best, "component")
       .select(col("id").as("doc_id"), col("keep_id"))
   }

@@ -244,12 +244,29 @@ object TextOps {
       .withColumn("operation", lit("u")))
   }
 
-  /** Candidate docs sharing any n-gram with the indexed train corpus. */
+  /** Candidate docs sharing any n-gram with the indexed train corpus.
+    *
+    * Bucket-pruned probe: on a bucketed index table,
+    * [[graft.cdc.KeyedParquetTable.readForKeys]] scans ONLY the shingle-hash
+    * buckets the candidate batch touches — O(touched buckets) I/O per check
+    * even as the train index grows forever, which is the point of
+    * maintaining it incrementally. The candidate shingle set is
+    * checkpointed once; it drives both the bucket computation and the
+    * semi-join.
+    *
+    * Hash buckets fill uniformly, so the pruning is strongest for small
+    * probe batches (few distinct shingles relative to the index's
+    * bucketCount — the steady-state incremental case); a huge batch
+    * touches every bucket and degrades gracefully to the full scan, which
+    * is then the correct I/O anyway.
+    */
   def checkContamination(table: graft.cdc.KeyedParquetTable,
                          candidates: org.apache.spark.sql.DataFrame,
                          idCol: String, textCol: String,
-                         n: Int = 5): org.apache.spark.sql.DataFrame =
-    shingleHashSet(candidates, idCol, textCol, n)
-      .join(table.read().select(col("g").as("__g")), Seq("__g"), "left_semi")
+                         n: Int = 5): org.apache.spark.sql.DataFrame = {
+    val cand = shingleHashSet(candidates, idCol, textCol, n).localCheckpoint(true)
+    val indexed = table.readForKeys(cand.select(col("__g").as("g")))
+    cand.join(indexed.select(col("g").as("__g")), Seq("__g"), "left_semi")
       .select(idCol).distinct()
+  }
 }

@@ -67,14 +67,17 @@ object IncrementalAgg {
     val merged =
       if (firstUse) partial
       else {
-        // touched-keys-only read: semi-filter the current table with the
-        // BROADCAST batch key set (one table scan, no table-wide shuffle —
-        // the filter travels to the data), then fold two batch-sized
-        // frames. Assumes the batch's key spread is broadcastable, the
-        // same bound the bucket-scoped merge already relies on.
+        // touched-keys-only read: [[KeyedParquetTable.readForKeys]] scans
+        // ONLY the buckets the batch's keys hash into (O(touched buckets)
+        // I/O on a bucketed table, full scan otherwise), then the BROADCAST
+        // semi-join filters to exactly the touched keys within those
+        // buckets — no table-wide shuffle, and the I/O matches the
+        // "O(batch) per refresh" contract instead of rescanning a table
+        // that grows forever. Assumes the batch's key spread is
+        // broadcastable, the same bound the bucket-scoped merge relies on.
         // <=> throughout: a NULL key is a legitimate group, and === would
         // never match its stored row (silently resetting it every batch).
-        val cur = table.read()
+        val cur = table.readForKeys(partial.select(col(key)))
           .select(col(key).as("__k"), col("n_rows").as("__n"), col(sumCol).as("__s"))
         val touched = cur.join(broadcast(partial.select(col(key).as("__pk"))),
           col("__k") <=> col("__pk"), "left_semi")
@@ -139,7 +142,11 @@ object IncrementalAgg {
       // aggregate would double-count a null-keyed entity every update)
       val delta0 =
         if (entityTable.exists) {
-          val pre = entityTable.read()
+          // bucket-pruned pre-image read: only the buckets the batch's
+          // entity keys hash into are scanned (O(touched buckets) I/O on a
+          // bucketed entity table) — the semi-join below then narrows to
+          // exactly the touched keys within those buckets
+          val pre = entityTable.readForKeys(latest.select(keys.map(col): _*))
           val keySet = broadcast(
             latest.select(keys.map(k => col(k).as(s"__t_$k")): _*).distinct())
           val cond = keys.map(k => pre(k) <=> keySet(s"__t_$k")).reduce(_ && _)
@@ -148,10 +155,14 @@ object IncrementalAgg {
               (-guarded(col(valueCol), valueCol)).as("__ds"))
           additions.unionByName(retractions)
         } else additions
+      // localCheckpoint: the delta (which embeds the pre-image read) feeds
+      // the agg table's bucket-pruned read, the fold join, and the merge
+      // write — materialize the batch-sized aggregation once
       val delta = delta0.groupBy(col("__g"))
         .agg(sum(col("__dn")).as("__dnet"),
           coalesce(sum(col("__ds")), lit(BigDecimal(0)))
             .cast("decimal(38,6)").as("__dsum"))
+        .localCheckpoint(true)
       val firstUse = !aggTable.exists
       val folded =
         if (firstUse)
@@ -160,7 +171,7 @@ object IncrementalAgg {
         else {
           // <=> throughout: a NULL group is a legitimate group, and ===
           // would never match its stored row (silently resetting it)
-          val cur = aggTable.read()
+          val cur = aggTable.readForKeys(delta.select(col("__g").as(groupCol)))
             .select(col(groupCol).as("__k"), col("n_rows").as("__n"), col(sumCol).as("__s"))
           val touched = cur.join(broadcast(delta.select(col("__g").as("__pk"))),
             col("__k") <=> col("__pk"), "left_semi")

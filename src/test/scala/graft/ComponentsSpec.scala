@@ -90,6 +90,18 @@ class ComponentsSpec extends SparkSpec {
     assert(keepers2(3L) === 2L && keepers2.keySet === keepers.keySet)
   }
 
+  test("dedupKeepersBy works on STRING doc ids (tiebreak needs no numeric negation)") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val docs = Seq(
+      ("a", 0.1), ("b", 0.9), ("c", 0.5), // cluster {a,b,c}: best is b
+      ("x", 0.4), ("y", 0.4)              // tie → lexicographically smaller x
+    ).toDF("doc_id", "score")
+    val keepers = Components.dedupKeepersBy(pairs, docs, "doc_id", "score")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(keepers === Map("a" -> "b", "b" -> "b", "c" -> "b",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("dedupKeepers over planted minhash near-dups keeps one id per cluster") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

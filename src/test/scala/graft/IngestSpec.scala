@@ -184,6 +184,31 @@ class IngestSpec extends SparkSpec {
     assert(view === scratch)
   }
 
+  test("applyCdcBatch on BUCKETED tables: bucket-pruned pre-image reads keep the view exact") {
+    import graft.streaming.IncrementalAgg
+    val entity = new KeyedParquetTable(spark, tmpDir("cdc_view_ent_b"), Seq("id"),
+      Nil, bucketCount = 4)
+    val agg = new KeyedParquetTable(spark, tmpDir("cdc_view_agg_b"), Seq("grp"),
+      Nil, bucketCount = 4)
+    def fold(rows: Seq[(Long, Option[String], Option[Double], String, Long)]): Unit =
+      IncrementalAgg.applyCdcBatch(entity, agg,
+        rows.toDF("id", "grp", "v", "operation", "seq"),
+        "grp", "v", Seq(col("seq").desc))
+    // wide key spread first, then small batches touching few buckets — the
+    // readForKeys pre-image path must retract exactly the touched entities
+    fold((0L until 40L).map(i => (i, Some(s"g${i % 5}"), Some(i.toDouble), "u", i)))
+    fold(Seq((3L, Some("g9"), Some(100.0), "u", 50L),  // moves g3 → g9
+      (7L, None, None, "d", 51L)))                      // leaves g2
+    fold(Seq((3L, None, None, "d", 52L)))               // g9 vanishes again
+    val view = IncrementalAgg.snapshot(agg, "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val scratch = entity.read().groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(view === scratch && !view.contains("g9"))
+  }
+
   test("streaming KMV maintenance: maintained sketch is bit-identical to from-scratch " +
     "across uneven batches, and replay-idempotent") {
     import graft.functions.KmvSketch

@@ -183,7 +183,7 @@ class KeyedParquetTableSpec extends SparkSpec {
     t.merge(Seq((1L, "a", "u")).toDF("id", "v", "operation"), "operation", Some("batch-1"))
     assert(t.lastTxn === Some("batch-1"))
     t.merge(Seq((2L, "b", "u")).toDF("id", "v", "operation")) // no txn
-    assert(t.lastTxn === None) // only the LATEST commit's marker counts
+    assert(t.lastTxn === Some("batch-1")) // txn-less commits carry it forward
     // bucket-scoped merge path records it too
     val tb = new KeyedParquetTable(spark, tmpDir("kpt_txn_b"), Seq("id"), Nil, 4)
     tb.createIfNotExists(schema)
@@ -368,5 +368,67 @@ class KeyedParquetTableSpec extends SparkSpec {
     // compact on a bucketed table keeps the bucket layout readable
     t.compact(minInputFiles = 2, targetPartitions = 1)
     assert(t.read().count() === 500)
+  }
+
+  test("readForKeys physically scans only the touched buckets' files") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_rfk"), Seq("id"), Nil, bucketCount = 8)
+    t.commit((0L until 256L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val pruned = t.readForKeys(Seq(Tuple1(3L), Tuple1(17L)).toDF("id"))
+    // physical pruning: every scanned file lives under a touched bucket dir,
+    // and strictly fewer bucket dirs than the table holds
+    val scanned = pruned.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("__bucket="))).toSet
+    val allDirs = t.files().collect()
+      .flatMap(_.getString(0).split("/").find(_.startsWith("__bucket="))).toSet
+    assert(scanned.nonEmpty && scanned.size < allDirs.size,
+      s"expected a strict bucket subset, scanned $scanned of $allDirs")
+    // contract: EXACTLY the touched buckets' full contents (a superset of the
+    // probed keys — callers refine with their own key filter)
+    val scannedIds = scanned.map(_.stripPrefix("__bucket=").toInt)
+    val expected = t.read()
+      .withColumn("__b", pmod(abs(xxhash64(col("id"))), lit(8)).cast("int"))
+      .filter(col("__b").isin(scannedIds.toSeq: _*)).drop("__b")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = pruned.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === expected)
+    assert(Set(3L, 17L).subsetOf(got.map(_._1)))
+    // probing a key whose bucket has no directory yet → empty, schema intact
+    val small = new KeyedParquetTable(spark, tmpDir("kpt_rfk_s"), Seq("id"), Nil, bucketCount = 64)
+    small.commit(Seq((1L, "a")).toDF("id", "v"))
+    val bks = (1L to 200L).map(Tuple1(_)).toDF("id")
+      .select(col("id"), pmod(abs(xxhash64(col("id"))), lit(64)).cast("int").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probeKey = (2L to 200L).find(k => bks(k) != bks(1L)).get
+    val none = small.readForKeys(Seq(Tuple1(probeKey)).toDF("id"))
+    assert(none.count() === 0L && none.columns.toSeq === Seq("id", "v"))
+    // unbucketed table falls back to the full read
+    val flat = new KeyedParquetTable(spark, tmpDir("kpt_rfk_f"), Seq("id"))
+    flat.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(flat.readForKeys(Seq(Tuple1(1L)).toDF("id")).count() === 2)
+  }
+
+  test("txn marker survives txn-less maintenance commits (carry-forward)") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_txn_carry"), Seq("id"))
+    t.createIfNotExists(schema)
+    t.merge(Seq((1L, "a", "u"), (2L, "b", "u")).toDF("id", "v", "operation"),
+      txn = Some("b7"))
+    assert(t.lastTxn === Some("b7"))
+    // compact and append carry no txn of their own — the replay guard's
+    // marker must survive them, or a crash replay after maintenance
+    // double-folds
+    assert(t.compact(minInputFiles = 1).isDefined)
+    assert(t.lastTxn === Some("b7"))
+    t.append(Seq((9L, "z")).toDF("id", "v"))
+    assert(t.lastTxn === Some("b7"))
+    // a NEW txn-carrying commit replaces the marker (single-writer semantics)
+    t.merge(Seq((1L, "a2", "u")).toDF("id", "v", "operation"), txn = Some("b8"))
+    assert(t.lastTxn === Some("b8"))
+    // bucket-scoped merge path carries forward too
+    val tb = new KeyedParquetTable(spark, tmpDir("kpt_txn_carry_b"), Seq("id"), Nil, 4)
+    tb.commit((0L until 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    tb.merge(Seq((1L, "x", "u")).toDF("id", "v", "operation"), txn = Some("x1"))
+    assert(tb.lastTxn === Some("x1"))
+    tb.merge(Seq((2L, "y", "u")).toDF("id", "v", "operation")) // txn-less
+    assert(tb.lastTxn === Some("x1"))
   }
 }
