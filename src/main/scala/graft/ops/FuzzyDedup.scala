@@ -85,21 +85,27 @@ object FuzzyDedup {
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 32, bands: Int = 8, shingle: Int = 3): DataFrame = {
-    // docs below the shingle width have NO shingles: their signature is the
-    // degenerate all-MaxValue vector, which would bucket every short doc of
-    // the corpus together (a hot bucket with quadratic fan-out) only for the
-    // verify step to null their Jaccard out anyway — drop them up front
-    val eligible = docs.filter(size(split(col(textCol), " ")) >= shingle)
-    val banded = eligible.select(col(idCol),
-      posexplode(call_function("minhash_bands", col(textCol),
-        lit(numHashes), lit(bands), lit(shingle)))
-        .as(Seq("band_id", "band_hash")))
+    val banded = bandedRows(docs, idCol, textCol, numHashes, bands, shingle)
     val a = banded.select(col(idCol).as("id_a"), col("band_id"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("band_id"), col("band_hash"))
     a.join(b, Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** (id, band_id, band_hash) rows of each eligible doc's banded signature.
+    * Docs below the shingle width have NO shingles: their signature is the
+    * degenerate all-MaxValue vector, which would bucket every short doc of
+    * the corpus together (a hot bucket with quadratic fan-out) only for the
+    * verify step to null their Jaccard out anyway — dropped up front.
+    */
+  private def bandedRows(docs: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int, bands: Int, shingle: Int): DataFrame =
+    docs.filter(size(split(col(textCol), " ")) >= shingle)
+      .select(col(idCol),
+        posexplode(call_function("minhash_bands", col(textCol),
+          lit(numHashes), lit(bands), lit(shingle)))
+          .as(Seq("band_id", "band_hash")))
 
   /** Exact shingle-set Jaccard for candidate pairs (verification step).
     * Shingle sets (not unigram token sets): on n-gram granularity unrelated
@@ -131,6 +137,81 @@ object FuzzyDedup {
                    bands: Int = 8, shingle: Int = 3): DataFrame =
     jaccardVerify(candidatePairs(docs, idCol, textCol, numHashes, bands, shingle),
       docs, idCol, textCol, threshold, shingle)
+
+  /** INCREMENTAL near-dup screening, for a corpus that grows batch by batch
+    * — "is anything in this new crawl batch a near-dup of anything we
+    * already hold?" without re-signaturing the whole corpus per batch.
+    *
+    * Two maintained tables:
+    *  - `bandTable`: one row per (band_id, band_hash, id) of each indexed
+    *    doc's banded-LSH signature — keyed by all three, BUCKETED by
+    *    (band_id, band_hash) so a probe prunes to the buckets the
+    *    candidate batch's own bands hash into;
+    *  - `docTable`: the indexed docs (id → text), keyed+bucketed by id, so
+    *    the exact-Jaccard verify fetches ONLY the candidate-matched docs'
+    *    texts (bucket-pruned point lookups, not a corpus scan).
+    *
+    * Per-batch cost: signature pass over the batch + two bucket-scoped
+    * merges — O(batch), never O(corpus). [[checkNearDups]] is the probe.
+    */
+  def indexNearDups(bandTable: graft.cdc.KeyedParquetTable,
+                    docTable: graft.cdc.KeyedParquetTable,
+                    batch: DataFrame, idCol: String, textCol: String,
+                    numHashes: Int = 32, bands: Int = 8, shingle: Int = 3): Unit = {
+    require(bandTable.keys == Seq("band_id", "band_hash", "id") &&
+      bandTable.bucketKeys == Seq("band_id", "band_hash"),
+      s"bandTable must be keyed (band_id, band_hash, id) and bucketed by " +
+        s"(band_id, band_hash); got keys=${bandTable.keys} buckets=${bandTable.bucketKeys}")
+    require(docTable.keys == Seq(idCol),
+      s"docTable must be keyed by '$idCol' (got ${docTable.keys})")
+    val bandRows = bandedRows(batch, idCol, textCol, numHashes, bands, shingle)
+      .select(col("band_id"), col("band_hash"), col(idCol).as("id"))
+    bandTable.createIfNotExists(bandRows.schema)
+    bandTable.merge(bandRows.withColumn("operation", lit("u")))
+    val docRows = batch.select(col(idCol), col(textCol))
+    docTable.createIfNotExists(docRows.schema)
+    docTable.merge(docRows.withColumn("operation", lit("u")))
+  }
+
+  /** Near-dup pairs between a candidate batch and the corpus indexed by
+    * [[indexNearDups]]: explode the batch's bands, bucket-pruned probe of
+    * the band index, equi-join on (band_id, band_hash), then exact-Jaccard
+    * verify with the matched corpus docs' texts fetched by bucket-pruned id
+    * lookup. Returns (id_a = candidate id, id_b = indexed id, jaccard);
+    * a candidate already indexed under the same id never pairs with itself.
+    */
+  def checkNearDups(bandTable: graft.cdc.KeyedParquetTable,
+                    docTable: graft.cdc.KeyedParquetTable,
+                    candidates: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.7, numHashes: Int = 32,
+                    bands: Int = 8, shingle: Int = 3): DataFrame = {
+    require(docTable.keys == Seq(idCol),
+      s"docTable must be keyed by '$idCol' (got ${docTable.keys})")
+    // localCheckpoint: the banded batch drives the index probe's bucket
+    // computation AND the candidate join — materialize the signature pass once
+    val candBands = bandedRows(candidates, idCol, textCol, numHashes, bands, shingle)
+      .select(col(idCol).as("id_a"), col("band_id"), col("band_hash"))
+      .localCheckpoint(true)
+    val indexed = bandTable.readForKeys(candBands.select("band_id", "band_hash"))
+      .select(col("band_id"), col("band_hash"), col("id").as("id_b"))
+    val pairs = candBands.join(indexed, Seq("band_id", "band_hash"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .localCheckpoint(true) // feeds the doc fetch's bucket collect + the verify join
+    val candSets = candidates.select(col(idCol).as("id_a"),
+      array_distinct(call_function("shingle_hashes", col(textCol), lit(shingle)))
+        .as("set_a"))
+    val matchedDocs = docTable.readForKeys(pairs.select(col("id_b").as(idCol)))
+    val corpusSets = matchedDocs.select(col(idCol).as("id_b"),
+      array_distinct(call_function("shingle_hashes", col(textCol), lit(shingle)))
+        .as("set_b"))
+    pairs.join(candSets, "id_a").join(corpusSets, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 
   /** 64-bit SimHash over whitespace tokens: bit i of the fingerprint is the
     * sign of Σ_tokens (±1 by bit i of the token hash). Uses the native

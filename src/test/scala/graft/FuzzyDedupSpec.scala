@@ -112,6 +112,39 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
   }
 
+  test("incremental near-dup index ≡ one-shot nearDupPairs restricted across the split") {
+    import graft.cdc.KeyedParquetTable
+    val extra = Seq(
+      (10L, base.replace("green hills", "rolling hills")),     // near dup of 0/1/2
+      (11L, unrelated),                                        // exact dup of 3
+      (12L, "yet another singleton document about parquet footers and row groups in columnar files")
+    ).toDF("doc_id", "text")
+    val corpus = docs // indexed side
+    val tmp = tmpDir("nddx")
+    val bandT = new KeyedParquetTable(spark, s"$tmp/bands",
+      Seq("band_id", "band_hash", "id"), Nil, 8, Seq("band_id", "band_hash"))
+    val docT = new KeyedParquetTable(spark, s"$tmp/docs", Seq("doc_id"), Nil, 8)
+    // index in two UNEVEN batches (second batch re-merges nothing new for
+    // doc 0: upsert idempotence on the band rows)
+    FuzzyDedup.indexNearDups(bandT, docT, corpus.filter(col("doc_id") <= 1L), "doc_id", "text")
+    FuzzyDedup.indexNearDups(bandT, docT, corpus.filter(col("doc_id") >= 1L), "doc_id", "text")
+    val got = FuzzyDedup.checkNearDups(bandT, docT, extra, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // one-shot over the union, restricted to cross-split pairs, normalized
+    // to (candidate id, indexed id)
+    val oneShot = FuzzyDedup.nearDupPairs(corpus.unionByName(extra), "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .collect { case ((a, b), j) if a < 10L && b >= 10L => (b, a) -> j
+                 case ((a, b), j) if a >= 10L && b < 10L => (a, b) -> j }
+      .toMap
+    assert(got === oneShot)
+    // sanity: the planted cross-split dups are actually in there
+    assert(got.contains((11L, 3L)) && got((11L, 3L)) === 1.0)
+    assert(got.keys.exists(_._1 == 10L))
+    assert(!got.keys.exists(_._1 == 12L)) // singleton pairs with nothing
+  }
+
   test("winnow fingerprint is stable and shifts with content") {
     val fps = docs.select(col("doc_id"), TextOps.winnowFingerprint(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
