@@ -338,8 +338,11 @@ object Queries {
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val nBatches = 4L
         val base = Files.createTempDirectory("graft_cdcview_").toString
-        val entity = new KeyedParquetTable(s, s"$base/entity", Seq("user_id"))
-        val aggT = new KeyedParquetTable(s, s"$base/agg", Seq("event_type"))
+        // bucketed: the pre-image retraction read and the fold read go
+        // through the bucket-pruned readForKeys path, and each merge
+        // rewrites only touched buckets — the shape that holds at 100 TB
+        val entity = new KeyedParquetTable(s, s"$base/entity", Seq("user_id"), Nil, 8)
+        val aggT = new KeyedParquetTable(s, s"$base/agg", Seq("event_type"), Nil, 4)
         (0L until nBatches).foreach { b =>
           val lo = b * (maxId + 1) / nBatches
           val hi = (b + 1) * (maxId + 1) / nBatches
@@ -1981,6 +1984,24 @@ object Queries {
       },
       None),
 
+    // INCREMENTAL SimHash screening: one maintained quarter-bucket table
+    // (fingerprint rides along, so no doc store), probed bucket-pruned.
+    // Not SQL-expressible; FuzzyDedupSpec proves incremental ≡ one-shot.
+    "q_simhash_incremental" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents")
+        val tmp = Files.createTempDirectory("graft_shdx_").toString
+        val qt = new KeyedParquetTable(s, tmp,
+          Seq("q", "qv", "id"), Nil, 16, Seq("q", "qv"))
+        FuzzyDedup.indexSimhash(qt, docs.filter(col("doc_id") % 10 < 4), "doc_id", "text")
+        FuzzyDedup.indexSimhash(qt,
+          docs.filter(col("doc_id") % 10 >= 4 && col("doc_id") % 10 < 8), "doc_id", "text")
+        FuzzyDedup.checkSimhashNearDups(qt,
+          docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text")
+      },
+      None),
+
     // Dedup cluster resolution: near-dup candidate pairs → connected
     // components (min-label propagation, one equi-join per round) → one
     // keeper id per duplicate cluster. Not SQL-expressible (the edge set
@@ -2167,6 +2188,26 @@ object Queries {
           emb.filter(col("vec_id") < 5)
             .select(col("vec_id").as("query_id"), col("embedding")),
           "query_id", "vec_id", "embedding", k = 10, nProbe = 4)
+      },
+      None),
+
+    // INCREMENTAL IVF maintenance: index built on 90% of the corpus, the
+    // last 10% appended WITHOUT retraining (one broadcast assignment pass,
+    // appended into the centroid-partitioned layout), then queried — the
+    // append must be immediately visible with file pruning intact.
+    // Not SQL-expressible; SimilaritySpec proves append semantics exactly.
+    "q_ann_ivf_append" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val emb = t("embeddings").filter(col("vec_id") =!= 0)
+        val indexDir = Files.createTempDirectory("graft-ivfapp-").toString
+        Similarity.ivfBuild(emb.filter(col("vec_id") % 10 =!= 9),
+          "vec_id", "embedding", indexDir, nPlanes = 4, dim = 64)
+        Similarity.ivfAppend(s, indexDir,
+          emb.filter(col("vec_id") % 10 === 9), "vec_id", "embedding")
+        Similarity.ivfQuery(s, indexDir,
+          t("embeddings").filter(col("vec_id") === 0).select("embedding"),
+          "vec_id", "embedding", k = 10, nProbe = 4)
       },
       None),
 

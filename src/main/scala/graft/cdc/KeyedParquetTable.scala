@@ -459,12 +459,58 @@ final class KeyedParquetTable(
     walkEntries(dir)
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
 
-  /** M1: rewrite small files — re-commit the snapshot with sane file sizes
-    * if the current one has at least `minInputFiles` fragments.
+  /** M1: rewrite small files — if the current snapshot has at least
+    * `minInputFiles` fragments. On a bucketed table the rewrite is
+    * BUCKET-SCOPED (the analog of Iceberg's file-scoped
+    * `rewrite_data_files`): only buckets holding ≥2 files are rewritten,
+    * every single-file bucket is hard-linked through unchanged — so
+    * steady-state compaction cost tracks the buckets the recent merges
+    * fragmented, not the table size. Unbucketed tables fall back to the
+    * full rewrite (fine for small tables).
     */
   def compact(minInputFiles: Int = 5, targetPartitions: Int = 1): Option[Long] = {
     if (!exists || files().count() < minInputFiles) None
+    else if (bucketCount > 0 && bucketDirsOf(versionDir(currentVersion)).nonEmpty)
+      compactScoped(targetPartitions)
     else Some(commit(read().repartition(targetPartitions)))
+  }
+
+  private def bucketDirsOf(dir: Path): Seq[Path] =
+    if (!Files.exists(dir)) Nil
+    else listEntries(dir).filter(p => Files.isDirectory(p) &&
+      p.getFileName.toString.startsWith("__bucket="))
+
+  private def compactScoped(targetPartitions: Int): Option[Long] = {
+    val cur = currentVersion
+    val curDir = versionDir(cur)
+    // flat files from a foreign writer next to bucket dirs → scoped rewrite
+    // would silently drop them; fall back to the full rewrite
+    if (listEntries(curDir).exists(p =>
+        Files.isRegularFile(p) && p.toString.endsWith(".parquet")))
+      return Some(commit(read().repartition(targetPartitions)))
+    val (fragmented, intact) =
+      bucketDirsOf(curDir).partition(d => walkParquet(d).size >= 2)
+    if (fragmented.isEmpty) return None
+    val next = cur + 1
+    val nextDir = versionDir(next)
+    // retry safety: clear partial output of a failed prior attempt
+    if (Files.exists(nextDir)) deleteRecursively(nextDir)
+    Files.createDirectories(nextDir)
+    // one hash partition per fragmented bucket → ~one output file each;
+    // basePath keeps the __bucket / partition columns readable from the
+    // directory names so the rewrite lands back in the same layout
+    spark.read.option("basePath", curDir.toString)
+      .parquet(fragmented.map(_.toString): _*)
+      .repartition(math.max(targetPartitions, fragmented.size), col("__bucket"))
+      .write.mode("append")
+      .partitionBy(("__bucket" +: partitionBy): _*)
+      .parquet(nextDir.toString)
+    intact.foreach { dir =>
+      walkEntries(dir).filter(Files.isRegularFile(_))
+        .foreach(linkInto(curDir, nextDir, _))
+    }
+    carryTxn(cur, nextDir)
+    Some(swingPointer(next))
   }
 
   /** M2: drop snapshot dirs older than `olderThanMs`, always retaining the

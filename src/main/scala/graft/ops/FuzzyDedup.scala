@@ -213,6 +213,59 @@ object FuzzyDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** INCREMENTAL SimHash screening — the [[indexNearDups]] pattern for the
+    * SimHash modality, in ONE maintained table: a row per (q, qv, id)
+    * quarter-bucket with the doc's full fingerprint riding along as a
+    * value column (Hamming verify needs no document text, so no doc store).
+    * Keyed (q, qv, id), bucketed by (q, qv): a probe batch's quarters
+    * prune the read to their touched buckets.
+    */
+  def indexSimhash(quarterTable: graft.cdc.KeyedParquetTable,
+                   batch: DataFrame, idCol: String, textCol: String): Unit = {
+    require(quarterTable.keys == Seq("q", "qv", "id") &&
+      quarterTable.bucketKeys == Seq("q", "qv"),
+      s"quarterTable must be keyed (q, qv, id) and bucketed by (q, qv); " +
+        s"got keys=${quarterTable.keys} buckets=${quarterTable.bucketKeys}")
+    val rows = quarterRows(batch, idCol, textCol)
+      .select(col("q"), col("qv"), col(idCol).as("id"), col("sim"))
+    quarterTable.createIfNotExists(rows.schema)
+    quarterTable.merge(rows.withColumn("operation", lit("u")))
+  }
+
+  /** SimHash near-dup pairs between a candidate batch and the corpus indexed
+    * by [[indexSimhash]]: quarter-bucket probe (bucket-pruned read), full
+    * Hamming verify on the stored fingerprints. Returns
+    * (id_a = candidate id, id_b = indexed id, hamming).
+    */
+  def checkSimhashNearDups(quarterTable: graft.cdc.KeyedParquetTable,
+                           candidates: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-quarter bucketing guarantees recall only for maxHamming ≤ 3, got $maxHamming")
+    // localCheckpoint: drives the probe's bucket computation AND the join
+    val cand = quarterRows(candidates, idCol, textCol)
+      .select(col(idCol).as("id_a"), col("sim").as("sim_a"), col("q"), col("qv"))
+      .localCheckpoint(true)
+    val indexed = quarterTable.readForKeys(cand.select("q", "qv"))
+      .select(col("q"), col("qv"), col("id").as("id_b"), col("sim").as("sim_b"))
+    cand.join(indexed, Seq("q", "qv"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** (id, sim, q, qv) rows: each doc's fingerprint exploded into its four
+    * 16-bit quarter buckets (the [[simhashNearDups]] banding).
+    */
+  private def quarterRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), simhash(textCol).as("sim"))
+      .select(col(idCol), col("sim"), posexplode(
+        array((0 until 4).map(q =>
+          shiftright(col("sim"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("q", "qv")))
+
   /** 64-bit SimHash over whitespace tokens: bit i of the fingerprint is the
     * sign of Σ_tokens (±1 by bit i of the token hash). Uses the native
     * one-pass kernel ([[graft.functions.SimHash64]]); [[simhashRef]] is the
@@ -249,11 +302,7 @@ object FuzzyDedup {
     // distance ≤ 3 — a larger maxHamming would silently miss pairs
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-quarter bucketing guarantees recall only for maxHamming ≤ 3, got $maxHamming")
-    val withSim = docs.select(col(idCol), simhash(textCol).as("sim"))
-    val banded = withSim.select(col(idCol), col("sim"), posexplode(
-      array((0 until 4).map(q =>
-        shiftright(col("sim"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
-      .as(Seq("q", "qv")))
+    val banded = quarterRows(docs, idCol, textCol)
     val a = banded.select(col(idCol).as("id_a"), col("sim").as("sim_a"), col("q"), col("qv"))
     val b = banded.select(col(idCol).as("id_b"), col("sim").as("sim_b"), col("q"), col("qv"))
     a.join(b, Seq("q", "qv"))

@@ -203,6 +203,37 @@ object Similarity {
       .parquet(s"$indexDir/vectors")
   }
 
+  /** INCREMENTAL index maintenance: append a new vector batch into an
+    * existing [[ivfBuild]] index WITHOUT retraining — assign each new
+    * vector to its nearest STORED centroid (one broadcast pass over the
+    * batch) and append into the `centroid_id`-partitioned layout. Cost is
+    * O(batch); queries see the new vectors immediately with file pruning
+    * intact (new files land inside their cell's partition directory).
+    *
+    * Append-only: an id already in the index is NOT upserted (the index is
+    * a layout, not a keyed table) — dedupe upstream if re-ingesting.
+    * Centroids are fixed at build time, so a drifting embedding
+    * distribution slowly degrades cell balance/recall; periodically re-run
+    * [[ivfBuild]] (the offline re-center every real IVF deployment does).
+    */
+  def ivfAppend(spark: SparkSession, indexDir: String, newEmbeddings: DataFrame,
+                idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    // schema guard: a batch with different columns/types would produce a
+    // mixed-schema partition dir that later scans resolve arbitrarily
+    val stored = spark.read.parquet(s"$indexDir/vectors").schema
+      .filterNot(_.name == "centroid_id").map(f => f.name -> f.dataType.sql).sortBy(_._1)
+    val incoming = newEmbeddings.schema.map(f => f.name -> f.dataType.sql).sortBy(_._1)
+    require(stored == incoming,
+      s"ivfAppend schema mismatch: index has $stored, batch has $incoming")
+    val assigned = assignNearestCentroid(newEmbeddings, cents, idCol, vecCol,
+      "centroid_id", "centroid", byCosine = true)
+    newEmbeddings.join(assigned, idCol)
+      .repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$indexDir/vectors")
+  }
+
   /** The probe-limited corpus scan of a persisted index: only the listed
     * cells' partition directories are read (static partition pruning on the
     * literal ids — `.explain` shows the `centroid_id IN (…)` partition

@@ -264,6 +264,8 @@ object TextOps {
                          candidates: org.apache.spark.sql.DataFrame,
                          idCol: String, textCol: String,
                          n: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(table.keys == Seq("g"),
+      s"shingle index table must be keyed by 'g' (got ${table.keys})")
     val cand = shingleHashSet(candidates, idCol, textCol, n).localCheckpoint(true)
     val indexed = table.readForKeys(cand.select(col("__g").as("g")))
     cand.join(indexed.select(col("g").as("__g")), Seq("__g"), "left_semi")

@@ -48,6 +48,8 @@ object IncrementalAgg {
   def applyBatch(table: KeyedParquetTable, batch: DataFrame,
                  key: String, valueCol: String,
                  txnId: Option[String] = None): Unit = {
+    require(table.keys == Seq(key),
+      s"aggregate table must be keyed by '$key' (got ${table.keys})")
     if (txnId.isDefined && table.exists && table.lastTxn == txnId) return // replay
     val sumCol = s"sum_$valueCol"
     // coalesce: a batch where a key's values are ALL null would otherwise

@@ -145,6 +145,28 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(!got.keys.exists(_._1 == 12L)) // singleton pairs with nothing
   }
 
+  test("incremental simhash index ≡ one-shot simhashNearDups restricted across the split") {
+    import graft.cdc.KeyedParquetTable
+    val extra = Seq(
+      (10L, base),                 // exact dup of 0/1 → Hamming 0
+      (11L, "fresh standalone text about adaptive query execution plans and broadcast thresholds tuning")
+    ).toDF("doc_id", "text")
+    val qt = new KeyedParquetTable(spark, tmpDir("shdx"),
+      Seq("q", "qv", "id"), Nil, 8, Seq("q", "qv"))
+    FuzzyDedup.indexSimhash(qt, docs.filter(col("doc_id") <= 2L), "doc_id", "text")
+    FuzzyDedup.indexSimhash(qt, docs.filter(col("doc_id") > 2L), "doc_id", "text")
+    val got = FuzzyDedup.checkSimhashNearDups(qt, extra, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val oneShot = FuzzyDedup.simhashNearDups(docs.unionByName(extra), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .collect { case ((a, b), h) if a < 10L && b >= 10L => (b, a) -> h
+                 case ((a, b), h) if a >= 10L && b < 10L => (a, b) -> h }
+      .toMap
+    assert(got === oneShot)
+    assert(got((10L, 0L)) === 0 && got((10L, 1L)) === 0) // planted exact dups
+    assert(!got.keys.exists(_._1 == 11L))
+  }
+
   test("winnow fingerprint is stable and shifts with content") {
     val fps = docs.select(col("doc_id"), TextOps.winnowFingerprint(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

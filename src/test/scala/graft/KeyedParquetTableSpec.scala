@@ -370,6 +370,38 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(t.read().count() === 500)
   }
 
+  test("bucket-scoped compact rewrites only fragmented buckets, hard-links the rest") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_compact_b"), Seq("id"), Nil, 8)
+    // coalesce(1): exactly ONE file per bucket dir at v0, so the merges
+    // below are the only source of fragmentation
+    t.commit((0L until 400L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t.merge(Seq((1L, "b", "u")).toDF("id", "v", "operation"), txn = Some("t1"))
+    // append stacks fresh files on top of the hard-linked snapshot — the
+    // touched buckets now hold ≥2 files (deterministic fragmentation)
+    t.append(Seq((401L, "x"), (402L, "y")).toDF("id", "v").coalesce(1))
+    val before = t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val fragBefore = t.files().collect().map(_.getString(0))
+      .groupBy(_.split("/").find(_.startsWith("__bucket=")).get).view.mapValues(_.length)
+    assert(fragBefore.values.exists(_ >= 2), s"fixture not fragmented: $fragBefore")
+    val v = t.compact()
+    assert(v.isDefined)
+    // identical data, ≤1 file per bucket, txn marker carried through
+    val after = t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(after.toSeq === before.toSeq)
+    val fragAfter = t.files().collect().map(_.getString(0))
+      .groupBy(_.split("/").find(_.startsWith("__bucket=")).get).view.mapValues(_.length)
+    assert(fragAfter.values.forall(_ === 1), s"still fragmented: ${fragAfter.toMap}")
+    assert(t.lastTxn === Some("t1"))
+    // untouched (single-file) buckets were hard-linked, not rewritten
+    val linked = t.files().collect().map(_.getString(0)).count { f =>
+      java.nio.file.Files.getAttribute(java.nio.file.Paths.get(f), "unix:nlink")
+        .asInstanceOf[Integer] >= 2
+    }
+    assert(linked > 0, "no hard-linked untouched buckets after scoped compact")
+    // already-compact table: compact is a no-op (None)
+    assert(t.compact().isEmpty)
+  }
+
   test("readForKeys physically scans only the touched buckets' files") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_rfk"), Seq("id"), Nil, bucketCount = 8)
     t.commit((0L until 256L).map(i => (i, s"v$i")).toDF("id", "v"))

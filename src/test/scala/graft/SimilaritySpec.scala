@@ -187,6 +187,47 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"), plan)
   }
 
+  test("ivfAppend: appended vectors queryable immediately, centroids fixed, pruning intact") {
+    val emb = clustered
+    val first = emb.filter(col("vec_id") < 240L) // clusters 0-7 at build time
+    val rest = emb.filter(col("vec_id") >= 240L) // clusters 8-9 appended later
+    val dir = tmpDir("ivfappend")
+    Similarity.ivfBuild(first, "vec_id", "embedding", dir, nPlanes = 4, dim = dim)
+    val centsBefore = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    Similarity.ivfAppend(spark, dir, rest, "vec_id", "embedding")
+    // no retrain: the centroid table is byte-for-byte untouched
+    val centsAfter = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(centsAfter === centsBefore)
+    // an appended vector is immediately the top hit for its own query
+    // (assignment and query rank centroids with the same metric+tiebreak,
+    // so the probe list always includes its cell)
+    val query = emb.filter(col("vec_id") === 270L).select("embedding")
+    val got = Similarity.ivfQuery(spark, dir, query, "vec_id", "embedding", 10,
+      nProbe = 4).collect().map(_.getLong(0))
+    assert(got.head === 270L, s"expected appended id 270 first, got ${got.toSeq}")
+    val exact = Similarity.cosineTopK(emb, query, "vec_id", "embedding", 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(got.toSet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall exact=$exact got=${got.toSeq}")
+    // partition pruning still holds over the appended layout
+    val all = spark.read.parquet(s"$dir/vectors")
+    val cells = all.select(col("centroid_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val probe = Similarity.ivfProbeScan(spark, dir, cells.take(1).toSeq)
+    val totalFiles = all.select(input_file_name()).distinct().count()
+    val probedFiles = probe.select(input_file_name()).distinct().count()
+    assert(probedFiles > 0 && probedFiles < totalFiles,
+      s"probe read $probedFiles of $totalFiles files after append — not pruned")
+    // a schema-mismatched batch is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(spark, dir,
+        rest.withColumnRenamed("embedding", "emb2"), "vec_id", "emb2")
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
   test("ivfTrain centroids are cluster-coherent and few") {
     val emb = clustered
     val cents = Similarity.ivfTrain(emb, "vec_id", "embedding",
