@@ -2211,6 +2211,22 @@ object Queries {
       },
       None),
 
+    // INCREMENTAL embedding-space screening: a new batch checked for
+    // near-dups of the indexed corpus in one probe-pruned ivfQueryAll pass
+    // — with q_neardup_incremental / q_simhash_incremental /
+    // q_contamination this closes the incremental form of every dedup
+    // modality. Not SQL-expressible; SimilaritySpec plants exact copies.
+    "q_embedding_neardup_incremental" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val emb = t("embeddings")
+        val indexDir = ivfIndexFor(s, dir, emb)
+        Similarity.checkEmbeddingNearDups(s, indexDir,
+          emb.filter(col("vec_id") % 50 === 1).select("vec_id", "embedding"),
+          "vec_id", "embedding", threshold = 0.95)
+      },
+      None),
+
     // Embedding-cosine near-dup pairs via sign-bit LSH buckets (the
     // embedding-space dedup modality; bucket-bounded like MinHash).
     "q_embedding_neardup" -> Q(

@@ -234,6 +234,28 @@ object Similarity {
       .parquet(s"$indexDir/vectors")
   }
 
+  /** INCREMENTAL embedding near-dup screening — "is anything in this new
+    * batch a near-dup (cosine ≥ threshold) of the indexed corpus?" — the
+    * embedding-modality sibling of [[graft.ops.FuzzyDedup.checkNearDups]].
+    * One [[ivfQueryAll]] pass against the persisted index (probed-cells
+    * file pruning, no corpus rescan), thresholded; a batch vector indexed
+    * under the same id never pairs with itself. Compose with [[ivfAppend]]
+    * to then fold the screened batch in. Returns (id_a = batch id,
+    * id_b = indexed id, cos_sim).
+    *
+    * nProbe bounds recall exactly as in querying: a near-dup whose cell is
+    * outside the batch vector's nProbe nearest cells is missed — the same
+    * recall/cost dial every IVF deployment exposes.
+    */
+  def checkEmbeddingNearDups(spark: SparkSession, indexDir: String,
+                             batch: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double = 0.95, k: Int = 10,
+                             nProbe: Int = 4): DataFrame =
+    ivfQueryAll(spark, indexDir, batch, idCol, idCol, vecCol, k, nProbe)
+      .filter(col("sim") >= threshold && col("query_id") =!= col(idCol))
+      .select(col("query_id").as("id_a"), col(idCol).as("id_b"),
+        col("sim").as("cos_sim"))
+
   /** The probe-limited corpus scan of a persisted index: only the listed
     * cells' partition directories are read (static partition pruning on the
     * literal ids — `.explain` shows the `centroid_id IN (…)` partition

@@ -228,6 +228,29 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
+  test("checkEmbeddingNearDups flags batch vectors duplicating the indexed corpus") {
+    val emb = clustered
+    val dir = tmpDir("ivfscreen")
+    Similarity.ivfBuild(emb, "vec_id", "embedding", dir, nPlanes = 4, dim = dim)
+    // batch: two exact copies of corpus vectors under new ids + one far
+    // outlier that duplicates nothing
+    val dup0 = emb.filter(col("vec_id") === 0L).head().getSeq[Float](1)
+    val dup60 = emb.filter(col("vec_id") === 60L).head().getSeq[Float](1)
+    val outlier = (0 until dim).map(i => if (i % 2 == 0) 1000f else -1000f)
+    val batch = Seq((1000L, dup0), (1001L, dup60), (1002L, outlier))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.checkEmbeddingNearDups(spark, dir, batch,
+        "vec_id", "embedding", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byBatch = got.groupBy(_._1)
+    // the exact copies pair with their sources at cos ≈ 1
+    assert(byBatch(1000L).exists(p => p._2 === 0L && p._3 > 0.999))
+    assert(byBatch(1001L).exists(p => p._2 === 60L && p._3 > 0.999))
+    // outlier pairs with nothing; no self-pairs; threshold respected
+    assert(!byBatch.contains(1002L))
+    assert(got.forall(p => p._1 !== p._2) && got.forall(_._3 >= 0.999))
+  }
+
   test("ivfTrain centroids are cluster-coherent and few") {
     val emb = clustered
     val cents = Similarity.ivfTrain(emb, "vec_id", "embedding",
