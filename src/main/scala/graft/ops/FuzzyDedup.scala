@@ -153,6 +153,14 @@ object FuzzyDedup {
     *
     * Per-batch cost: signature pass over the batch + two bucket-scoped
     * merges — O(batch), never O(corpus). [[checkNearDups]] is the probe.
+    *
+    * Docs are treated as IMMUTABLE (content-addressed ids, the training-
+    * corpus norm): re-indexing a CHANGED doc under the same id upserts its
+    * doc row but leaves the old text's band rows in place (different band
+    * hashes = different keys), so probes may surface candidates from the
+    * superseded text — verify still runs against the current text, so
+    * confirmed pairs stay correct, but rebuild the index if docs mutate.
+    * One row per id per batch (the merge-cardinality rule).
     */
   def indexNearDups(bandTable: graft.cdc.KeyedParquetTable,
                     docTable: graft.cdc.KeyedParquetTable,
@@ -219,6 +227,10 @@ object FuzzyDedup {
     * value column (Hamming verify needs no document text, so no doc store).
     * Keyed (q, qv, id), bucketed by (q, qv): a probe batch's quarters
     * prune the read to their touched buckets.
+    *
+    * Same immutability assumption as [[indexNearDups]]: a changed doc's
+    * old quarters (with the old fingerprint) stay behind under the same
+    * id — treat docs as immutable or rebuild.
     */
   def indexSimhash(quarterTable: graft.cdc.KeyedParquetTable,
                    batch: DataFrame, idCol: String, textCol: String): Unit = {

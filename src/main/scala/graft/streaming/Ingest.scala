@@ -81,8 +81,18 @@ object Ingest {
                  opCol: String = "operation"): Boolean = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val applied = lineage.exists(l =>
-      l.exists && l.read().filter(col("batch_id") === batchId).limit(1).count() > 0)
+    // replay probe: on a bucketed lineage table (bucketed by batch_id) this
+    // reads ONE bucket's files, not the whole ever-growing lineage history —
+    // the same O(batch)-per-micro-batch bound as the merge itself
+    val applied = lineage.exists { l =>
+      l.exists && {
+        val rows =
+          if (l.bucketCount > 0 && l.bucketKeys == Seq("batch_id"))
+            l.readForKeys(Seq(batchId).toDF("batch_id"))
+          else l.read()
+        rows.filter(col("batch_id") === batchId).limit(1).count() > 0
+      }
+    }
     if (applied) false
     else {
       // localCheckpoint: the count, the merge's bucket discovery, and the

@@ -23,7 +23,9 @@ class IngestSpec extends SparkSpec {
     val checkpoint = tmpDir("ingest_ckpt")
     val table = new KeyedParquetTable(spark, tmpDir("ingest_tbl"), Seq("id"))
     table.createIfNotExists(tableSchema)
-    val lineage = new KeyedParquetTable(spark, tmpDir("ingest_lin"), Seq("batch_id"))
+    // bucketed: the replay probe takes the bucket-pruned readForKeys path
+    val lineage = new KeyedParquetTable(spark, tmpDir("ingest_lin"), Seq("batch_id"),
+      Nil, bucketCount = 4)
 
     val stream = MemoryStream[Cdc]
     val q = Ingest.start(stream.toDF(), table, Seq(col("seq").desc),
