@@ -53,17 +53,27 @@ object Queries {
     * shutdown hook.
     */
   private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Scratch dirs created by table-building queries, all removed at JVM
+    * exit — a Verify/Bench run must not leak one temp dir per query run.
+    */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def scratchDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toString
+    scratchDirs.add(d)
+    d
+  }
   sys.addShutdownHook {
-    ivfIndexCache.values().forEach { d =>
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val s = Files.list(p)
-          try s.forEach(rm) finally s.close()
-        }
-        Files.deleteIfExists(p)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(rm) finally s.close()
       }
-      try rm(java.nio.file.Paths.get(d)) catch { case _: Throwable => () }
+      Files.deleteIfExists(p)
     }
+    (scratchDirs.iterator().asScala ++ ivfIndexCache.values().iterator().asScala)
+      .foreach(d => try rm(java.nio.file.Paths.get(d)) catch { case _: Throwable => () })
   }
   private def ivfIndexFor(spark: SparkSession, dir: String, emb: DataFrame): String = {
     val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
@@ -179,7 +189,7 @@ object Queries {
           .select("user_id", "event_id", "event_type", "value", "operation")
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val nBatches = 4L
-        val tmp = Files.createTempDirectory("graft_merge_").toString
+        val tmp = scratchDir("graft_merge_")
         // bucketCount=8 → the driver's oracle gate exercises the
         // bucket-scoped (touched-buckets-only) merge path
         val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
@@ -267,7 +277,7 @@ object Queries {
           .select("user_id", "event_id", "event_type", "value", "operation")
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val mid = (maxId + 1) / 2
-        val tmp = Files.createTempDirectory("graft_changes_").toString
+        val tmp = scratchDir("graft_changes_")
         val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
         table.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
         def applyHalf(cond: Column): Unit = {
@@ -309,7 +319,7 @@ object Queries {
         val events = t("events")
         val maxId = events.agg(max("event_id")).head().getLong(0)
         val nBatches = 4L
-        val tmp = Files.createTempDirectory("graft_incragg_").toString
+        val tmp = scratchDir("graft_incragg_")
         val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
         (0L until nBatches).foreach { b =>
           val lo = b * (maxId + 1) / nBatches
@@ -337,7 +347,7 @@ object Queries {
           .select("user_id", "event_id", "event_type", "value", "operation")
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val nBatches = 4L
-        val base = Files.createTempDirectory("graft_cdcview_").toString
+        val base = scratchDir("graft_cdcview_")
         // bucketed: the pre-image retraction read and the fold read go
         // through the bucket-pruned readForKeys path, and each merge
         // rewrites only touched buckets — the shape that holds at 100 TB
@@ -1930,7 +1940,7 @@ object Queries {
           .groupBy(expr("event_id DIV 500").as("batch_id"),
             (col("user_id") % 8).as("part_id"))
           .agg(max("event_id").as("last_offset"))
-        val tmp = Files.createTempDirectory("graft_lineage_").toString
+        val tmp = scratchDir("graft_lineage_")
         val store = new KeyedParquetTable(s, tmp, Seq("batch_id", "part_id"), Nil, 4)
         store.createIfNotExists(offsets.schema)
         store.append(offsets)
@@ -1971,7 +1981,7 @@ object Queries {
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val docs = t("documents")
-        val tmp = Files.createTempDirectory("graft_nddx_").toString
+        val tmp = scratchDir("graft_nddx_")
         val bandT = new KeyedParquetTable(s, s"$tmp/bands",
           Seq("band_id", "band_hash", "id"), Nil, 16, Seq("band_id", "band_hash"))
         val docT = new KeyedParquetTable(s, s"$tmp/docs", Seq("doc_id"), Nil, 16)
@@ -1991,7 +2001,7 @@ object Queries {
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val docs = t("documents")
-        val tmp = Files.createTempDirectory("graft_shdx_").toString
+        val tmp = scratchDir("graft_shdx_")
         val qt = new KeyedParquetTable(s, tmp,
           Seq("q", "qv", "id"), Nil, 16, Seq("q", "qv"))
         FuzzyDedup.indexSimhash(qt, docs.filter(col("doc_id") % 10 < 4), "doc_id", "text")
@@ -2200,7 +2210,7 @@ object Queries {
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val emb = t("embeddings").filter(col("vec_id") =!= 0)
-        val indexDir = Files.createTempDirectory("graft-ivfapp-").toString
+        val indexDir = scratchDir("graft-ivfapp-")
         Similarity.ivfBuild(emb.filter(col("vec_id") % 10 =!= 9),
           "vec_id", "embedding", indexDir, nPlanes = 4, dim = 64)
         Similarity.ivfAppend(s, indexDir,

@@ -488,8 +488,11 @@ final class KeyedParquetTable(
     if (listEntries(curDir).exists(p =>
         Files.isRegularFile(p) && p.toString.endsWith(".parquet")))
       return Some(commit(read().repartition(targetPartitions)))
-    val (fragmented, intact) =
-      bucketDirsOf(curDir).partition(d => walkParquet(d).size >= 2)
+    // fragmentation is judged per LEAF directory: a partitioned bucket with
+    // one file per partition dir is already compact (a per-bucket file
+    // count would flag it forever and churn-rewrite it on every call)
+    val (fragmented, intact) = bucketDirsOf(curDir).partition(d =>
+      walkParquet(d).groupBy(_.getParent).exists(_._2.size >= 2))
     if (fragmented.isEmpty) return None
     val next = cur + 1
     val nextDir = versionDir(next)

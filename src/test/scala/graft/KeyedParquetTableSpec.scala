@@ -400,6 +400,18 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(linked > 0, "no hard-linked untouched buckets after scoped compact")
     // already-compact table: compact is a no-op (None)
     assert(t.compact().isEmpty)
+    // bucketed AND partitioned: one file per (bucket, partition) leaf is
+    // already compact — a per-bucket count would churn-rewrite it forever
+    val tp = new KeyedParquetTable(spark, tmpDir("kpt_compact_bp"), Seq("id"),
+      Seq("part"), 4)
+    tp.commit((0L until 100L).map(i => (i, s"v$i", (i % 3).toString))
+      .toDF("id", "v", "part").coalesce(1))
+    assert(tp.compact(minInputFiles = 2).isEmpty)
+    // but a genuinely fragmented leaf still triggers the scoped rewrite
+    tp.append(Seq((100L, "x", "0")).toDF("id", "v", "part").coalesce(1))
+    assert(tp.compact(minInputFiles = 2).isDefined)
+    assert(tp.read().count() === 101)
+    assert(tp.compact(minInputFiles = 2).isEmpty) // stable afterwards
   }
 
   test("readForKeys physically scans only the touched buckets' files") {
