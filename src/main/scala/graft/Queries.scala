@@ -1836,6 +1836,19 @@ object Queries {
              |  AND g IN (SELECT g FROM sh WHERE doc_id % 10 < 8)""".stripMargin),
       headline = true),
 
+    // Sequence packing: documents → fixed-token-budget training sequences
+    // (bounded first-fit-decreasing per hash partition, one shuffle).
+    // seq_id depends on the deterministic partitioning, so not
+    // SQL-expressible; TextOpsSpec proves the packing invariants.
+    "q_pack_sequences" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents").select(col("doc_id"),
+          TextOps.tokenCountWs(col("text")).as("n_tok"))
+        TextOps.packSequences(docs, "doc_id", "n_tok", budget = 1024)
+      },
+      None),
+
     // Source-mix report: domains mentioned per document (synthesized
     // deterministically from doc_id so the extractor paths are exercised),
     // counted per domain — the blocklist/source-weighting input.

@@ -194,6 +194,66 @@ object TextOps {
       lit(s"(^|[^a-z0-9.-])((https?://)?(www\\.)?($host))"), lit(5))
   }
 
+  /** SEQUENCE PACKING — assign documents to fixed-token-budget training
+    * sequences (the batch-construction stage of an LLM training pipeline:
+    * pack short docs together so sequences waste few pad tokens).
+    * Returns (idCol, n_tokens, seq_id).
+    *
+    * Distributed shape: documents hash-partition on id (deterministic),
+    * sort within each partition by (tokens DESC, id) and stream through a
+    * bounded first-fit-decreasing packer — FFD is within 11/9 of optimal
+    * per partition, and `lookback` caps the open-bin list so executor
+    * memory is O(lookback), independent of partition size. One shuffle
+    * total; bins never span partitions (at 100 TB each partition holds
+    * millions of docs, so the per-partition partial-bin overhead is noise).
+    *
+    * Oversized docs (tokens > budget) get a singleton sequence — never
+    * silently dropped; truncation/chunking belongs upstream
+    * ([[chunkByTokens]]). Deterministic: same input → same seq_ids.
+    */
+  def packSequences(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    tokenCol: String, budget: Long, partitions: Int = 0,
+                    lookback: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(lookback >= 1, s"lookback must be >= 1, got $lookback")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nParts =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    docs
+      .select(col(idCol).cast("long").as("__id"), col(tokenCol).cast("long").as("__tok"))
+      .repartition(nParts, col("__id"))
+      .sortWithinPartitions(col("__tok").desc, col("__id"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        // open bins as (localBinId, remaining); length capped at `lookback`
+        val open = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var nextBin = 0L
+        it.map { case (id, tok) =>
+          val need = math.max(tok, 1L) // a zero-token doc still occupies a slot
+          val slot = open.indexWhere(_._2 >= need)
+          val local =
+            if (slot >= 0) {
+              val (b, rem) = open(slot)
+              if (rem - need > 0) open(slot) = (b, rem - need) else open.remove(slot)
+              b
+            } else {
+              val b = nextBin; nextBin += 1
+              val rem = budget - need
+              if (rem > 0) {
+                open += ((b, rem))
+                if (open.length > lookback) open.remove(0) // retire the oldest
+              }
+              b
+            }
+          (id, tok, (pid << 40) | local) // 2^40 bins per partition
+        }
+      }
+      .toDF(idCol, "n_tokens", "seq_id")
+  }
+
   // ---- Train/test decontamination -----------------------------------------
 
   /** Test-set docs sharing at least one n-token shingle with the training

@@ -414,6 +414,36 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(tp.compact(minInputFiles = 2).isEmpty) // stable afterwards
   }
 
+  test("lifecycle property: random merge/append/compact/expire history == map fold (5 seeds)") {
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(100 + seed)
+      val t = new KeyedParquetTable(spark, tmpDir(s"kpt_prop$seed"), Seq("id"), Nil, 8)
+      t.createIfNotExists(schema)
+      var model = Map.empty[Long, String]
+      var fresh = 1000L // append-only ids, disjoint from merge keys by construction
+      for (_ <- 0 until 8) {
+        rnd.nextInt(3) match {
+          case 2 =>
+            val rows = (0 until rnd.nextInt(3) + 1).map { _ =>
+              val k = fresh; fresh += 1; model += (k -> s"a$k"); (k, s"a$k")
+            }
+            t.append(rows.toDF("id", "v"))
+          case _ =>
+            val keys = rnd.shuffle((0L until 30L).toList).take(rnd.nextInt(8) + 1)
+            val rows = keys.map { k =>
+              if (rnd.nextInt(4) == 0) { model -= k; (k, null.asInstanceOf[String], "d") }
+              else { val v = s"v${rnd.nextInt(100)}"; model += (k -> v); (k, v, "u") }
+            }
+            t.merge(rows.toDF("id", "v", "operation"))
+        }
+        if (rnd.nextInt(3) == 0) t.compact(minInputFiles = 2)
+        if (rnd.nextInt(4) == 0) t.expireSnapshots(0L, retainLast = 2)
+      }
+      val got = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got === model, s"seed=$seed")
+    }
+  }
+
   test("readForKeys physically scans only the touched buckets' files") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_rfk"), Seq("id"), Nil, bucketCount = 8)
     t.commit((0L until 256L).map(i => (i, s"v$i")).toDF("id", "v"))

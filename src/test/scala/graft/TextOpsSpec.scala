@@ -180,6 +180,31 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === Set(10L, 12L))
   }
 
+  test("packSequences: every doc exactly once, budget respected, deterministic") {
+    val rnd = new scala.util.Random(9)
+    val docs = (0L until 500L).map(i => (i, (rnd.nextInt(120) + 1).toLong))
+      .toDF("doc_id", "n_tok")
+    val packed = TextOps.packSequences(docs, "doc_id", "n_tok", budget = 128,
+      partitions = 4)
+    val rows = packed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 500 && rows.map(_._1).toSet === (0L until 500L).toSet)
+    val byBin = rows.groupBy(_._3)
+    assert(byBin.values.forall(_.map(_._2).sum <= 128L))
+    // FFD efficiency sanity: well under 2× the ideal bin count
+    val ideal = math.ceil(rows.map(_._2).sum / 128.0)
+    assert(byBin.size <= 2 * ideal + 4, s"bins=${byBin.size} ideal=$ideal")
+    // deterministic across runs
+    val again = TextOps.packSequences(docs, "doc_id", "n_tok", 128, partitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows.map(r => r._1 -> r._3).toMap === again)
+    // an oversized doc gets its own singleton sequence, never dropped
+    val over = TextOps.packSequences(
+        Seq((1L, 500L), (2L, 10L), (3L, 10L)).toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", budget = 128)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(over.size === 3 && (over(2L) !== over(1L)) && (over(3L) !== over(1L)))
+  }
+
   test("incremental shingle index matches the one-shot check as train grows") {
     import graft.cdc.KeyedParquetTable
     val trainA = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
