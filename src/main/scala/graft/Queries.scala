@@ -1836,6 +1836,25 @@ object Queries {
              |  AND g IN (SELECT g FROM sh WHERE doc_id % 10 < 8)""".stripMargin),
       headline = true),
 
+    // Deterministic weighted interleave (data mixing): stride-scheduled
+    // mix keys per source weight — pure window arithmetic, so the oracle
+    // reproduces it bit-for-bit (IEEE (k-0.5)/w both engines).
+    "q_mixture_interleave" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        Sampling.interleaveByWeight(
+          t("events").select(col("event_id"), col("event_type")),
+          "event_type",
+          Map("view" -> 1.0, "purchase" -> 4.0, "signup" -> 2.0),
+          Seq(col("event_id")))
+      },
+      Some("""SELECT event_id, event_type,
+             |(CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS DOUBLE) - 0.5)
+             |  / CASE event_type WHEN 'view' THEN 1.0 WHEN 'purchase' THEN 4.0
+             |                    WHEN 'signup' THEN 2.0 END AS mix_key
+             |FROM events
+             |WHERE event_type IN ('view', 'purchase', 'signup')""".stripMargin)),
+
     // Sequence packing: documents → fixed-token-budget training sequences
     // (bounded first-fit-decreasing per hash partition, one shuffle).
     // seq_id depends on the deterministic partitioning, so not

@@ -43,4 +43,35 @@ object Sampling {
   def deterministicByKey(df: DataFrame, idCol: String, mod: Long,
                          keepBelow: Long): Column =
     pmod(xxhash64(col(idCol)), lit(mod)) < keepBelow
+
+  /** Deterministic weighted interleave — the data-MIXING stage: order rows
+    * so sources appear in proportion to their weights (weight 3 : 1 ⇒ three
+    * rows of the first per one of the second, evenly spread, not blocked).
+    *
+    * Standard stride scheduling: the k-th row of source s (under the
+    * deterministic per-source `ordering`) gets key (k − 0.5) / weight(s);
+    * ascending key IS the mixture order. Returns the input plus
+    * `mix_key` (double) — a SORT KEY, deliberately not a global
+    * row_number (which would need a single-partition window); downstream
+    * writes `sortBy(mix_key)` / range-partition on it, and
+    * [[graft.ops.Ranks.globalRank]] composes when a dense global position
+    * is genuinely needed. One hash exchange on the source column.
+    *
+    * Rows whose source has no weight are DROPPED (the quota-sampling
+    * convention: an unlisted source has weight 0); pure arithmetic, no
+    * RNG — the same mixture every run, reproducible across engines.
+    */
+  def interleaveByWeight(df: DataFrame, sourceCol: String,
+                         weights: Map[String, Double],
+                         ordering: Seq[Column]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      s"weights must be positive, got $weights")
+    val wExpr = weights.foldLeft(lit(null).cast("double")) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    val pos = row_number()
+      .over(Window.partitionBy(sourceCol).orderBy(ordering: _*)).cast("long")
+    df.filter(col(sourceCol).isInCollection(weights.keys.toSeq))
+      .withColumn("mix_key", (pos.cast("double") - 0.5) / wExpr)
+  }
 }

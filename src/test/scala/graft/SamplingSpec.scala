@@ -46,6 +46,21 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.stratifiedExact(df, "stratum", "id", 0.07).count() === 7L)
   }
 
+  test("interleaveByWeight: 2:1 weights spread evenly, unlisted sources dropped") {
+    val docs = ((1L to 6L).map(i => (i, "a")) ++ (11L to 13L).map(i => (i, "b"))
+      ++ Seq((99L, "junk"))).toDF("id", "src")
+    val mixed = Sampling.interleaveByWeight(docs, "src",
+        Map("a" -> 2.0, "b" -> 1.0), Seq(col("id")))
+      .orderBy("mix_key").collect().map(r => (r.getString(1), r.getLong(0)))
+    // stride schedule: a .25, b .5, a .75, a 1.25, b 1.5, a 1.75, ...
+    assert(mixed.map(_._1).toSeq ===
+      Seq("a", "b", "a", "a", "b", "a", "a", "b", "a"))
+    // within each source the deterministic ordering is preserved
+    assert(mixed.collect { case ("a", id) => id }.toSeq === (1L to 6L))
+    assert(mixed.collect { case ("b", id) => id }.toSeq === (11L to 13L))
+    assert(!mixed.exists(_._1 == "junk")) // weight-0 source excluded
+  }
+
   test("deterministicByKey membership is a pure function of the id") {
     val df = fixture
     val kept = df.filter(Sampling.deterministicByKey(df, "id", 100L, 25L))
