@@ -1433,6 +1433,57 @@ object Queries {
              |  FROM events) t GROUP BY user_id""".stripMargin),
       headline = true),
 
+    // Ordered funnel: users progressing view → signup → purchase, by FIRST
+    // occurrence times (two map-side-combinable aggregations, one shuffle
+    // on user_id then a partial-combined global fold — no windows needed).
+    "q_funnel" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val firsts = t("events").groupBy("user_id").agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        firsts.agg(
+          count(col("t_view")).as("n_view"),
+          sum(when(col("t_signup") > col("t_view"), 1L).otherwise(0L))
+            .as("n_view_then_signup"),
+          sum(when(col("t_purchase") > col("t_signup") && col("t_signup") > col("t_view"), 1L)
+            .otherwise(0L)).as("n_full_funnel"))
+      },
+      Some("""WITH firsts AS (
+             |  SELECT user_id,
+             |    MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view,
+             |    MIN(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END) AS t_signup,
+             |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_purchase
+             |  FROM events GROUP BY user_id)
+             |SELECT COUNT(t_view) AS n_view,
+             |  CAST(SUM(CASE WHEN t_signup > t_view THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_view_then_signup,
+             |  CAST(SUM(CASE WHEN t_purchase > t_signup AND t_signup > t_view
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+             |FROM firsts""".stripMargin)),
+
+    // Retention cohorts: users bucketed by first-activity week, counted per
+    // (cohort week, week offset) — integer nanos→week division, identical
+    // floor semantics both engines; the self-join and both aggregations
+    // share the user_id hash partitioning.
+    "q_retention_cohorts" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val withWk = t("events")
+          .select(col("user_id"), expr("ts DIV 604800000000000").as("wk"))
+        val cohort = withWk.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        withWk.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH w AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk
+             |          FROM events),
+             |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id)
+             |SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
+             |       COUNT(DISTINCT w.user_id) AS n_users
+             |FROM w JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin)),
+
     // Pivot: per-user event-type count matrix (map-side combinable).
     "q_pivot_event_counts" -> Q(
       (s, dir) => {
