@@ -19,7 +19,14 @@ import org.apache.spark.sql.functions._
   *
   * Partitioning: optional partition columns (the reference partitions by
   * `(year, month)`, `spark_batch.py:84`) are honored on write so partition
-  * pruning works on read.
+  * pruning works on read. Partition VALUES are directory-encoded, so they
+  * must round-trip Spark's partition-value parsing: a string value that
+  * parses as a number but isn't its canonical form (e.g. "01") would be
+  * re-encoded as "1" by the scoped merge/compaction rewrites. Use
+  * canonical numeric strings or genuinely non-numeric values (the
+  * reference's year/month ints are safe); Iceberg avoids this class of
+  * issue by keeping partition values in metadata, which a local-FS layout
+  * cannot.
   *
   * Maintenance parity (M1-M3, `spark_batch.py:408-432`):
   * [[compact]] ~ `rewrite_data_files`, [[expireSnapshots]] ~

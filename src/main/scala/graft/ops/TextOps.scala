@@ -222,7 +222,15 @@ object TextOps {
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     docs
-      .select(col(idCol).cast("long").as("__id"), col(tokenCol).cast("long").as("__tok"))
+      .select(
+        // loud failure beats the opaque "Null value appeared in non-nullable
+        // field" the tuple encoder would throw mid-stage
+        when(col(idCol).isNull,
+          raise_error(lit(s"packSequences: NULL $idCol")))
+          .otherwise(col(idCol).cast("long")).as("__id"),
+        when(col(tokenCol).isNull,
+          raise_error(lit(s"packSequences: NULL $tokenCol")))
+          .otherwise(col(tokenCol).cast("long")).as("__tok"))
       .repartition(nParts, col("__id"))
       .sortWithinPartitions(col("__tok").desc, col("__id"))
       .as[(Long, Long)]

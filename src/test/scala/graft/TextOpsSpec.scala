@@ -203,6 +203,15 @@ class TextOpsSpec extends SparkSpec {
         "doc_id", "n_tok", budget = 128)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(over.size === 3 && (over(2L) !== over(1L)) && (over(3L) !== over(1L)))
+    // NULL token counts fail loudly, not with an opaque encoder NPE
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      TextOps.packSequences(
+        Seq((1L, Some(10L)), (2L, None)).toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", budget = 128).collect()
+    }
+    assert(msgs(e).exists(_.contains("NULL n_tok")), msgs(e).mkString(" | "))
   }
 
   test("incremental shingle index matches the one-shot check as train grows") {
