@@ -1919,6 +1919,68 @@ object Queries {
       },
       None),
 
+    // CAPSTONE curation pipeline, fully oracle-checked: quality filter →
+    // exact dedup (min doc_id per content fingerprint) → train split →
+    // decontamination against the test split → per-language corpus stats.
+    // Proves the curation stages COMPOSE bit-identically across engines,
+    // not just pass their gates in isolation. Every stage keeps the
+    // exact-dedup/semi-join shuffle shapes of its standalone form.
+    "q_curation_pipeline" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents")
+        val kept = docs
+          .withColumn("__q", TextOps.qualityScore(col("text")))
+          .filter(col("__q") >= 0.5)
+        val keepers = kept.groupBy(md5(col("text")).as("__fp"))
+          .agg(min("doc_id").as("doc_id"))
+        val deduped = kept.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+        val train = deduped.filter(col("doc_id") % 10 < 8)
+        val testSplit = docs.filter(col("doc_id") % 10 >= 8)
+        // contaminatedDocs(corpus, candidates): candidates sharing any
+        // 5-gram with the corpus — here the TRAIN docs overlapping the
+        // held-out test split
+        val contaminated = TextOps.contaminatedDocs(testSplit, train,
+          "doc_id", "text", n = 5)
+        train.join(contaminated, Seq("doc_id"), "left_anti")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextOps.tokenCountWs(col("text"))).as("n_tokens"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, text, lang,
+             |    CASE WHEN LENGTH(text) = 0 THEN 0
+             |         ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS nt
+             |  FROM documents),
+             |q AS (
+             |  SELECT *,
+             |    LEAST(1.0, CASE WHEN nt = 0 THEN 0.0
+             |      ELSE CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) / nt END * 2.0) * 0.4
+             |    + (CASE WHEN nt BETWEEN 20 AND 1000 THEN 1.0 WHEN nt >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+             |    + (1.0 - LEAST(1.0, CASE WHEN LENGTH(text) = 0 THEN 0.0
+             |      ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / LENGTH(text) END * 5.0)) * 0.2
+             |    AS quality
+             |  FROM scored),
+             |kept AS (SELECT * FROM q WHERE quality >= 0.5),
+             |keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+             |dd AS (SELECT * FROM kept WHERE doc_id IN (SELECT doc_id FROM keepers)),
+             |train AS (SELECT * FROM dd WHERE doc_id % 10 < 8),
+             |tok AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+             |        WHERE doc_id % 10 >= 8),
+             |testsh AS (SELECT DISTINCT unnest(list_distinct(
+             |    list_transform(generate_series(1, len(toks) - 4),
+             |      i -> array_to_string(toks[i:i+4], ' ')))) AS g FROM tok),
+             |trsh AS (SELECT t.doc_id, unnest(list_distinct(
+             |    list_transform(generate_series(1, len(str_split(t.text, ' ')) - 4),
+             |      i -> array_to_string(str_split(t.text, ' ')[i:i+4], ' ')))) AS g
+             |  FROM train t),
+             |contam AS (SELECT DISTINCT doc_id FROM trsh
+             |           WHERE g IN (SELECT g FROM testsh))
+             |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+             |FROM train
+             |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+             |GROUP BY lang""".stripMargin)),
+
     // Source-mix report: domains mentioned per document (synthesized
     // deterministically from doc_id so the extractor paths are exercised),
     // counted per domain — the blocklist/source-weighting input.
