@@ -1979,7 +1979,8 @@ object Queries {
              |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
              |FROM train
              |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
-             |GROUP BY lang""".stripMargin)),
+             |GROUP BY lang""".stripMargin),
+      headline = true),
 
     // Source-mix report: domains mentioned per document (synthesized
     // deterministically from doc_id so the extractor paths are exercised),
