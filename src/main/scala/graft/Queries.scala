@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
 import graft.cdc.{CdcParse, KeyedParquetTable, Merge}
 import graft.functions.HeavyHitters
 import graft.streaming.IncrementalAgg
-import graft.ops.{Bucketing, Components, Dedup, FuzzyDedup, Multimodal, Prefilter, Quantize, Ranks, Sampling, Similarity, Skew, TextOps}
+import graft.ops.{Bucketing, Components, Dedup, FuzzyDedup, Multimodal, Prefilter, Quantize, RangeLayout, Ranks, Sampling, Similarity, Skew, TextOps}
 import graft.validate.Validation
 
 /** The engine's registered query workload.
@@ -1432,6 +1432,25 @@ object Queries {
              |    THEN 1 ELSE 0 END AS new_sess
              |  FROM events) t GROUP BY user_id""".stripMargin),
       headline = true),
+
+    // Z-order clustered layout round-trip: events rewritten on a
+    // (user_id, ts) Morton curve, then a box predicate aggregated off the
+    // clustered copy — the oracle recomputes over the raw table, proving
+    // the layout preserves the data exactly while RangeLayoutSpec proves
+    // the file-skipping concentration.
+    "q_zorder_box" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val ev = t("events").select("event_id", "user_id", "ts", "value")
+        val out = scratchDir("graft_zorder_")
+        RangeLayout.writeZorderClustered(ev, out, numFiles = 16,
+          cols = Seq("user_id", "ts"))
+        s.read.parquet(out)
+          .filter(col("user_id").between(100, 200))
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
+             |FROM events WHERE user_id BETWEEN 100 AND 200""".stripMargin)),
 
     // Ordered funnel: users progressing view → signup → purchase, by FIRST
     // occurrence times (two map-side-combinable aggregations, one shuffle

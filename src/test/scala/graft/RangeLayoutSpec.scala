@@ -35,4 +35,30 @@ class RangeLayoutSpec extends SparkSpec {
     assert(back.agg(sum("payload")).head.getLong(0) ===
       df.agg(sum("payload")).head.getLong(0))
   }
+
+  test("z-order clustering concentrates a 2-D box predicate into few files") {
+    import graft.ops.RangeLayout
+    // 100×100 grid: every (user, t) cell exactly once
+    val grid = (for (u <- 0L until 100L; t <- 0L until 100L) yield (u, t, u * 100 + t))
+      .toDF("user_id", "t", "payload")
+    val zDir = tmpDir("zorder")
+    val hashDir = tmpDir("zorder_hash")
+    RangeLayout.writeZorderClustered(grid, zDir, numFiles = 25,
+      cols = Seq("user_id", "t"))
+    grid.repartition(25).write.mode("overwrite").parquet(hashDir) // baseline
+    def filesHit(dir: String): Long =
+      spark.read.parquet(dir)
+        .filter(col("user_id").between(10, 20) && col("t").between(10, 20))
+        .select(input_file_name()).distinct().count()
+    val zHit = filesHit(zDir)
+    val hashHit = filesHit(hashDir)
+    // the 1.2%-area box lives in a handful of z-files; the hash layout
+    // smears it across essentially every file
+    assert(zHit < hashHit, s"z=$zHit hash=$hashHit")
+    assert(zHit <= 6, s"z-order box hit $zHit of 25 files")
+    // and the clustered copy is byte-complete
+    assert(spark.read.parquet(zDir).count() === 10000L)
+    assert(spark.read.parquet(zDir).agg(sum("payload")).head.getLong(0) ===
+      grid.agg(sum("payload")).head.getLong(0))
+  }
 }
