@@ -1452,6 +1452,24 @@ object Queries {
       Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
              |FROM events WHERE user_id BETWEEN 100 AND 200""".stripMargin)),
 
+    // Manifest-style file-stats pruning round-trip: events range-clustered
+    // on value, a per-file min/max stats index built (one map-side-combined
+    // pass, O(files) rows), then a range scan planned off the stats —
+    // files are excluded BEFORE any is opened. Oracle recomputes over the
+    // raw table; RangeLayoutSpec proves the strict file subset.
+    "q_stats_pruned_scan" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val ev = t("events").select("event_id", "user_id", "value")
+        val out = scratchDir("graft_statsidx_")
+        graft.ops.RangeLayout.writeRangeClustered(ev, out, numFiles = 16, col("value"))
+        val stats = graft.ops.FileStats.collect(s, out, Seq("value"))
+        graft.ops.FileStats.readRangePruned(s, out, stats, "value", 10.0, 50.0)
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
+             |FROM events WHERE value >= 10.0 AND value <= 50.0""".stripMargin)),
+
     // Ordered funnel: users progressing view → signup → purchase, by FIRST
     // occurrence times (two map-side-combinable aggregations, one shuffle
     // on user_id then a partial-combined global fold — no windows needed).

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max statistics index — the manifest-stats half of an
+  * Iceberg table (its manifests record per-file column bounds; scan
+  * planning prunes files whose bounds cannot match). Composes with the
+  * write layouts: after [[RangeLayout.writeRangeClustered]] /
+  * [[RangeLayout.writeZorderClustered]] the per-file bounds are TIGHT, so
+  * a range predicate prunes to the few files that can hold matches — and
+  * unlike parquet footer skipping, pruning happens BEFORE any file is
+  * opened (no per-file footer round-trip across 100 TB of files).
+  *
+  * The stats table is O(files) rows — metadata scale, not data scale.
+  * Build it once per layout write ([[collect]] is one scan with a
+  * map-side-combined aggregate), persist it like any small table, and
+  * plan reads through [[readRangePruned]].
+  */
+object FileStats {
+
+  /** One pass over `path` → one row per file: (file_path, n_rows,
+    * mn_<c>/mx_<c> per stats column). Map-side combined on
+    * input_file_name, so the shuffle is O(files), not O(rows).
+    */
+  def collect(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one stats column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file_path"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Scan ONLY the files whose [mn, mx] interval on `statsCol` intersects
+    * [lo, hi], then apply the exact predicate (stats overlap is a
+    * superset). The matching file list is collected to the driver — the
+    * same O(matching files) coordinator cost Iceberg's manifest
+    * evaluation pays; on a range/z-clustered layout that's the handful of
+    * files the predicate actually touches.
+    */
+  def readRangePruned(spark: SparkSession, path: String, stats: DataFrame,
+                      statsCol: String, lo: Any, hi: Any): DataFrame = {
+    val files = stats
+      .filter(col(s"mx_$statsCol") >= lit(lo) && col(s"mn_$statsCol") <= lit(hi))
+      .select("file_path").collect().map(_.getString(0))
+    val scan =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    scan.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+  }
+}

@@ -61,4 +61,25 @@ class RangeLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).agg(sum("payload")).head.getLong(0) ===
       grid.agg(sum("payload")).head.getLong(0))
   }
+
+  test("file-stats index prunes a range-clustered scan before any file opens") {
+    import graft.ops.{FileStats, RangeLayout}
+    val df = (0L until 50000L).map(i => (i, i % 997)).toDF("id", "payload")
+    val dir = tmpDir("stats_pruned")
+    RangeLayout.writeRangeClustered(df, dir, numFiles = 20, col("id"))
+    val stats = FileStats.collect(spark, dir, Seq("id"))
+    assert(stats.count() === 20L)
+    assert(stats.agg(sum("n_rows")).head.getLong(0) === 50000L)
+    val pruned = FileStats.readRangePruned(spark, dir, stats, "id", 1000L, 3000L)
+    // exact rows, strict file subset (non-overlapping ranges → ~2 of 20)
+    assert(pruned.count() === 2001L)
+    assert(pruned.inputFiles.length < 20 && pruned.inputFiles.nonEmpty,
+      s"scanned ${pruned.inputFiles.length} of 20 files")
+    val exact = df.filter(col("id").between(1000L, 3000L))
+      .agg(sum("payload")).head.getLong(0)
+    assert(pruned.agg(sum("payload")).head.getLong(0) === exact)
+    // empty intersection → empty result, schema preserved, zero data files
+    val none = FileStats.readRangePruned(spark, dir, stats, "id", -500L, -1L)
+    assert(none.count() === 0L && none.columns.toSeq === Seq("id", "payload"))
+  }
 }
