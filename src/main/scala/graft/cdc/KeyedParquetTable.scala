@@ -440,6 +440,19 @@ final class KeyedParquetTable(
     rows.toDF("snapshot_id", "made_current_at", "is_current")
   }
 
+  /** Per-file min/max bounds of the current snapshot for `cols` — the
+    * stats half of Iceberg's `.files` metadata table, built in one
+    * map-side-combined pass ([[graft.ops.FileStats.collect]]). Pair with
+    * `FileStats.readRangePruned` to plan non-key range scans that skip
+    * files before opening them; [[readForKeys]] remains the key-lookup
+    * path.
+    */
+  def fileStats(cols: Seq[String]): DataFrame = {
+    val v = currentVersion
+    require(v >= 0, s"table $root has no snapshot")
+    graft.ops.FileStats.collect(spark, versionDir(v).toString, cols)
+  }
+
   /** File inventory of the current snapshot — analog of `.manifests`/`.files`. */
   def files(): DataFrame = {
     import spark.implicits._

@@ -444,6 +444,19 @@ class KeyedParquetTableSpec extends SparkSpec {
     }
   }
 
+  test("fileStats: per-file bounds cover the snapshot exactly") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_stats"), Seq("id"), Nil, 4)
+    t.commit((0L until 200L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val stats = t.fileStats(Seq("id"))
+    assert(stats.agg(sum("n_rows")).head.getLong(0) === 200L)
+    val (mn, mx) = stats.agg(min("mn_id"), max("mx_id")).head() match {
+      case r => (r.getLong(0), r.getLong(1))
+    }
+    assert(mn === 0L && mx === 199L)
+    // per-file bounds are consistent: mn <= mx everywhere
+    assert(stats.filter(col("mn_id") > col("mx_id")).count() === 0L)
+  }
+
   test("readForKeys physically scans only the touched buckets' files") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_rfk"), Seq("id"), Nil, bucketCount = 8)
     t.commit((0L until 256L).map(i => (i, s"v$i")).toDF("id", "v"))
