@@ -38,6 +38,12 @@ object FileStats {
     * same O(matching files) coordinator cost Iceberg's manifest
     * evaluation pays; on a range/z-clustered layout that's the handful of
     * files the predicate actually touches.
+    *
+    * For FLAT layouts (RangeLayout writes, unpartitioned dirs): the scan
+    * is reconstructed from leaf file paths, so directory-encoded partition
+    * columns of a partitioned layout would not survive — use the partition
+    * column itself (partition pruning) for those, and this index for the
+    * in-file columns partitioning can't cover.
     */
   def readRangePruned(spark: SparkSession, path: String, stats: DataFrame,
                       statsCol: String, lo: Any, hi: Any): DataFrame = {
