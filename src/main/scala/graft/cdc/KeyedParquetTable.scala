@@ -213,14 +213,31 @@ final class KeyedParquetTable(
     * txnAppId/txnVersion idea): a single writer can check [[lastTxn]] and
     * skip a commit it already made, closing at-least-once replay windows.
     */
-  def commit(df: DataFrame, txn: Option[String] = None): Long = {
+  def commit(df: DataFrame, txn: Option[String] = None): Long =
+    commitInternal(df, txn, carry = false)
+
+  /** Shared writer behind [[commit]] and the incremental fallbacks.
+    *
+    * `carry` controls the txn marker on a txn-LESS commit: maintenance and
+    * merge paths (which preserve the effects of every previously marked
+    * batch) carry the previous snapshot's marker forward; the public
+    * [[commit]] clears it, because commit() replaces the entire table
+    * state — a full recompute that predates the marked batch must NOT
+    * leave a marker claiming that batch was applied. A recompute that DOES
+    * include a batch's effects should pass that batch's txn explicitly.
+    */
+  private def commitInternal(df: DataFrame, txn: Option[String],
+                             carry: Boolean): Long = {
     val next = currentVersion + 1
     Files.createDirectories(rootPath)
     val (out, parts) = withLayout(df)
     val writer = out.write.mode("overwrite")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(versionDir(next).toString)
-    txn.fold(carryTxn(next - 1, versionDir(next)))(writeTxn(versionDir(next), _))
+    txn match {
+      case Some(t) => writeTxn(versionDir(next), t)
+      case None    => if (carry) carryTxn(next - 1, versionDir(next))
+    }
     swingPointer(next)
   }
 
@@ -229,7 +246,10 @@ final class KeyedParquetTable(
     * maintenance, a merge without a txn) carry the previous snapshot's
     * marker forward, so an interleaved maintenance commit between a
     * txn-carrying commit and a crash replay cannot erase the marker and
-    * reopen the at-least-once double-fold window. Single-writer semantics:
+    * reopen the at-least-once double-fold window. A txn-less PUBLIC
+    * [[commit]] clears the marker instead — it replaces the entire table
+    * state, so a stale marker would wrongly skip a replay of a batch whose
+    * effects the recompute may not include. Single-writer semantics:
     * a NEW txn-carrying commit replaces the marker — exactly what a
     * foreachBatch maintainer needs to recognize its own replayed batch.
     */
@@ -307,7 +327,8 @@ final class KeyedParquetTable(
             txn: Option[String] = None): Long = {
     require(exists, s"merge target $root does not exist")
     if (bucketCount > 0) mergeScoped(source, opCol, txn)
-    else commit(Merge.mergeUpsert(read(), source, keys, opCol), txn)
+    else commitInternal(Merge.mergeUpsert(read(), source, keys, opCol), txn,
+      carry = true)
   }
 
   /** Bucket id expression: stable hash of the bucket-key columns. */
@@ -322,7 +343,9 @@ final class KeyedParquetTable(
     val hasFlatFiles = Files.exists(curDir) &&
       listEntries(curDir).exists(p =>
         Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-    if (hasFlatFiles) return commit(Merge.mergeUpsert(read(), source, keys, opCol), txn)
+    if (hasFlatFiles)
+      return commitInternal(Merge.mergeUpsert(read(), source, keys, opCol),
+        txn, carry = true)
     val next = cur + 1
     val nextDir = versionDir(next)
     // retry safety: a previous attempt that died mid-write (pointer never
@@ -492,7 +515,8 @@ final class KeyedParquetTable(
     if (!exists || files().count() < minInputFiles) None
     else if (bucketCount > 0 && bucketDirsOf(versionDir(currentVersion)).nonEmpty)
       compactScoped(targetPartitions)
-    else Some(commit(read().repartition(targetPartitions)))
+    else Some(commitInternal(read().repartition(targetPartitions), None,
+      carry = true))
   }
 
   private def bucketDirsOf(dir: Path): Seq[Path] =
@@ -507,7 +531,8 @@ final class KeyedParquetTable(
     // would silently drop them; fall back to the full rewrite
     if (listEntries(curDir).exists(p =>
         Files.isRegularFile(p) && p.toString.endsWith(".parquet")))
-      return Some(commit(read().repartition(targetPartitions)))
+      return Some(commitInternal(read().repartition(targetPartitions), None,
+        carry = true))
     // fragmentation is judged per LEAF directory: a partitioned bucket with
     // one file per partition dir is already compact (a per-bucket file
     // count would flag it forever and churn-rewrite it on every call)

@@ -44,12 +44,22 @@ object FileStats {
     * columns of a partitioned layout would not survive — use the partition
     * column itself (partition pruning) for those, and this index for the
     * in-file columns partitioning can't cover.
+    *
+    * Collected paths are URI-decoded before the re-read, so spaces and %
+    * in table paths are safe; paths containing GLOB metacharacters
+    * (`[]{}*?`) remain unsupported (Hadoop path globbing applies to every
+    * multi-path read).
     */
   def readRangePruned(spark: SparkSession, path: String, stats: DataFrame,
                       statsCol: String, lo: Any, hi: Any): DataFrame = {
+    // input_file_name() yields URI-encoded paths (space → %20, %ature →
+    // %25…); decode through Path(URI) before handing them back to the
+    // reader, where Hadoop glob expansion would otherwise misresolve
+    // paths containing %, spaces, or glob metacharacters
     val files = stats
       .filter(col(s"mx_$statsCol") >= lit(lo) && col(s"mn_$statsCol") <= lit(hi))
-      .select("file_path").collect().map(_.getString(0))
+      .select("file_path").collect().map(r =>
+        new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0))).toString)
     val scan =
       if (files.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(files.toIndexedSeq: _*)

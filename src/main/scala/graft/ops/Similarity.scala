@@ -246,13 +246,24 @@ object Similarity {
     * nProbe bounds recall exactly as in querying: a near-dup whose cell is
     * outside the batch vector's nProbe nearest cells is missed — the same
     * recall/cost dial every IVF deployment exposes.
+    *
+    * `k` caps the PAIRS returned per batch vector: a vector with more than
+    * k indexed near-dups above the threshold reports only its k most
+    * similar (ample for a yes/no dup screen; raise k when enumerating all
+    * pairs over a heavily-duplicated corpus). The top-(k+1) is fetched
+    * internally so a self-match under the same id never consumes one of
+    * the k slots.
     */
   def checkEmbeddingNearDups(spark: SparkSession, indexDir: String,
                              batch: DataFrame, idCol: String, vecCol: String,
                              threshold: Double = 0.95, k: Int = 10,
                              nProbe: Int = 4): DataFrame =
-    ivfQueryAll(spark, indexDir, batch, idCol, idCol, vecCol, k, nProbe)
+    ivfQueryAll(spark, indexDir, batch, idCol, idCol, vecCol, k + 1, nProbe)
       .filter(col("sim") >= threshold && col("query_id") =!= col(idCol))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col(idCol))))
+      .filter(col("__rk") <= k).drop("__rk")
       .select(col("query_id").as("id_a"), col(idCol).as("id_b"),
         col("sim").as("cos_sim"))
 

@@ -197,7 +197,9 @@ object TextOps {
   /** SEQUENCE PACKING — assign documents to fixed-token-budget training
     * sequences (the batch-construction stage of an LLM training pipeline:
     * pack short docs together so sequences waste few pad tokens).
-    * Returns (idCol, n_tokens, seq_id).
+    * Returns (idCol, n_tokens, seq_id). Ids must be integral (or strings
+    * of digits): they are carried as LONG — the returned idCol is long
+    * regardless of input type, and non-numeric ids raise.
     *
     * Distributed shape: documents hash-partition on id (deterministic),
     * sort within each partition by (tokens DESC, id) and stream through a
@@ -224,13 +226,15 @@ object TextOps {
     docs
       .select(
         // loud failure beats the opaque "Null value appeared in non-nullable
-        // field" the tuple encoder would throw mid-stage
-        when(col(idCol).isNull,
-          raise_error(lit(s"packSequences: NULL $idCol")))
-          .otherwise(col(idCol).cast("long")).as("__id"),
-        when(col(tokenCol).isNull,
-          raise_error(lit(s"packSequences: NULL $tokenCol")))
-          .otherwise(col(tokenCol).cast("long")).as("__tok"))
+        // field" the tuple encoder would throw mid-stage; guard the
+        // POST-cast value so non-numeric ids (which cast to NULL) fail the
+        // same way as genuine NULLs
+        when(col(idCol).try_cast("long").isNull,
+          raise_error(lit(s"packSequences: NULL or non-numeric $idCol")))
+          .otherwise(col(idCol).try_cast("long")).as("__id"),
+        when(col(tokenCol).try_cast("long").isNull,
+          raise_error(lit(s"packSequences: NULL or non-numeric $tokenCol")))
+          .otherwise(col(tokenCol).try_cast("long")).as("__tok"))
       .repartition(nParts, col("__id"))
       .sortWithinPartitions(col("__tok").desc, col("__id"))
       .as[(Long, Long)]
@@ -285,12 +289,20 @@ object TextOps {
       .select(idCol).distinct()
   }
 
-  /** (id, __g) rows: each doc's DISTINCT n-gram shingle hashes. */
+  /** (id, __g) rows: each doc's DISTINCT n-gram shingle hashes, via the
+    * native one-pass `shingle_hashes` kernel (each token string hashed
+    * once; no shingle-string materialization). Requires
+    * [[graft.core.GraftExtensions]] on the session — same contract as
+    * [[graft.ops.FuzzyDedup]]. NOTE: the hash formulation is
+    * hash-of-token-hash-slices, so indexes persisted by
+    * [[indexTrainShingles]] under the pre-r8 string-hash formulation are
+    * incompatible and must be rebuilt.
+    */
   private def shingleHashSet(df: org.apache.spark.sql.DataFrame,
                              idCol: String, textCol: String,
                              n: Int): org.apache.spark.sql.DataFrame =
     df.select(col(idCol), explode(array_distinct(
-      transform(shingles(col(textCol), n), g => xxhash64(g)))).as("__g"))
+      call_function("shingle_hashes", col(textCol), lit(n)))).as("__g"))
 
   /** INCREMENTAL decontamination, for a train corpus that grows over time:
     * fold each train batch's distinct shingle hashes into a keyed table

@@ -518,4 +518,19 @@ class KeyedParquetTableSpec extends SparkSpec {
     tb.merge(Seq((2L, "y", "u")).toDF("id", "v", "operation")) // txn-less
     assert(tb.lastTxn === Some("x1"))
   }
+
+  test("plain txn-less commit() CLEARS the txn marker (state-replacing API)") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_txn_clear"), Seq("id"))
+    t.createIfNotExists(schema)
+    t.merge(Seq((1L, "a", "u")).toDF("id", "v", "operation"), txn = Some("b1"))
+    assert(t.lastTxn === Some("b1"))
+    // a full recompute commit replaces the entire table state; carrying the
+    // stale marker would make a replay of b1 wrongly skip even though the
+    // recompute may not include b1's effects
+    t.commit(Seq((5L, "recomputed")).toDF("id", "v"))
+    assert(t.lastTxn === None)
+    // a recompute that DOES include a batch's effects passes its txn
+    t.commit(Seq((6L, "full")).toDF("id", "v"), txn = Some("b2"))
+    assert(t.lastTxn === Some("b2"))
+  }
 }

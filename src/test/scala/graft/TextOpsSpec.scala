@@ -211,7 +211,17 @@ class TextOpsSpec extends SparkSpec {
         Seq((1L, Some(10L)), (2L, None)).toDF("doc_id", "n_tok"),
         "doc_id", "n_tok", budget = 128).collect()
     }
-    assert(msgs(e).exists(_.contains("NULL n_tok")), msgs(e).mkString(" | "))
+    assert(msgs(e).exists(_.contains("NULL or non-numeric n_tok")),
+      msgs(e).mkString(" | "))
+    // a non-numeric STRING id casts to NULL — must hit the same loud guard,
+    // not the opaque tuple-encoder NPE (ADVICE r7)
+    val e2 = intercept[Exception] {
+      TextOps.packSequences(
+        Seq(("not-a-number", 10L)).toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", budget = 128).collect()
+    }
+    assert(msgs(e2).exists(_.contains("NULL or non-numeric doc_id")),
+      msgs(e2).mkString(" | "))
   }
 
   test("incremental shingle index matches the one-shot check as train grows") {
