@@ -53,8 +53,10 @@ object Bench {
     val qsMean = asJson(ts => ts.sum / ts.size)
     val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
+    val ingest = streamIngest(spark, sfDir)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,""" +
       s""""queries":$qs,"queries_mean":$qsMean,""" +
+      s""""stream_ingest_sf01":$ingest,""" +
       s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
     // sbt frames stdout with [info]/[error] prefixes that can defeat the
@@ -64,5 +66,54 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
+  }
+
+  /** End-to-end streaming ingest throughput: the events fixture serialized
+    * to CDC envelope files (untimed prep), then drained through the full
+    * production path — file stream source → from_json parse → operation
+    * classify → per-batch dedup → bucket-scoped merge with lineage
+    * accounting ([[graft.streaming.Ingest.drainAvailable]], the structured
+    * twin of the reference's poll-until-empty loop,
+    * `spark_exactly_once.py:399-562`). 8 files × maxFilesPerTrigger=1 →
+    * 8 micro-batches, so the measured window covers steady-state batch
+    * cadence (merge, replay probe, lineage append), not one mega-batch.
+    * Returns a JSON object string; {"rows":-1} on failure (bench must
+    * never die on one case).
+    */
+  private def streamIngest(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    try {
+      val events = Tables.load(spark, sfDir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_bench_")
+      tmp.toFile.deleteOnExit()
+      val nFiles = 8
+      Queries.eventsAsEnvelopes(events).repartition(nFiles)
+        .write.mode("overwrite").parquet(s"$tmp/raw")
+      val nRows = events.count()
+      val raw = spark.readStream
+        .schema(StructType(Seq(StructField("__raw", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/raw")
+      val parsed = graft.cdc.CdcParse
+        .parseEnvelope(raw, "__raw", Queries.eventsEnvelopeSchema)
+        .withColumn("operation",
+          graft.cdc.CdcParse.classifyOperation(col("__deleted"), col("user_id")))
+        .drop("__deleted")
+      val table = new graft.cdc.KeyedParquetTable(
+        spark, s"$tmp/state", Seq("user_id"), Nil, 16)
+      table.commit(Queries.parsedEvents(events).drop("operation").limit(0))
+      val lineage = new graft.cdc.KeyedParquetTable(
+        spark, s"$tmp/lineage", Seq("batch_id"), Nil, 8)
+      val t0 = System.nanoTime()
+      graft.streaming.Ingest.drainAvailable(parsed, table,
+        Seq(col("event_id").desc), s"$tmp/ckpt", Some(lineage))
+        .awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      s"""{"rows":$nRows,"sec":$sec,"rows_per_sec":${nRows / sec}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream_ingest failed: ${e.getMessage}")
+      """{"rows":-1,"sec":-1,"rows_per_sec":-1}"""
+    }
   }
 }

@@ -108,14 +108,14 @@ object Queries {
     StructField("value", DoubleType),
     StructField("__deleted", StringType)))
 
-  private val eventsEnvelopeSchema = StructType(Seq(
+  private[graft] val eventsEnvelopeSchema = StructType(Seq(
     StructField("schema", StringType),
     StructField("payload", eventsPayloadSchema)))
 
   /** events → Debezium-style JSON envelope strings (one per row), the shape the
     * Kafka `value` column would carry (`spark_batch.py:118-190`).
     */
-  private def eventsAsEnvelopes(events: DataFrame): DataFrame =
+  private[graft] def eventsAsEnvelopes(events: DataFrame): DataFrame =
     events.select(to_json(struct(
       struct(
         col("event_id"), col("user_id"), col("event_type"), col("value"),
@@ -124,7 +124,7 @@ object Queries {
       ).as("payload"))).as("__raw"))
 
   /** Envelope JSON → parsed payload + operation column (P1 + P2). */
-  private def parsedEvents(events: DataFrame): DataFrame =
+  private[graft] def parsedEvents(events: DataFrame): DataFrame =
     CdcParse.parseEnvelope(eventsAsEnvelopes(events), "__raw", eventsEnvelopeSchema)
       .withColumn("operation",
         CdcParse.classifyOperation(col("__deleted"), col("user_id")))
@@ -369,7 +369,8 @@ object Queries {
              |  WHERE rn = 1 AND event_type <> 'error')
              |SELECT event_type, COUNT(*) AS n_rows,
              |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-             |FROM final GROUP BY event_type""".stripMargin)),
+             |FROM final GROUP BY event_type""".stripMargin),
+      headline = true),
 
     // ---- Analytics over the TPC-H-ish tables (A*, W*, O*, J*, P*) ----------
 
@@ -1501,14 +1502,17 @@ object Queries {
              |FROM firsts""".stripMargin)),
 
     // Retention cohorts: users bucketed by first-activity week, counted per
-    // (cohort week, week offset) — integer nanos→week division, identical
-    // floor semantics both engines; the self-join and both aggregations
-    // share the user_id hash partitioning.
+    // (cohort week, week offset). Spark's DIV truncates toward zero while
+    // DuckDB's // floor-divides, so the week floor is computed as
+    // (ts - pmod(ts, w)) DIV w — exact integer FLOOR division on both
+    // engines, for pre-1970 (negative-nanos) timestamps too; the self-join
+    // and both aggregations share the user_id hash partitioning.
     "q_retention_cohorts" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val withWk = t("events")
-          .select(col("user_id"), expr("ts DIV 604800000000000").as("wk"))
+          .select(col("user_id"),
+            expr("(ts - pmod(ts, 604800000000000)) DIV 604800000000000").as("wk"))
         val cohort = withWk.groupBy("user_id").agg(min("wk").as("cohort_wk"))
         withWk.join(cohort, "user_id")
           .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
@@ -1876,7 +1880,8 @@ object Queries {
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
              |    '\+?[0-9][0-9() \-]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
-             |FROM documents""".stripMargin)),
+             |FROM documents""".stripMargin),
+      headline = true),
 
     // Repetition/boilerplate signals: repeated-token and repeated-trigram
     // fractions (template spam repeats whole n-grams; natural text doesn't).
@@ -2206,7 +2211,7 @@ object Queries {
           threshold = 0.5).select("id_a", "id_b")
         Components.dedupKeepers(pairs)
       },
-      None),
+      None, headline = true),
 
     // Deterministic train/val/test split: pure key arithmetic (no RNG), so
     // the assignment is stable across runs/engines and any doc's split is
@@ -2382,7 +2387,7 @@ object Queries {
             .select(col("vec_id").as("query_id"), col("embedding")),
           "query_id", "vec_id", "embedding", k = 10, nProbe = 4)
       },
-      None),
+      None, headline = true),
 
     // INCREMENTAL IVF maintenance: index built on 90% of the corpus, the
     // last 10% appended WITHOUT retraining (one broadcast assignment pass,

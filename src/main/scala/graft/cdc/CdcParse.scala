@@ -62,6 +62,37 @@ object CdcParse {
     (valid, rejected)
   }
 
+  /** [[parseWithDeadLetter]] plus an Observation of the quarantine volume:
+    * the observe node sits BEFORE the validity filter on the valid side's
+    * plan, so the FIRST action on the valid frame (the ingest merge) also
+    * yields `n_raw` / `n_malformed` — per-batch dead-letter metrics at zero
+    * extra scans (same Observation-API pattern as
+    * [[graft.validate.Validation.observedStats]]). `obs.get` blocks until
+    * that action runs; an Observation is single-use, so callers create one
+    * per micro-batch (as [[graft.streaming.Ingest.applyRawBatch]] does).
+    */
+  def parseWithDeadLetterObserved(raw: DataFrame, valueCol: String = "value",
+                                  schema: org.apache.spark.sql.types.StructType = CdcModel.envelopeSchema)
+      : (DataFrame, DataFrame, org.apache.spark.sql.Observation) = {
+    val asString = col(valueCol).cast("string")
+    val obs = org.apache.spark.sql.Observation()
+    val isMalformed = col("__envelope").isNull || col("__envelope.payload").isNull
+    val withEnv = raw.withColumn("__envelope",
+        when(asString.isNull || asString === "" || asString === "empty", lit(null))
+          .otherwise(from_json(asString, schema)))
+      .observe(obs,
+        count(lit(1)).as("n_raw"),
+        sum(when(isMalformed, 1L).otherwise(0L)).as("n_malformed"))
+    val valid = withEnv
+      .filter(!isMalformed)
+      .select(col("*"), col("__envelope.payload.*"))
+      .drop("__envelope", valueCol)
+    val rejected = withEnv
+      .filter(isMalformed)
+      .select(asString.as("raw_value"), current_timestamp().as("rejected_at"))
+    (valid, rejected, obs)
+  }
+
   /** Operation classifier (`determine_operation`, `spark_batch.py:101-116`):
     * `__deleted == 'true'` → 'd'; missing id → 'c'; otherwise 'u'.
     * Kept bug-compatible on purpose: Debezium rewrite payloads always carry

@@ -34,7 +34,16 @@ object Components {
     * @return (id, component) — component = min vertex id reachable
     */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 25): DataFrame =
+    connectedComponentsCounted(edges, idA, idB, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of contraction rounds it took —
+    * exposed so tests can assert the O(log n) round bound is real, not
+    * asymptotic folklore.
+    */
+  private[graft] def connectedComponentsCounted(
+      edges: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 25): (DataFrame, Int) = {
     val nodes = edges.select(col(idA).as("id"))
       .union(edges.select(col(idB).as("id")))
       .distinct().localCheckpoint(true)
@@ -85,9 +94,9 @@ object Components {
           s"than maxIter=$maxIter supports; raise maxIter")
     // fixpoint = stars: every non-center node has its component min as its
     // (unique) smaller neighbor; centers label themselves
-    nodes.join(e.groupBy("u").agg(min("v").as("__m")),
+    (nodes.join(e.groupBy("u").agg(min("v").as("__m")),
         col("id") === col("u"), "left")
-      .select(col("id"), coalesce(col("__m"), col("id")).as("component"))
+      .select(col("id"), coalesce(col("__m"), col("id")).as("component")), i)
   }
 
   /** Resolve duplicate clusters to a keeper: every doc that appears in a

@@ -109,6 +109,53 @@ object Ingest {
     }
   }
 
+  /** Per-batch metrics of a RAW (unparsed) micro-batch ingest, observed on
+    * the same pass that parsed and merged the batch — zero extra scans for
+    * the dead-letter accounting the reference silently lacks
+    * (`spark_batch.py:152-190` drops malformed messages in try/except).
+    */
+  final case class RawBatchMetrics(
+      applied: Boolean, n_raw: Long, n_malformed: Long, n_valid: Long)
+
+  /** Apply one RAW envelope micro-batch: parse with a dead-letter split
+    * ([[graft.cdc.CdcParse.parseWithDeadLetterObserved]]), classify, then
+    * the same idempotent dedup+merge as [[applyBatch]]; malformed rows are
+    * quarantined to `deadLetter` and their count is OBSERVED on the merge's
+    * own scan (Observation API), so every batch emits auditable
+    * (n_raw, n_malformed) metrics without a second pass over the input.
+    * The quarantine append runs only when malformed rows exist, so the
+    * steady-state clean path stays one scan.
+    *
+    * @param classify parsed-payload frame → CDC frame with `opCol` (defaults
+    *                 to the Debezium `__deleted`/key classifier)
+    */
+  def applyRawBatch(raw: DataFrame, batchId: Long, table: KeyedParquetTable,
+                    ordering: Seq[Column],
+                    lineage: Option[KeyedParquetTable] = None,
+                    deadLetter: Option[KeyedParquetTable] = None,
+                    valueCol: String = "value",
+                    schema: org.apache.spark.sql.types.StructType = graft.cdc.CdcModel.envelopeSchema,
+                    classify: DataFrame => DataFrame = null,
+                    opCol: String = "operation"): RawBatchMetrics = {
+    val (valid, rejected, obs) =
+      graft.cdc.CdcParse.parseWithDeadLetterObserved(raw, valueCol, schema)
+    val toCdc = Option(classify).getOrElse { (df: DataFrame) =>
+      df.withColumn(opCol, graft.cdc.CdcParse.classifyOperation(
+        col("__deleted"), col(table.keys.head))).drop("__deleted")
+    }
+    val applied = applyBatch(toCdc(valid), batchId, table, ordering, lineage, opCol)
+    if (!applied) return RawBatchMetrics(applied = false, -1L, -1L, 0L)
+    // applyBatch's localCheckpoint ran an action over the observed plan, so
+    // this get() returns immediately (a replayed batch runs no action —
+    // hence the early return above, or get() would block forever)
+    val row = obs.get
+    val nRaw = row("n_raw").asInstanceOf[Long]
+    val nMalformed = Option(row("n_malformed")).fold(0L)(_.asInstanceOf[Long])
+    if (nMalformed > 0) deadLetter.foreach(
+      _.append(rejected.withColumn("batch_id", lit(batchId))))
+    RawBatchMetrics(applied = true, nRaw, nMalformed, nRaw - nMalformed)
+  }
+
   /** Drain-and-stop ingest: `Trigger.AvailableNow` processes everything
     * available at start (respecting source rate limits, checkpointed batch
     * boundaries) and terminates — the production pattern for SCHEDULED

@@ -118,4 +118,35 @@ class ComponentsSpec extends SparkSpec {
     assert(keepers(1L) === 1L && keepers(2L) === 1L && keepers(3L) === 1L)
     assert(!keepers.contains(4L) && !keepers.contains(5L))
   }
+
+  test("10^5-edge graph: correct labels within the O(log n) round bound") {
+    // bench-scale synthetic: 1000 planted clusters of 100 nodes (chained
+    // internally, 99 edges each) + one 1000-node chain on top ids — ~10^5
+    // edges, ~10^5 nodes. Label propagation would need 999 rounds for the
+    // chain; star contraction must land within ~log2(n) rounds of the
+    // LARGEST component (1000 nodes → 10), plus slack for the alternating
+    // scheme's constant factor.
+    val clusterEdges = (0L until 1000L).flatMap { c =>
+      val base = c * 100L
+      (0L until 99L).map(i => (base + i, base + i + 1))
+    }
+    val chainBase = 1000000L
+    val chainEdges = (0L until 999L).map(i => (chainBase + i, chainBase + i + 1))
+    val edges = (clusterEdges ++ chainEdges).toDF("id_a", "id_b")
+      .repartition(32)
+    val (comp, rounds) = Components.connectedComponentsCounted(edges)
+    assert(rounds <= 15, s"star contraction took $rounds rounds for a " +
+      "1000-node-diameter graph — the O(log n) bound is broken")
+    val compC = comp.localCheckpoint(true)
+    // exactly 1001 components, each labeled by its min id
+    assert(compC.select("component").distinct().count() === 1001L)
+    val byComp = compC.groupBy("component")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+      .collect()
+    assert(byComp.forall(r => r.getLong(0) === r.getLong(2))) // label = min id
+    val chain = byComp.find(_.getLong(0) === chainBase).get
+    assert(chain.getLong(1) === 1000L && chain.getLong(3) === chainBase + 999L)
+    assert(byComp.filter(_.getLong(0) < 1000000L)
+      .forall(r => r.getLong(1) === 100L && r.getLong(0) % 100L === 0L))
+  }
 }

@@ -590,4 +590,35 @@ class IngestSpec extends SparkSpec {
     val ids = spark.table("deduped").collect().map(_.getLong(1)).sorted.toSeq
     assert(ids === Seq(1L, 2L, 3L))
   }
+
+  test("applyRawBatch observes the per-batch malformed count and quarantines rejects") {
+    val good =
+      """{"schema":"s","payload":{"id":1,"name":"n","description":"d","price":5,"on_offer":true,"__deleted":"false"}}"""
+    val del =
+      """{"schema":"s","payload":{"id":2,"name":"x","description":"d","price":9,"on_offer":false,"__deleted":"true"}}"""
+    val table = new KeyedParquetTable(spark, tmpDir("rawb_tbl"), Seq("id"))
+    table.createIfNotExists(StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("description", StringType), StructField("price", IntegerType),
+      StructField("on_offer", BooleanType))))
+    val deadLetter = new KeyedParquetTable(spark, tmpDir("rawb_dl"), Seq("raw_value"))
+    val lineage = new KeyedParquetTable(spark, tmpDir("rawb_lin"), Seq("batch_id"),
+      Nil, bucketCount = 4)
+    val raw = Seq(Some(good), Some(del), Some("{not json"), None, Some("empty"))
+      .toDF("value")
+    val m = Ingest.applyRawBatch(raw, 7L, table, Seq(col("price").desc),
+      Some(lineage), Some(deadLetter))
+    // metrics observed on the merge's own scan: 5 raw, 3 malformed, 2 valid
+    assert(m.applied && m.n_raw === 5L && m.n_malformed === 3L && m.n_valid === 2L)
+    // good upserted; the delete targeted an absent key (no-op)
+    assert(table.read().select("id").as[Int].collect().toSeq === Seq(1))
+    assert(deadLetter.read().count() === 3L)
+    assert(deadLetter.read().select("batch_id").distinct().as[Long].head() === 7L)
+    assert(lineage.read().filter(col("batch_id") === 7L).count() === 1L)
+    // a replayed batch is skipped: no metrics action, no double quarantine
+    val m2 = Ingest.applyRawBatch(raw, 7L, table, Seq(col("price").desc),
+      Some(lineage), Some(deadLetter))
+    assert(!m2.applied)
+    assert(deadLetter.read().count() === 3L)
+  }
 }
