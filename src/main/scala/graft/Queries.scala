@@ -1471,6 +1471,29 @@ object Queries {
       Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
              |FROM events WHERE value >= 10.0 AND value <= 50.0""".stripMargin)),
 
+    // Stats-index LIFECYCLE round-trip: an opted-in KeyedParquetTable
+    // (statsCols) maintains its per-file min/max index transactionally —
+    // commit builds it, the bucket-scoped merge re-collects only touched
+    // buckets and carries the rest — then the range scan plans off the
+    // maintained index, post-merge, with no ad-hoc rebuild. Oracle
+    // recomputes the merged final state over the raw table; the spec
+    // (KeyedParquetTableSpec) proves index = exact current file set.
+    "q_table_stats_pruned" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val ev = t("events").select("event_id", "user_id", "value")
+        val base = scratchDir("graft_statslc_")
+        val table = new KeyedParquetTable(s, s"$base/t", Seq("event_id"),
+          Nil, 8, Nil, statsCols = Seq("value"))
+        table.commit(ev.filter(col("event_id") % 10 =!= 3))
+        table.merge(ev.filter(col("event_id") % 10 === 3)
+          .withColumn("operation", lit("u")))
+        table.readRangePruned("value", 10.0, 50.0)
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
+             |FROM events WHERE value >= 10.0 AND value <= 50.0""".stripMargin)),
+
     // Ordered funnel: users progressing view → signup → purchase, by FIRST
     // occurrence times (two map-side-combinable aggregations, one shuffle
     // on user_id then a partial-combined global fold — no windows needed).

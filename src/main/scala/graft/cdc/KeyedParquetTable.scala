@@ -38,7 +38,8 @@ final class KeyedParquetTable(
     val keys: Seq[String],
     val partitionBy: Seq[String] = Nil,
     val bucketCount: Int = 0,
-    bucketBy: Seq[String] = Nil) {
+    bucketBy: Seq[String] = Nil,
+    val statsCols: Seq[String] = Nil) {
 
   /** Columns the bucket hash is computed over — defaults to the full key.
     * A PREFIX/SUBSET of the key (like a lakehouse bucket spec distinct from
@@ -147,10 +148,7 @@ final class KeyedParquetTable(
     val bucketDirs = listEntries(curDir).filter(p => Files.isDirectory(p) &&
       p.getFileName.toString.startsWith("__bucket="))
     if (bucketDirs.isEmpty) return read() // flat/foreign layout: no bucket dirs
-    val touched = keysDf
-      .select(pmod(abs(xxhash64(bucketKeys.map(keysDf(_)): _*)), lit(bucketCount))
-        .cast("int").as("__b"))
-      .distinct().collect().map(_.getInt(0)).toSet // bounded by bucketCount
+    val touched = touchedBuckets(keysDf)
     val chosen = bucketDirs.filter { p =>
       p.getFileName.toString.stripPrefix("__bucket=").toIntOption.exists(touched)
     }
@@ -234,6 +232,8 @@ final class KeyedParquetTable(
     val writer = out.write.mode("overwrite")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(versionDir(next).toString)
+    // full rewrite → full stats recompute (same O(table) as the commit)
+    refreshStats(next - 1, next, versionDir(next), None, Nil)
     txn match {
       case Some(t) => writeTxn(versionDir(next), t)
       case None    => if (carry) carryTxn(next - 1, versionDir(next))
@@ -335,6 +335,16 @@ final class KeyedParquetTable(
   private def bucketExpr: org.apache.spark.sql.Column =
     pmod(abs(xxhash64(bucketKeys.map(col): _*)), lit(bucketCount)).cast("int")
 
+  /** Distinct bucket ids a key frame hashes into — bounded by bucketCount,
+    * so the driver collect is always safe. MUST stay the same expression as
+    * [[bucketExpr]]/[[withLayout]] or key probes silently miss.
+    */
+  private def touchedBuckets(keysDf: DataFrame): Set[Int] =
+    keysDf
+      .select(pmod(abs(xxhash64(bucketKeys.map(keysDf(_)): _*)), lit(bucketCount))
+        .cast("int").as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
   private def mergeScoped(source: DataFrame, opCol: String,
                           txn: Option[String]): Long = {
     val cur = currentVersion
@@ -384,6 +394,12 @@ final class KeyedParquetTable(
             .foreach(linkInto(curDir, nextDir, _))
         }
     }
+    // stats: recollect only the rewritten buckets (a touched bucket whose
+    // rows were all deleted writes no dir — nothing to collect for it),
+    // carry the rest
+    refreshStats(cur, next, nextDir, Some(touched),
+      touchedSeq.map(b => nextDir.resolve(s"__bucket=$b"))
+        .filter(Files.exists(_)).map(_.toString))
     txn.fold(carryTxn(cur, nextDir))(writeTxn(nextDir, _))
     swingPointer(next)
   }
@@ -410,11 +426,19 @@ final class KeyedParquetTable(
     // re-linking and re-appending (the pointer only swings on success)
     if (Files.exists(nextDir)) deleteRecursively(nextDir)
     Files.createDirectories(nextDir)
-    walkParquet(curDir).foreach(linkInto(curDir, nextDir, _))
+    val linked = walkParquet(curDir)
+    linked.foreach(linkInto(curDir, nextDir, _))
+    val linkedRel = linked.map(p => curDir.relativize(p).toString).toSet
     val (out, parts) = withLayout(df)
     val writer = out.write.mode("append")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(nextDir.toString)
+    // stats: nothing superseded; collect only the batch's fresh files
+    // (part-file names are job-unique, so new never collides with linked)
+    refreshStats(cur, next, nextDir, Some(Set.empty),
+      walkParquet(nextDir)
+        .filterNot(p => linkedRel(nextDir.relativize(p).toString))
+        .map(_.toString))
     carryTxn(cur, nextDir)
     swingPointer(next)
   }
@@ -476,6 +500,118 @@ final class KeyedParquetTable(
     graft.ops.FileStats.collect(spark, versionDir(v).toString, cols)
   }
 
+  // ---- per-snapshot stats index lifecycle (opt-in via statsCols) ----------
+  //
+  // With statsCols set, every snapshot carries `_stats/` — a per-file
+  // (file_path, bucket, n_rows, mn_<c>/mx_<c>) index written BEFORE the
+  // pointer swings, so it is atomic with the commit and can never serve
+  // stale file lists. Maintenance is incremental: scoped merges/compactions
+  // re-collect stats only for the rewritten buckets and CARRY the remaining
+  // rows forward (hard-linked files keep their snapshot-relative paths, so
+  // carried rows need no rewriting); appends collect only the new batch's
+  // files. A full commit() recomputes — the commit itself was O(table).
+  // This is the manifest-stats half of an Iceberg table kept fresh by its
+  // own writers, instead of the ad-hoc per-query [[fileStats]] build.
+
+  private def statsDirOf(dir: Path): Path = dir.resolve("_stats")
+
+  /** (file_path REL to the snapshot dir, bucket, n_rows, mn_&lt;c&gt; and
+    * mx_&lt;c&gt; per stats column) for the given paths. Rel paths are the
+    * split-off suffix after the version-dir segment — Spark-generated names
+    * (`__bucket=k/`, partition dirs, part files) never need URI escaping,
+    * so the suffix is clean even when the table root does.
+    */
+  private def collectStatsRel(next: Long, paths: Seq[String]): DataFrame = {
+    val sep = java.util.regex.Pattern.quote(s"/v$next/")
+    graft.ops.FileStats.collect(spark, paths, statsCols)
+      .withColumn("file_path", element_at(split(col("file_path"), sep), -1))
+      .withColumn("bucket",
+        when(col("file_path").rlike("__bucket=\\d+"),
+          regexp_extract(col("file_path"), "__bucket=(\\d+)", 1).cast("int"))
+          .otherwise(lit(-1)))
+  }
+
+  private def prevStatsOf(prev: Long): Option[DataFrame] = {
+    val d = if (prev >= 0) statsDirOf(versionDir(prev)) else null
+    if (d != null && Files.exists(d)) Some(spark.read.parquet(d.toString))
+    else None
+  }
+
+  /** Refresh the stats index into `nextDir` (no-op when statsCols empty).
+    *
+    * @param rewrittenBuckets None → full recompute over the snapshot;
+    *                         Some(set) → carry previous rows for buckets
+    *                         outside the set and collect `newPaths` only
+    *                         (falls back to full when the previous snapshot
+    *                         has no index — tables opted in mid-life).
+    * @param newPaths         the files/dirs this commit freshly wrote
+    */
+  private def refreshStats(prev: Long, next: Long, nextDir: Path,
+                           rewrittenBuckets: Option[Set[Int]],
+                           newPaths: Seq[String]): Unit = if (statsCols.nonEmpty) {
+    val carried = rewrittenBuckets.flatMap(rw => prevStatsOf(prev).map(_ -> rw))
+    // an empty snapshot (createIfNotExists) has no parquet to infer a
+    // schema from — skip; the first data commit rebuilds from scratch
+    if (carried.isEmpty && walkParquet(nextDir).isEmpty) return
+    val stats = carried match {
+      case None => collectStatsRel(next, Seq(nextDir.toString))
+      case Some((ps, rw)) =>
+        val kept =
+          if (rw.isEmpty) ps
+          else ps.filter(!col("bucket").isin(rw.toSeq: _*))
+        if (newPaths.isEmpty) kept
+        else kept.unionByName(collectStatsRel(next, newPaths))
+    }
+    // one file: the index is O(files) metadata, a planner-side artifact
+    stats.repartition(1).write.mode("overwrite")
+      .parquet(statsDirOf(nextDir).toString)
+  }
+
+  /** The persisted stats index of the current snapshot, file paths resolved
+    * to absolute. Requires the snapshot to have been written with
+    * [[statsCols]] set (opt-in tables only).
+    */
+  def readStats(): DataFrame = {
+    val v = currentVersion
+    require(v >= 0, s"table $root has no snapshot")
+    val d = statsDirOf(versionDir(v))
+    require(Files.exists(d),
+      s"table $root snapshot v$v has no stats index — construct the table " +
+        "with statsCols and commit/merge once to build it")
+    spark.read.parquet(d.toString)
+      .withColumn("file_path",
+        concat(lit(versionDir(v).toString + "/"), col("file_path")))
+  }
+
+  /** Stats-pruned range scan over the current snapshot: only files whose
+    * [mn, mx] interval on `statsCol` intersects [lo, hi] are opened, from
+    * the index maintained transactionally with every commit — never stale.
+    * With `forKeys`, the scan COMPOSES with the bucket layout: only the
+    * keys' hash buckets are considered, then stats prune within them —
+    * bucket pruning on the key dimension × stats pruning on the sort/range
+    * dimension, the same two-level pruning an Iceberg (partition, manifest
+    * min/max) scan plan does.
+    */
+  def readRangePruned(statsCol: String, lo: Any, hi: Any,
+                      forKeys: Option[DataFrame] = None): DataFrame = {
+    val v = currentVersion
+    require(v >= 0, s"table $root has no snapshot")
+    val base = readStats()
+    val stats = forKeys.fold(base) { kdf =>
+      require(bucketCount > 0,
+        "forKeys pruning requires a bucketed table (bucketCount > 0)")
+      base.filter(col("bucket").isin(touchedBuckets(kdf).toSeq: _*))
+    }
+    val files = stats
+      .filter(col(s"mx_$statsCol") >= lit(lo) && col(s"mn_$statsCol") <= lit(hi))
+      .select("file_path").collect().map(_.getString(0)) // O(matching files)
+    val scan =
+      if (files.isEmpty) read().limit(0)
+      else spark.read.option("basePath", versionDir(v).toString)
+        .parquet(files.toIndexedSeq: _*).drop("__bucket")
+    scan.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+  }
+
   /** File inventory of the current snapshot — analog of `.manifests`/`.files`. */
   def files(): DataFrame = {
     import spark.implicits._
@@ -498,9 +634,14 @@ final class KeyedParquetTable(
     try s.iterator().asScala.toSeq finally s.close()
   }
 
+  // _stats holds the snapshot's file-stats INDEX, not data — exclude it
+  // from every data-file walk (Spark's own listing already hides
+  // _-prefixed directories)
   private def walkParquet(dir: Path): Seq[Path] =
     walkEntries(dir)
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .filterNot(p => dir.relativize(p).iterator().asScala
+        .exists(_.getFileName.toString == "_stats"))
 
   /** M1: rewrite small files — if the current snapshot has at least
     * `minInputFiles` fragments. On a bucketed table the rewrite is
@@ -557,6 +698,12 @@ final class KeyedParquetTable(
       walkEntries(dir).filter(Files.isRegularFile(_))
         .foreach(linkInto(curDir, nextDir, _))
     }
+    // stats: rewritten buckets recollected, intact buckets carried
+    val rewrittenIds = fragmented.flatMap(
+      _.getFileName.toString.stripPrefix("__bucket=").toIntOption).toSet
+    refreshStats(cur, next, nextDir, Some(rewrittenIds),
+      rewrittenIds.toSeq.map(b => nextDir.resolve(s"__bucket=$b"))
+        .filter(Files.exists(_)).map(_.toString))
     carryTxn(cur, nextDir)
     Some(swingPointer(next))
   }

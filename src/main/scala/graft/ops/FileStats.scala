@@ -23,11 +23,18 @@ object FileStats {
     * mn_<c>/mx_<c> per stats column). Map-side combined on
     * input_file_name, so the shuffle is O(files), not O(rows).
     */
-  def collect(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+  def collect(spark: SparkSession, path: String, cols: Seq[String]): DataFrame =
+    collect(spark, Seq(path), cols)
+
+  /** Multi-path variant — used by incremental maintainers that re-collect
+    * stats for only the files/buckets a commit rewrote.
+    */
+  def collect(spark: SparkSession, paths: Seq[String], cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one stats column")
+    require(paths.nonEmpty, "need at least one path")
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
-    spark.read.parquet(path)
+    spark.read.parquet(paths: _*)
       .groupBy(input_file_name().as("file_path"))
       .agg(aggs.head, aggs.tail: _*)
   }

@@ -533,4 +533,64 @@ class KeyedParquetTableSpec extends SparkSpec {
     t.commit(Seq((6L, "full")).toDF("id", "v"), txn = Some("b2"))
     assert(t.lastTxn === Some("b2"))
   }
+
+  test("stats index stays fresh through merge/append/compact and prunes correctly") {
+    val root = tmpDir("kpt_stats_lc")
+    val t = new KeyedParquetTable(spark, root, Seq("id"), Nil, 4, Nil,
+      statsCols = Seq("ts"))
+    t.commit((0L until 100L).map(i => (i, i * 10L, s"v$i")).toDF("id", "ts", "v"))
+
+    def snapshotFiles(): Set[String] = {
+      val vdir = java.nio.file.Paths.get(root, s"v${t.currentVersion}")
+      val s = java.nio.file.Files.walk(vdir)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          java.nio.file.Files.isRegularFile(p) &&
+          !p.toString.contains("/_stats/"))
+        .map(_.toString).toSet
+      finally s.close()
+    }
+    def statsFiles(): Set[String] =
+      t.readStats().select("file_path").collect().map(_.getString(0)).toSet
+    def check(): Unit = {
+      // the index lists EXACTLY the current snapshot's data files — carried
+      // rows reference hard-linked (still-live) files, rewritten buckets'
+      // old rows are gone: no stale-file reads possible
+      assert(statsFiles() === snapshotFiles())
+      assert(t.readStats().agg(sum("n_rows")).head().getLong(0) === t.read().count())
+      val expect = t.read().filter(col("ts") >= 100L && col("ts") <= 300L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = t.readRangePruned("ts", 100L, 300L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expect)
+    }
+    check()
+
+    // bucket-scoped merge: upserts touch a subset of buckets, one delete
+    t.merge(Seq((1L, 5000L, "x", "u"), (2L, 6000L, "y", "u"),
+      (3L, 0L, "", "d")).toDF("id", "ts", "v", "operation"))
+    check()
+    assert(t.readRangePruned("ts", 5000L, 6000L)
+      .select("id").as[Long].collect().toSet === Set(1L, 2L))
+
+    // snapshot-incremental append: only the batch's files are re-collected
+    t.append(Seq((200L, 7000L, "z")).toDF("id", "ts", "v"))
+    check()
+    assert(t.readRangePruned("ts", 7000L, 7000L).count() === 1L)
+
+    // compaction rewrites fragmented buckets; index follows
+    assert(t.compact(minInputFiles = 1).isDefined)
+    check()
+
+    // pruning is physical: a point range opens a strict subset of files
+    val narrow = t.readStats()
+      .filter(col("mx_ts") >= 7000L && col("mn_ts") <= 7000L).count()
+    assert(narrow < snapshotFiles().size)
+
+    // composes with the bucket layout: only the key's hash bucket considered
+    val one = t.readRangePruned("ts", 0L, 1000000L, Some(Seq(5L).toDF("id")))
+    assert(one.filter(col("id") === 5L).count() === 1L)
+    assert(one.select(pmod(abs(xxhash64(col("id"))), lit(4)).cast("int"))
+      .distinct().count() === 1L)
+  }
 }
