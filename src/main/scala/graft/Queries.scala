@@ -185,8 +185,12 @@ object Queries {
     "cdc_merge_final_state" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
+        // checkpoint: the serialize→from_json fixture would otherwise
+        // re-run once per batch filter (a real CDC source delivers each
+        // batch once)
         val parsed = parsedEvents(t("events"))
           .select("user_id", "event_id", "event_type", "value", "operation")
+          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val nBatches = 4L
         val tmp = scratchDir("graft_merge_")
@@ -273,8 +277,12 @@ object Queries {
     "q_snapshot_changes" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
+        // checkpoint: the serialize→from_json fixture would otherwise
+        // re-run once per batch filter (a real CDC source delivers each
+        // batch once)
         val parsed = parsedEvents(t("events"))
           .select("user_id", "event_id", "event_type", "value", "operation")
+          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val mid = (maxId + 1) / 2
         val tmp = scratchDir("graft_changes_")
@@ -343,8 +351,12 @@ object Queries {
     "q_incremental_agg_cdc" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
+        // checkpoint: the serialize→from_json fixture would otherwise
+        // re-run once per batch filter (a real CDC source delivers each
+        // batch once)
         val parsed = parsedEvents(t("events"))
           .select("user_id", "event_id", "event_type", "value", "operation")
+          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val nBatches = 4L
         val base = scratchDir("graft_cdcview_")
