@@ -1465,6 +1465,24 @@ object Queries {
       Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
              |FROM events WHERE user_id BETWEEN 100 AND 200""".stripMargin)),
 
+    // Hilbert-clustered layout round-trip: same box predicate off a
+    // Hilbert-curve layout (continuous curve — no Morton jumps, so the box
+    // concentrates into at-most-as-many files; RangeLayoutSpec proves both
+    // the exhaustive unit-adjacency of the curve and the concentration).
+    "q_hilbert_box" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val ev = t("events").select("event_id", "user_id", "ts", "value")
+        val out = scratchDir("graft_hilbert_")
+        RangeLayout.writeHilbertClustered(ev, out, numFiles = 16,
+          cols = Seq("user_id", "ts"))
+        s.read.parquet(out)
+          .filter(col("user_id").between(100, 200))
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
+             |FROM events WHERE user_id BETWEEN 100 AND 200""".stripMargin)),
+
     // Manifest-style file-stats pruning round-trip: events range-clustered
     // on value, a per-file min/max stats index built (one map-side-combined
     // pass, O(files) rows), then a range scan planned off the stats —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, MinHashBandHashes, MinHashSignature, ShingleHashes, SimHash64}
+import graft.functions.{FloatDotProduct, HilbertIndex, MinHashBandHashes, MinHashSignature, ShingleHashes, SimHash64}
 
 /** Engine extensions, injected via `spark.sql.extensions` (set by
   * [[Session.tuned]]) — the SparkSessionExtensions registration path the
@@ -62,6 +62,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getCanonicalName, "simhash64"),
       (children: Seq[Expression]) => {
         val c = arity(children, 1, "simhash64"); SimHash64(c(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getCanonicalName, "hilbert_index"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 3,
+          s"hilbert_index expects >= 2 coordinates + bits, got ${children.length}")
+        HilbertIndex(children.init, intArg(children.last))
       }))
     // tier (d): physical planning — ORDER BY <vec_dot score> LIMIT k becomes
     // a bounded-heap two-phase top-k for ANY k (never a global sort)

@@ -62,6 +62,63 @@ class RangeLayoutSpec extends SparkSpec {
       grid.agg(sum("payload")).head.getLong(0))
   }
 
+  test("hilbert_index is a continuous bijection onto the grid (exhaustive)") {
+    // 2-D, 3 bits: all 64 cells. The Hilbert curve's defining property:
+    // sorted by index, EVERY consecutive pair of cells is unit-adjacent
+    // (Manhattan distance 1) — Morton order fails this at every
+    // power-of-two boundary. Bijectivity: indices are exactly 0..63.
+    val cells2 = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        call_function("hilbert_index", col("x"), col("y"), lit(3)).as("h"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(cells2.map(_._1).toSeq === (0L until 64L))
+    cells2.sliding(2).foreach {
+      case Array((_, (x1, y1)), (_, (x2, y2))) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+          s"jump between ($x1,$y1) and ($x2,$y2)")
+      case _ =>
+    }
+    // 3-D, 2 bits: same properties in higher dimension
+    val cells3 = (for (x <- 0L until 4L; y <- 0L until 4L; z <- 0L until 4L)
+        yield (x, y, z))
+      .toDF("x", "y", "z")
+      .select(call_function("hilbert_index",
+          col("x"), col("y"), col("z"), lit(2)).as("h"),
+        col("x"), col("y"), col("z"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .sortBy(_._1)
+    assert(cells3.map(_._1).toSeq === (0L until 64L))
+    cells3.sliding(2).foreach {
+      case Array((_, (a1, b1, c1)), (_, (a2, b2, c2))) =>
+        assert(math.abs(a1 - a2) + math.abs(b1 - b2) + math.abs(c1 - c2) === 1L)
+      case _ =>
+    }
+  }
+
+  test("hilbert clustering concentrates a 2-D box at least as well as z-order") {
+    val grid = (for (u <- 0L until 100L; t <- 0L until 100L) yield (u, t, u * 100 + t))
+      .toDF("user_id", "t", "payload")
+    val hDir = tmpDir("hilbert")
+    val zDir = tmpDir("hilbert_vs_z")
+    RangeLayout.writeHilbertClustered(grid, hDir, numFiles = 25,
+      cols = Seq("user_id", "t"))
+    RangeLayout.writeZorderClustered(grid, zDir, numFiles = 25,
+      cols = Seq("user_id", "t"))
+    def filesHit(dir: String): Long =
+      spark.read.parquet(dir)
+        .filter(col("user_id").between(10, 20) && col("t").between(10, 20))
+        .select(input_file_name()).distinct().count()
+    val hHit = filesHit(hDir)
+    assert(hHit <= filesHit(zDir), s"hilbert=$hHit z=${filesHit(zDir)}")
+    assert(hHit <= 6, s"hilbert box hit $hHit of 25 files")
+    // clustered copy is byte-complete
+    assert(spark.read.parquet(hDir).count() === 10000L)
+    assert(spark.read.parquet(hDir).agg(sum("payload")).head.getLong(0) ===
+      grid.agg(sum("payload")).head.getLong(0))
+  }
+
   test("file-stats index prunes a range-clustered scan before any file opens") {
     import graft.ops.{FileStats, RangeLayout}
     val df = (0L until 50000L).map(i => (i, i % 997)).toDF("id", "payload")
