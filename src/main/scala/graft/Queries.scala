@@ -1936,6 +1936,28 @@ object Queries {
              |FROM documents""".stripMargin),
       headline = true),
 
+    // Corpus-statistics quality scoring (CCNet-style LM filter on exact
+    // integer counts): train token frequencies on the corpus, score each
+    // doc by mean token corpus-frequency + rare-token fraction. Integer
+    // sums + one IEEE division — bit-reproducible cross-engine where a
+    // log-prob formulation would differ by libm ulps.
+    "q_token_rarity" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents")
+        val freq = TextOps.tokenFrequencies(docs, "text")
+        TextOps.tokenRarityScores(docs, "doc_id", "text", freq, rareMax = 2L)
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+             |            FROM documents),
+             |freq AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_token_freq,
+             |CAST(SUM(CASE WHEN n <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             |  AS rare_frac
+             |FROM tok JOIN freq USING (token)
+             |GROUP BY doc_id""".stripMargin)),
+
     // Repetition/boilerplate signals: repeated-token and repeated-trigram
     // fractions (template spam repeats whole n-grams; natural text doesn't).
     "q_repetition_stats" -> Q(

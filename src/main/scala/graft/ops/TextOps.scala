@@ -266,6 +266,51 @@ object TextOps {
       .toDF(idCol, "n_tokens", "seq_id")
   }
 
+  // ---- Corpus-statistics quality scoring ----------------------------------
+
+  /** Whitespace-token corpus frequencies: (token, n) — the vocabulary
+    * table a corpus-level quality filter trains on. One explode + one
+    * map-side-combined count; the token shuffle is stopword-skewed, which
+    * is exactly what AQE's skew handling (on in [[graft.core.Session]])
+    * absorbs at scale.
+    */
+  def tokenFrequencies(docs: org.apache.spark.sql.DataFrame,
+                       textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+
+  /** Corpus-statistics quality signals per doc — the CCNet-style
+    * "score text by a LM trained on the corpus" filter, formulated on
+    * EXACT integer counts so the score is bit-reproducible across engines
+    * (a log-prob formulation differs by ulps between libm
+    * implementations; mean-frequency ranks documents the same way):
+    *
+    *  - `mean_token_freq`: mean corpus frequency of the doc's tokens —
+    *    LOW means the doc is full of tokens the corpus rarely sees
+    *    (noise, mojibake, code in a prose corpus);
+    *  - `rare_frac`: fraction of tokens with corpus frequency ≤
+    *    `rareMax` — the "how much of this doc is out-of-vocabulary"
+    *    dial a curation pipeline thresholds on.
+    *
+    * Scale shape: one explode, one (token)-keyed join against the
+    * frequency table, one doc-keyed aggregation — two shuffles, no
+    * windows, composes with [[tokenFrequencies]] built on any corpus
+    * (train on clean, score candidates). Tokens absent from `freq`
+    * count as frequency 0 (maximally rare).
+    */
+  def tokenRarityScores(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String,
+                        freq: org.apache.spark.sql.DataFrame,
+                        rareMax: Long = 1L): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .join(freq, Seq("token"), "left")
+      .select(col(idCol), coalesce(col("n"), lit(0L)).as("__n"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum("__n").cast("double") / count(lit(1))).as("mean_token_freq"),
+        (sum(when(col("__n") <= rareMax, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("rare_frac"))
+
   // ---- Train/test decontamination -----------------------------------------
 
   /** Test-set docs sharing at least one n-token shingle with the training

@@ -224,6 +224,26 @@ class TextOpsSpec extends SparkSpec {
       msgs(e2).mkString(" | "))
   }
 
+  test("token rarity: exact corpus frequencies; unknown tokens maximally rare") {
+    val corpus = Seq((1L, "the cat sat"), (2L, "the dog sat")).toDF("doc_id", "text")
+    val freq = TextOps.tokenFrequencies(corpus, "text")
+    assert(freq.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("the" -> 2L, "cat" -> 1L, "sat" -> 2L, "dog" -> 1L))
+    val scores = TextOps.tokenRarityScores(corpus, "doc_id", "text", freq, rareMax = 1L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // doc 1 = the(2) cat(1) sat(2): mean 5/3, rare(≤1) 1/3
+    assert(scores(1L) === ((3L, 5.0 / 3, 1.0 / 3)))
+    // scoring a candidate against the TRAINED freq table: an
+    // out-of-vocabulary token counts as frequency 0 (maximally rare)
+    val cand = Seq((9L, "the zorblatt sat")).toDF("doc_id", "text")
+    val s9 = TextOps.tokenRarityScores(cand, "doc_id", "text", freq, rareMax = 1L)
+      .collect()(0)
+    assert(s9.getLong(1) === 3L)
+    assert(s9.getDouble(2) === 4.0 / 3)
+    assert(s9.getDouble(3) === 1.0 / 3)
+  }
+
   test("incremental shingle index matches the one-shot check as train grows") {
     import graft.cdc.KeyedParquetTable
     val trainA = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
