@@ -118,6 +118,12 @@ object TextOps {
   /** Rolling n-gram fingerprints: hash of every n-token shingle. The
     * classic "rolling hash document fingerprint" — downstream ops take
     * `array_min` (winnowing-lite) or feed MinHash.
+    *
+    * HOF reference formulation (hashes shingle STRINGS — oracle-legible).
+    * Hot paths (decontamination, MinHash, fingerprint joins) use the native
+    * one-pass `shingle_hashes` kernel
+    * ([[graft.functions.MinHashExpressions]]) instead; this stays for
+    * winnowing-style uses where the string-hash formulation is the spec.
     */
   def shingleHashes(text: Column, n: Int = 3): Column =
     transform(shingles(text, n), g => xxhash64(g))

@@ -156,6 +156,32 @@ object Ingest {
     RawBatchMetrics(applied = true, nRaw, nMalformed, nRaw - nMalformed)
   }
 
+  /** Checkpointed drain-and-stop ingest of a RAW envelope stream through
+    * [[applyRawBatch]]: parse + dead-letter quarantine + observed malformed
+    * metrics + idempotent merge, per micro-batch. `onMetrics` receives each
+    * batch's [[RawBatchMetrics]] (emit to a metrics sink, log, assert in
+    * tests) — the per-batch dead-letter accounting wired into the
+    * streaming path itself.
+    */
+  def drainAvailableRaw(raw: DataFrame, table: KeyedParquetTable,
+                        ordering: Seq[Column], checkpointDir: String,
+                        lineage: Option[KeyedParquetTable] = None,
+                        deadLetter: Option[KeyedParquetTable] = None,
+                        valueCol: String = "value",
+                        schema: org.apache.spark.sql.types.StructType = graft.cdc.CdcModel.envelopeSchema,
+                        classify: DataFrame => DataFrame = null,
+                        opCol: String = "operation",
+                        onMetrics: RawBatchMetrics => Unit = _ => ()): StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onMetrics(applyRawBatch(batch, batchId, table, ordering, lineage,
+          deadLetter, valueCol, schema, classify, opCol))
+        ()
+      }
+      .start()
+
   /** Drain-and-stop ingest: `Trigger.AvailableNow` processes everything
     * available at start (respecting source rate limits, checkpointed batch
     * boundaries) and terminates — the production pattern for SCHEDULED

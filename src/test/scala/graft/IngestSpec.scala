@@ -621,4 +621,28 @@ class IngestSpec extends SparkSpec {
     assert(!m2.applied)
     assert(deadLetter.read().count() === 3L)
   }
+
+  test("drainAvailableRaw emits per-batch dead-letter metrics from the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val good =
+      """{"schema":"s","payload":{"id":1,"name":"n","description":"d","price":5,"on_offer":true,"__deleted":"false"}}"""
+    val table = new KeyedParquetTable(spark, tmpDir("rawstream_tbl"), Seq("id"))
+    table.createIfNotExists(StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("description", StringType), StructField("price", IntegerType),
+      StructField("on_offer", BooleanType))))
+    val deadLetter = new KeyedParquetTable(spark, tmpDir("rawstream_dl"), Seq("raw_value"))
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[Ingest.RawBatchMetrics]
+    val stream = MemoryStream[String]
+    stream.addData(good, "{not json", "empty")
+    val q = Ingest.drainAvailableRaw(stream.toDF(), table,
+      Seq(col("price").desc), tmpDir("rawstream_ckpt"),
+      deadLetter = Some(deadLetter),
+      onMetrics = m => metrics.synchronized { metrics += m })
+    q.awaitTermination()
+    assert(metrics.map(_.n_raw).sum === 3L)
+    assert(metrics.map(_.n_malformed).sum === 2L)
+    assert(table.read().count() === 1L)
+    assert(deadLetter.read().count() === 2L)
+  }
 }
