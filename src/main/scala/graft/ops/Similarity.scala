@@ -234,6 +234,40 @@ object Similarity {
       .parquet(s"$indexDir/vectors")
   }
 
+  /** Cell-occupancy diagnostics of a persisted index: (centroid_id, n) —
+    * the balance dial [[ivfMaybeRetrain]] reads. One column-pruned scan of
+    * the partition column; result is ≤ nCells rows.
+    */
+  def ivfCellStats(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/vectors")
+      .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+
+  /** The retrain trigger [[ivfAppend]]'s Scaladoc prescribes, as code:
+    * append-only maintenance under a drifting embedding distribution
+    * slowly overfills some cells (degraded pruning — a hot cell's files
+    * all scan on every probe of it). When the largest cell exceeds
+    * `maxCellFraction` of the corpus, rebuild the index FROM the stored
+    * vectors into `outDir` (offline re-center; the caller swaps directories
+    * when ready — same single-writer publish pattern as the keyed table's
+    * pointer swing). Returns true iff a rebuild happened; `outDir` is
+    * untouched otherwise. Cell counts are ≤ nCells rows — driver-safe.
+    */
+  def ivfMaybeRetrain(spark: SparkSession, indexDir: String, outDir: String,
+                      idCol: String, vecCol: String,
+                      maxCellFraction: Double = 0.25,
+                      nPlanes: Int = 4, dim: Int = 64): Boolean = {
+    require(maxCellFraction > 0 && maxCellFraction <= 1,
+      s"maxCellFraction must be in (0, 1], got $maxCellFraction")
+    val sizes = ivfCellStats(spark, indexDir).collect().map(_.getLong(1))
+    val total = sizes.sum
+    if (total == 0L || sizes.max.toDouble / total <= maxCellFraction) false
+    else {
+      ivfBuild(spark.read.parquet(s"$indexDir/vectors").drop("centroid_id"),
+        idCol, vecCol, outDir, nPlanes, dim)
+      true
+    }
+  }
+
   /** INCREMENTAL embedding near-dup screening — "is anything in this new
     * batch a near-dup (cosine ≥ threshold) of the indexed corpus?" — the
     * embedding-modality sibling of [[graft.ops.FuzzyDedup.checkNearDups]].

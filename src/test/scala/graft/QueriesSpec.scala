@@ -33,6 +33,13 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_token_rarity plans a shuffled/broadcast token join, never a cartesian") {
+    val plan = Queries.all("q_token_rarity").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"token rarity cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"token rarity NLJ:\n$plan")
+  }
+
   test("q11's scalar-threshold join broadcasts ONE row, never a cartesian over data") {
     // the global-total threshold rides a one-row BroadcastNestedLoopJoin —
     // that IS the scalar-subquery decorrelation plan (broadcast cost: one

@@ -228,6 +228,40 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
+  test("ivfMaybeRetrain: balanced index untouched; drift-overfilled cell triggers rebuild") {
+    val emb = clustered
+    val dir = tmpDir("ivfretrain")
+    Similarity.ivfBuild(emb, "vec_id", "embedding", dir, nPlanes = 4, dim = dim)
+    // the fresh build is tolerably balanced (LSH-seeded cells can merge a
+    // couple of clusters, so "balanced" here means no majority cell) —
+    // no rebuild, outDir untouched
+    val out1 = tmpDir("ivfretrain_out1")
+    assert(!Similarity.ivfMaybeRetrain(spark, dir, out1, "vec_id", "embedding",
+      maxCellFraction = 0.5))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out1, "centroids")))
+    // drift: append 3× the corpus as near-copies of ONE cluster's center —
+    // append-only assignment piles them into that cluster's cell
+    val rnd = new scala.util.Random(11)
+    val c0 = emb.filter(col("vec_id") === 0L)
+      .head().getSeq[Float](1).toArray
+    val drifted = (0 until 900).map { j =>
+      (10000L + j, c0.map(x => x + rnd.nextGaussian().toFloat * 0.01f).toSeq)
+    }.toDF("vec_id", "embedding")
+    Similarity.ivfAppend(spark, dir, drifted, "vec_id", "embedding")
+    val stats = Similarity.ivfCellStats(spark, dir).collect()
+      .map(r => r.getLong(1))
+    assert(stats.max.toDouble / stats.sum > 0.5, "drift fixture too weak")
+    val out2 = tmpDir("ivfretrain_out2")
+    assert(Similarity.ivfMaybeRetrain(spark, dir, out2, "vec_id", "embedding",
+      maxCellFraction = 0.5))
+    // the rebuilt index carries the full corpus and is queryable
+    assert(spark.read.parquet(s"$out2/vectors").count() === 1200L)
+    val got = Similarity.ivfQuery(spark, out2,
+      emb.filter(col("vec_id") === 35L).select("embedding"),
+      "vec_id", "embedding", 5, nProbe = 4).collect().map(_.getLong(0))
+    assert(got.head === 35L)
+  }
+
   test("checkEmbeddingNearDups flags batch vectors duplicating the indexed corpus") {
     val emb = clustered
     val dir = tmpDir("ivfscreen")
