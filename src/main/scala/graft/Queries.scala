@@ -1799,6 +1799,40 @@ object Queries {
              |FROM (SELECT doc_id, text,
              |  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS nt FROM documents) t""".stripMargin)),
 
+    // PER-SOURCE CAP — the "no single source dominates the mix" curation
+    // rule: keep at most K docs per source (lang here), ranked by quality
+    // with a doc_id tiebreak (quality is the bit-identical cross-engine
+    // formula of q_quality_score, so the ranking — not just the set — must
+    // match). Spark 4 pushes the rank filter into the shuffle as
+    // WindowGroupLimit, so each source materializes only K rows at scale.
+    "q_source_cap" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(col("__q").desc, col("doc_id").asc)
+        t("documents")
+          .withColumn("__q", TextOps.qualityScore(col("text")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 200)
+          .select(col("doc_id"), col("lang"), col("rk"))
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id, lang,
+             |    LEAST(1.0, CASE WHEN nt = 0 THEN 0.0
+             |      ELSE CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) / nt END * 2.0) * 0.4
+             |    + (CASE WHEN nt BETWEEN 20 AND 1000 THEN 1.0 WHEN nt >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+             |    + (1.0 - LEAST(1.0, CASE WHEN LENGTH(text) = 0 THEN 0.0
+             |      ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / LENGTH(text) END * 5.0)) * 0.2
+             |    AS quality
+             |  FROM (SELECT doc_id, lang, text,
+             |    LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS nt FROM documents) t)
+             |SELECT doc_id, lang, rk FROM (
+             |  SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (
+             |      PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rk
+             |  FROM q) ranked
+             |WHERE rk <= 200""".stripMargin)),
+
     // Language ID (stopword-table heuristic): argmax of per-language
     // whole-word stopword hit counts, first language in (de,en,es,fr,zh)
     // order wins ties, zero hits everywhere → 'und'. Mirrored exactly in
