@@ -2038,6 +2038,31 @@ object Queries {
              |  AND g IN (SELECT g FROM sh WHERE doc_id % 10 < 8)""".stripMargin),
       headline = true),
 
+    // Contamination REPORT: shared-shingle counts per contaminated test
+    // doc — the overlap evidence a decontamination threshold reads (1
+    // shared 5-gram = common phrase, dozens = copied passage). Engine
+    // counts shared 64-bit shingle hashes; the oracle counts shared
+    // shingle STRINGS — equality proves the hashed join computes the
+    // distinct-overlap cardinality exactly.
+    "q_contamination_report" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents")
+        TextOps.contaminationReport(
+          docs.filter(col("doc_id") % 10 < 8),
+          docs.filter(col("doc_id") % 10 >= 8),
+          "doc_id", "text", n = 5)
+      },
+      Some("""WITH tok AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         list_transform(generate_series(1, len(toks) - 4),
+             |           i -> array_to_string(toks[i:i+4], ' ')))) AS g
+             |       FROM tok)
+             |SELECT doc_id, COUNT(*) AS n_shared FROM sh
+             |WHERE doc_id % 10 >= 8
+             |  AND g IN (SELECT DISTINCT g FROM sh WHERE doc_id % 10 < 8)
+             |GROUP BY doc_id""".stripMargin)),
+
     // Deterministic weighted interleave (data mixing): stride-scheduled
     // mix keys per source weight — pure window arithmetic, so the oracle
     // reproduces it bit-for-bit (IEEE (k-0.5)/w both engines).

@@ -355,6 +355,25 @@ object TextOps {
     df.select(col(idCol), explode(array_distinct(
       call_function("shingle_hashes", col(textCol), lit(n)))).as("__g"))
 
+  /** Contamination REPORT: per contaminated candidate doc, HOW MANY
+    * distinct n-gram shingles it shares with the corpus — the evidence a
+    * decontamination decision thresholds on (1 shared 5-gram is a common
+    * phrase; 50 is a copied passage). Same distinct-shingle semi-join
+    * shape as [[contaminatedDocs]] with the semi-join widened to an inner
+    * join + count — still no all-pairs anywhere.
+    */
+  def contaminationReport(corpus: org.apache.spark.sql.DataFrame,
+                          candidates: org.apache.spark.sql.DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 5): org.apache.spark.sql.DataFrame = {
+    val corpusSet = shingleHashSet(corpus, idCol, textCol, n)
+      .select("__g").distinct()
+    shingleHashSet(candidates, idCol, textCol, n)
+      .join(corpusSet, Seq("__g"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** INCREMENTAL decontamination, for a train corpus that grows over time:
     * fold each train batch's distinct shingle hashes into a keyed table
     * (one 8-byte-keyed row per distinct shingle — give the table a
