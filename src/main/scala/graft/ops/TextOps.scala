@@ -298,10 +298,16 @@ object TextOps {
     *    `rareMax` — the "how much of this doc is out-of-vocabulary"
     *    dial a curation pipeline thresholds on.
     *
-    * Scale shape: one explode, one (token)-keyed join against the
-    * frequency table, one doc-keyed aggregation — two shuffles, no
-    * windows, composes with [[tokenFrequencies]] built on any corpus
-    * (train on clean, score candidates). Tokens absent from `freq`
+    * Scale shape: the doc side pre-aggregates to per-(doc, token) counts
+    * BEFORE the frequency join — the join then carries one row per
+    * distinct token per doc instead of one per token occurrence, which
+    * both shrinks the shuffle and flattens the stopword skew ("the"
+    * contributes one weighted row per doc, not thousands of hot-key
+    * rows); scores fold back with multiplicity weights, so the result is
+    * identical to the per-occurrence formulation. The weighted sum is
+    * decimal-exact (corpus-frequency × count products can pass 2^63 on a
+    * 100 TB corpus). Composes with [[tokenFrequencies]] built on any
+    * corpus (train on clean, score candidates). Tokens absent from `freq`
     * count as frequency 0 (maximally rare).
     */
   def tokenRarityScores(docs: org.apache.spark.sql.DataFrame, idCol: String,
@@ -309,13 +315,16 @@ object TextOps {
                         freq: org.apache.spark.sql.DataFrame,
                         rareMax: Long = 1L): org.apache.spark.sql.DataFrame =
     docs.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("__c"))
       .join(freq, Seq("token"), "left")
-      .select(col(idCol), coalesce(col("n"), lit(0L)).as("__n"))
+      .select(col(idCol), col("__c"), coalesce(col("n"), lit(0L)).as("__n"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_tokens"),
-        (sum("__n").cast("double") / count(lit(1))).as("mean_token_freq"),
-        (sum(when(col("__n") <= rareMax, 1L).otherwise(0L)).cast("double") /
-          count(lit(1))).as("rare_frac"))
+      .agg(sum("__c").as("n_tokens"),
+        (sum((col("__c") * col("__n")).cast("decimal(38,0)")).cast("double") /
+          sum("__c").cast("double")).as("mean_token_freq"),
+        (sum(when(col("__n") <= rareMax, col("__c")).otherwise(0L))
+          .cast("double") / sum("__c").cast("double")).as("rare_frac"))
 
   // ---- Train/test decontamination -----------------------------------------
 
