@@ -2038,6 +2038,27 @@ object Queries {
              |  AND g IN (SELECT g FROM sh WHERE doc_id % 10 < 8)""".stripMargin),
       headline = true),
 
+    // Cross-doc boilerplate: fraction of each doc's distinct trigrams that
+    // appear in >= 5 documents (template text) — the complement of the
+    // within-doc repetition signals. Oracle recomputes over shingle
+    // STRINGS; engine joins on 64-bit hashes.
+    "q_boilerplate" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        TextOps.boilerplateFractions(t("documents"), "doc_id", "text",
+          n = 3, minDf = 5L)
+      },
+      Some("""WITH tok AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         list_transform(generate_series(1, len(toks) - 2),
+             |           i -> array_to_string(toks[i:i+2], ' ')))) AS g
+             |       FROM tok),
+             |boiler AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 5)
+             |SELECT doc_id, COUNT(*) AS n_shingles,
+             |CAST(SUM(CASE WHEN g IN (SELECT g FROM boiler) THEN 1 ELSE 0 END) AS DOUBLE)
+             |  / COUNT(*) AS boiler_frac
+             |FROM sh GROUP BY doc_id""".stripMargin)),
+
     // Contamination REPORT: shared-shingle counts per contaminated test
     // doc — the overlap evidence a decontamination threshold reads (1
     // shared 5-gram = common phrase, dozens = copied passage). Engine

@@ -364,6 +364,34 @@ object TextOps {
     df.select(col(idCol), explode(array_distinct(
       call_function("shingle_hashes", col(textCol), lit(n)))).as("__g"))
 
+  /** Cross-document BOILERPLATE detection — the complement of
+    * [[dupNgramRatio]] (which sees repetition WITHIN a doc): an n-gram
+    * appearing in `minDf`+ distinct documents is template text (headers,
+    * navigation, license blocks), and a doc largely made of such n-grams
+    * is boilerplate even if it never repeats itself.
+    *
+    * Returns (id, n_shingles, boiler_frac): the fraction of the doc's
+    * DISTINCT n-gram shingles that are corpus-frequent. Shape: one
+    * distinct-shingle explode, one groupBy-count document-frequency pass,
+    * one hash join back, one doc-keyed fold — the exact-dedup shuffle
+    * family, no all-pairs; integer counts + one IEEE division, so the
+    * score is bit-reproducible cross-engine.
+    */
+  def boilerplateFractions(docs: org.apache.spark.sql.DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 3, minDf: Long = 3L): org.apache.spark.sql.DataFrame = {
+    val sh = shingleHashSet(docs, idCol, textCol, n)
+    // rows are distinct per (doc, shingle), so count(*) IS document freq
+    val boiler = sh.groupBy("__g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("__g")
+    sh.join(boiler.withColumn("__b", lit(1L)), Seq("__g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        (sum(coalesce(col("__b"), lit(0L))).cast("double") /
+          count(lit(1))).as("boiler_frac"))
+  }
+
   /** Contamination REPORT: per contaminated candidate doc, HOW MANY
     * distinct n-gram shingles it shares with the corpus — the evidence a
     * decontamination decision thresholds on (1 shared 5-gram is a common

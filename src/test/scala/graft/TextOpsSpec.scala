@@ -244,6 +244,19 @@ class TextOpsSpec extends SparkSpec {
     assert(s9.getDouble(3) === 1.0 / 3)
   }
 
+  test("boilerplate fraction flags cross-doc template n-grams only") {
+    val docs = ((1L to 5L).map(i =>
+      (i, s"copyright footer text unique$i alpha$i beta$i")) :+
+      ((9L, "totally unrelated words here today now"))).toDF("doc_id", "text")
+    val res = TextOps.boilerplateFractions(docs, "doc_id", "text", n = 3, minDf = 4L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // each templated doc: 4 distinct trigrams, exactly one ("copyright
+    // footer text") appears in >= 4 docs → 1/4
+    (1L to 5L).foreach(i => assert(res(i) === ((4L, 0.25)), s"doc $i: ${res(i)}"))
+    // the unrelated doc shares nothing
+    assert(res(9L)._2 === 0.0)
+  }
+
   test("incremental shingle index matches the one-shot check as train grows") {
     import graft.cdc.KeyedParquetTable
     val trainA = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
