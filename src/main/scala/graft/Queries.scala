@@ -1990,7 +1990,8 @@ object Queries {
              |CAST(SUM(CASE WHEN n <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
              |  AS rare_frac
              |FROM tok JOIN freq USING (token)
-             |GROUP BY doc_id""".stripMargin)),
+             |GROUP BY doc_id""".stripMargin),
+      headline = true),
 
     // Repetition/boilerplate signals: repeated-token and repeated-trigram
     // fractions (template spam repeats whole n-grams; natural text doesn't).
@@ -2057,7 +2058,8 @@ object Queries {
              |SELECT doc_id, COUNT(*) AS n_shingles,
              |CAST(SUM(CASE WHEN g IN (SELECT g FROM boiler) THEN 1 ELSE 0 END) AS DOUBLE)
              |  / COUNT(*) AS boiler_frac
-             |FROM sh GROUP BY doc_id""".stripMargin)),
+             |FROM sh GROUP BY doc_id""".stripMargin),
+      headline = true),
 
     // Contamination REPORT: shared-shingle counts per contaminated test
     // doc — the overlap evidence a decontamination threshold reads (1

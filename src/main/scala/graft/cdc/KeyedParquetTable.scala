@@ -549,7 +549,14 @@ final class KeyedParquetTable(
   private def refreshStats(prev: Long, next: Long, nextDir: Path,
                            rewrittenBuckets: Option[Set[Int]],
                            newPaths: Seq[String]): Unit = if (statsCols.nonEmpty) {
+    // carry only when the previous index covers the SAME stats columns —
+    // a table re-opened with different statsCols would otherwise abort the
+    // commit on a union mismatch; recompute fully instead (one-time cost,
+    // after which incremental maintenance resumes on the new columns)
+    val wanted = ("file_path" +: "n_rows" +: "bucket" +:
+      statsCols.flatMap(c => Seq(s"mn_$c", s"mx_$c"))).toSet
     val carried = rewrittenBuckets.flatMap(rw => prevStatsOf(prev).map(_ -> rw))
+      .filter { case (ps, _) => ps.columns.toSet == wanted }
     // an empty snapshot (createIfNotExists) has no parquet to infer a
     // schema from — skip; the first data commit rebuilds from scratch
     if (carried.isEmpty && walkParquet(nextDir).isEmpty) return

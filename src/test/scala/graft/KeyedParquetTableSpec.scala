@@ -592,5 +592,16 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(one.filter(col("id") === 5L).count() === 1L)
     assert(one.select(pmod(abs(xxhash64(col("id"))), lit(4)).cast("int"))
       .distinct().count() === 1L)
+
+    // re-opening with DIFFERENT statsCols must not abort commits: the next
+    // merge recomputes the index fully on the new columns, then resumes
+    // incrementally
+    val t2 = new KeyedParquetTable(spark, root, Seq("id"), Nil, 4, Nil,
+      statsCols = Seq("id"))
+    t2.merge(Seq((7L, 123L, "w", "u")).toDF("id", "ts", "v", "operation"))
+    assert(t2.readStats().columns.toSet ===
+      Set("file_path", "bucket", "n_rows", "mn_id", "mx_id"))
+    assert(t2.readRangePruned("id", 7L, 7L)
+      .filter(col("id") === 7L).count() === 1L)
   }
 }
