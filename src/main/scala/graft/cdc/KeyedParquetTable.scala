@@ -523,7 +523,10 @@ final class KeyedParquetTable(
     */
   private def collectStatsRel(next: Long, paths: Seq[String]): DataFrame = {
     val sep = java.util.regex.Pattern.quote(s"/v$next/")
-    graft.ops.FileStats.collect(spark, paths, statsCols)
+    // basePath: the paths may be partition dirs (__bucket=k/) of one
+    // snapshot — anchor inference at the snapshot root
+    graft.ops.FileStats.collect(spark, paths, statsCols,
+      basePath = Some(versionDir(next).toString))
       .withColumn("file_path", element_at(split(col("file_path"), sep), -1))
       .withColumn("bucket",
         when(col("file_path").rlike("__bucket=\\d+"),

@@ -27,14 +27,19 @@ object FileStats {
     collect(spark, Seq(path), cols)
 
   /** Multi-path variant — used by incremental maintainers that re-collect
-    * stats for only the files/buckets a commit rewrote.
+    * stats for only the files/buckets a commit rewrote. Pass `basePath`
+    * when the paths are partition directories of one table (multiple
+    * `__bucket=k/` dirs holding `p=…/` subdirs would otherwise trip
+    * partition inference with CONFLICTING_DIRECTORY_STRUCTURES).
     */
-  def collect(spark: SparkSession, paths: Seq[String], cols: Seq[String]): DataFrame = {
+  def collect(spark: SparkSession, paths: Seq[String], cols: Seq[String],
+              basePath: Option[String] = None): DataFrame = {
     require(cols.nonEmpty, "need at least one stats column")
     require(paths.nonEmpty, "need at least one path")
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
-    spark.read.parquet(paths: _*)
+    basePath.fold(spark.read)(b => spark.read.option("basePath", b))
+      .parquet(paths: _*)
       .groupBy(input_file_name().as("file_path"))
       .agg(aggs.head, aggs.tail: _*)
   }

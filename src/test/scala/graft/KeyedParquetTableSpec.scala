@@ -604,4 +604,24 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(t2.readRangePruned("id", 7L, 7L)
       .filter(col("id") === 7L).count() === 1L)
   }
+
+  test("stats index tracks a bucket+partition layout through merge") {
+    // partitioned buckets nest the rel paths one level deeper
+    // (__bucket=k/p=…/part-*.parquet) — carried rows and the pruned scan
+    // must survive the deeper layout and recover the partition column
+    val root = tmpDir("kpt_stats_part")
+    val t = new KeyedParquetTable(spark, root, Seq("id"), Seq("p"), 4, Nil,
+      statsCols = Seq("ts"))
+    t.commit((0L until 60L).map(i => (i, i * 10L, s"p${i % 3}")).toDF("id", "ts", "p"))
+    t.merge(Seq((1L, 9000L, "p0", "u"), (2L, 9100L, "p1", "u"))
+      .toDF("id", "ts", "p", "operation"))
+    val stats = t.readStats()
+    assert(stats.agg(sum("n_rows")).head().getLong(0) === t.read().count())
+    assert(stats.select("file_path").collect()
+      .forall(r => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(r.getString(0)))))
+    val got = t.readRangePruned("ts", 9000L, 9100L)
+      .select("id", "p").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "p0"), (2L, "p1")))
+  }
 }
