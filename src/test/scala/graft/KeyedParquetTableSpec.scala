@@ -623,5 +623,12 @@ class KeyedParquetTableSpec extends SparkSpec {
     val got = t.readRangePruned("ts", 9000L, 9100L)
       .select("id", "p").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got === Set((1L, "p0"), (2L, "p1")))
+    // append and compaction keep the partitioned index consistent too
+    t.append(Seq((100L, 9500L, "p2")).toDF("id", "ts", "p"))
+    assert(t.readRangePruned("ts", 9500L, 9500L).count() === 1L)
+    assert(t.readStats().agg(sum("n_rows")).head().getLong(0) === t.read().count())
+    t.compact(minInputFiles = 1)
+    assert(t.readStats().agg(sum("n_rows")).head().getLong(0) === t.read().count())
+    assert(t.readRangePruned("ts", 9000L, 9500L).count() === 3L)
   }
 }
