@@ -40,6 +40,21 @@ class QueriesSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"token rarity NLJ:\n$plan")
   }
 
+  test("q_source_cap's rank filter pushes into the shuffle as WindowGroupLimit") {
+    val plan = Queries.all("q_source_cap").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"cap rank not pushed:\n$plan")
+  }
+
+  test("boilerplate and contamination-report shingle joins are never cartesian") {
+    for (name <- Seq("q_boilerplate", "q_contamination_report")) {
+      val plan = Queries.all(name).fn(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name NLJ:\n$plan")
+    }
+  }
+
   test("q11's scalar-threshold join broadcasts ONE row, never a cartesian over data") {
     // the global-total threshold rides a one-row BroadcastNestedLoopJoin —
     // that IS the scalar-subquery decorrelation plan (broadcast cost: one
