@@ -1501,6 +1501,32 @@ object Queries {
       Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
              |FROM events WHERE value >= 10.0 AND value <= 50.0""".stripMargin)),
 
+    // TWO-LEVEL pruning end-to-end: bucket pruning on the key dimension ×
+    // stats pruning on the value range (readRangePruned(forKeys)) — the
+    // (partition, manifest-bounds) scan plan an Iceberg reader does, off
+    // the index the table's own merges maintain. The caller refines the
+    // whole-bucket read to exact keys, which the oracle mirrors literally.
+    "q_keyed_stats_pruned" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val ev = t("events").select("event_id", "user_id", "value")
+        val base = scratchDir("graft_statskey_")
+        val table = new KeyedParquetTable(s, s"$base/t", Seq("event_id"),
+          Nil, 8, Nil, statsCols = Seq("value"))
+        table.commit(ev.filter(col("event_id") % 10 =!= 3))
+        table.merge(ev.filter(col("event_id") % 10 === 3)
+          .withColumn("operation", lit("u")))
+        val probeIds = Seq(10L, 23L, 30L, 47L, 50L)
+        import s.implicits._
+        table.readRangePruned("value", 10.0, 80.0,
+            forKeys = Some(probeIds.toDF("event_id")))
+          .filter(col("event_id").isin(probeIds: _*))
+          .select("event_id", "value")
+      },
+      Some("""SELECT event_id, value FROM events
+             |WHERE event_id IN (10, 23, 30, 47, 50)
+             |  AND value >= 10.0 AND value <= 80.0""".stripMargin)),
+
     // Stats-index LIFECYCLE round-trip: an opted-in KeyedParquetTable
     // (statsCols) maintains its per-file min/max index transactionally —
     // commit builds it, the bucket-scoped merge re-collects only touched
