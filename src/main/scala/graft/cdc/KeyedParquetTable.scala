@@ -736,6 +736,26 @@ final class KeyedParquetTable(
     victims
   }
 
+  /** ROLLBACK to an earlier retained snapshot — Iceberg's
+    * `rollback_to_snapshot` over the same model: the pointer swings back
+    * atomically, and the now-unreachable NEWER versions are purged (they
+    * would otherwise fork the linear version chain: the next commit
+    * writes `version+1`, and incremental readers compare version numbers).
+    * Hard links make this safe — files shared with the target snapshot
+    * survive the purge. Everything snapshot-scoped rolls back with the
+    * pointer: data, the `_txn` replay marker, and the `_stats` index.
+    * Single-writer, like every other commit path here.
+    */
+  def rollbackTo(version: Long): Unit = {
+    val cur = currentVersion
+    require(version >= 0 && Files.exists(versionDir(version)),
+      s"cannot roll back to v$version: no such retained snapshot")
+    require(version <= cur, s"cannot roll back FORWARD (v$version > v$cur)")
+    if (version == cur) return
+    swingPointer(version)
+    ((version + 1) to cur).foreach(v => deleteRecursively(versionDir(v)))
+  }
+
   /** M3: delete files under the root that belong to no live snapshot. */
   def removeOrphanFiles(): Seq[String] = {
     if (!Files.exists(rootPath)) return Nil

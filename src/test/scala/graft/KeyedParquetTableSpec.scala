@@ -605,6 +605,29 @@ class KeyedParquetTableSpec extends SparkSpec {
       .filter(col("id") === 7L).count() === 1L)
   }
 
+  test("rollbackTo restores an earlier snapshot atomically and purges the fork") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_rollback"), Seq("id"),
+      Nil, 4, Nil, statsCols = Seq("id"))
+    t.commit(Seq((1L, "a")).toDF("id", "v")) // v0
+    t.merge(Seq((2L, "b", "u")).toDF("id", "v", "operation"), txn = Some("t1")) // v1
+    t.merge(Seq((3L, "c", "u")).toDF("id", "v", "operation"), txn = Some("t2")) // v2
+    assert(t.read().count() === 3L)
+    t.rollbackTo(1L)
+    assert(t.currentVersion === 1L)
+    assert(t.read().select("id").as[Long].collect().toSet === Set(1L, 2L))
+    // everything snapshot-scoped rolls back with the pointer: the replay
+    // marker and the stats index
+    assert(t.lastTxn === Some("t1"))
+    assert(t.readStats().agg(sum("n_rows")).head().getLong(0) === 2L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, "v2")))
+    // the chain continues linearly from the rolled-back state
+    t.merge(Seq((9L, "z", "u")).toDF("id", "v", "operation"))
+    assert(t.currentVersion === 2L)
+    assert(t.read().count() === 3L)
+    // a forward "rollback" is refused
+    intercept[IllegalArgumentException] { t.rollbackTo(5L) }
+  }
+
   test("stats index tracks a bucket+partition layout through merge") {
     // partitioned buckets nest the rel paths one level deeper
     // (__bucket=k/p=…/part-*.parquet) — carried rows and the pruned scan
