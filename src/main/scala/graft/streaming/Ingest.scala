@@ -172,9 +172,36 @@ object Ingest {
                         classify: DataFrame => DataFrame = null,
                         opCol: String = "operation",
                         onMetrics: RawBatchMetrics => Unit = _ => ()): StreamingQuery =
+    runRaw(raw, table, ordering, checkpointDir, lineage, deadLetter, valueCol,
+      schema, classify, opCol, onMetrics, Trigger.AvailableNow())
+
+  /** Continuous twin of [[drainAvailableRaw]] — the raw-envelope analog of
+    * [[start]], firing every `triggerMs`.
+    */
+  def startRaw(raw: DataFrame, table: KeyedParquetTable,
+               ordering: Seq[Column], checkpointDir: String,
+               lineage: Option[KeyedParquetTable] = None,
+               deadLetter: Option[KeyedParquetTable] = None,
+               valueCol: String = "value",
+               schema: org.apache.spark.sql.types.StructType = graft.cdc.CdcModel.envelopeSchema,
+               classify: DataFrame => DataFrame = null,
+               opCol: String = "operation",
+               onMetrics: RawBatchMetrics => Unit = _ => (),
+               triggerMs: Long = 1000L): StreamingQuery =
+    runRaw(raw, table, ordering, checkpointDir, lineage, deadLetter, valueCol,
+      schema, classify, opCol, onMetrics, Trigger.ProcessingTime(triggerMs))
+
+  private def runRaw(raw: DataFrame, table: KeyedParquetTable,
+                     ordering: Seq[Column], checkpointDir: String,
+                     lineage: Option[KeyedParquetTable],
+                     deadLetter: Option[KeyedParquetTable], valueCol: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     classify: DataFrame => DataFrame, opCol: String,
+                     onMetrics: RawBatchMetrics => Unit,
+                     trigger: Trigger): StreamingQuery =
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onMetrics(applyRawBatch(batch, batchId, table, ordering, lineage,
           deadLetter, valueCol, schema, classify, opCol))

@@ -645,4 +645,27 @@ class IngestSpec extends SparkSpec {
     assert(table.read().count() === 1L)
     assert(deadLetter.read().count() === 2L)
   }
+
+  test("startRaw processes raw batches continuously with per-batch metrics") {
+    implicit val sqlCtx = spark.sqlContext
+    val good =
+      """{"schema":"s","payload":{"id":4,"name":"n","description":"d","price":5,"on_offer":true,"__deleted":"false"}}"""
+    val table = new KeyedParquetTable(spark, tmpDir("rawcont_tbl"), Seq("id"))
+    table.createIfNotExists(StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("description", StringType), StructField("price", IntegerType),
+      StructField("on_offer", BooleanType))))
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[Ingest.RawBatchMetrics]
+    val stream = MemoryStream[String]
+    val q = Ingest.startRaw(stream.toDF(), table, Seq(col("price").desc),
+      tmpDir("rawcont_ckpt"),
+      onMetrics = m => metrics.synchronized { metrics += m },
+      triggerMs = 50L)
+    stream.addData(good, "{not json")
+    q.processAllAvailable()
+    q.stop()
+    assert(metrics.synchronized(metrics.map(_.n_raw).sum) === 2L)
+    assert(metrics.synchronized(metrics.map(_.n_malformed).sum) === 1L)
+    assert(table.read().select("id").as[Int].collect().toSeq === Seq(4))
+  }
 }
