@@ -2207,6 +2207,45 @@ object Queries {
              |GROUP BY lang""".stripMargin),
       headline = true),
 
+    // CORPUS REPORT — the per-source "dataset card" summary a curation run
+    // publishes: volume, token counts, quality pass-rate, distinct-content
+    // count, and mean length per language. Every statistic is an integer
+    // count or an integer-sum ÷ count (one IEEE division), so the whole
+    // report is bit-reproducible cross-engine — no double summation.
+    "q_corpus_report" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("documents")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(TextOps.tokenCountWs(col("text"))).as("n_tokens"),
+            sum(when(TextOps.qualityScore(col("text")) >= 0.5, 1L)
+              .otherwise(0L)).as("n_quality"),
+            countDistinct(md5(col("text"))).as("n_unique_texts"),
+            (sum(length(col("text"))).cast("double") / count(lit(1)))
+              .as("avg_len"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT lang, text,
+             |    LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS nt
+             |  FROM documents),
+             |q AS (
+             |  SELECT lang, text, nt,
+             |    LEAST(1.0, CASE WHEN nt = 0 THEN 0.0
+             |      ELSE CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) / nt END * 2.0) * 0.4
+             |    + (CASE WHEN nt BETWEEN 20 AND 1000 THEN 1.0 WHEN nt >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+             |    + (1.0 - LEAST(1.0, CASE WHEN LENGTH(text) = 0 THEN 0.0
+             |      ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / LENGTH(text) END * 5.0)) * 0.2
+             |    AS quality
+             |  FROM scored)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |CAST(SUM(nt) AS BIGINT) AS n_tokens,
+             |CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+             |CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+             |CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS avg_len
+             |FROM q GROUP BY lang""".stripMargin)),
+
     // Source-mix report: domains mentioned per document (synthesized
     // deterministically from doc_id so the extractor paths are exercised),
     // counted per domain — the blocklist/source-weighting input.
