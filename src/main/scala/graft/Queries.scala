@@ -2435,6 +2435,21 @@ object Queries {
       },
       None, headline = true),
 
+    // Leakage-safe split: near-dup CLUSTERS assigned to train/test as
+    // units, so near-identical docs can never straddle an evaluation
+    // boundary. Cluster ids come from MinHash + star contraction (not
+    // SQL-expressible); ComponentsSpec proves the one-side-per-cluster
+    // and determinism invariants.
+    "q_leakage_safe_split" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents")
+        val pairs = FuzzyDedup.nearDupPairs(docs, "doc_id", "text",
+          threshold = 0.5).select("id_a", "id_b")
+        Components.leakageSafeSplit(docs, pairs, "doc_id", nSplits = 10)
+      },
+      None),
+
     // Deterministic train/val/test split: pure key arithmetic (no RNG), so
     // the assignment is stable across runs/engines and any doc's split is
     // recomputable from its id — the reproducibility property a training

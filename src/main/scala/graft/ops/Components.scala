@@ -108,6 +108,34 @@ object Components {
     connectedComponents(pairs, idA, idB)
       .select(col("id").as("doc_id"), col("component").as("keep_id"))
 
+  /** LEAKAGE-SAFE train/val/test assignment: split by near-dup CLUSTER,
+    * not by doc — a naive per-doc split puts near-identical documents on
+    * both sides of a train/test boundary, silently inflating every
+    * evaluation run on the corpus. Each doc in a candidate pair inherits
+    * its cluster representative's id (the component minimum); unpaired
+    * docs represent themselves (left join + coalesce); the split is then
+    * pure key arithmetic on the representative — deterministic,
+    * recomputable from the pairs, no RNG. Returns (idCol, rep_id, split)
+    * with splits `s0..s{n-1}` by `pmod(rep_id hash-free id, nSplits)`.
+    *
+    * Shape: one connected-components resolution over the PAIRS (tiny
+    * relative to the corpus) + one broadcast-size join back — the corpus
+    * side is touched once.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       nSplits: Int = 10, idA: String = "id_a",
+                       idB: String = "id_b"): DataFrame = {
+    require(nSplits >= 2, s"need >= 2 splits, got $nSplits")
+    val reps = dedupKeepers(pairs, idA, idB)
+      .select(col("doc_id").as("__id"), col("keep_id"))
+    docs.select(col(idCol))
+      .join(reps, col(idCol) <=> col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("keep_id"), col(idCol)).as("rep_id"))
+      .withColumn("split",
+        concat(lit("s"), pmod(col("rep_id"), lit(nSplits.toLong)).cast("string")))
+  }
+
   /** Keeper policy by QUALITY instead of id: each doc in a candidate pair
     * maps to its component's argmax by `scoreCol` (ties → smaller id) — the
     * "keep the best copy" a curation pipeline wants when near-dups differ

@@ -119,6 +119,24 @@ class ComponentsSpec extends SparkSpec {
     assert(!keepers.contains(4L) && !keepers.contains(5L))
   }
 
+  test("leakageSafeSplit keeps near-dup clusters on one side of every split") {
+    // docs 1,2,3 are a near-dup cluster; 4,5 unpaired. A per-doc modulo
+    // split would scatter 1,2,3 across splits — the cluster split must not.
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Components.leakageSafeSplit(docs, pairs, "doc_id", nSplits = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // whole cluster inherits rep 1 → one split for all three
+    assert(Seq(1L, 2L, 3L).map(out(_)).distinct.size === 1)
+    assert(out(1L)._1 === 1L)
+    // unpaired docs represent themselves and split by own id
+    assert(out(4L) === ((4L, "s0")) && out(5L) === ((5L, "s1")))
+    // deterministic: recomputing yields the identical assignment
+    val again = Components.leakageSafeSplit(docs, pairs, "doc_id", nSplits = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(again === out)
+  }
+
   test("10^5-edge graph: correct labels within the O(log n) round bound") {
     // bench-scale synthetic: 1000 planted clusters of 100 nodes (chained
     // internally, 99 edges each) + one 1000-node chain on top ids — ~10^5
