@@ -244,6 +244,35 @@ class TextOpsSpec extends SparkSpec {
     assert(s9.getDouble(3) === 1.0 / 3)
   }
 
+  test("weighted rarity algebra ≡ naive per-occurrence formulation") {
+    // the shipped tokenRarityScores pre-aggregates per (doc, token) and
+    // folds with multiplicity weights; this pins it bit-identical to the
+    // straightforward one-row-per-occurrence formulation on a corpus with
+    // repeats, heavy tokens, and empty-ish docs
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("the", "cat", "sat", "on", "mat", "zap", "qox")
+    val docs = (1L to 50L).map { i =>
+      val k = 1 + rnd.nextInt(12)
+      (i, Seq.fill(k)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val freq = TextOps.tokenFrequencies(docs, "text")
+    val got = TextOps.tokenRarityScores(docs, "doc_id", "text", freq, rareMax = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val naive = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(freq, Seq("token"), "left")
+      .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("__n"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum("__n").cast("double") / count(lit(1))).as("mean_token_freq"),
+        (sum(when(col("__n") <= 3L, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("rare_frac"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got === naive)
+  }
+
   test("boilerplate fraction flags cross-doc template n-grams only") {
     val docs = ((1L to 5L).map(i =>
       (i, s"copyright footer text unique$i alpha$i beta$i")) :+
