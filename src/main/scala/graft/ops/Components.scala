@@ -116,7 +116,9 @@ object Components {
     * docs represent themselves (left join + coalesce); the split is then
     * pure key arithmetic on the representative — deterministic,
     * recomputable from the pairs, no RNG. Returns (idCol, rep_id, split)
-    * with splits `s0..s{n-1}` by `pmod(rep_id hash-free id, nSplits)`.
+    * with splits `s0..s{n-1}` by `pmod(rep_id, nSplits)` — ids must be
+    * numeric (for string/uuid ids, derive a numeric id via `xxhash64`
+    * first and split on that).
     *
     * Shape: one connected-components resolution over the PAIRS (tiny
     * relative to the corpus) + one broadcast-size join back — the corpus
