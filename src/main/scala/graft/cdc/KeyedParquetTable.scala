@@ -133,7 +133,10 @@ final class KeyedParquetTable(
     * VALUES — a differently-typed key would hash into the wrong bucket and
     * silently miss rows). The touched-bucket set is collected to the
     * driver; it is bounded by [[bucketCount]], the same bound the scoped
-    * merge relies on.
+    * merge relies on. Returns WHOLE buckets (callers refine with their own
+    * key filter); on a stats-opted table whose [[statsCols]] include a key
+    * column, [[readRangePruned]] with `forKeys` additionally prunes FILES
+    * within the touched buckets by the probe keys' value range.
     *
     * Falls back to a full [[read]] for unbucketed tables and for flat
     * layouts written by a foreign writer. The pruning is physical — the
