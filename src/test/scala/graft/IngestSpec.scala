@@ -646,6 +646,58 @@ class IngestSpec extends SparkSpec {
     assert(deadLetter.read().count() === 2L)
   }
 
+  test("capstone: raw envelopes → dead-letter + entity state + maintained view") {
+    // the reference's whole pipeline composed: raw Debezium-style strings
+    // (some malformed) → observed dead-letter parse → classify →
+    // retraction-aware incremental view over the entity state — with
+    // exactly-once txn guards, driven through a checkpointed stream
+    import graft.streaming.IncrementalAgg
+    import graft.cdc.CdcParse
+    implicit val sqlCtx = spark.sqlContext
+    def env(id: Int, name: String, price: Int, deleted: Boolean) =
+      s"""{"schema":"s","payload":{"id":$id,"name":"$name","description":"d","price":$price,"on_offer":true,"__deleted":"$deleted"}}"""
+    val entity = new KeyedParquetTable(spark, tmpDir("rawcombo_ent"), Seq("id"))
+    val aggT = new KeyedParquetTable(spark, tmpDir("rawcombo_agg"), Seq("name"))
+    val deadLetter = new KeyedParquetTable(spark, tmpDir("rawcombo_dl"), Seq("raw_value"))
+    val checkpoint = tmpDir("rawcombo_ckpt")
+    val stream = MemoryStream[String]
+    val malformedTotal = new java.util.concurrent.atomic.AtomicLong
+    def drain(): Unit = {
+      val q = stream.toDF().writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val (valid, rejected, obs) = CdcParse.parseWithDeadLetterObserved(b)
+          val parsed = valid.withColumn("operation",
+            CdcParse.classifyOperation(col("__deleted"), col("id")))
+            .drop("__deleted")
+          IncrementalAgg.applyCdcBatch(entity, aggT, parsed, "name", "price",
+            Seq(col("price").desc), txnId = Some(batchId.toString))
+          val n = Option(obs.get("n_malformed")).fold(0L)(_.asInstanceOf[Long])
+          malformedTotal.addAndGet(n)
+          if (n > 0) deadLetter.append(rejected)
+          ()
+        }.start()
+      q.awaitTermination(60000)
+    }
+    stream.addData(env(1, "a", 10, false), env(2, "b", 20, false), "{not json")
+    drain()
+    // group move (1: a→b), insert (3: c), delete (2), one more malformed
+    stream.addData(env(1, "b", 30, false), env(3, "c", 7, false),
+      env(2, "b", 20, true), "")
+    drain()
+    assert(malformedTotal.get() === 2L)
+    assert(deadLetter.read().count() === 2L)
+    assert(entity.read().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(3)))
+      === Array((1, "b", 30), (3, "c", 7)))
+    // the maintained view equals the from-scratch aggregate over the
+    // surviving state: group a vanished, b holds the moved entity
+    val view = IncrementalAgg.snapshot(aggT, "price")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(view === Map("b" -> ((1L, 30.0)), "c" -> ((1L, 7.0))))
+  }
+
   test("startRaw processes raw batches continuously with per-batch metrics") {
     implicit val sqlCtx = spark.sqlContext
     val good =
