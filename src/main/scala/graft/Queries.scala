@@ -423,6 +423,38 @@ object Queries {
              |FROM final GROUP BY event_type""".stripMargin),
       headline = true),
 
+    // Multi-measure incremental view: BOTH sums (value + event_id)
+    // maintained in the same retraction pass — one dedup, one pre-image
+    // read, one delta aggregation, two merges per batch regardless of the
+    // measure count. Oracle recomputes both sums from scratch.
+    "q_incremental_agg_multi" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val parsed = parsedEventsCached(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "operation")
+          .localCheckpoint(true)
+        val maxId = parsed.agg(max("event_id")).head().getLong(0)
+        val base = scratchDir("graft_cdcmulti_")
+        val entity = new KeyedParquetTable(s, s"$base/entity", Seq("user_id"), Nil, 8)
+        val aggT = new KeyedParquetTable(s, s"$base/agg", Seq("event_type"), Nil, 4)
+        val mid = (maxId + 1) / 2
+        Seq((0L, mid), (mid, maxId + 1)).foreach { case (lo, hi) =>
+          IncrementalAgg.applyCdcBatchN(entity, aggT,
+            parsed.filter(col("event_id") >= lo && col("event_id") < hi),
+            "event_type", Seq("value", "event_id"), Seq(col("event_id").desc))
+        }
+        IncrementalAgg.snapshotN(aggT, Seq("value", "event_id"))
+      },
+      Some("""WITH final AS (
+             |  SELECT event_type, value, event_id FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |    FROM events) t
+             |  WHERE rn = 1 AND event_type <> 'error')
+             |SELECT event_type, COUNT(*) AS n_rows,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             |CAST(SUM(CAST(event_id AS DECIMAL(18,6))) AS DOUBLE) AS sum_event_id
+             |FROM final GROUP BY event_type""".stripMargin)),
+
     // ---- Analytics over the TPC-H-ish tables (A*, W*, O*, J*, P*) ----------
 
     // A5-style wide aggregate (TPC-H Q1 shape): group-by + exact sums + avg.

@@ -47,19 +47,31 @@ object IncrementalAgg {
     */
   def applyBatch(table: KeyedParquetTable, batch: DataFrame,
                  key: String, valueCol: String,
-                 txnId: Option[String] = None): Unit = {
+                 txnId: Option[String] = None): Unit =
+    applyBatchN(table, batch, key, Seq(valueCol), txnId)
+
+  /** Multi-measure form of [[applyBatch]]: maintains `n_rows` plus one
+    * exact decimal sum per column in `valueCols` (schema: key, n_rows,
+    * sum_<c>…) — a realistic view carries several measures (revenue AND
+    * quantity), and folding them in one pass costs one batch aggregation
+    * and one merge total, not one per measure.
+    */
+  def applyBatchN(table: KeyedParquetTable, batch: DataFrame,
+                  key: String, valueCols: Seq[String],
+                  txnId: Option[String] = None): Unit = {
+    require(valueCols.nonEmpty, "need at least one value column")
     require(table.keys == Seq(key),
       s"aggregate table must be keyed by '$key' (got ${table.keys})")
     if (txnId.isDefined && table.exists && table.lastTxn == txnId) return // replay
-    val sumCol = s"sum_$valueCol"
     // coalesce: a batch where a key's values are ALL null would otherwise
     // produce a null partial, and null + current poisons the fold forever.
     // localCheckpoint: isEmpty, the broadcast key-set build, and the merge
     // write all read this — materialize the batch aggregation once.
+    val sumAggs = valueCols.map(c =>
+      coalesce(sum(guarded(col(c), c)), lit(BigDecimal(0)))
+        .cast("decimal(38,6)").as(s"sum_$c"))
     val partial = batch.groupBy(col(key))
-      .agg(count(lit(1)).as("n_rows"),
-        coalesce(sum(guarded(col(valueCol), valueCol)), lit(BigDecimal(0)))
-          .cast("decimal(38,6)").as(sumCol))
+      .agg(count(lit(1)).as("n_rows"), sumAggs: _*)
       .localCheckpoint(true)
     if (partial.isEmpty) return // empty batch: nothing to fold
     // first use: the just-created empty snapshot has no parquet footers to
@@ -80,14 +92,16 @@ object IncrementalAgg {
         // <=> throughout: a NULL key is a legitimate group, and === would
         // never match its stored row (silently resetting it every batch).
         val cur = table.readForKeys(partial.select(col(key)))
-          .select(col(key).as("__k"), col("n_rows").as("__n"), col(sumCol).as("__s"))
+          .select(col(key).as("__k") +: col("n_rows").as("__n") +:
+            valueCols.map(c => col(s"sum_$c").as(s"__s_$c")): _*)
         val touched = cur.join(broadcast(partial.select(col(key).as("__pk"))),
           col("__k") <=> col("__pk"), "left_semi")
         partial.join(touched, col(key) <=> col("__k"), "left")
-          .select(col(key),
-            (col("n_rows") + coalesce(col("__n"), lit(0L))).as("n_rows"),
-            (col(sumCol) + coalesce(col("__s"), lit(BigDecimal(0)).cast("decimal(38,6)")))
-              .cast("decimal(38,6)").as(sumCol))
+          .select(col(key) +:
+            (col("n_rows") + coalesce(col("__n"), lit(0L))).as("n_rows") +:
+            valueCols.map(c =>
+              (col(s"sum_$c") + coalesce(col(s"__s_$c"), zeroDec))
+                .cast("decimal(38,6)").as(s"sum_$c")): _*)
       }
     table.merge(merged.withColumn("operation", lit("u")), txn = txnId)
   }
@@ -114,11 +128,25 @@ object IncrementalAgg {
   def applyCdcBatch(entityTable: KeyedParquetTable, aggTable: KeyedParquetTable,
                     batch: DataFrame, groupCol: String, valueCol: String,
                     ordering: Seq[Column], opCol: String = "operation",
-                    txnId: Option[String] = None): Unit = {
+                    txnId: Option[String] = None): Unit =
+    applyCdcBatchN(entityTable, aggTable, batch, groupCol, Seq(valueCol),
+      ordering, opCol, txnId)
+
+  /** Multi-measure form of [[applyCdcBatch]]: every measure in `valueCols`
+    * is maintained (count once, one exact decimal sum per column) in the
+    * SAME retraction pass — additions and pre-image retractions carry all
+    * the deltas together, so a k-measure view costs exactly what the
+    * 1-measure view costs: one dedup window, one bucket-pruned pre-image
+    * read, one delta aggregation, two keyed merges.
+    */
+  def applyCdcBatchN(entityTable: KeyedParquetTable, aggTable: KeyedParquetTable,
+                     batch: DataFrame, groupCol: String, valueCols: Seq[String],
+                     ordering: Seq[Column], opCol: String = "operation",
+                     txnId: Option[String] = None): Unit = {
+    require(valueCols.nonEmpty, "need at least one value column")
     val keys = entityTable.keys
     require(aggTable.keys == Seq(groupCol),
       s"aggTable must be keyed by the group column '$groupCol' (got ${aggTable.keys})")
-    val sumCol = s"sum_$valueCol"
     // at-least-once replay guard: each table's merge commits the batch's
     // txn id ATOMICALLY with its snapshot, so after a crash anywhere
     // between the two merges the replay applies exactly the missing half —
@@ -136,8 +164,8 @@ object IncrementalAgg {
     if (!aggDone) {
       // post-images: every surviving latest row adds to its (new) group
       val additions = latest.filter(col(opCol) =!= "d" || col(opCol).isNull)
-        .select(col(groupCol).as("__g"), lit(1L).as("__dn"),
-          guarded(col(valueCol), valueCol).as("__ds"))
+        .select(col(groupCol).as("__g") +: lit(1L).as("__dn") +:
+          valueCols.map(c => guarded(col(c), c).as(s"__ds_$c")): _*)
       // pre-images: touched entities' current rows retract from their old
       // group. NULL-SAFE key match (the entity merge stores null keys via
       // <=>; a usingColumns semi-join would never retract them, so the
@@ -153,8 +181,8 @@ object IncrementalAgg {
             latest.select(keys.map(k => col(k).as(s"__t_$k")): _*).distinct())
           val cond = keys.map(k => pre(k) <=> keySet(s"__t_$k")).reduce(_ && _)
           val retractions = pre.join(keySet, cond, "left_semi")
-            .select(col(groupCol).as("__g"), lit(-1L).as("__dn"),
-              (-guarded(col(valueCol), valueCol)).as("__ds"))
+            .select(col(groupCol).as("__g") +: lit(-1L).as("__dn") +:
+              valueCols.map(c => (-guarded(col(c), c)).as(s"__ds_$c")): _*)
           additions.unionByName(retractions)
         } else additions
       // localCheckpoint: the delta (which embeds the pre-image read) feeds
@@ -162,26 +190,29 @@ object IncrementalAgg {
       // write — materialize the batch-sized aggregation once
       val delta = delta0.groupBy(col("__g"))
         .agg(sum(col("__dn")).as("__dnet"),
-          coalesce(sum(col("__ds")), lit(BigDecimal(0)))
-            .cast("decimal(38,6)").as("__dsum"))
+          valueCols.map(c =>
+            coalesce(sum(col(s"__ds_$c")), lit(BigDecimal(0)))
+              .cast("decimal(38,6)").as(s"__dsum_$c")): _*)
         .localCheckpoint(true)
       val firstUse = !aggTable.exists
       val folded =
         if (firstUse)
-          delta.select(col("__g").as(groupCol), col("__dnet").as("n_rows"),
-            col("__dsum").as(sumCol))
+          delta.select(col("__g").as(groupCol) +: col("__dnet").as("n_rows") +:
+            valueCols.map(c => col(s"__dsum_$c").as(s"sum_$c")): _*)
         else {
           // <=> throughout: a NULL group is a legitimate group, and ===
           // would never match its stored row (silently resetting it)
           val cur = aggTable.readForKeys(delta.select(col("__g").as(groupCol)))
-            .select(col(groupCol).as("__k"), col("n_rows").as("__n"), col(sumCol).as("__s"))
+            .select(col(groupCol).as("__k") +: col("n_rows").as("__n") +:
+              valueCols.map(c => col(s"sum_$c").as(s"__s_$c")): _*)
           val touched = cur.join(broadcast(delta.select(col("__g").as("__pk"))),
             col("__k") <=> col("__pk"), "left_semi")
           delta.join(touched, col("__g") <=> col("__k"), "left")
-            .select(col("__g").as(groupCol),
-              (col("__dnet") + coalesce(col("__n"), lit(0L))).as("n_rows"),
-              (col("__dsum") + coalesce(col("__s"), zeroDec))
-                .cast("decimal(38,6)").as(sumCol))
+            .select(col("__g").as(groupCol) +:
+              (col("__dnet") + coalesce(col("__n"), lit(0L))).as("n_rows") +:
+              valueCols.map(c =>
+                (col(s"__dsum_$c") + coalesce(col(s"__s_$c"), zeroDec))
+                  .cast("decimal(38,6)").as(s"sum_$c")): _*)
         }
       aggTable.createIfNotExists(
         org.apache.spark.sql.types.StructType(folded.schema.fields))
@@ -200,9 +231,11 @@ object IncrementalAgg {
   }
 
   /** Read the maintained aggregate with the sum surfaced as double. */
-  def snapshot(table: KeyedParquetTable, valueCol: String): DataFrame = {
-    val sumCol = s"sum_$valueCol"
-    table.read().select(col(table.keys.head),
-      col("n_rows"), col(sumCol).cast("double").as(sumCol))
-  }
+  def snapshot(table: KeyedParquetTable, valueCol: String): DataFrame =
+    snapshotN(table, Seq(valueCol))
+
+  /** Multi-measure [[snapshot]]: every sum column surfaced as double. */
+  def snapshotN(table: KeyedParquetTable, valueCols: Seq[String]): DataFrame =
+    table.read().select(col(table.keys.head) +: col("n_rows") +:
+      valueCols.map(c => col(s"sum_$c").cast("double").as(s"sum_$c")): _*)
 }

@@ -134,6 +134,27 @@ class IngestSpec extends SparkSpec {
     assert(got === want) // decimal folding → exact, split-invariant
   }
 
+  test("applyCdcBatchN maintains several measures in one retraction pass") {
+    import graft.streaming.IncrementalAgg
+    val entity = new KeyedParquetTable(spark, tmpDir("multi_ent"), Seq("id"), Nil, 4)
+    val aggT = new KeyedParquetTable(spark, tmpDir("multi_agg"), Seq("g"), Nil, 2)
+    def b(rows: (Long, String, Double, Long, String, Long)*) =
+      rows.toDF("id", "g", "amt", "qty", "operation", "seq")
+    IncrementalAgg.applyCdcBatchN(entity, aggT,
+      b((1L, "a", 10.0, 2L, "u", 1L), (2L, "a", 5.0, 1L, "u", 2L),
+        (3L, "b", 7.5, 3L, "u", 3L)),
+      "g", Seq("amt", "qty"), Seq(col("seq").desc))
+    // group move (1: a→b) + delete (2) — both measures retract together
+    IncrementalAgg.applyCdcBatchN(entity, aggT,
+      b((1L, "b", 20.0, 4L, "u", 4L), (2L, "a", 0.0, 0L, "d", 5L)),
+      "g", Seq("amt", "qty"), Seq(col("seq").desc))
+    val snap = IncrementalAgg.snapshotN(aggT, Seq("amt", "qty")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // group a vanished entirely; b = entities 1 (20, 4) and 3 (7.5, 3)
+    assert(snap === Map("b" -> ((2L, 27.5, 7.0))))
+  }
+
   test("applyBatch raises loudly on values beyond the decimal fold range") {
     import graft.streaming.IncrementalAgg
     val table = new KeyedParquetTable(spark, tmpDir("incr_overflow"), Seq("k"))
