@@ -62,6 +62,27 @@ final class KeyedParquetTable(
   def currentVersion: Long =
     if (Files.exists(pointer)) Files.readString(pointer).trim.toLong else -1L
 
+  /** Cached schema of the current snapshot (data + layout columns), inferred
+    * once per table instance. Merge/append/compact preserve the schema by
+    * construction (`mergeUpsert` projects the target's columns,
+    * [[requireAppendCompatible]] rejects evolution), so the cache survives
+    * them and a per-micro-batch maintainer skips one parquet footer-inference
+    * Spark job on EVERY probe read and merge — a real slice of the per-batch
+    * fixed cost. Full [[commit]], [[rollbackTo]] and [[drop]] can change the
+    * schema and invalidate. Per-instance and single-writer, the same
+    * assumption every commit path here documents.
+    */
+  @volatile private var schemaCache: Option[org.apache.spark.sql.types.StructType] = None
+
+  private def snapshotSchema(dir: Path): org.apache.spark.sql.types.StructType =
+    schemaCache match {
+      case Some(s) => s
+      case None =>
+        val s = spark.read.parquet(dir.toString).schema
+        schemaCache = Some(s)
+        s
+    }
+
   def exists: Boolean = currentVersion >= 0
 
   /** Read the current snapshot (S4). */
@@ -81,7 +102,13 @@ final class KeyedParquetTable(
       s"table $root has no snapshot v$version (current: v$currentVersion)")
     require(Files.exists(versionDir(version)),
       s"snapshot v$version of $root was expired; retained versions only")
-    val df = spark.read.parquet(versionDir(version).toString)
+    // historical versions may predate a schema evolution — only the current
+    // snapshot uses the cached schema
+    val df =
+      if (version == currentVersion)
+        spark.read.schema(snapshotSchema(versionDir(version)))
+          .parquet(versionDir(version).toString)
+      else spark.read.parquet(versionDir(version).toString)
     if (bucketCount > 0 && df.columns.contains("__bucket")) df.drop("__bucket") else df
   }
 
@@ -113,8 +140,7 @@ final class KeyedParquetTable(
     else {
       // basePath: partition-column values live only in directory names, so
       // reading leaf files without it would return NULL partition columns.
-      val df = spark.read.schema(
-        spark.read.parquet(versionDir(currentVersion).toString).schema)
+      val df = spark.read.schema(snapshotSchema(versionDir(currentVersion)))
         .option("basePath", versionDir(currentVersion).toString)
         .parquet(fresh: _*)
       if (bucketCount > 0 && df.columns.contains("__bucket")) df.drop("__bucket") else df
@@ -143,7 +169,17 @@ final class KeyedParquetTable(
     * scan is constructed from the touched buckets' directories only, so no
     * optimizer pushdown has to cooperate for the I/O bound to hold.
     */
-  def readForKeys(keysDf: DataFrame): DataFrame = {
+  def readForKeys(keysDf: DataFrame): DataFrame = readForKeys(keysDf, None)
+
+  /** [[readForKeys]] with a precomputed touched-bucket set. An incremental
+    * maintainer that reads AND merges the same key spread in one batch pays
+    * the distinct+collect bucket job once ([[bucketsFor]]) and reuses the
+    * set here and in [[merge]]'s `sourceBuckets` — per-batch job count is
+    * the constant every production micro-batch pays. `knownBuckets` must be
+    * `bucketsFor` over the same key values as `keysDf` (a superset only
+    * widens the scan; a WRONG set silently misses rows).
+    */
+  def readForKeys(keysDf: DataFrame, knownBuckets: Option[Set[Int]]): DataFrame = {
     val v = currentVersion
     require(v >= 0, s"table $root has no snapshot")
     if (bucketCount <= 0) return read()
@@ -151,16 +187,17 @@ final class KeyedParquetTable(
     val bucketDirs = listEntries(curDir).filter(p => Files.isDirectory(p) &&
       p.getFileName.toString.startsWith("__bucket="))
     if (bucketDirs.isEmpty) return read() // flat/foreign layout: no bucket dirs
-    val touched = touchedBuckets(keysDf)
+    val touched = knownBuckets.getOrElse(bucketsFor(keysDf))
     val chosen = bucketDirs.filter { p =>
       p.getFileName.toString.stripPrefix("__bucket=").toIntOption.exists(touched)
     }
     if (chosen.isEmpty) read().limit(0)
     else {
-      // basePath: partition values live in directory names; schema is
-      // inferred from the chosen subset only (uniform by construction —
-      // [[requireAppendCompatible]] rejects mixed-schema snapshots)
-      spark.read.option("basePath", curDir.toString)
+      // basePath: partition values live in directory names; cached schema
+      // (uniform by construction — [[requireAppendCompatible]] rejects
+      // mixed-schema snapshots) skips per-probe footer inference
+      spark.read.schema(snapshotSchema(curDir))
+        .option("basePath", curDir.toString)
         .parquet(chosen.map(_.toString): _*)
         .drop("__bucket")
     }
@@ -229,6 +266,7 @@ final class KeyedParquetTable(
     */
   private def commitInternal(df: DataFrame, txn: Option[String],
                              carry: Boolean): Long = {
+    schemaCache = None // a full rewrite may evolve the schema
     val next = currentVersion + 1
     Files.createDirectories(rootPath)
     val (out, parts) = withLayout(df)
@@ -327,9 +365,24 @@ final class KeyedParquetTable(
     * buckets the merge rewrites the full snapshot (fine for small tables).
     */
   def merge(source: DataFrame, opCol: String = "operation",
-            txn: Option[String] = None): Long = {
+            txn: Option[String] = None): Long =
+    merge(source, opCol, txn, None)
+
+  /** [[merge]] with the source's touched-bucket set precomputed by the
+    * caller ([[bucketsFor]] over the source's bucket-key values). Skips the
+    * scoped merge's own distinct+collect — which would otherwise re-evaluate
+    * the ENTIRE source plan once just to learn the bucket ids — so a
+    * maintainer whose source embeds an expensive fold (pre-image reads,
+    * broadcast joins) evaluates it exactly once, in the write. CONTRACT:
+    * `sourceBuckets` must cover every bucket the source's keys hash into —
+    * a missing bucket would both rewrite it (the merged rows land there)
+    * AND hard-link its old files, duplicating rows. A superset is safe
+    * (extra buckets are re-merged unchanged).
+    */
+  def merge(source: DataFrame, opCol: String, txn: Option[String],
+            sourceBuckets: Option[Set[Int]]): Long = {
     require(exists, s"merge target $root does not exist")
-    if (bucketCount > 0) mergeScoped(source, opCol, txn)
+    if (bucketCount > 0) mergeScoped(source, opCol, txn, sourceBuckets)
     else commitInternal(Merge.mergeUpsert(read(), source, keys, opCol), txn,
       carry = true)
   }
@@ -340,16 +393,28 @@ final class KeyedParquetTable(
 
   /** Distinct bucket ids a key frame hashes into — bounded by bucketCount,
     * so the driver collect is always safe. MUST stay the same expression as
-    * [[bucketExpr]]/[[withLayout]] or key probes silently miss.
+    * [[bucketExpr]]/[[withLayout]] or key probes silently miss. Public so a
+    * per-batch maintainer can pay this ONE job and reuse the set across its
+    * [[readForKeys]] probe and [[merge]] commit (`knownBuckets` /
+    * `sourceBuckets`).
     */
-  private def touchedBuckets(keysDf: DataFrame): Set[Int] =
-    keysDf
+  def bucketsFor(keysDf: DataFrame): Set[Int] =
+    distinctInts(keysDf
       .select(pmod(abs(xxhash64(bucketKeys.map(keysDf(_)): _*)), lit(bucketCount))
-        .cast("int").as("__b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+        .cast("int").as("__b")))
+
+  /** Narrow distinct-collect of one int column: per-partition dedup, then a
+    * driver-side union — ONE job with no shuffle (a `.distinct().collect()`
+    * pays a full exchange plus an extra AQE stage job). Driver data is
+    * bounded by bucketCount ints per input partition.
+    */
+  private def distinctInts(df: DataFrame): Set[Int] =
+    df.rdd.mapPartitions(it => it.map(_.getInt(0)).toSet.iterator)
+      .collect().toSet
 
   private def mergeScoped(source: DataFrame, opCol: String,
-                          txn: Option[String]): Long = {
+                          txn: Option[String],
+                          sourceBuckets: Option[Set[Int]] = None): Long = {
     val cur = currentVersion
     val curDir = versionDir(cur)
     // flat (non-bucket-partitioned) layout from a foreign writer → full merge
@@ -359,28 +424,68 @@ final class KeyedParquetTable(
     if (hasFlatFiles)
       return commitInternal(Merge.mergeUpsert(read(), source, keys, opCol),
         txn, carry = true)
+    val src = source.withColumn("__bucket", bucketExpr)
+    // bounded by bucketCount — driver-safe; a caller-precomputed set skips
+    // re-evaluating the source plan just to learn the ids
+    val touched = sourceBuckets.getOrElse(distinctInts(src.select(col("__bucket"))))
+    // merged data for touched buckets only (partition-pruned read)
+    val merged =
+      if (touched.isEmpty) src.limit(0)
+      else {
+        val targetTouched =
+          if (walkParquet(curDir).isEmpty) src.limit(0).drop(opCol) // empty table
+          else spark.read.schema(snapshotSchema(curDir)).parquet(curDir.toString)
+            .filter(col("__bucket").isin(touched.toSeq: _*))
+        Merge.mergeUpsert(targetTouched, src, keys, opCol)
+      }
+    commitScoped(merged, touched, txn)
+  }
+
+  /** Commit a snapshot whose `buckets` contain EXACTLY `content` — the other
+    * buckets hard-link through unchanged. This is the fused write half of a
+    * read-fold-replace maintainer: a caller that already read the touched
+    * buckets ([[readForKeys]]) and computed their complete new state commits
+    * it directly, skipping [[merge]]'s anti-join re-read of the same rows
+    * (one whole plan evaluation fewer per batch). CONTRACT: every row of
+    * `content` must hash into `buckets` (a row outside would land in a
+    * bucket that ALSO hard-links its old files — duplicated rows), and
+    * `content` must be the WHOLE new state of those buckets — rows absent
+    * from it are deletions. Requires a bucketed table with no foreign flat
+    * files.
+    */
+  def replaceBuckets(content: DataFrame, buckets: Set[Int],
+                     txn: Option[String] = None): Long = {
+    require(exists, s"replaceBuckets target $root does not exist")
+    require(bucketCount > 0, "replaceBuckets requires a bucketed table")
+    val curDir = versionDir(currentVersion)
+    require(!Files.exists(curDir) || !listEntries(curDir).exists(p =>
+      Files.isRegularFile(p) && p.toString.endsWith(".parquet")),
+      s"replaceBuckets: $root holds flat (unbucketed) files — merge instead")
+    commitScoped(content.withColumn("__bucket", bucketExpr), buckets, txn)
+  }
+
+  /** Commit kernel under [[mergeScoped]]/[[replaceBuckets]]: write `content`
+    * (already carrying `__bucket`) as the complete new state of the
+    * `touched` buckets; hard-link every other bucket; maintain stats + txn;
+    * swing the pointer.
+    */
+  private def commitScoped(content: DataFrame, touched: Set[Int],
+                           txn: Option[String]): Long = {
+    val cur = currentVersion
+    val curDir = versionDir(cur)
     val next = cur + 1
     val nextDir = versionDir(next)
     // retry safety: a previous attempt that died mid-write (pointer never
     // swung) leaves partial files here — mode("append") below would
     // duplicate rows next to them
     if (Files.exists(nextDir)) deleteRecursively(nextDir)
-    val src = source.withColumn("__bucket", bucketExpr)
-    val touched = src.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSet // bounded by bucketCount — driver-safe
     Files.createDirectories(nextDir)
-    // merged data for touched buckets only (partition-pruned read)
     val touchedSeq = touched.toSeq
     if (touchedSeq.nonEmpty) {
-      val targetTouched =
-        if (walkParquet(curDir).isEmpty) src.limit(0).drop(opCol) // empty table
-        else spark.read.parquet(curDir.toString)
-          .filter(col("__bucket").isin(touchedSeq: _*))
-      val merged = Merge.mergeUpsert(targetTouched, src, keys, opCol)
       // layout parity with commit()/withLayout: bucket dir FIRST, then the
       // table's partition spec — dropping partitionBy here would mix
       // directory depths across buckets and break partition discovery
-      merged.write.mode("append")
+      content.write.mode("append")
         .partitionBy(("__bucket" +: partitionBy): _*)
         .parquet(nextDir.toString)
     }
@@ -457,7 +562,7 @@ final class KeyedParquetTable(
     */
   private def requireAppendCompatible(df: DataFrame, curDir: Path): Unit = {
     if (walkParquet(curDir).isEmpty) return // empty snapshot: nothing to clash with
-    val current = spark.read.parquet(curDir.toString).schema
+    val current = snapshotSchema(curDir)
     val incoming = withLayout(df)._1.schema
     val curNames = current.fieldNames.toSet
     val inNames = incoming.fieldNames.toSet
@@ -613,14 +718,15 @@ final class KeyedParquetTable(
     val stats = forKeys.fold(base) { kdf =>
       require(bucketCount > 0,
         "forKeys pruning requires a bucketed table (bucketCount > 0)")
-      base.filter(col("bucket").isin(touchedBuckets(kdf).toSeq: _*))
+      base.filter(col("bucket").isin(bucketsFor(kdf).toSeq: _*))
     }
     val files = stats
       .filter(col(s"mx_$statsCol") >= lit(lo) && col(s"mn_$statsCol") <= lit(hi))
       .select("file_path").collect().map(_.getString(0)) // O(matching files)
     val scan =
       if (files.isEmpty) read().limit(0)
-      else spark.read.option("basePath", versionDir(v).toString)
+      else spark.read.schema(snapshotSchema(versionDir(v)))
+        .option("basePath", versionDir(v).toString)
         .parquet(files.toIndexedSeq: _*).drop("__bucket")
     scan.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
   }
@@ -701,7 +807,8 @@ final class KeyedParquetTable(
     // one hash partition per fragmented bucket → ~one output file each;
     // basePath keeps the __bucket / partition columns readable from the
     // directory names so the rewrite lands back in the same layout
-    spark.read.option("basePath", curDir.toString)
+    spark.read.schema(snapshotSchema(curDir))
+      .option("basePath", curDir.toString)
       .parquet(fragmented.map(_.toString): _*)
       .repartition(math.max(targetPartitions, fragmented.size), col("__bucket"))
       .write.mode("append")
@@ -755,6 +862,7 @@ final class KeyedParquetTable(
       s"cannot roll back to v$version: no such retained snapshot")
     require(version <= cur, s"cannot roll back FORWARD (v$version > v$cur)")
     if (version == cur) return
+    schemaCache = None // the rolled-back-to snapshot may predate an evolution
     swingPointer(version)
     ((version + 1) to cur).foreach(v => deleteRecursively(versionDir(v)))
   }
@@ -790,7 +898,10 @@ final class KeyedParquetTable(
   }
 
   /** K6: drop the table and purge all data. */
-  def drop(): Unit = if (Files.exists(rootPath)) deleteRecursively(rootPath)
+  def drop(): Unit = {
+    schemaCache = None
+    if (Files.exists(rootPath)) deleteRecursively(rootPath)
+  }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) listEntries(p).foreach(deleteRecursively)

@@ -73,37 +73,57 @@ object IncrementalAgg {
     val partial = batch.groupBy(col(key))
       .agg(count(lit(1)).as("n_rows"), sumAggs: _*)
       .localCheckpoint(true)
-    if (partial.isEmpty) return // empty batch: nothing to fold
     // first use: the just-created empty snapshot has no parquet footers to
     // read a schema from — the first partial IS the aggregate
     val firstUse = !table.exists
-    table.createIfNotExists(org.apache.spark.sql.types.StructType(partial.schema.fields))
-    val merged =
-      if (firstUse) partial
-      else {
-        // touched-keys-only read: [[KeyedParquetTable.readForKeys]] scans
-        // ONLY the buckets the batch's keys hash into (O(touched buckets)
-        // I/O on a bucketed table, full scan otherwise), then the BROADCAST
-        // semi-join filters to exactly the touched keys within those
-        // buckets — no table-wide shuffle, and the I/O matches the
-        // "O(batch) per refresh" contract instead of rescanning a table
-        // that grows forever. Assumes the batch's key spread is
-        // broadcastable, the same bound the bucket-scoped merge relies on.
-        // <=> throughout: a NULL key is a legitimate group, and === would
-        // never match its stored row (silently resetting it every batch).
-        val cur = table.readForKeys(partial.select(col(key)))
-          .select(col(key).as("__k") +: col("n_rows").as("__n") +:
-            valueCols.map(c => col(s"sum_$c").as(s"__s_$c")): _*)
-        val touched = cur.join(broadcast(partial.select(col(key).as("__pk"))),
-          col("__k") <=> col("__pk"), "left_semi")
-        partial.join(touched, col(key) <=> col("__k"), "left")
-          .select(col(key) +:
-            (col("n_rows") + coalesce(col("__n"), lit(0L))).as("n_rows") +:
-            valueCols.map(c =>
-              (col(s"sum_$c") + coalesce(col(s"__s_$c"), zeroDec))
-                .cast("decimal(38,6)").as(s"sum_$c")): _*)
-      }
-    table.merge(merged.withColumn("operation", lit("u")), txn = txnId)
+    if (table.bucketCount > 0) {
+      // FUSED bucketed fold, the per-micro-batch hot path. The touched
+      // buckets' complete new state is
+      //   (current bucket rows ∪ batch partials) re-aggregated with SUM
+      // — one union, one hash aggregation, ZERO join/broadcast exchanges —
+      // and [[KeyedParquetTable.replaceBuckets]] commits it directly,
+      // skipping merge's anti-join re-read of rows this plan already
+      // scanned. NULL keys group natively (no <=> machinery needed).
+      // bucketsFor doubles as the empty-batch probe (one narrow job),
+      // and the read half still scans ONLY the touched buckets —
+      // O(batch-key-spread) I/O on a table that grows forever.
+      val buckets = table.bucketsFor(partial.select(col(key)))
+      if (buckets.isEmpty) return // empty batch: nothing to fold
+      table.createIfNotExists(org.apache.spark.sql.types.StructType(partial.schema.fields))
+      val cur =
+        if (firstUse) partial.limit(0)
+        else table.readForKeys(partial.select(col(key)), Some(buckets))
+          .select(partial.columns.map(col): _*)
+      val content = cur.unionByName(partial)
+        .groupBy(col(key))
+        .agg(sum(col("n_rows")).as("n_rows"),
+          valueCols.map(c =>
+            sum(col(s"sum_$c")).cast("decimal(38,6)").as(s"sum_$c")): _*)
+      table.replaceBuckets(content, buckets, txnId)
+    } else {
+      // unbucketed fallback: join-based fold + full merge (fine for small
+      // tables; bucket the table for the O(batch) path).
+      // <=> throughout: a NULL key is a legitimate group, and === would
+      // never match its stored row (silently resetting it every batch).
+      if (partial.isEmpty) return // empty batch: nothing to fold
+      table.createIfNotExists(org.apache.spark.sql.types.StructType(partial.schema.fields))
+      val merged =
+        if (firstUse) partial
+        else {
+          val cur = table.readForKeys(partial.select(col(key)))
+            .select(col(key).as("__k") +: col("n_rows").as("__n") +:
+              valueCols.map(c => col(s"sum_$c").as(s"__s_$c")): _*)
+          val touched = cur.join(broadcast(partial.select(col(key).as("__pk"))),
+            col("__k") <=> col("__pk"), "left_semi")
+          partial.join(broadcast(touched), col(key) <=> col("__k"), "left")
+            .select(col(key) +:
+              (col("n_rows") + coalesce(col("__n"), lit(0L))).as("n_rows") +:
+              valueCols.map(c =>
+                (col(s"sum_$c") + coalesce(col(s"__s_$c"), zeroDec))
+                  .cast("decimal(38,6)").as(s"sum_$c")): _*)
+        }
+      table.merge(merged.withColumn("operation", lit("u")), "operation", txnId)
+    }
   }
 
   /** Retraction-aware fold of one CDC batch — incremental view maintenance
@@ -122,8 +142,10 @@ object IncrementalAgg {
     *
     * Scale shape, per batch: one dedup window over the batch, one
     * touched-keys semi-filtered entity read (the broadcast key-set filter
-    * travels to the data), one delta aggregation, one keyed merge into each
-    * table — O(batch), never O(table).
+    * travels to the data), one delta aggregation, then on a bucketed agg
+    * table a FUSED fold-and-replace commit (union + re-aggregate of the
+    * touched buckets, no joins) plus one keyed entity merge — O(batch),
+    * never O(table), and a bounded number of Spark jobs per batch.
     */
   def applyCdcBatch(entityTable: KeyedParquetTable, aggTable: KeyedParquetTable,
                     batch: DataFrame, groupCol: String, valueCol: String,
@@ -137,7 +159,8 @@ object IncrementalAgg {
     * SAME retraction pass — additions and pre-image retractions carry all
     * the deltas together, so a k-measure view costs exactly what the
     * 1-measure view costs: one dedup window, one bucket-pruned pre-image
-    * read, one delta aggregation, two keyed merges.
+    * read, one delta aggregation, one fold-and-replace agg commit, one
+    * keyed entity merge.
     */
   def applyCdcBatchN(entityTable: KeyedParquetTable, aggTable: KeyedParquetTable,
                      batch: DataFrame, groupCol: String, valueCols: Seq[String],
@@ -160,7 +183,15 @@ object IncrementalAgg {
     // dedup window once instead of rescanning the batch source per action.
     val latest = graft.ops.Dedup.dedupLatest(batch, keys, ordering)
       .localCheckpoint(true)
-    if (latest.isEmpty) return
+    // ONE bucket job per table per batch: the entity table's set serves the
+    // empty-batch probe, the pre-image read AND the entity merge; the agg
+    // table's set serves the fold read AND its commit — each would
+    // otherwise pay its own distinct+collect job
+    val entityBuckets: Option[Set[Int]] =
+      if (entityTable.bucketCount > 0)
+        Some(entityTable.bucketsFor(latest.select(keys.map(col): _*)))
+      else None
+    if (entityBuckets.fold(latest.isEmpty)(_.isEmpty)) return
     if (!aggDone) {
       // post-images: every surviving latest row adds to its (new) group
       val additions = latest.filter(col(opCol) =!= "d" || col(opCol).isNull)
@@ -176,9 +207,12 @@ object IncrementalAgg {
           // entity keys hash into are scanned (O(touched buckets) I/O on a
           // bucketed entity table) — the semi-join below then narrows to
           // exactly the touched keys within those buckets
-          val pre = entityTable.readForKeys(latest.select(keys.map(col): _*))
+          val pre = entityTable.readForKeys(latest.select(keys.map(col): _*),
+            entityBuckets)
+          // no .distinct(): dedupLatest already guarantees one row per key,
+          // so a distinct here would only add a shuffle + an AQE stage job
           val keySet = broadcast(
-            latest.select(keys.map(k => col(k).as(s"__t_$k")): _*).distinct())
+            latest.select(keys.map(k => col(k).as(s"__t_$k")): _*))
           val cond = keys.map(k => pre(k) <=> keySet(s"__t_$k")).reduce(_ && _)
           val retractions = pre.join(keySet, cond, "left_semi")
             .select(col(groupCol).as("__g") +: lit(-1L).as("__dn") +:
@@ -195,38 +229,68 @@ object IncrementalAgg {
               .cast("decimal(38,6)").as(s"__dsum_$c")): _*)
         .localCheckpoint(true)
       val firstUse = !aggTable.exists
-      val folded =
-        if (firstUse)
-          delta.select(col("__g").as(groupCol) +: col("__dnet").as("n_rows") +:
-            valueCols.map(c => col(s"__dsum_$c").as(s"sum_$c")): _*)
-        else {
-          // <=> throughout: a NULL group is a legitimate group, and ===
-          // would never match its stored row (silently resetting it)
-          val cur = aggTable.readForKeys(delta.select(col("__g").as(groupCol)))
-            .select(col(groupCol).as("__k") +: col("n_rows").as("__n") +:
-              valueCols.map(c => col(s"sum_$c").as(s"__s_$c")): _*)
-          val touched = cur.join(broadcast(delta.select(col("__g").as("__pk"))),
-            col("__k") <=> col("__pk"), "left_semi")
-          delta.join(touched, col("__g") <=> col("__k"), "left")
-            .select(col("__g").as(groupCol) +:
-              (col("__dnet") + coalesce(col("__n"), lit(0L))).as("n_rows") +:
-              valueCols.map(c =>
-                (col(s"__dsum_$c") + coalesce(col(s"__s_$c"), zeroDec))
-                  .cast("decimal(38,6)").as(s"sum_$c")): _*)
-        }
-      aggTable.createIfNotExists(
-        org.apache.spark.sql.types.StructType(folded.schema.fields))
-      aggTable.merge(folded.withColumn("operation",
-        when(col("n_rows") < 0,
-          raise_error(lit("IncrementalAgg: negative group count — changelog replayed or mis-ordered")))
-          .when(col("n_rows") === 0, lit("d"))
-          .otherwise(lit("u"))), txn = txnId)
+      val deltaRows = delta.select(
+        col("__g").as(groupCol) +: col("__dnet").as("n_rows") +:
+          valueCols.map(c => col(s"__dsum_$c").as(s"sum_$c")): _*)
+      if (aggTable.bucketCount > 0) {
+        // FUSED bucketed fold (hot path): the touched buckets' complete new
+        // state is (current bucket rows ∪ delta rows) re-aggregated with
+        // SUM — one union, one hash aggregation, zero join/broadcast
+        // exchanges — committed via replaceBuckets, which skips merge's
+        // anti-join re-read of rows this plan already scanned. NULL groups
+        // group natively. A group whose live count reaches zero is simply
+        // absent from the new state (= delete); negative raises.
+        val aggBuckets = aggTable.bucketsFor(deltaRows.select(col(groupCol)))
+        aggTable.createIfNotExists(
+          org.apache.spark.sql.types.StructType(deltaRows.schema.fields))
+        val cur =
+          if (firstUse) deltaRows.limit(0)
+          else aggTable.readForKeys(deltaRows.select(col(groupCol)),
+            Some(aggBuckets)).select(deltaRows.columns.map(col): _*)
+        val folded = cur.unionByName(deltaRows)
+          .groupBy(col(groupCol))
+          .agg(sum(col("n_rows")).as("n_rows"),
+            valueCols.map(c =>
+              sum(col(s"sum_$c")).cast("decimal(38,6)").as(s"sum_$c")): _*)
+          .withColumn("n_rows",
+            when(col("n_rows") < 0, raise_error(lit(
+              "IncrementalAgg: negative group count — changelog replayed or mis-ordered")))
+              .otherwise(col("n_rows")))
+          .filter(col("n_rows") =!= 0)
+        aggTable.replaceBuckets(folded, aggBuckets, txnId)
+      } else {
+        // unbucketed fallback: join-based fold + full merge.
+        // <=> throughout: a NULL group is a legitimate group, and ===
+        // would never match its stored row (silently resetting it)
+        val folded =
+          if (firstUse) deltaRows
+          else {
+            val cur = aggTable.readForKeys(deltaRows.select(col(groupCol)))
+              .select(col(groupCol).as("__k") +: col("n_rows").as("__n") +:
+                valueCols.map(c => col(s"sum_$c").as(s"__s_$c")): _*)
+            val touched = cur.join(broadcast(delta.select(col("__g").as("__pk"))),
+              col("__k") <=> col("__pk"), "left_semi")
+            delta.join(broadcast(touched), col("__g") <=> col("__k"), "left")
+              .select(col("__g").as(groupCol) +:
+                (col("__dnet") + coalesce(col("__n"), lit(0L))).as("n_rows") +:
+                valueCols.map(c =>
+                  (col(s"__dsum_$c") + coalesce(col(s"__s_$c"), zeroDec))
+                    .cast("decimal(38,6)").as(s"sum_$c")): _*)
+          }
+        aggTable.createIfNotExists(
+          org.apache.spark.sql.types.StructType(folded.schema.fields))
+        aggTable.merge(folded.withColumn("operation",
+          when(col("n_rows") < 0,
+            raise_error(lit("IncrementalAgg: negative group count — changelog replayed or mis-ordered")))
+            .when(col("n_rows") === 0, lit("d"))
+            .otherwise(lit("u"))), "operation", txnId)
+      }
     }
     // advance the entity state only AFTER the delta read its pre-images
     if (!entityDone) {
       entityTable.createIfNotExists(
         org.apache.spark.sql.types.StructType(latest.drop(opCol).schema.fields))
-      entityTable.merge(latest, opCol, txnId)
+      entityTable.merge(latest, opCol, txnId, entityBuckets)
     }
   }
 
