@@ -1894,7 +1894,8 @@ object Queries {
              |    ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / LENGTH(text) END * 5.0)) * 0.2
              |  AS quality
              |FROM (SELECT doc_id, text,
-             |  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS nt FROM documents) t""".stripMargin)),
+             |  CASE WHEN LENGTH(text) = 0 THEN 0
+             |      ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS nt FROM documents) t""".stripMargin)),
 
     // PER-SOURCE CAP — the "no single source dominates the mix" curation
     // rule: keep at most K docs per source (lang here), ranked by quality
@@ -1923,7 +1924,8 @@ object Queries {
              |      ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / LENGTH(text) END * 5.0)) * 0.2
              |    AS quality
              |  FROM (SELECT doc_id, lang, text,
-             |    LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS nt FROM documents) t)
+             |    CASE WHEN LENGTH(text) = 0 THEN 0
+             |      ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS nt FROM documents) t)
              |SELECT doc_id, lang, rk FROM (
              |  SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (
              |      PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rk
@@ -2299,7 +2301,8 @@ object Queries {
       },
       Some("""WITH scored AS (
              |  SELECT lang, text,
-             |    LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS nt
+             |    CASE WHEN LENGTH(text) = 0 THEN 0
+             |      ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS nt
              |  FROM documents),
              |q AS (
              |  SELECT lang, text, nt,

@@ -159,10 +159,12 @@ final class KeyedParquetTable(
     * VALUES — a differently-typed key would hash into the wrong bucket and
     * silently miss rows). The touched-bucket set is collected to the
     * driver; it is bounded by [[bucketCount]], the same bound the scoped
-    * merge relies on. Returns WHOLE buckets (callers refine with their own
-    * key filter); on a stats-opted table whose [[statsCols]] include a key
-    * column, [[readRangePruned]] with `forKeys` additionally prunes FILES
-    * within the touched buckets by the probe keys' value range.
+    * merge relies on. Returns a row-SUPERSET of the probed keys (callers
+    * refine with their own key filter): whole buckets normally, and on a
+    * stats-opted table whose [[statsCols]] cover the single bucket-key
+    * column, only the files within those buckets whose min/max key range
+    * can match a probe key — a maintainer that must see EVERY row of a
+    * bucket (fold-and-replace) uses [[readBuckets]] instead.
     *
     * Falls back to a full [[read]] for unbucketed tables and for flat
     * layouts written by a foreign writer. The pruning is physical — the
@@ -192,15 +194,48 @@ final class KeyedParquetTable(
       p.getFileName.toString.stripPrefix("__bucket=").toIntOption.exists(touched)
     }
     if (chosen.isEmpty) read().limit(0)
-    else {
-      // basePath: partition values live in directory names; cached schema
-      // (uniform by construction — [[requireAppendCompatible]] rejects
-      // mixed-schema snapshots) skips per-probe footer inference
-      spark.read.schema(snapshotSchema(curDir))
-        .option("basePath", curDir.toString)
-        .parquet(chosen.map(_.toString): _*)
-        .drop("__bucket")
+    else statsKeyPrunedFiles(keysDf, touched, curDir) match {
+      // stats-composed path: within the touched buckets, open ONLY files
+      // whose [mn,mx] range on the bucket-key column can contain a probe
+      // key — bucket pruning × file-level stats pruning, the same
+      // two-level plan an Iceberg (partition, manifest min/max) scan does
+      case Some(files) if files.isEmpty => read().limit(0)
+      case Some(files) =>
+        spark.read.schema(snapshotSchema(curDir))
+          .option("basePath", curDir.toString)
+          .parquet(files: _*)
+          .drop("__bucket")
+      case None =>
+        // basePath: partition values live in directory names; cached schema
+        // (uniform by construction — [[requireAppendCompatible]] rejects
+        // mixed-schema snapshots) skips per-probe footer inference
+        spark.read.schema(snapshotSchema(curDir))
+          .option("basePath", curDir.toString)
+          .parquet(chosen.map(_.toString): _*)
+          .drop("__bucket")
     }
+  }
+
+  /** Full content of the given hash buckets — the read half of a
+    * fold-and-[[replaceBuckets]] maintainer, which must see EVERY row of
+    * the buckets it will replace. Unlike [[readForKeys]] this never prunes
+    * files within a bucket (a stats-covered key column would make
+    * readForKeys return a row-superset of the PROBE, but not necessarily
+    * the whole bucket).
+    */
+  def readBuckets(buckets: Set[Int]): DataFrame = {
+    val v = currentVersion
+    require(v >= 0, s"table $root has no snapshot")
+    require(bucketCount > 0, "readBuckets requires a bucketed table")
+    val curDir = versionDir(v)
+    val chosen = bucketDirsOf(curDir).filter { p =>
+      p.getFileName.toString.stripPrefix("__bucket=").toIntOption.exists(buckets)
+    }
+    if (chosen.isEmpty) read().limit(0)
+    else spark.read.schema(snapshotSchema(curDir))
+      .option("basePath", curDir.toString)
+      .parquet(chosen.map(_.toString): _*)
+      .drop("__bucket")
   }
 
   /** Changelog between two snapshots: one full-outer keyed join classifying
@@ -624,18 +659,27 @@ final class KeyedParquetTable(
   private def statsDirOf(dir: Path): Path = dir.resolve("_stats")
 
   /** (file_path REL to the snapshot dir, bucket, n_rows, mn_&lt;c&gt; and
-    * mx_&lt;c&gt; per stats column) for the given paths. Rel paths are the
-    * split-off suffix after the version-dir segment — Spark-generated names
-    * (`__bucket=k/`, partition dirs, part files) never need URI escaping,
-    * so the suffix is clean even when the table root does.
+    * mx_&lt;c&gt; per stats column) for the given paths. `input_file_name()`
+    * yields URI-ENCODED paths (space → %20, % → %25); the suffix is decoded
+    * through Path(URI) before storing, so [[readStats]]/[[readRangePruned]]
+    * can concatenate it onto the raw versionDir path and resolve — a
+    * partition VALUE containing a space or % would otherwise produce a
+    * stored rel path that no reader can open (FileStats.readRangePruned
+    * does the same decode on its side).
     */
   private def collectStatsRel(next: Long, paths: Seq[String]): DataFrame = {
     val sep = java.util.regex.Pattern.quote(s"/v$next/")
+    // decode BEFORE splitting: the `/vN/` separator itself is never encoded,
+    // but the suffix (partition dirs with encoded values) may be. UDF is
+    // fine here — the frame is O(files) metadata, not data.
+    val decode = udf((p: String) =>
+      new org.apache.hadoop.fs.Path(new java.net.URI(p)).toString)
     // basePath: the paths may be partition dirs (__bucket=k/) of one
     // snapshot — anchor inference at the snapshot root
     graft.ops.FileStats.collect(spark, paths, statsCols,
       basePath = Some(versionDir(next).toString))
-      .withColumn("file_path", element_at(split(col("file_path"), sep), -1))
+      .withColumn("file_path",
+        element_at(split(decode(col("file_path")), sep), -1))
       .withColumn("bucket",
         when(col("file_path").rlike("__bucket=\\d+"),
           regexp_extract(col("file_path"), "__bucket=(\\d+)", 1).cast("int"))
@@ -683,6 +727,83 @@ final class KeyedParquetTable(
     // one file: the index is O(files) metadata, a planner-side artifact
     stats.repartition(1).write.mode("overwrite")
       .parquet(statsDirOf(nextDir).toString)
+  }
+
+  /** File-level key pruning for [[readForKeys]]: when [[statsCols]] cover
+    * the SINGLE bucket-key column and the snapshot carries its
+    * transactional stats index, return only the touched buckets' files
+    * whose [mn, mx] range on that column can contain a probe key — a point
+    * lookup then opens a strict subset of a multi-file bucket instead of
+    * the whole directory, compounding every incremental probe path
+    * (IncrementalAgg pre-images, near-dup/contamination checks, lineage
+    * replay). None → caller falls back to whole bucket dirs (multi-column
+    * bucket key, no index, or a non-orderable key type).
+    *
+    * Probe ranges are computed PER BUCKET in one narrow job (per-partition
+    * min/max, merged on the driver — O(bucketCount) driver data); the index
+    * itself is O(files) metadata. Safety rules: a bucket probed with a NULL
+    * key keeps all its files (min/max stats cannot attest null-keyed rows),
+    * a file with null bounds is kept, and a touched bucket with no probe
+    * row (caller passed a superset via `knownBuckets`) keeps all its files.
+    */
+  private def statsKeyPrunedFiles(keysDf: DataFrame, touched: Set[Int],
+                                  curDir: Path): Option[Seq[String]] = {
+    val keyCol = bucketKeys match {
+      case Seq(k) if statsCols.contains(k) => k
+      case _ => return None
+    }
+    if (!Files.exists(statsDirOf(curDir))) return None
+    import org.apache.spark.sql.types._
+    val orderable = keysDf.schema(keyCol).dataType match {
+      case _: DecimalType => true
+      case IntegerType | LongType | ShortType | ByteType | StringType |
+           DoubleType | FloatType | TimestampType | DateType | BooleanType => true
+      case _ => false // arrays/structs/binary: no driver-side ordering
+    }
+    if (!orderable) return None
+    import KeyedParquetTable.cmpAny
+    // same hash as [[bucketExpr]] — single bucket-key case
+    val probe = keysDf.select(
+      pmod(abs(xxhash64(keysDf(keyCol))), lit(bucketCount)).cast("int").as("__b"),
+      keysDf(keyCol).as("__k"))
+    val merged = scala.collection.mutable.Map.empty[Int, (Any, Any, Boolean)]
+    probe.rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.Map.empty[Int, (Any, Any, Boolean)]
+      it.foreach { r =>
+        val b = r.getInt(0)
+        val k = r.get(1)
+        val cur = m.getOrElse(b, (null, null, false))
+        m(b) =
+          if (k == null) (cur._1, cur._2, true)
+          else (
+            if (cur._1 == null || cmpAny(k, cur._1) < 0) k else cur._1,
+            if (cur._2 == null || cmpAny(k, cur._2) > 0) k else cur._2,
+            cur._3)
+      }
+      m.iterator
+    }.collect().foreach { case (b, (lo, hi, hasNull)) =>
+      val cur = merged.getOrElse(b, (null, null, false))
+      merged(b) = (
+        if (lo == null) cur._1
+        else if (cur._1 == null || cmpAny(lo, cur._1) < 0) lo else cur._1,
+        if (hi == null) cur._2
+        else if (cur._2 == null || cmpAny(hi, cur._2) > 0) hi else cur._2,
+        cur._3 || hasNull)
+    }
+    val stats = spark.read.parquet(statsDirOf(curDir).toString)
+      .select(col("file_path"), col("bucket"),
+        col(s"mn_$keyCol"), col(s"mx_$keyCol"))
+      .collect() // O(files of the snapshot) — metadata scale
+    val keep = stats.iterator.filter { r =>
+      val b = r.getInt(1)
+      touched.contains(b) && (merged.get(b) match {
+        case None => true // superset bucket with no probe rows: keep whole
+        case Some((lo, hi, hasNull)) =>
+          hasNull || r.isNullAt(2) || r.isNullAt(3) ||
+            (lo != null && cmpAny(r.get(3), lo) >= 0 && cmpAny(r.get(2), hi) <= 0)
+      })
+    }.map(r => curDir.toString + "/" + r.getString(0)).toVector
+    Some(keep)
   }
 
   /** The persisted stats index of the current snapshot, file paths resolved
@@ -907,4 +1028,15 @@ final class KeyedParquetTable(
     if (Files.isDirectory(p)) listEntries(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
+}
+
+object KeyedParquetTable {
+  /** Runtime ordering for stats-index pruning: external Row values of one
+    * orderable column share a concrete Comparable type (java.lang.Long,
+    * String, java.math.BigDecimal, java.sql.Timestamp, ...) — guarded by
+    * the dataType whitelist at the call site. Serializable (used inside a
+    * mapPartitions closure).
+    */
+  private def cmpAny(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
 }

@@ -354,9 +354,10 @@ object TextOps {
     * once; no shingle-string materialization). Requires
     * [[graft.core.GraftExtensions]] on the session — same contract as
     * [[graft.ops.FuzzyDedup]]. NOTE: the hash formulation is
-    * hash-of-token-hash-slices, so indexes persisted by
-    * [[indexTrainShingles]] under the pre-r8 string-hash formulation are
-    * incompatible and must be rebuilt.
+    * hash-of-token-hash-slices; persisted indexes are stamped with
+    * [[ShingleFormatKey]] and readers refuse a mismatch loudly
+    * ([[requireShingleFormat]]), so a pre-r8 string-hash index cannot
+    * silently return zero overlap.
     */
   private def shingleHashSet(df: org.apache.spark.sql.DataFrame,
                              idCol: String, textCol: String,
@@ -418,11 +419,32 @@ object TextOps {
     * any candidate batch with [[checkContamination]] at O(batch shingles)
     * instead of rescanning the train corpus.
     */
+  /** Hash-formulation version stamped on every persisted shingle index.
+    * The r8 kernel switch (string-hash → hash-of-token-hashes) changed
+    * every shingle value: an index built under the old formulation yields
+    * ZERO overlap against new probes — silent decontamination false
+    * negatives. The marker makes the mismatch LOUD instead: readers refuse
+    * an unmarked or differently-marked index and demand a rebuild.
+    */
+  private val ShingleFormatKey = "graft.shingle_index.format"
+  private val ShingleFormat = "hash_of_token_hashes_v2"
+
+  private def requireShingleFormat(table: graft.cdc.KeyedParquetTable): Unit = {
+    val got = table.properties.get(ShingleFormatKey)
+    require(got.contains(ShingleFormat),
+      s"shingle index at ${table.root} carries format ${got.getOrElse("<none>")} " +
+        s"but this engine probes with $ShingleFormat — the stored hashes are " +
+        "incomparable (zero overlap, silent decontamination false negatives). " +
+        "Rebuild the index with indexTrainShingles from the train corpus.")
+  }
+
   def indexTrainShingles(table: graft.cdc.KeyedParquetTable,
                          trainBatch: org.apache.spark.sql.DataFrame,
                          idCol: String, textCol: String, n: Int = 5): Unit = {
     require(table.keys == Seq("g"),
       s"shingle index table must be keyed by 'g' (got ${table.keys})")
+    if (table.exists) requireShingleFormat(table) // refuse to extend a stale-format index
+    else table.setProperties(Map(ShingleFormatKey -> ShingleFormat))
     table.createIfNotExists(org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("g",
         org.apache.spark.sql.types.LongType))))
@@ -453,6 +475,7 @@ object TextOps {
                          n: Int = 5): org.apache.spark.sql.DataFrame = {
     require(table.keys == Seq("g"),
       s"shingle index table must be keyed by 'g' (got ${table.keys})")
+    requireShingleFormat(table)
     val cand = shingleHashSet(candidates, idCol, textCol, n).localCheckpoint(true)
     val indexed = table.readForKeys(cand.select(col("__g").as("g")))
     cand.join(indexed.select(col("g").as("__g")), Seq("__g"), "left_semi")

@@ -90,10 +90,12 @@ object IncrementalAgg {
       val buckets = table.bucketsFor(partial.select(col(key)))
       if (buckets.isEmpty) return // empty batch: nothing to fold
       table.createIfNotExists(org.apache.spark.sql.types.StructType(partial.schema.fields))
+      // readBuckets, NOT readForKeys: replaceBuckets requires the COMPLETE
+      // state of the buckets it rewrites — a stats-opted table's
+      // readForKeys may prune files within a bucket
       val cur =
         if (firstUse) partial.limit(0)
-        else table.readForKeys(partial.select(col(key)), Some(buckets))
-          .select(partial.columns.map(col): _*)
+        else table.readBuckets(buckets).select(partial.columns.map(col): _*)
       val content = cur.unionByName(partial)
         .groupBy(col(key))
         .agg(sum(col("n_rows")).as("n_rows"),
@@ -243,10 +245,12 @@ object IncrementalAgg {
         val aggBuckets = aggTable.bucketsFor(deltaRows.select(col(groupCol)))
         aggTable.createIfNotExists(
           org.apache.spark.sql.types.StructType(deltaRows.schema.fields))
+        // readBuckets, NOT readForKeys: replaceBuckets requires the
+        // COMPLETE state of the buckets it rewrites
         val cur =
           if (firstUse) deltaRows.limit(0)
-          else aggTable.readForKeys(deltaRows.select(col(groupCol)),
-            Some(aggBuckets)).select(deltaRows.columns.map(col): _*)
+          else aggTable.readBuckets(aggBuckets)
+            .select(deltaRows.columns.map(col): _*)
         val folded = cur.unionByName(deltaRows)
           .groupBy(col(groupCol))
           .agg(sum(col("n_rows")).as("n_rows"),

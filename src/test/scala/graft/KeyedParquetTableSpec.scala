@@ -628,6 +628,47 @@ class KeyedParquetTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.rollbackTo(5L) }
   }
 
+  test("readForKeys composes bucket pruning with file-level key stats") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_rfk_stats"), Seq("id"),
+      Nil, 4, Nil, statsCols = Seq("id"))
+    // three disjoint key families → every bucket holds files from three
+    // commits with disjoint [mn_id, mx_id] ranges (appends never rewrite
+    // prior files, so the per-bucket file count only grows)
+    t.commit((0L until 64L).map(i => (i, s"a$i")).toDF("id", "v"))
+    t.append((1000L until 1064L).map(i => (i, s"b$i")).toDF("id", "v"))
+    t.append((2000L until 2064L).map(i => (i, s"c$i")).toDF("id", "v"))
+    val got = t.readForKeys(Seq(3L, 17L).toDF("id"))
+    // pruning must never lose a matching row
+    assert(got.filter(col("id").isin(3L, 17L)).count() === 2L)
+    // only files whose id range can contain a probe key were opened — the
+    // 1000+/2000+ append families are invisible to this probe
+    assert(got.select("id").as[Long].collect().forall(_ < 64L),
+      "pruned scan opened an append-family file outside the probe range")
+    // the probe's file set is a STRICT subset of the touched buckets' files
+    val scanned = got.inputFiles.toSet
+    val touchedDirs = scanned.flatMap(_.split("/").find(_.startsWith("__bucket=")))
+    val bucketFiles = t.files().collect().map(_.getString(0))
+      .filter(p => touchedDirs.exists(d => p.contains(s"/$d/"))).toSet
+    assert(scanned.nonEmpty && scanned.size < bucketFiles.size,
+      s"expected a strict file subset: ${scanned.size} of ${bucketFiles.size}")
+    // a NULL probe key disables file pruning for its bucket (min/max stats
+    // cannot attest null-keyed rows) — the null-keyed row is still found
+    val nullRow = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(null, "n", "u")),
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType),
+        StructField("operation", StringType))))
+    t.merge(nullRow)
+    val probeNull = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(null.asInstanceOf[Any])),
+      StructType(Seq(StructField("id", LongType))))
+    assert(t.readForKeys(probeNull).filter(col("id").isNull).count() === 1L)
+    // readBuckets sees the COMPLETE buckets regardless of stats — the
+    // fold-and-replace contract
+    val whole = t.readBuckets(t.bucketsFor(Seq(3L).toDF("id")))
+    assert(whole.filter(col("id") >= 1000L).count() > 0L,
+      "readBuckets must not file-prune")
+  }
+
   test("stats index tracks a bucket+partition layout through merge") {
     // partitioned buckets nest the rel paths one level deeper
     // (__bucket=k/p=…/part-*.parquet) — carried rows and the pruned scan

@@ -180,6 +180,37 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === Set(10L, 12L))
   }
 
+  test("shingle index format marker: unmarked/stale indexes are refused loudly") {
+    import graft.cdc.KeyedParquetTable
+    // an index persisted under a different hash formulation (here: simply
+    // never stamped) would silently return zero overlap — readers must
+    // refuse it instead of reporting "no contamination"
+    val stale = new KeyedParquetTable(spark, tmpDir("shingle_idx_stale"), Seq("g"),
+      Nil, bucketCount = 4)
+    stale.createIfNotExists(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.LongType))))
+    stale.merge(Seq(Tuple1(42L)).toDF("g").withColumn("operation", lit("u")))
+    val cands = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      TextOps.checkContamination(stale, cands, "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("format"))
+    // extending a stale-format index is refused too (a mixed-formulation
+    // index would be permanently wrong)
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.indexTrainShingles(stale, cands, "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("format"))
+    // a properly built index carries the marker and round-trips
+    val fresh = new KeyedParquetTable(spark, tmpDir("shingle_idx_fresh"), Seq("g"),
+      Nil, bucketCount = 4)
+    TextOps.indexTrainShingles(fresh, cands, "doc_id", "text")
+    assert(fresh.properties.contains("graft.shingle_index.format"))
+    assert(TextOps.checkContamination(fresh, cands, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
   test("packSequences: every doc exactly once, budget respected, deterministic") {
     val rnd = new scala.util.Random(9)
     val docs = (0L until 500L).map(i => (i, (rnd.nextInt(120) + 1).toLong))
