@@ -223,9 +223,17 @@ final class KeyedParquetTable(
     * readForKeys return a row-superset of the PROBE, but not necessarily
     * the whole bucket).
     */
-  def readBuckets(buckets: Set[Int]): DataFrame = {
-    val v = currentVersion
-    require(v >= 0, s"table $root has no snapshot")
+  def readBuckets(buckets: Set[Int]): DataFrame = readBuckets(buckets, currentVersion)
+
+  /** [[readBuckets]] against a specific retained snapshot. The one caller
+    * that needs history is crash recovery of a parallel-commit maintainer
+    * ([[graft.streaming.IncrementalAgg.applyCdcBatchN]]): when the entity
+    * half of a batch committed but the agg half did not, the batch's
+    * pre-images live in the entity commit's PARENT snapshot — reading them
+    * there makes the replay exact regardless of commit order.
+    */
+  def readBuckets(buckets: Set[Int], v: Long): DataFrame = {
+    require(v >= 0, s"table $root has no snapshot at version $v")
     require(bucketCount > 0, "readBuckets requires a bucketed table")
     val curDir = versionDir(v)
     val chosen = bucketDirsOf(curDir).filter { p =>
@@ -420,6 +428,26 @@ final class KeyedParquetTable(
     if (bucketCount > 0) mergeScoped(source, opCol, txn, sourceBuckets)
     else commitInternal(Merge.mergeUpsert(read(), source, keys, opCol), txn,
       carry = true)
+  }
+
+  /** True when snapshot `v` holds at least one parquet data file. An empty
+    * snapshot (fresh [[createIfNotExists]]) has no footers to infer a schema
+    * from, so readers that would scan it substitute an empty frame instead.
+    */
+  def snapshotHasFiles(v: Long): Boolean =
+    v >= 0 && walkParquet(versionDir(v)).nonEmpty
+
+  /** True when the current snapshot holds flat top-level parquet files from
+    * a foreign (non-bucket-aware) writer. Such a snapshot cannot serve the
+    * bucket-scoped read/replace paths — [[readBuckets]] would see no bucket
+    * directories and [[replaceBuckets]] refuses it — so maintainers probe
+    * this once per batch and fall back to the full-merge path. One local
+    * directory listing; no Spark job.
+    */
+  def hasForeignFlatFiles: Boolean = {
+    val curDir = versionDir(currentVersion)
+    exists && Files.exists(curDir) && listEntries(curDir).exists(p =>
+      Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
   }
 
   /** Bucket id expression: stable hash of the bucket-key columns. */

@@ -181,10 +181,11 @@ object IncrementalAgg {
     val entityDone = txnId.isDefined && entityTable.exists && entityTable.lastTxn == txnId
     if (aggDone && entityDone) return
     // merge-cardinality rule: one row per entity per batch, latest wins.
-    // localCheckpoint: four downstream actions read this — materialize the
-    // dedup window once instead of rescanning the batch source per action.
-    val latest = graft.ops.Dedup.dedupLatest(batch, keys, ordering)
-      .localCheckpoint(true)
+    // persist, not localCheckpoint: materialization piggy-backs on the
+    // bucketsFor collect below (cache-on-first-action), so the dedup window
+    // is computed once WITHOUT paying a dedicated checkpoint job — the
+    // per-batch job count is the constant every production micro-batch pays.
+    val latest = graft.ops.Dedup.dedupLatest(batch, keys, ordering).localCheckpoint(true)
     // ONE bucket job per table per batch: the entity table's set serves the
     // empty-batch probe, the pre-image read AND the entity merge; the agg
     // table's set serves the fold read AND its commit — each would
@@ -193,8 +194,68 @@ object IncrementalAgg {
       if (entityTable.bucketCount > 0)
         Some(entityTable.bucketsFor(latest.select(keys.map(col): _*)))
       else None
-    if (entityBuckets.fold(latest.isEmpty)(_.isEmpty)) return
-    if (!aggDone) {
+    if (entityBuckets.fold(latest.isEmpty)(_.isEmpty)) { latest.unpersist(false); return }
+    // FUSED entity read (hot path, bucketed entity table in the engine's
+    // own layout): the touched buckets' complete state is scanned ONCE and
+    // cached; it then serves BOTH the retraction pre-images and the entity
+    // commit (mergeUpsert over it + [[KeyedParquetTable.replaceBuckets]]),
+    // where the unfused path scans the same parquet twice — readForKeys for
+    // pre-images, then merge's internal anti-join re-read. Working set =
+    // touched buckets, the same bound mergeScoped's own rewrite carries;
+    // persist() stores MEMORY_AND_DISK, so an outsized bucket spills rather
+    // than OOMs.
+    val fused = entityTable.bucketCount > 0 && !entityTable.hasForeignFlatFiles
+    val preState: Option[DataFrame] = if (fused) {
+      entityTable.createIfNotExists(
+        org.apache.spark.sql.types.StructType(latest.drop(opCol).schema.fields))
+      // crash recovery under PARALLEL commits: if the entity half of this
+      // txn already committed but the agg half did not, this batch's
+      // pre-images live in the entity commit's parent snapshot — reading
+      // them there keeps the retraction math exact in either replay order.
+      // (Snapshot directories are immutable, so the lazy read stays valid
+      // even after the entity half commits the next version.)
+      val preV =
+        if (entityDone) entityTable.currentVersion - 1
+        else entityTable.currentVersion
+      // a fresh (empty) snapshot has no parquet footers to read a schema
+      // from — substitute an empty frame
+      if (entityTable.snapshotHasFiles(preV))
+        Some(entityTable.readBuckets(entityBuckets.get, preV).localCheckpoint(true))
+      else Some(latest.drop(opCol).limit(0))
+    } else None
+    def entityHalf(): Unit = preState match {
+      case Some(pre) =>
+        // fused commit: `pre` IS the complete current state of the touched
+        // buckets, so mergeUpsert over it yields their complete NEW state —
+        // replaceBuckets commits that directly, skipping merge's anti-join
+        // re-read of parquet this batch already scanned (and checkpointed).
+        // broadcast(latest): the batch side of the anti-join is
+        // batch-bounded by contract (same bound as the retraction keySet),
+        // so the commit plan is shuffle-free — checkpointed bucket scan +
+        // broadcast hash anti-join + union + write, no AQE stage jobs
+        entityTable.replaceBuckets(
+          graft.cdc.Merge.mergeUpsert(pre, broadcast(latest), keys, opCol),
+          entityBuckets.get, txnId)
+      case None =>
+        entityTable.createIfNotExists(
+          org.apache.spark.sql.types.StructType(latest.drop(opCol).schema.fields))
+        entityTable.merge(latest, opCol, txnId, entityBuckets)
+    }
+    // the entity commit depends only on (preState, latest) — both already
+    // checkpointed and IMMUTABLE — so on the fused path it launches NOW and
+    // overlaps the whole agg half (delta aggregation + fold + commit): the
+    // batch pays max(entity, agg) latency instead of the sum. Crash
+    // anywhere still replays exactly the missing half: each table's txn
+    // marker identifies its half, and the preV read above recovers
+    // pre-images even when the entity half won the race. (The unfused path
+    // keeps agg-then-entity ordering, whose recovery depends on it.)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val entityFut: Option[Future[Unit]] =
+      if (fused && !entityDone) Some(Future(entityHalf())) else None
+    // ---- agg half, on the main thread.
+    val deltaOpt: Option[DataFrame] = if (aggDone) None else {
       // post-images: every surviving latest row adds to its (new) group
       val additions = latest.filter(col(opCol) =!= "d" || col(opCol).isNull)
         .select(col(groupCol).as("__g") +: lit(1L).as("__dn") +:
@@ -204,13 +265,15 @@ object IncrementalAgg {
       // <=>; a usingColumns semi-join would never retract them, so the
       // aggregate would double-count a null-keyed entity every update)
       val delta0 =
-        if (entityTable.exists) {
+        if (preState.isDefined || entityTable.exists) {
           // bucket-pruned pre-image read: only the buckets the batch's
           // entity keys hash into are scanned (O(touched buckets) I/O on a
           // bucketed entity table) — the semi-join below then narrows to
-          // exactly the touched keys within those buckets
-          val pre = entityTable.readForKeys(latest.select(keys.map(col): _*),
-            entityBuckets)
+          // exactly the touched keys within those buckets. On the fused
+          // path the scan is shared with the entity commit via the cache.
+          val pre = preState.getOrElse(
+            entityTable.readForKeys(latest.select(keys.map(col): _*),
+              entityBuckets))
           // no .distinct(): dedupLatest already guarantees one row per key,
           // so a distinct here would only add a shuffle + an AQE stage job
           val keySet = broadcast(
@@ -221,19 +284,29 @@ object IncrementalAgg {
               valueCols.map(c => (-guarded(col(c), c)).as(s"__ds_$c")): _*)
           additions.unionByName(retractions)
         } else additions
-      // localCheckpoint: the delta (which embeds the pre-image read) feeds
-      // the agg table's bucket-pruned read, the fold join, and the merge
-      // write — materialize the batch-sized aggregation once
-      val delta = delta0.groupBy(col("__g"))
+      // persist: the delta (which embeds the pre-image read) feeds the agg
+      // table's bucket job, the fold read and the merge write — cached on
+      // first action, computed once
+      Some(delta0.groupBy(col("__g"))
         .agg(sum(col("__dn")).as("__dnet"),
           valueCols.map(c =>
             coalesce(sum(col(s"__ds_$c")), lit(BigDecimal(0)))
               .cast("decimal(38,6)").as(s"__dsum_$c")): _*)
-        .localCheckpoint(true)
-      val firstUse = !aggTable.exists
-      val deltaRows = delta.select(
-        col("__g").as(groupCol) +: col("__dnet").as("n_rows") +:
-          valueCols.map(c => col(s"__dsum_$c").as(s"sum_$c")): _*)
+        .localCheckpoint(true))
+    }
+    val aggFirstUse = !aggTable.exists
+    val deltaRowsOpt = deltaOpt.map(delta => delta.select(
+      col("__g").as(groupCol) +: col("__dnet").as("n_rows") +:
+        valueCols.map(c => col(s"__dsum_$c").as(s"sum_$c")): _*))
+    // the ONE materializing job for preState + delta (bounded driver data)
+    val aggBucketsOpt: Option[Set[Int]] = deltaRowsOpt.collect {
+      case deltaRows if aggTable.bucketCount > 0 =>
+        aggTable.bucketsFor(deltaRows.select(col(groupCol)))
+    }
+    def aggHalf(): Unit = {
+      val delta = deltaOpt.get
+      val deltaRows = deltaRowsOpt.get
+      val firstUse = aggFirstUse
       if (aggTable.bucketCount > 0) {
         // FUSED bucketed fold (hot path): the touched buckets' complete new
         // state is (current bucket rows ∪ delta rows) re-aggregated with
@@ -242,7 +315,7 @@ object IncrementalAgg {
         // anti-join re-read of rows this plan already scanned. NULL groups
         // group natively. A group whose live count reaches zero is simply
         // absent from the new state (= delete); negative raises.
-        val aggBuckets = aggTable.bucketsFor(deltaRows.select(col(groupCol)))
+        val aggBuckets = aggBucketsOpt.get
         aggTable.createIfNotExists(
           org.apache.spark.sql.types.StructType(deltaRows.schema.fields))
         // readBuckets, NOT readForKeys: replaceBuckets requires the
@@ -290,11 +363,13 @@ object IncrementalAgg {
             .otherwise(lit("u"))), "operation", txnId)
       }
     }
-    // advance the entity state only AFTER the delta read its pre-images
-    if (!entityDone) {
-      entityTable.createIfNotExists(
-        org.apache.spark.sql.types.StructType(latest.drop(opCol).schema.fields))
-      entityTable.merge(latest, opCol, txnId, entityBuckets)
+    if (!aggDone) aggHalf()
+    entityFut match {
+      case Some(f) => Await.result(f, Duration.Inf)
+      case None =>
+        // unfused: advance the entity state only AFTER the delta read its
+        // pre-images (the readForKeys retraction path reads the LIVE table)
+        if (!entityDone) entityHalf()
     }
   }
 

@@ -422,6 +422,49 @@ class IngestSpec extends SparkSpec {
     assert(view3 === Map("a" -> ((1L, 15.0)), "b" -> ((1L, 20.0))))
   }
 
+  test("applyCdcBatch replay when the ENTITY half won the race: pre-images " +
+    "recovered from the entity commit's parent snapshot") {
+    import graft.streaming.IncrementalAgg
+    // parallel commits mean a crash can leave entity(txn)=committed while
+    // agg(txn) is not — the inverse of the sequential order. The replay
+    // must then read this batch's pre-images from the entity table's
+    // PARENT snapshot (its current state already holds the post-images).
+    val entity = new KeyedParquetTable(spark, tmpDir("race_ent"), Seq("id"),
+      Nil, bucketCount = 4)
+    val aggT = new KeyedParquetTable(spark, tmpDir("race_agg"), Seq("grp"),
+      Nil, bucketCount = 4)
+    def batchDf(rows: Seq[(Long, String, Double, String, Long)]) =
+      rows.toDF("id", "grp", "v", "operation", "seq")
+    val b0 = Seq((1L, "a", 10.0, "u", 1L), (2L, "a", 20.0, "u", 2L),
+      (3L, "b", 30.0, "u", 3L))
+    IncrementalAgg.applyCdcBatch(entity, aggT, batchDf(b0),
+      "grp", "v", Seq(col("seq").desc), txnId = Some("b0"))
+    // batch b1 MOVES id=1 a→b and deletes id=3 — both need exact pre-images
+    val b1 = Seq((1L, "b", 11.0, "u", 4L), (3L, "b", 0.0, "d", 5L))
+    // simulate the crash state: ONLY the entity half of b1 committed
+    // (the same replaceBuckets commit the fused entity half performs)
+    val latest = batchDf(b1)
+    entity.replaceBuckets(
+      graft.cdc.Merge.mergeUpsert(
+        entity.readBuckets(entity.bucketsFor(latest.select(col("id")))),
+        latest, Seq("id"), "operation"),
+      entity.bucketsFor(latest.select(col("id"))), Some("b1"))
+    assert(entity.lastTxn === Some("b1") && aggT.lastTxn === Some("b0"))
+    // replay of b1: entityDone && !aggDone — agg half must still be exact
+    IncrementalAgg.applyCdcBatch(entity, aggT, batchDf(b1),
+      "grp", "v", Seq(col("seq").desc), txnId = Some("b1"))
+    val view = IncrementalAgg.snapshot(aggT, "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(view === Map("a" -> ((1L, 20.0)), "b" -> ((1L, 11.0))))
+    assert(entity.read().count() === 2L)
+    // and a FULL replay of b1 (both halves recorded) is a wholesale no-op
+    IncrementalAgg.applyCdcBatch(entity, aggT, batchDf(b1),
+      "grp", "v", Seq(col("seq").desc), txnId = Some("b1"))
+    val view2 = IncrementalAgg.snapshot(aggT, "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(view2 === view)
+  }
+
   test("heavy-hitters maintenance skips NULL keys, raises on non-castable keys") {
     import graft.streaming.SketchMaintenance
     val table = new KeyedParquetTable(spark, tmpDir("hh_null"), Seq("sketch_id"))
