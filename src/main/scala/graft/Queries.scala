@@ -2724,25 +2724,43 @@ object Queries {
     // near-dups of the indexed corpus in one probe-pruned ivfQueryAll pass
     // — with q_neardup_incremental / q_simhash_incremental /
     // q_contamination this closes the incremental form of every dedup
-    // modality. Not SQL-expressible; SimilaritySpec plants exact copies.
+    // modality. The probe batch is ε-scaled copies of known corpus vectors
+    // (vec_id % 50 == 1, re-idded +10M): scaling by 1.001 keeps the cosine
+    // at ~1 AND preserves the IVF cell argmax, so every probe MUST match
+    // its source — the gate row proves detection, not just absence of
+    // crashes (the fixture itself has no ≥0.95 pairs). Not SQL-expressible;
+    // SimilaritySpec ("ε-scaled probes match exactly their sources") pins
+    // the expected-count invariant.
     "q_embedding_neardup_incremental" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val emb = t("embeddings")
         val indexDir = ivfIndexFor(s, dir, emb)
-        Similarity.checkEmbeddingNearDups(s, indexDir,
-          emb.filter(col("vec_id") % 50 === 1).select("vec_id", "embedding"),
+        val probes = emb.filter(col("vec_id") % 50 === 1)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+        Similarity.checkEmbeddingNearDups(s, indexDir, probes,
           "vec_id", "embedding", threshold = 0.95)
       },
       None),
 
     // Embedding-cosine near-dup pairs via sign-bit LSH buckets (the
-    // embedding-space dedup modality; bucket-bounded like MinHash).
+    // embedding-space dedup modality; bucket-bounded like MinHash). The
+    // corpus is salted with ε-scaled clones of every 100th vector: a
+    // scaled clone keeps the exact sign pattern on every hyperplane (same
+    // LSH bucket, no probe-luck needed) and cosine ~1, so each planted
+    // clone MUST pair with its source — the fixture alone has no ≥0.95
+    // pairs, which made the r8 gate row vacuous (0 rows).
     "q_embedding_neardup" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
-        Similarity.cosineNearDupPairs(t("embeddings"), "vec_id", "embedding",
-          threshold = 0.95)
+        val emb = t("embeddings")
+        val planted = emb.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+        Similarity.cosineNearDupPairs(
+          emb.select("vec_id", "embedding").unionByName(planted),
+          "vec_id", "embedding", threshold = 0.95)
       },
       None),
 

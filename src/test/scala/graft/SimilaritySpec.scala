@@ -285,6 +285,45 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(p => p._1 !== p._2) && got.forall(_._3 >= 0.999))
   }
 
+  test("ε-scaled probes match exactly their sources (the gate queries' " +
+    "planting invariant)") {
+    // q_embedding_neardup / q_embedding_neardup_incremental plant clones by
+    // SCALING corpus vectors ×1.001: scaling preserves every hyperplane
+    // sign (same LSH bucket — no probe luck) and the IVF cell argmax, and
+    // cosine(v, 1.001·v) = 1 up to float rounding. So the planted pairs are
+    // found DETERMINISTICALLY: expected count == planted count, pairing
+    // exactly source↔clone.
+    val rnd = new scala.util.Random(41)
+    val corpus = Seq.tabulate(80)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val emb = corpus.toDF("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val nPlanted = 8L
+    assert(planted.count() === nPlanted)
+    // LSH pair path: every planted clone pairs with its source, id_a < id_b
+    val pairs = Similarity.cosineNearDupPairs(emb.unionByName(planted),
+        "vec_id", "embedding", threshold = 0.95, nPlanes = 8, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 80L by 10L).map(i => (i, i + 1000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"planted pairs missed: ${expected.diff(pairs)}")
+    // gaussian dim-16 corpus: essentially no spurious ≥0.95 pairs
+    assert(pairs.size <= expected.size + 2, s"spurious pairs: $pairs")
+    // IVF screen path: each probe's match set contains its source
+    val dir = tmpDir("ivfeps")
+    Similarity.ivfBuild(emb, "vec_id", "embedding", dir, nPlanes = 3, dim = dim)
+    val got = Similarity.checkEmbeddingNearDups(spark, dir, planted,
+        "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySrc = got.groupBy(_._1)
+    (0L until 80L by 10L).foreach { i =>
+      assert(bySrc.get(i + 1000L).exists(_.exists(_._2 == i)),
+        s"probe ${i + 1000L} did not match source $i: ${bySrc.get(i + 1000L)}")
+    }
+  }
+
   test("ivfTrain centroids are cluster-coherent and few") {
     val emb = clustered
     val cents = Similarity.ivfTrain(emb, "vec_id", "embedding",
