@@ -116,9 +116,13 @@ object Components {
     * docs represent themselves (left join + coalesce); the split is then
     * pure key arithmetic on the representative — deterministic,
     * recomputable from the pairs, no RNG. Returns (idCol, rep_id, split)
-    * with splits `s0..s{n-1}` by `pmod(rep_id, nSplits)` — ids must be
-    * numeric (for string/uuid ids, derive a numeric id via `xxhash64`
-    * first and split on that).
+    * with splits `s0..s{n-1}`: numeric ids split by `pmod(rep_id,
+    * nSplits)` (bit-identical to rounds ≤8), any other id type (string /
+    * uuid / binary) by `pmod(abs(xxhash64(rep_id)), nSplits)` — the same
+    * stable-hash family the bucket layout uses, so no caller-side
+    * numeric-id dance is needed. A NULL id raises: under the old pmod
+    * arithmetic it yielded split=NULL, silently assigning the doc to no
+    * split at all.
     *
     * Shape: one connected-components resolution over the PAIRS (tiny
     * relative to the corpus) + one broadcast-size join back — the corpus
@@ -130,12 +134,22 @@ object Components {
     require(nSplits >= 2, s"need >= 2 splits, got $nSplits")
     val reps = dedupKeepers(pairs, idA, idB)
       .select(col("doc_id").as("__id"), col("keep_id"))
-    docs.select(col(idCol))
+    val numericId = docs.schema(docs.schema.fieldIndex(idCol)).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // every doc in a cluster shares rep_id, so any deterministic function
+    // of rep_id keeps the cluster on one side of the boundary
+    val repKey =
+      if (numericId) col("rep_id")
+      else abs(xxhash64(col("rep_id")))
+    val guardedId = when(col(idCol).isNotNull, col(idCol))
+      .otherwise(raise_error(lit(
+        s"leakageSafeSplit: NULL $idCol — a null id cannot be assigned a split")))
+    docs.select(guardedId.as(idCol))
       .join(reps, col(idCol) <=> col("__id"), "left")
       .select(col(idCol),
         coalesce(col("keep_id"), col(idCol)).as("rep_id"))
       .withColumn("split",
-        concat(lit("s"), pmod(col("rep_id"), lit(nSplits.toLong)).cast("string")))
+        concat(lit("s"), pmod(repKey, lit(nSplits.toLong)).cast("string")))
   }
 
   /** Keeper policy by QUALITY instead of id: each doc in a candidate pair

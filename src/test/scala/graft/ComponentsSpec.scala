@@ -137,6 +137,35 @@ class ComponentsSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("leakageSafeSplit on STRING ids: full deterministic split, clusters " +
+    "intact, NULL id raises") {
+    // r8 nit: pmod over a string rep_id cast to NULL under non-ANSI
+    // semantics, silently assigning split=NULL — string ids now hash
+    // through xxhash64 inside the API itself.
+    val docs = Seq("doc-a", "doc-b", "doc-c", "doc-x", "doc-y").toDF("doc_id")
+    val pairs = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
+    val out = Components.leakageSafeSplit(docs, pairs, "doc_id", nSplits = 3)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    // every doc assigned, no NULL splits, labels within s0..s2
+    assert(out.size === 5)
+    assert(out.values.forall(v => Set("s0", "s1", "s2")(v._2)), out.toString)
+    // the near-dup cluster lands on ONE side
+    assert(Seq("doc-a", "doc-b", "doc-c").map(out(_)._2).distinct.size === 1)
+    assert(Seq("doc-a", "doc-b", "doc-c").map(out(_)._1).distinct === Seq("doc-a"))
+    // deterministic across recomputation
+    val again = Components.leakageSafeSplit(docs, pairs, "doc_id", nSplits = 3)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(again === out)
+    // NULL id: loud failure, not a silent NULL split
+    val withNull = Seq(Some("doc-a"), None).toDF("doc_id")
+    val e = intercept[Exception] {
+      Components.leakageSafeSplit(withNull, pairs, "doc_id", nSplits = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL doc_id")), msgs(e).mkString(" | "))
+  }
+
   test("10^5-edge graph: correct labels within the O(log n) round bound") {
     // bench-scale synthetic: 1000 planted clusters of 100 nodes (chained
     // internally, 99 edges each) + one 1000-node chain on top ids — ~10^5
