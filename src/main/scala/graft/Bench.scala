@@ -54,9 +54,11 @@ object Bench {
     val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
     val ingest = streamIngest(spark, sfDir)
+    val maint = tableMaintenance(spark, sfDir)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,""" +
       s""""queries":$qs,"queries_mean":$qsMean,""" +
       s""""stream_ingest_sf01":$ingest,""" +
+      s""""table_maintenance_sf01":$maint,""" +
       s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
     // sbt frames stdout with [info]/[error] prefixes that can defeat the
@@ -66,6 +68,83 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
+  }
+
+  /** Steady-state STORAGE-LAYER cost, the maintenance loop every lakehouse
+    * table pays forever (reference M1–M3, `spark_batch.py:408-432`):
+    * 8 bucket-scoped merges over the full events fixture (rows/s), then 8
+    * snapshot-incremental appends onto a lineage-style table (the append
+    * path is what fragments leaf dirs — merges rewrite whole buckets), then
+    * the maintenance pass itself — compact (bin-pack fragmented buckets),
+    * expire_snapshots, remove_orphan_files — each timed separately so a
+    * regression in any phase is visible in BENCH rather than only in
+    * correctness specs. Returns a JSON object string; rows:-1 on failure.
+    */
+  private[graft] def tableMaintenance(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.{col, max}
+    try {
+      val parsed = Queries.parsedEvents(Tables.load(spark, sfDir, "events"))
+        .select("user_id", "event_id", "event_type", "value", "operation")
+        .localCheckpoint(true)
+      val nRows = parsed.count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_maint_bench_")
+      tmp.toFile.deleteOnExit()
+      // prep (untimed): entity table at its folded final state, bucketed
+      val entity = new graft.cdc.KeyedParquetTable(
+        spark, s"$tmp/entity", Seq("user_id"), Nil, 16)
+      entity.commit(graft.cdc.Merge.foldFinalState(parsed, Seq("user_id"),
+        Seq(col("event_id").desc)).drop("operation"))
+      val nB = 8L
+      // phase 1: bucket-scoped merge cadence (every batch touches a wide
+      // key spread — the steady-state worst case for scoped rewrites)
+      val t0 = System.nanoTime()
+      (0L until nB).foreach { b =>
+        val latest = graft.ops.Dedup.dedupLatest(
+          parsed.filter(col("event_id") % nB === b),
+          Seq("user_id"), Seq(col("event_id").desc))
+        entity.merge(latest, "operation", None)
+      }
+      val mergeSec = (System.nanoTime() - t0) / 1e9
+      // phase 2: append-only lineage table — each append lands one file
+      // set per touched bucket, fragmenting leaf dirs
+      val lineage = new graft.cdc.KeyedParquetTable(
+        spark, s"$tmp/lineage", Seq("event_id"), Nil, 16)
+      lineage.commit(parsed.drop("operation").limit(0))
+      val t1 = System.nanoTime()
+      (0L until nB).foreach { b =>
+        lineage.append(parsed.filter(col("event_id") % nB === b).drop("operation"))
+      }
+      val appendSec = (System.nanoTime() - t1) / 1e9
+      def nFiles(t: graft.cdc.KeyedParquetTable): Long = {
+        val dir = java.nio.file.Paths.get(t.root, s"v${t.currentVersion}")
+        var n = 0L
+        java.nio.file.Files.walk(dir).forEach(p =>
+          if (p.toString.endsWith(".parquet")) n += 1)
+        n
+      }
+      val filesBefore = nFiles(lineage)
+      // phase 3: the maintenance pass itself
+      val t2 = System.nanoTime()
+      lineage.compact(minInputFiles = 5)
+      val compactSec = (System.nanoTime() - t2) / 1e9
+      val filesAfter = nFiles(lineage)
+      val t3 = System.nanoTime()
+      val expired = entity.expireSnapshots(0L, retainLast = 2).size +
+        lineage.expireSnapshots(0L, retainLast = 2).size
+      val expireSec = (System.nanoTime() - t3) / 1e9
+      val t4 = System.nanoTime()
+      val orphans = entity.removeOrphanFiles().size + lineage.removeOrphanFiles().size
+      val orphanSec = (System.nanoTime() - t4) / 1e9
+      s"""{"rows":$nRows,"merge_sec":$mergeSec,""" +
+        s""""merge_rows_per_sec":${nRows / mergeSec},""" +
+        s""""append_sec":$appendSec,"compact_sec":$compactSec,""" +
+        s""""files_before_compact":$filesBefore,"files_after_compact":$filesAfter,""" +
+        s""""expired_snapshots":$expired,"expire_sec":$expireSec,""" +
+        s""""orphans_removed":$orphans,"orphan_sec":$orphanSec}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] table_maintenance failed: ${e.getMessage}")
+      """{"rows":-1}"""
+    }
   }
 
   /** End-to-end streaming ingest throughput: the events fixture serialized
