@@ -311,6 +311,7 @@ final class KeyedParquetTable(
                              carry: Boolean): Long = {
     schemaCache = None // a full rewrite may evolve the schema
     val next = currentVersion + 1
+    claimCommit(next)
     Files.createDirectories(rootPath)
     val (out, parts) = withLayout(df)
     val writer = out.write.mode("overwrite")
@@ -322,7 +323,7 @@ final class KeyedParquetTable(
       case Some(t) => writeTxn(versionDir(next), t)
       case None    => if (carry) carryTxn(next - 1, versionDir(next))
     }
-    swingPointer(next)
+    swingPointerCas(next - 1, next)
   }
 
   /** The most recent txn id still in effect for the CURRENT snapshot (None
@@ -376,6 +377,85 @@ final class KeyedParquetTable(
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
     next
+  }
+
+  /** One token per table instance, so a failed attempt retried by the SAME
+    * maintainer retakes its own claim immediately instead of waiting out
+    * the lease.
+    */
+  private val writerToken = java.util.UUID.randomUUID().toString
+
+  /** How long an in-flight commit claim is honored before a foreign writer
+    * may assume its holder died mid-commit and take the version over —
+    * standard lease semantics; commits here take seconds.
+    */
+  private[graft] val commitLeaseMs: Long = 10 * 60 * 1000L
+
+  private[graft] def claimPath(next: Long): Path = rootPath.resolve(s"_commit.v$next")
+
+  /** Commit fence, CAS half 1 — claim version `next` BEFORE writing any
+    * data. The claim is an atomic CREATE_NEW of `_commit.v{next}` holding
+    * `token timestamp`, so between two interleaved committers exactly one
+    * proceeds and the other raises [[java.util.ConcurrentModificationException]]
+    * LOUDLY — previously both wrote `v{next}` and the last pointer swing
+    * silently won, dropping the other commit (and its txn marker) without
+    * a trace. Single-writer-per-table remains the operating model (this is
+    * the local-FS stand-in for a lakehouse catalog's atomic swap); the
+    * fence turns violations into errors, not into data loss.
+    *
+    * Recovery: a claim by THIS instance (crashed attempt, same JVM) is
+    * retaken immediately; a foreign claim older than [[commitLeaseMs]] is
+    * treated as a dead writer's and taken over — the same self-healing the
+    * partial-`v{next}`-dir cleanup already performs. A foreign claim
+    * younger than the lease raises.
+    */
+  private def claimCommit(next: Long): Unit = {
+    Files.createDirectories(rootPath)
+    val claim = claimPath(next)
+    if (Files.exists(claim)) {
+      if (currentVersion >= next)
+        throw new java.util.ConcurrentModificationException(
+          s"$root: v$next was already committed by another writer after this " +
+            "commit read its base snapshot — lost the commit race")
+      val (tok, ts) =
+        try {
+          val parts = Files.readString(claim).trim.split(' ')
+          (parts.headOption.getOrElse(""),
+            parts.lift(1).flatMap(_.toLongOption).getOrElse(0L))
+        } catch { case _: java.io.IOException => ("", 0L) }
+      if (tok != writerToken && System.currentTimeMillis() - ts < commitLeaseMs)
+        throw new java.util.ConcurrentModificationException(
+          s"$root: another writer holds an in-flight commit claim on v$next " +
+            s"($claim) — concurrent writers on one table are not serialized; " +
+            "retry after it finishes, or after the lease expires if it died")
+      Files.deleteIfExists(claim) // our own prior attempt / an expired lease
+    }
+    try Files.write(claim,
+      s"$writerToken ${System.currentTimeMillis()}".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new java.util.ConcurrentModificationException(
+        s"$root: lost the claim race for v$next to a concurrent writer")
+    }
+  }
+
+  /** Commit fence, CAS half 2 — verify the base snapshot is STILL `expected`
+    * (a claim-less pointer move, e.g. [[rollbackTo]], could have interleaved),
+    * swing, release the claim. A failed verify aborts loudly with the claim
+    * released; the written `v{next}` dir is inert until a pointer names it
+    * and the next claimant's partial-dir cleanup removes it.
+    */
+  private def swingPointerCas(expected: Long, next: Long): Long = {
+    val cur = currentVersion
+    if (cur != expected) {
+      Files.deleteIfExists(claimPath(next))
+      throw new java.util.ConcurrentModificationException(
+        s"$root: base snapshot moved v$expected -> v$cur during this commit — aborting")
+    }
+    val v = swingPointer(next)
+    Files.deleteIfExists(claimPath(next))
+    v
   }
 
   /** Hard-link `f` into the mirrored location under `nextDir` (immutable
@@ -538,6 +618,7 @@ final class KeyedParquetTable(
     val curDir = versionDir(cur)
     val next = cur + 1
     val nextDir = versionDir(next)
+    claimCommit(next)
     // retry safety: a previous attempt that died mid-write (pointer never
     // swung) leaves partial files here — mode("append") below would
     // duplicate rows next to them
@@ -572,7 +653,7 @@ final class KeyedParquetTable(
       touchedSeq.map(b => nextDir.resolve(s"__bucket=$b"))
         .filter(Files.exists(_)).map(_.toString))
     txn.fold(carryTxn(cur, nextDir))(writeTxn(nextDir, _))
-    swingPointer(next)
+    swingPointerCas(cur, next)
   }
 
   /** Append rows as a new snapshot (K5) — one commit per batch, by design;
@@ -593,6 +674,7 @@ final class KeyedParquetTable(
     val curDir = versionDir(cur)
     requireAppendCompatible(df, curDir)
     val nextDir = versionDir(next)
+    claimCommit(next)
     // retry safety: clear partial output of a failed prior attempt before
     // re-linking and re-appending (the pointer only swings on success)
     if (Files.exists(nextDir)) deleteRecursively(nextDir)
@@ -611,7 +693,7 @@ final class KeyedParquetTable(
         .filterNot(p => linkedRel(nextDir.relativize(p).toString))
         .map(_.toString))
     carryTxn(cur, nextDir)
-    swingPointer(next)
+    swingPointerCas(cur, next)
   }
 
   /** Schema-evolution guard for [[append]]: the snapshot-incremental path
@@ -950,6 +1032,7 @@ final class KeyedParquetTable(
     if (fragmented.isEmpty) return None
     val next = cur + 1
     val nextDir = versionDir(next)
+    claimCommit(next)
     // retry safety: clear partial output of a failed prior attempt
     if (Files.exists(nextDir)) deleteRecursively(nextDir)
     Files.createDirectories(nextDir)
@@ -974,7 +1057,7 @@ final class KeyedParquetTable(
       rewrittenIds.toSeq.map(b => nextDir.resolve(s"__bucket=$b"))
         .filter(Files.exists(_)).map(_.toString))
     carryTxn(cur, nextDir)
-    Some(swingPointer(next))
+    Some(swingPointerCas(cur, next))
   }
 
   /** M2: drop snapshot dirs older than `olderThanMs`, always retaining the
@@ -1020,9 +1103,18 @@ final class KeyedParquetTable(
   def removeOrphanFiles(): Seq[String] = {
     if (!Files.exists(rootPath)) return Nil
     val entries = listEntries(rootPath)
+    // an in-flight commit claim within its lease is LIVE (sweeping it would
+    // break the fence under a concurrent maintenance run); expired claims
+    // from dead writers are orphans like any other leftover
+    def liveClaim(p: Path): Boolean =
+      p.getFileName.toString.matches("_commit\\.v\\d+") &&
+        (try System.currentTimeMillis() - Files.readString(p).trim
+          .split(' ').lift(1).flatMap(_.toLongOption).getOrElse(0L) < commitLeaseMs
+         catch { case _: java.io.IOException => false })
     val live = entries.map(_.getFileName.toString)
       .filter(n => n == "_latest" || n == "_properties" || n.matches("v\\d+")).toSet
-    val orphans = entries.filterNot(p => live(p.getFileName.toString))
+    val orphans = entries.filterNot(p =>
+      live(p.getFileName.toString) || liveClaim(p))
     orphans.foreach(deleteRecursively)
     orphans.map(_.toString)
   }

@@ -695,4 +695,74 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(t.readStats().agg(sum("n_rows")).head().getLong(0) === t.read().count())
     assert(t.readRangePruned("ts", 9000L, 9500L).count() === 3L)
   }
+
+  test("commit fence: a fresh foreign claim makes a commit fail LOUDLY " +
+    "instead of silently last-write-winning") {
+    val dir = tmpDir("kpt_fence")
+    val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4)
+    t.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    // simulate a concurrent writer mid-commit on the next version: a claim
+    // file holding a foreign token with a fresh timestamp
+    val claim = java.nio.file.Paths.get(dir, s"_commit.v${t.currentVersion + 1}")
+    java.nio.file.Files.writeString(claim,
+      s"foreign-writer ${System.currentTimeMillis()}")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.merge(Seq((1L, 99L, "u")).toDF("id", "v", "operation"))
+    }
+    assert(e.getMessage.contains("in-flight commit claim"))
+    // the losing merge changed nothing
+    assert(t.read().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(1L -> 10L, 2L -> 20L))
+    // a claim older than the lease is a dead writer's: taken over, commit
+    // proceeds (the same self-healing the partial-dir cleanup performs)
+    java.nio.file.Files.writeString(claim,
+      s"foreign-writer ${System.currentTimeMillis() - t.commitLeaseMs - 1}")
+    t.merge(Seq((1L, 99L, "u")).toDF("id", "v", "operation"))
+    assert(t.read().filter(col("id") === 1L).head().getLong(1) === 99L)
+    // successful commits release their claims
+    assert(!java.nio.file.Files.exists(claim))
+  }
+
+  test("commit fence: two interleaved committers — exactly one wins, the " +
+    "loser raises, the winner's snapshot is intact") {
+    val dir = tmpDir("kpt_race")
+    val t1 = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4)
+    t1.commit((0L until 50L).map(i => (i, 0L)).toDF("id", "v"))
+    val t2 = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4)
+    // both instances race a merge onto the SAME base version from two
+    // threads; the claim fence must serialize them: one CME, one success
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    def attempt(t: KeyedParquetTable, tag: Long) =
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Long]] {
+        def call(): Either[Throwable, Long] = {
+          start.await(10, TimeUnit.SECONDS)
+          try Right(t.merge(
+            (0L until 50L).map(i => (i, tag, "u")).toDF("id", "v", "operation")))
+          catch { case e: Throwable => Left(e) }
+        }
+      })
+    val f1 = attempt(t1, 111L); val f2 = attempt(t2, 222L)
+    start.countDown()
+    val results = Seq(f1.get(120, TimeUnit.SECONDS), f2.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    val (losers, winners) = results.partition(_.isLeft)
+    // NOTE: with the fence both orders are legal — either one loses the
+    // claim race (CME) or they fully serialized (second claimed after the
+    // first released). Never may both LOSE, and the final state must be
+    // exactly one (or the last) winner's rows — no mixed snapshot.
+    assert(winners.nonEmpty, s"both committers failed: $results")
+    losers.foreach { l =>
+      assert(l.swap.exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+        s"loser failed with a non-fence error: $l")
+    }
+    val vals = t1.read().select("v").distinct().collect().map(_.getLong(0)).toSet
+    assert(vals === Set(111L) || vals === Set(222L),
+      s"mixed snapshot after race: $vals")
+    assert(t1.read().count() === 50L)
+    // no claim leftovers
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator.asScala.exists(_.getFileName.toString.startsWith("_commit.")))
+  }
 }
