@@ -525,6 +525,35 @@ class IngestSpec extends SparkSpec {
     assert(lineage.read().count() === 1)
   }
 
+  test("applyBatch recovers each commit half independently (parallel-commit crash windows)") {
+    // crash window A: table merge committed (txn marker down) but the lineage
+    // append never ran — redelivery must fill in ONLY the lineage half
+    val table = new KeyedParquetTable(spark, tmpDir("half_tbl"), Seq("id"))
+    table.createIfNotExists(tableSchema)
+    val lineage = new KeyedParquetTable(spark, tmpDir("half_lin"), Seq("batch_id"))
+    val batch = Seq(Cdc(1, "a", "u", 1), Cdc(2, "b", "u", 2)).toDF()
+    val deduped = graft.ops.Dedup.dedupLatest(batch, Seq("id"), Seq(col("seq").desc))
+    table.merge(deduped, "operation", Some("7")) // the merge half alone
+    assert(table.lastTxn === Some("7") && !lineage.exists)
+    val v = table.currentVersion
+    assert(Ingest.applyBatch(batch, 7L, table, Seq(col("seq").desc), Some(lineage)))
+    assert(table.currentVersion === v, "redelivery must not re-merge a txn-marked batch")
+    assert(lineage.read().count() === 1)
+
+    // crash window B: lineage row down but the table merge never committed
+    // (possible now that the halves run concurrently) — redelivery must
+    // fill in ONLY the merge half, without double-counting lineage
+    val table2 = new KeyedParquetTable(spark, tmpDir("half_tbl2"), Seq("id"))
+    table2.createIfNotExists(tableSchema)
+    val lineage2 = new KeyedParquetTable(spark, tmpDir("half_lin2"), Seq("batch_id"))
+    lineage2.append(Seq(Ingest.BatchLineage(9L, 2L, "applied")).toDF())
+    assert(Ingest.applyBatch(batch, 9L, table2, Seq(col("seq").desc), Some(lineage2)))
+    assert(table2.read().count() === 2 && table2.lastTxn === Some("9"))
+    assert(lineage2.read().count() === 1, "lineage half must not be re-appended")
+    // and a full redelivery after both halves is a pure no-op
+    assert(!Ingest.applyBatch(batch, 9L, table2, Seq(col("seq").desc), Some(lineage2)))
+  }
+
   test("runningLatest (mapGroupsWithState) materializes latest-per-key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Cdc]
