@@ -65,8 +65,10 @@ object IncrementalAgg {
     if (txnId.isDefined && table.exists && table.lastTxn == txnId) return // replay
     // coalesce: a batch where a key's values are ALL null would otherwise
     // produce a null partial, and null + current poisons the fold forever.
-    // localCheckpoint: isEmpty, the broadcast key-set build, and the merge
-    // write all read this — materialize the batch aggregation once.
+    // eager localCheckpoint: the bucket probe (or isEmpty), the fold and the
+    // merge write all read this — materialize the batch aggregation once.
+    // (A lazy persist was measured SLOWER here: cache materialization +
+    // columnar conversion cost more than the one checkpoint job saves.)
     val sumAggs = valueCols.map(c =>
       coalesce(sum(guarded(col(c), c)), lit(BigDecimal(0)))
         .cast("decimal(38,6)").as(s"sum_$c"))
@@ -181,10 +183,12 @@ object IncrementalAgg {
     val entityDone = txnId.isDefined && entityTable.exists && entityTable.lastTxn == txnId
     if (aggDone && entityDone) return
     // merge-cardinality rule: one row per entity per batch, latest wins.
-    // persist, not localCheckpoint: materialization piggy-backs on the
-    // bucketsFor collect below (cache-on-first-action), so the dedup window
-    // is computed once WITHOUT paying a dedicated checkpoint job — the
-    // per-batch job count is the constant every production micro-batch pays.
+    // eager localCheckpoint: the bucket probe, the retraction key set, the
+    // entity commit and the delta all read this — materialize the dedup
+    // window once and truncate its lineage so the concurrent entity/agg
+    // halves below never recompute it. (A lazy persist was measured SLOWER:
+    // cache materialization + the halves serializing on cache locks cost
+    // more than the checkpoint jobs save.)
     val latest = graft.ops.Dedup.dedupLatest(batch, keys, ordering).localCheckpoint(true)
     // ONE bucket job per table per batch: the entity table's set serves the
     // empty-batch probe, the pre-image read AND the entity merge; the agg
@@ -255,92 +259,118 @@ object IncrementalAgg {
     val entityFut: Option[Future[Unit]] =
       if (fused && !entityDone) Some(Future(entityHalf())) else None
     // ---- agg half, on the main thread.
-    val deltaOpt: Option[DataFrame] = if (aggDone) None else {
-      // post-images: every surviving latest row adds to its (new) group
-      val additions = latest.filter(col(opCol) =!= "d" || col(opCol).isNull)
-        .select(col(groupCol).as("__g") +: lit(1L).as("__dn") +:
-          valueCols.map(c => guarded(col(c), c).as(s"__ds_$c")): _*)
-      // pre-images: touched entities' current rows retract from their old
-      // group. NULL-SAFE key match (the entity merge stores null keys via
-      // <=>; a usingColumns semi-join would never retract them, so the
-      // aggregate would double-count a null-keyed entity every update)
+    // post-images add (+1, +v) to their (new) group; touched pre-images
+    // retract (−1, −old) from their old group. NULL-SAFE key match in the
+    // retraction (the entity merge stores null keys via <=>; a usingColumns
+    // semi-join would never retract them, so the aggregate would
+    // double-count a null-keyed entity every update).
+    val additions = latest.filter(col(opCol) =!= "d" || col(opCol).isNull)
+      .select(col(groupCol).as("__g") +: lit(1L).as("__dn") +:
+        valueCols.map(c => guarded(col(c), c).as(s"__ds_$c")): _*)
+    def retractions(pre: DataFrame): DataFrame = {
+      // no .distinct(): dedupLatest already guarantees one row per key,
+      // so a distinct here would only add a shuffle + an AQE stage job
+      val keySet = broadcast(
+        latest.select(keys.map(k => col(k).as(s"__t_$k")): _*))
+      val cond = keys.map(k => pre(k) <=> keySet(s"__t_$k")).reduce(_ && _)
+      pre.join(keySet, cond, "left_semi")
+        .select(col(groupCol).as("__g") +: lit(-1L).as("__dn") +:
+          valueCols.map(c => (-guarded(col(c), c)).as(s"__ds_$c")): _*)
+    }
+    val aggFirstUse = !aggTable.exists
+    def negGuard(folded: DataFrame): DataFrame = folded
+      .withColumn("n_rows",
+        when(col("n_rows") < 0, raise_error(lit(
+          "IncrementalAgg: negative group count — changelog replayed or mis-ordered")))
+          .otherwise(col("n_rows")))
+      .filter(col("n_rows") =!= 0)
+    def foldInto(cur: DataFrame, deltaRows: DataFrame): DataFrame =
+      negGuard(cur.unionByName(deltaRows)
+        .groupBy(col(groupCol))
+        .agg(sum(col("n_rows")).as("n_rows"),
+          valueCols.map(c =>
+            // coalesce: a group whose values are ALL null folds to sum 0,
+            // matching what the pre-aggregated path stored for it
+            coalesce(sum(col(s"sum_$c")), lit(BigDecimal(0)))
+              .cast("decimal(38,6)").as(s"sum_$c")): _*))
+
+    def aggHalf(): Unit = if (fused && aggTable.bucketCount > 0) {
+      // FUSED bucketed fold (the per-micro-batch hot path): the touched
+      // buckets' complete new state is (current bucket rows ∪ RAW ±delta
+      // rows) aggregated in ONE hash aggregation — the per-group delta
+      // pre-aggregation (a shuffle + a checkpoint job per batch) is
+      // algebraically redundant under an associative SUM, so it is skipped
+      // entirely. Committed via replaceBuckets, which skips merge's
+      // anti-join re-read. NULL groups group natively. A group whose live
+      // count reaches zero is simply absent from the new state (= delete);
+      // negative raises.
+      //
+      // Bucket probe WITHOUT the retraction semi-join: replaceBuckets is
+      // correct for any SUPERSET of the touched agg buckets (the fold
+      // rewrites the COMPLETE state of every bucket it lists), so probing
+      // the groups of (additions ∪ pre) — one narrow job over two already-
+      // checkpointed frames, no broadcast build, no shuffle — replaces the
+      // exact-narrowing that needed the delta materialized first. The
+      // superset stays bounded by the batch's working set: pre IS the
+      // touched entity buckets' state.
+      val pre = preState.get
+      val aggBuckets = aggTable.bucketsFor(
+        additions.select(col("__g").as(groupCol))
+          .unionByName(pre.select(col(groupCol))))
+      if (aggBuckets.isEmpty) return // all-delete batch on empty pre state
+      val deltaRows = additions.unionByName(retractions(pre)).select(
+        col("__g").as(groupCol) +: col("__dn").as("n_rows") +:
+          valueCols.map(c =>
+            col(s"__ds_$c").cast("decimal(38,6)").as(s"sum_$c")): _*)
+      aggTable.createIfNotExists(
+        org.apache.spark.sql.types.StructType(deltaRows.schema.fields))
+      // readBuckets, NOT readForKeys: replaceBuckets requires the
+      // COMPLETE state of the buckets it rewrites
+      val cur =
+        if (aggFirstUse) deltaRows.limit(0)
+        else aggTable.readBuckets(aggBuckets)
+          .select(deltaRows.columns.map(col): _*)
+      aggTable.replaceBuckets(foldInto(cur, deltaRows), aggBuckets, txnId)
+    } else {
+      // unfused fallback (unbucketed tables / foreign flat layout):
+      // aggregate the delta per group once and checkpoint it — it embeds
+      // the pre-image read and feeds the bucket probe, the fold read and
+      // the commit write, which would otherwise each re-run it.
       val delta0 =
         if (preState.isDefined || entityTable.exists) {
           // bucket-pruned pre-image read: only the buckets the batch's
           // entity keys hash into are scanned (O(touched buckets) I/O on a
-          // bucketed entity table) — the semi-join below then narrows to
-          // exactly the touched keys within those buckets. On the fused
-          // path the scan is shared with the entity commit via the cache.
+          // bucketed entity table)
           val pre = preState.getOrElse(
             entityTable.readForKeys(latest.select(keys.map(col): _*),
               entityBuckets))
-          // no .distinct(): dedupLatest already guarantees one row per key,
-          // so a distinct here would only add a shuffle + an AQE stage job
-          val keySet = broadcast(
-            latest.select(keys.map(k => col(k).as(s"__t_$k")): _*))
-          val cond = keys.map(k => pre(k) <=> keySet(s"__t_$k")).reduce(_ && _)
-          val retractions = pre.join(keySet, cond, "left_semi")
-            .select(col(groupCol).as("__g") +: lit(-1L).as("__dn") +:
-              valueCols.map(c => (-guarded(col(c), c)).as(s"__ds_$c")): _*)
-          additions.unionByName(retractions)
+          additions.unionByName(retractions(pre))
         } else additions
-      // persist: the delta (which embeds the pre-image read) feeds the agg
-      // table's bucket job, the fold read and the merge write — cached on
-      // first action, computed once
-      Some(delta0.groupBy(col("__g"))
+      val delta = delta0.groupBy(col("__g"))
         .agg(sum(col("__dn")).as("__dnet"),
           valueCols.map(c =>
             coalesce(sum(col(s"__ds_$c")), lit(BigDecimal(0)))
               .cast("decimal(38,6)").as(s"__dsum_$c")): _*)
-        .localCheckpoint(true))
-    }
-    val aggFirstUse = !aggTable.exists
-    val deltaRowsOpt = deltaOpt.map(delta => delta.select(
-      col("__g").as(groupCol) +: col("__dnet").as("n_rows") +:
-        valueCols.map(c => col(s"__dsum_$c").as(s"sum_$c")): _*))
-    // the ONE materializing job for preState + delta (bounded driver data)
-    val aggBucketsOpt: Option[Set[Int]] = deltaRowsOpt.collect {
-      case deltaRows if aggTable.bucketCount > 0 =>
-        aggTable.bucketsFor(deltaRows.select(col(groupCol)))
-    }
-    def aggHalf(): Unit = {
-      val delta = deltaOpt.get
-      val deltaRows = deltaRowsOpt.get
-      val firstUse = aggFirstUse
+        .localCheckpoint(true)
+      val deltaRows = delta.select(
+        col("__g").as(groupCol) +: col("__dnet").as("n_rows") +:
+          valueCols.map(c => col(s"__dsum_$c").as(s"sum_$c")): _*)
       if (aggTable.bucketCount > 0) {
-        // FUSED bucketed fold (hot path): the touched buckets' complete new
-        // state is (current bucket rows ∪ delta rows) re-aggregated with
-        // SUM — one union, one hash aggregation, zero join/broadcast
-        // exchanges — committed via replaceBuckets, which skips merge's
-        // anti-join re-read of rows this plan already scanned. NULL groups
-        // group natively. A group whose live count reaches zero is simply
-        // absent from the new state (= delete); negative raises.
-        val aggBuckets = aggBucketsOpt.get
+        val aggBuckets = aggTable.bucketsFor(deltaRows.select(col(groupCol)))
+        if (aggBuckets.isEmpty) return // empty delta: nothing to fold
         aggTable.createIfNotExists(
           org.apache.spark.sql.types.StructType(deltaRows.schema.fields))
-        // readBuckets, NOT readForKeys: replaceBuckets requires the
-        // COMPLETE state of the buckets it rewrites
         val cur =
-          if (firstUse) deltaRows.limit(0)
+          if (aggFirstUse) deltaRows.limit(0)
           else aggTable.readBuckets(aggBuckets)
             .select(deltaRows.columns.map(col): _*)
-        val folded = cur.unionByName(deltaRows)
-          .groupBy(col(groupCol))
-          .agg(sum(col("n_rows")).as("n_rows"),
-            valueCols.map(c =>
-              sum(col(s"sum_$c")).cast("decimal(38,6)").as(s"sum_$c")): _*)
-          .withColumn("n_rows",
-            when(col("n_rows") < 0, raise_error(lit(
-              "IncrementalAgg: negative group count — changelog replayed or mis-ordered")))
-              .otherwise(col("n_rows")))
-          .filter(col("n_rows") =!= 0)
-        aggTable.replaceBuckets(folded, aggBuckets, txnId)
+        aggTable.replaceBuckets(foldInto(cur, deltaRows), aggBuckets, txnId)
       } else {
-        // unbucketed fallback: join-based fold + full merge.
+        // unbucketed: join-based fold + full merge.
         // <=> throughout: a NULL group is a legitimate group, and ===
         // would never match its stored row (silently resetting it)
         val folded =
-          if (firstUse) deltaRows
+          if (aggFirstUse) deltaRows
           else {
             val cur = aggTable.readForKeys(deltaRows.select(col(groupCol)))
               .select(col(groupCol).as("__k") +: col("n_rows").as("__n") +:
