@@ -1598,6 +1598,32 @@ object Queries {
              |WHERE event_id IN (10, 23, 30, 47, 50)
              |  AND value >= 10.0 AND value <= 80.0""".stripMargin)),
 
+    // BLOOM file pruning where min/max cannot prune: three append families
+    // with fully overlapping key ranges (event_id residues mod 3) leave
+    // every file in a bucket spanning ~the whole id range, so the stats
+    // index's range rule keeps them all — the per-file KeyBloom membership
+    // filter (bloomKeyBits) is what narrows the point lookup to the files
+    // that actually hold the probed keys. KeyBloomSpec proves the strict
+    // file subset; this row proves end-to-end result parity.
+    "q_keyed_bloom_pruned" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val ev = t("events").select("event_id", "user_id", "value")
+        val base = scratchDir("graft_bloomkey_")
+        val table = new KeyedParquetTable(s, s"$base/t", Seq("event_id"),
+          Nil, 8, Nil, statsCols = Seq("event_id"), bloomKeyBits = 1 << 15)
+        table.commit(ev.filter(col("event_id") % 3 === 0))
+        table.append(ev.filter(col("event_id") % 3 === 1))
+        table.append(ev.filter(col("event_id") % 3 === 2))
+        val probeIds = Seq(9L, 21L, 42L, 99L, 300L)
+        import s.implicits._
+        table.readForKeys(probeIds.toDF("event_id"))
+          .filter(col("event_id").isin(probeIds: _*))
+          .select("event_id", "user_id", "value")
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE event_id IN (9, 21, 42, 99, 300)""".stripMargin)),
+
     // Stats-index LIFECYCLE round-trip: an opted-in KeyedParquetTable
     // (statsCols) maintains its per-file min/max index transactionally —
     // commit builds it, the bucket-scoped merge re-collects only touched

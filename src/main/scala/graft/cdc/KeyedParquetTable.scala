@@ -39,7 +39,8 @@ final class KeyedParquetTable(
     val partitionBy: Seq[String] = Nil,
     val bucketCount: Int = 0,
     bucketBy: Seq[String] = Nil,
-    val statsCols: Seq[String] = Nil) {
+    val statsCols: Seq[String] = Nil,
+    val bloomKeyBits: Int = 0) {
 
   /** Columns the bucket hash is computed over — defaults to the full key.
     * A PREFIX/SUBSET of the key (like a lakehouse bucket spec distinct from
@@ -53,6 +54,15 @@ final class KeyedParquetTable(
   require(bucketKeys.forall(keys.contains),
     s"bucketBy ${bucketKeys.mkString("[", ",", "]")} must be a subset of keys " +
       keys.mkString("[", ",", "]"))
+  // bloom pruning extends the key-stats path: it lives in the same _stats
+  // index and is only consulted where [[statsKeyPrunedFiles]] already
+  // probes — a single bucket-key column covered by statsCols
+  require(bloomKeyBits == 0 ||
+    (bloomKeyBits >= 64 && bloomKeyBits % 8 == 0 &&
+      bucketKeys.size == 1 && statsCols.contains(bucketKeys.head)),
+    s"bloomKeyBits=$bloomKeyBits requires a positive multiple of 8 (>= 64), " +
+      "a SINGLE bucket-key column, and statsCols covering it " +
+      s"(bucketKeys=${bucketKeys.mkString(",")}, statsCols=${statsCols.mkString(",")})")
 
   private def rootPath: Path = Paths.get(root)
   private def pointer: Path = rootPath.resolve("_latest")
@@ -787,7 +797,8 @@ final class KeyedParquetTable(
     // basePath: the paths may be partition dirs (__bucket=k/) of one
     // snapshot — anchor inference at the snapshot root
     graft.ops.FileStats.collect(spark, paths, statsCols,
-      basePath = Some(versionDir(next).toString))
+      basePath = Some(versionDir(next).toString),
+      bloom = if (bloomKeyBits > 0) Some((bucketKeys.head, bloomKeyBits)) else None)
       .withColumn("file_path",
         element_at(split(decode(col("file_path")), sep), -1))
       .withColumn("bucket",
@@ -819,7 +830,8 @@ final class KeyedParquetTable(
     // commit on a union mismatch; recompute fully instead (one-time cost,
     // after which incremental maintenance resumes on the new columns)
     val wanted = ("file_path" +: "n_rows" +: "bucket" +:
-      statsCols.flatMap(c => Seq(s"mn_$c", s"mx_$c"))).toSet
+      (statsCols.flatMap(c => Seq(s"mn_$c", s"mx_$c")) ++
+        (if (bloomKeyBits > 0) Seq(s"bloom_${bucketKeys.head}") else Nil))).toSet
     val carried = rewrittenBuckets.flatMap(rw => prevStatsOf(prev).map(_ -> rw))
       .filter { case (ps, _) => ps.columns.toSet == wanted }
     // an empty snapshot (createIfNotExists) has no parquet to infer a
@@ -849,6 +861,15 @@ final class KeyedParquetTable(
     * replay). None → caller falls back to whole bucket dirs (multi-column
     * bucket key, no index, or a non-orderable key type).
     *
+    * With [[bloomKeyBits]] set the index additionally carries one
+    * [[graft.ops.KeyBloom]] filter per file, and a file must ALSO contain
+    * at least one probe key's hash to be kept — the decisive layer for
+    * hash-distributed keys (random ids spread across every commit), where
+    * each file spans nearly the whole key range and min/max alone keeps
+    * everything. Range and membership compose: clustered layouts prune by
+    * range, hashed workloads by membership, and both rules keep strict
+    * supersets so composition can never lose a row.
+    *
     * Probe ranges are computed PER BUCKET in one narrow job (per-partition
     * min/max, merged on the driver — O(bucketCount) driver data); the index
     * itself is O(files) metadata. Safety rules: a bucket probed with a NULL
@@ -872,45 +893,84 @@ final class KeyedParquetTable(
     }
     if (!orderable) return None
     import KeyedParquetTable.cmpAny
-    // same hash as [[bucketExpr]] — single bucket-key case
+    // same hash as [[bucketExpr]] — single bucket-key case; __h is the SAME
+    // xxhash64 the bloom build aggregates over, so membership is bit-exact
     val probe = keysDf.select(
       pmod(abs(xxhash64(keysDf(keyCol))), lit(bucketCount)).cast("int").as("__b"),
-      keysDf(keyCol).as("__k"))
-    val merged = scala.collection.mutable.Map.empty[Int, (Any, Any, Boolean)]
-    probe.rdd.mapPartitions { it =>
-      val m = scala.collection.mutable.Map.empty[Int, (Any, Any, Boolean)]
-      it.foreach { r =>
-        val b = r.getInt(0)
-        val k = r.get(1)
-        val cur = m.getOrElse(b, (null, null, false))
-        m(b) =
-          if (k == null) (cur._1, cur._2, true)
-          else (
-            if (cur._1 == null || cmpAny(k, cur._1) < 0) k else cur._1,
-            if (cur._2 == null || cmpAny(k, cur._2) > 0) k else cur._2,
-            cur._3)
-      }
-      m.iterator
-    }.collect().foreach { case (b, (lo, hi, hasNull)) =>
-      val cur = merged.getOrElse(b, (null, null, false))
-      merged(b) = (
+      keysDf(keyCol).as("__k"),
+      xxhash64(keysDf(keyCol)).as("__h"))
+    // per-bucket probe summary: [lo, hi] range, null flag, and (bloom-opted
+    // tables) the distinct probe hash set — capped so a caller that probes
+    // far beyond the documented batch-bounded contract degrades to
+    // range-only pruning instead of flooding the driver (null set = over
+    // cap). All gathered in the ONE existing narrow job.
+    val hashCap = KeyedParquetTable.bloomProbeHashCap
+    // local copy: mergeInto runs inside mapPartitions — referencing the
+    // FIELD there would close over `this` (and its SparkSession)
+    val bloomOn = bloomKeyBits > 0
+    type Summary = (Any, Any, Boolean, scala.collection.mutable.Set[Long])
+    val merged = scala.collection.mutable.Map.empty[Int, Summary]
+    def mergeInto(m: scala.collection.mutable.Map[Int, Summary], b: Int,
+                  lo: Any, hi: Any, hasNull: Boolean,
+                  hs: scala.collection.mutable.Set[Long]): Unit = {
+      val cur = m.getOrElse(b,
+        (null, null, false, scala.collection.mutable.Set.empty[Long]))
+      val mergedHs =
+        if (!bloomOn || cur._4 == null || hs == null) null
+        else { cur._4 ++= hs; if (cur._4.size > hashCap) null else cur._4 }
+      m(b) = (
         if (lo == null) cur._1
         else if (cur._1 == null || cmpAny(lo, cur._1) < 0) lo else cur._1,
         if (hi == null) cur._2
         else if (cur._2 == null || cmpAny(hi, cur._2) > 0) hi else cur._2,
-        cur._3 || hasNull)
+        cur._3 || hasNull,
+        mergedHs)
     }
-    val stats = spark.read.parquet(statsDirOf(curDir).toString)
-      .select(col("file_path"), col("bucket"),
-        col(s"mn_$keyCol"), col(s"mx_$keyCol"))
-      .collect() // O(files of the snapshot) — metadata scale
+    probe.rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.Map.empty[Int, Summary]
+      it.foreach { r =>
+        val b = r.getInt(0)
+        val k = r.get(1)
+        if (k == null)
+          mergeInto(m, b, null, null, hasNull = true, scala.collection.mutable.Set.empty)
+        else
+          mergeInto(m, b, k, k, hasNull = false,
+            scala.collection.mutable.Set(r.getLong(2)))
+      }
+      m.iterator
+    }.collect().foreach { case (b, (lo, hi, hasNull, hs)) =>
+      mergeInto(merged, b, lo, hi, hasNull, hs)
+    }
+    val statsDf = spark.read.parquet(statsDirOf(curDir).toString)
+    // bloom column presence is a property of the INDEX on disk (a snapshot
+    // written before the table opted in simply has none)
+    val bloomIdx =
+      if (bloomKeyBits > 0 && statsDf.columns.contains(s"bloom_$keyCol")) 4 else -1
+    val cols = Seq(col("file_path"), col("bucket"),
+      col(s"mn_$keyCol"), col(s"mx_$keyCol")) ++
+      (if (bloomIdx >= 0) Seq(col(s"bloom_$keyCol")) else Nil)
+    // touched-bucket filter BEFORE collect: the driver pulls only the
+    // probed buckets' index rows — with bloom filters in the index the
+    // full-snapshot pull would be O(files × bloom bytes), no longer the
+    // trivial metadata the min/max-only index was
+    val stats = statsDf.select(cols: _*)
+      .filter(col("bucket").isin(touched.toSeq: _*))
+      .collect()
     val keep = stats.iterator.filter { r =>
       val b = r.getInt(1)
       touched.contains(b) && (merged.get(b) match {
         case None => true // superset bucket with no probe rows: keep whole
-        case Some((lo, hi, hasNull)) =>
-          hasNull || r.isNullAt(2) || r.isNullAt(3) ||
+        case Some((lo, hi, hasNull, hs)) =>
+          val rangeOk = r.isNullAt(2) || r.isNullAt(3) ||
             (lo != null && cmpAny(r.get(3), lo) >= 0 && cmpAny(r.get(2), hi) <= 0)
+          // membership pruning: a file whose filter misses EVERY probe hash
+          // provably holds none of them. Null filter cell (pre-opt-in file)
+          // or over-cap probe set → no attestation, keep. Note an all-null-
+          // key file (null mn/mx) IS bloom-prunable: its filter holds only
+          // hash(null), which a non-null probe set never matches.
+          val bloomOk = bloomIdx < 0 || hs == null || r.isNullAt(bloomIdx) ||
+            hs.exists(graft.ops.KeyBloom.mightContain(r.getAs[Array[Byte]](bloomIdx), _))
+          hasNull || (rangeOk && bloomOk)
       })
     }.map(r => curDir.toString + "/" + r.getString(0)).toVector
     Some(keep)
@@ -1159,4 +1219,12 @@ object KeyedParquetTable {
     */
   private def cmpAny(a: Any, b: Any): Int =
     a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  /** Max distinct probe hashes gathered per bucket for bloom file pruning.
+    * readForKeys' contract is batch-bounded probes, which sit far under
+    * this; a caller that blows past it degrades to range-only pruning
+    * (never an error, never unbounded driver memory: the cap bounds the
+    * per-bucket set, and buckets are bounded by bucketCount).
+    */
+  private[cdc] val bloomProbeHashCap = 1 << 16
 }

@@ -31,13 +31,21 @@ object FileStats {
     * when the paths are partition directories of one table (multiple
     * `__bucket=k/` dirs holding `p=…/` subdirs would otherwise trip
     * partition inference with CONFLICTING_DIRECTORY_STRUCTURES).
+    *
+    * `bloom = Some((c, bits))` adds a `bloom_<c>` binary column: one
+    * [[KeyBloom]] membership filter per file over `xxhash64(c)`, the
+    * pruning complement for hash-distributed keys whose min/max ranges
+    * never narrow (see [[KeyBloom]] for sizing).
     */
   def collect(spark: SparkSession, paths: Seq[String], cols: Seq[String],
-              basePath: Option[String] = None): DataFrame = {
+              basePath: Option[String] = None,
+              bloom: Option[(String, Int)] = None): DataFrame = {
     require(cols.nonEmpty, "need at least one stats column")
     require(paths.nonEmpty, "need at least one path")
     val aggs = count(lit(1)).as("n_rows") +:
-      cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+      (cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))) ++
+        bloom.map { case (c, bits) =>
+          KeyBloom.agg(bits)(xxhash64(col(c))).as(s"bloom_$c") })
     basePath.fold(spark.read)(b => spark.read.option("basePath", b))
       .parquet(paths: _*)
       .groupBy(input_file_name().as("file_path"))
