@@ -13,10 +13,17 @@ object Bench {
     val spark = graft.core.Session.tuned(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to named headliners —
+    // an iteration aid for timing one query without the full sweep; the
+    // driver's full-bench contract is the unset default
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = Queries.headlines.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // warmup: one untimed pass over every headline query so the timed pass
     // measures steady state (JIT + Janino codegen compile + reader init are
     // one-time costs that amortize to zero on real data volumes)
-    Queries.headlines.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -29,7 +36,7 @@ object Bench {
         s"[bench] unparseable SPARK_GRAFT_BENCH_RUNS='$s', using 3")
       n
     }.getOrElse(3).max(1)
-    val results = Queries.headlines.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       // a failed run's elapsed time is NOT a measurement — keep only
       // successful runs, so one fast failure can't become the reported min
       val times = (1 to nRuns).flatMap { _ =>
@@ -53,8 +60,10 @@ object Bench {
     val qsMean = asJson(ts => ts.sum / ts.size)
     val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
-    val ingest = streamIngest(spark, sfDir)
-    val maint = tableMaintenance(spark, sfDir)
+    // the ingest/maintenance lines time fixed pipelines, not headliners —
+    // skip them on a filtered iteration run
+    val ingest = if (only.isEmpty) streamIngest(spark, sfDir) else "null"
+    val maint = if (only.isEmpty) tableMaintenance(spark, sfDir) else "null"
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,""" +
       s""""queries":$qs,"queries_mean":$qsMean,""" +
       s""""stream_ingest_sf01":$ingest,""" +
