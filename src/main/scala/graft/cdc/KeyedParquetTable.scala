@@ -192,6 +192,7 @@ final class KeyedParquetTable(
     * widens the scan; a WRONG set silently misses rows).
     */
   def readForKeys(keysDf: DataFrame, knownBuckets: Option[Set[Int]]): DataFrame = {
+    ensureLayout(stamp = false) // knownBuckets were hashed under OUR layout
     val v = currentVersion
     require(v >= 0, s"table $root has no snapshot")
     if (bucketCount <= 0) return read()
@@ -243,6 +244,7 @@ final class KeyedParquetTable(
     * there makes the replay exact regardless of commit order.
     */
   def readBuckets(buckets: Set[Int], v: Long): DataFrame = {
+    ensureLayout(stamp = false) // caller-computed bucket ids assume OUR layout
     require(v >= 0, s"table $root has no snapshot at version $v")
     require(bucketCount > 0, "readBuckets requires a bucketed table")
     val curDir = versionDir(v)
@@ -419,7 +421,43 @@ final class KeyedParquetTable(
     * partial-`v{next}`-dir cleanup already performs. A foreign claim
     * younger than the lease raises.
     */
+  // ---- layout pinning -----------------------------------------------------
+  // The physical layout params (key columns, bucket count, bucket-key
+  // columns) are baked into every bucket directory and scoped commit on
+  // disk. An instance opened with DIFFERENT values would hash probes into
+  // the wrong buckets: readForKeys silently missing rows, scoped merges
+  // scattering a key's old and new rows across buckets — wrong answers
+  // with no error. Pin the values into _properties at first commit and
+  // fail LOUDLY on any later mismatch. Layout is immutable for the life
+  // of a root (Iceberg treats bucket-spec changes as partition-spec
+  // evolution; here the sanctioned migration is read() into a new root).
+  // statsCols/bloomKeyBits are deliberately NOT pinned — the index
+  // rebuilds itself on change (see [[refreshStats]] carry rules).
+  private val layoutProps: Map[String, String] = Map(
+    "graft.layout.keys" -> keys.mkString(","),
+    "graft.layout.bucket-count" -> bucketCount.toString,
+    "graft.layout.bucket-keys" -> bucketKeys.mkString(","))
+  @volatile private var layoutChecked = false
+  private def ensureLayout(stamp: Boolean): Unit = {
+    if (layoutChecked) return
+    val p = properties
+    layoutProps.foreach { case (k, want) =>
+      p.get(k).foreach { got =>
+        if (got != want) throw new IllegalStateException(
+          s"$root: layout mismatch — the table pinned $k=$got but this " +
+            s"instance was opened with $k=$want; layout params are immutable " +
+            "for the life of a root (read() into a new root to re-layout)")
+      }
+    }
+    val pinned = layoutProps.forall { case (k, v) => p.get(k).contains(v) }
+    if (stamp && !pinned) setProperties(layoutProps)
+    // cache only a verified-pinned (or just-stamped) state; an unpinned
+    // legacy table keeps re-checking until some commit stamps it
+    layoutChecked = pinned || stamp
+  }
+
   private def claimCommit(next: Long): Unit = {
+    ensureLayout(stamp = true)
     Files.createDirectories(rootPath)
     val claim = claimPath(next)
     if (Files.exists(claim)) {
@@ -551,10 +589,12 @@ final class KeyedParquetTable(
     * [[readForKeys]] probe and [[merge]] commit (`knownBuckets` /
     * `sourceBuckets`).
     */
-  def bucketsFor(keysDf: DataFrame): Set[Int] =
+  def bucketsFor(keysDf: DataFrame): Set[Int] = {
+    ensureLayout(stamp = false)
     distinctInts(keysDf
       .select(pmod(abs(xxhash64(bucketKeys.map(keysDf(_)): _*)), lit(bucketCount))
         .cast("int").as("__b")))
+  }
 
   /** Narrow distinct-collect of one int column: per-partition dedup, then a
     * driver-side union — ONE job with no shuffle (a `.distinct().collect()`

@@ -765,4 +765,49 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(!java.nio.file.Files.list(java.nio.file.Paths.get(dir))
       .iterator.asScala.exists(_.getFileName.toString.startsWith("_commit.")))
   }
+
+  test("layout params are pinned at first commit; a mismatched open fails " +
+    "LOUDLY instead of silently mis-hashing probes") {
+    val root = tmpDir("kpt_layout_pin")
+    val t = new KeyedParquetTable(spark, root, Seq("id"), Nil, 8)
+    t.commit((0L until 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    assert(t.properties("graft.layout.bucket-count") === "8")
+    // wrong bucket count: bucketsFor would hash keys into the wrong dirs —
+    // every probe path must refuse before returning silently-partial rows
+    val wrongCount = new KeyedParquetTable(spark, root, Seq("id"), Nil, 4)
+    intercept[IllegalStateException] { wrongCount.readForKeys(Seq(3L).toDF("id")) }
+    intercept[IllegalStateException] { wrongCount.bucketsFor(Seq(3L).toDF("id")) }
+    intercept[IllegalStateException] { wrongCount.readBuckets(Set(0)) }
+    intercept[IllegalStateException] {
+      wrongCount.merge(Seq((3L, "x", "u")).toDF("id", "v", "operation"))
+    }
+    // wrong keys: merge upsert matching would change meaning
+    intercept[IllegalStateException] {
+      new KeyedParquetTable(spark, root, Seq("v"), Nil, 8)
+        .merge(Seq(("a", 1L, "u")).toDF("v", "id", "operation"))
+    }
+    // the CORRECT layout keeps working, including after re-open
+    val again = new KeyedParquetTable(spark, root, Seq("id"), Nil, 8)
+    again.merge(Seq((3L, "x", "u")).toDF("id", "v", "operation"))
+    assert(again.readForKeys(Seq(3L).toDF("id"))
+      .filter(col("id") === 3L).count() === 1L)
+    // statsCols / bloom remain free to change mid-life (index rebuilds);
+    // only the physical layout is pinned
+    val opted = new KeyedParquetTable(spark, root, Seq("id"), Nil, 8, Nil,
+      statsCols = Seq("id"), bloomKeyBits = 1 << 13)
+    opted.merge(Seq((5L, "y", "u")).toDF("id", "v", "operation"))
+    assert(opted.readStats().columns.contains("bloom_id"))
+
+    // legacy tables (created before pinning existed) are stamped by their
+    // next commit, not rejected: simulate by stripping the layout keys
+    val props = java.nio.file.Paths.get(root, "_properties")
+    val kept = java.nio.file.Files.readString(props).linesIterator
+      .filterNot(_.startsWith("graft.layout.")).mkString("\n")
+    java.nio.file.Files.writeString(props, kept)
+    val legacy = new KeyedParquetTable(spark, root, Seq("id"), Nil, 8, Nil,
+      statsCols = Seq("id"), bloomKeyBits = 1 << 13)
+    assert(legacy.readForKeys(Seq(3L).toDF("id")).count() === 1L) // tolerated
+    legacy.merge(Seq((6L, "z", "u")).toDF("id", "v", "operation"))
+    assert(legacy.properties("graft.layout.bucket-count") === "8") // re-stamped
+  }
 }
