@@ -263,10 +263,50 @@ final class KeyedParquetTable(
     * change counts as an update). Distributed — one shuffle on the key —
     * and exact for any pair of retained versions; the merge-path analog of
     * Iceberg's changelog read.
+    *
+    * BUCKET-DIFF scoped on bucketed tables: snapshot-incremental commits
+    * hard-link every untouched bucket's files into the new snapshot, so a
+    * bucket whose file-identity set (inode keys) is unchanged between the
+    * two versions provably holds byte-identical rows and cannot contribute
+    * a change — and layout pinning guarantees a key can never MOVE between
+    * buckets, so dropping identical buckets from BOTH join sides loses
+    * nothing. The fingerprint join then costs O(buckets touched between
+    * the versions), not O(table) — the shape an incremental changelog
+    * consumer needs on a table that grows forever. A compaction in the
+    * range rewrites inodes without changing rows; its buckets fall back
+    * into the join and simply produce no change rows (correct, unpruned).
     */
   def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
-    val a = readVersion(fromVersion)
-    val b = readVersion(toVersion)
+    val scopedBuckets: Option[Set[Int]] =
+      if (bucketCount <= 0) None
+      else {
+        // bucket id → file-identity set; None when identity can't be
+        // attested (flat/foreign layout, or a filesystem without fileKey)
+        def identities(v: Long): Option[Map[Int, Set[Object]]] = {
+          val dirs = bucketDirsOf(versionDir(v))
+          if (dirs.isEmpty) return None
+          val m = dirs.map { d =>
+            val b = d.getFileName.toString.stripPrefix("__bucket=").toIntOption
+            val ks = walkEntries(d).filter(p => Files.isRegularFile(p) &&
+                p.toString.endsWith(".parquet"))
+              .map(p => Files.readAttributes(p,
+                classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey)
+            (b, ks.toSet)
+          }
+          if (m.exists(e => e._1.isEmpty || e._2.contains(null))) None
+          else Some(m.map(e => e._1.get -> e._2).toMap)
+        }
+        (identities(fromVersion), identities(toVersion)) match {
+          case (Some(fa), Some(fb)) =>
+            Some((fa.keySet ++ fb.keySet).filter(k => fa.get(k) != fb.get(k)))
+          case _ => None
+        }
+      }
+    val (a, b) = scopedBuckets match {
+      case Some(buckets) =>
+        (readBuckets(buckets, fromVersion), readBuckets(buckets, toVersion))
+      case None => (readVersion(fromVersion), readVersion(toVersion))
+    }
     val aCols = a.columns.filterNot(keys.contains).toSeq
     val bCols = b.columns.filterNot(keys.contains).toSeq
     require(aCols == bCols,

@@ -766,6 +766,32 @@ class KeyedParquetTableSpec extends SparkSpec {
       .iterator.asScala.exists(_.getFileName.toString.startsWith("_commit.")))
   }
 
+  test("changesBetween scopes the diff join to buckets whose files changed") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_diff_scoped"), Seq("id"),
+      Nil, 8)
+    t.commit((0L until 200L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val v1 = t.currentVersion
+    // one upsert + one delete: touches at most 2 of 8 buckets; every other
+    // bucket hard-links through and must stay OUT of the diff join
+    t.merge(Seq((3L, "CHANGED", "u"), (77L, "", "d"), (1000L, "new", "u"))
+      .toDF("id", "v", "operation"))
+    val ch = t.changesBetween(v1, t.currentVersion)
+    val got = ch.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(3L -> "update", 77L -> "delete", 1000L -> "insert"))
+    // the join's scan is physically scoped: only the touched buckets' dirs
+    // appear among its input files (vs 8 buckets × 2 versions unscoped)
+    val dirs = ch.inputFiles.flatMap(_.split("/").find(_.startsWith("__bucket=")))
+      .toSet
+    val touched = Seq(3L, 77L, 1000L)
+      .map(k => s"__bucket=${Math.floorMod(Math.abs(
+        spark.range(1).select(xxhash64(lit(k))).head().getLong(0)), 8L)}").toSet
+    assert(dirs === touched,
+      s"diff join scanned $dirs, expected exactly the touched $touched")
+    // an untouched pair of versions yields an empty changelog (no bucket
+    // differs, so the scoped join runs over zero buckets)
+    assert(t.changesBetween(t.currentVersion, t.currentVersion).count() === 0L)
+  }
+
   test("layout params are pinned at first commit; a mismatched open fails " +
     "LOUDLY instead of silently mis-hashing probes") {
     val root = tmpDir("kpt_layout_pin")
