@@ -2492,9 +2492,14 @@ object Queries {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val docs = t("documents")
         val tmp = scratchDir("graft_nddx_")
+        // bloomKeyBits: each index append adds files to every bucket; band
+        // hashes are uniform, so only MEMBERSHIP can file-prune the probes
+        // (the per-file filters ride the same transactional stats index)
         val bandT = new KeyedParquetTable(s, s"$tmp/bands",
-          Seq("band_id", "band_hash", "id"), Nil, 16, Seq("band_id", "band_hash"))
-        val docT = new KeyedParquetTable(s, s"$tmp/docs", Seq("doc_id"), Nil, 16)
+          Seq("band_id", "band_hash", "id"), Nil, 16, Seq("band_id", "band_hash"),
+          bloomKeyBits = 1 << 14)
+        val docT = new KeyedParquetTable(s, s"$tmp/docs", Seq("doc_id"), Nil, 16,
+          bloomKeyBits = 1 << 14)
         FuzzyDedup.indexNearDups(bandT, docT,
           docs.filter(col("doc_id") % 10 < 4), "doc_id", "text")
         FuzzyDedup.indexNearDups(bandT, docT,
@@ -2513,7 +2518,8 @@ object Queries {
         val docs = t("documents")
         val tmp = scratchDir("graft_shdx_")
         val qt = new KeyedParquetTable(s, tmp,
-          Seq("q", "qv", "id"), Nil, 16, Seq("q", "qv"))
+          Seq("q", "qv", "id"), Nil, 16, Seq("q", "qv"),
+          bloomKeyBits = 1 << 14)
         FuzzyDedup.indexSimhash(qt, docs.filter(col("doc_id") % 10 < 4), "doc_id", "text")
         FuzzyDedup.indexSimhash(qt,
           docs.filter(col("doc_id") % 10 >= 4 && col("doc_id") % 10 < 8), "doc_id", "text")

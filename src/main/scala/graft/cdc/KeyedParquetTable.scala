@@ -54,15 +54,20 @@ final class KeyedParquetTable(
   require(bucketKeys.forall(keys.contains),
     s"bucketBy ${bucketKeys.mkString("[", ",", "]")} must be a subset of keys " +
       keys.mkString("[", ",", "]"))
-  // bloom pruning extends the key-stats path: it lives in the same _stats
-  // index and is only consulted where [[statsKeyPrunedFiles]] already
-  // probes — a single bucket-key column covered by statsCols
+  // membership pruning hashes the bucket-key TUPLE (any arity, same
+  // xxhash64 as the bucket layout itself), so it only needs a bucketed
+  // table — unlike the range rule, which needs a single orderable
+  // statsCols-covered key. The filters live in the same _stats index.
   require(bloomKeyBits == 0 ||
-    (bloomKeyBits >= 64 && bloomKeyBits % 8 == 0 &&
-      bucketKeys.size == 1 && statsCols.contains(bucketKeys.head)),
-    s"bloomKeyBits=$bloomKeyBits requires a positive multiple of 8 (>= 64), " +
-      "a SINGLE bucket-key column, and statsCols covering it " +
-      s"(bucketKeys=${bucketKeys.mkString(",")}, statsCols=${statsCols.mkString(",")})")
+    (bloomKeyBits >= 64 && bloomKeyBits % 8 == 0 && bucketCount > 0),
+    s"bloomKeyBits=$bloomKeyBits requires a positive multiple of 8 (>= 64) " +
+      s"and a bucketed table (bucketCount=$bucketCount)")
+
+  /** Stats-index column holding the per-file [[graft.ops.KeyBloom]] filter
+    * over `xxhash64(bucketKeys…)` (single-key tables keep the historical
+    * `bloom_<key>` name).
+    */
+  private def bloomColName: String = s"bloom_${bucketKeys.mkString("_")}"
 
   private def rootPath: Path = Paths.get(root)
   private def pointer: Path = rootPath.resolve("_latest")
@@ -878,7 +883,7 @@ final class KeyedParquetTable(
     // snapshot — anchor inference at the snapshot root
     graft.ops.FileStats.collect(spark, paths, statsCols,
       basePath = Some(versionDir(next).toString),
-      bloom = if (bloomKeyBits > 0) Some((bucketKeys.head, bloomKeyBits)) else None)
+      bloom = if (bloomKeyBits > 0) Some((bucketKeys, bloomKeyBits)) else None)
       .withColumn("file_path",
         element_at(split(decode(col("file_path")), sep), -1))
       .withColumn("bucket",
@@ -904,14 +909,15 @@ final class KeyedParquetTable(
     */
   private def refreshStats(prev: Long, next: Long, nextDir: Path,
                            rewrittenBuckets: Option[Set[Int]],
-                           newPaths: Seq[String]): Unit = if (statsCols.nonEmpty) {
+                           newPaths: Seq[String]): Unit =
+    if (statsCols.nonEmpty || bloomKeyBits > 0) {
     // carry only when the previous index covers the SAME stats columns —
     // a table re-opened with different statsCols would otherwise abort the
     // commit on a union mismatch; recompute fully instead (one-time cost,
     // after which incremental maintenance resumes on the new columns)
     val wanted = ("file_path" +: "n_rows" +: "bucket" +:
       (statsCols.flatMap(c => Seq(s"mn_$c", s"mx_$c")) ++
-        (if (bloomKeyBits > 0) Seq(s"bloom_${bucketKeys.head}") else Nil))).toSet
+        (if (bloomKeyBits > 0) Seq(bloomColName) else Nil))).toSet
     val carried = rewrittenBuckets.flatMap(rw => prevStatsOf(prev).map(_ -> rw))
       .filter { case (ps, _) => ps.columns.toSet == wanted }
     // an empty snapshot (createIfNotExists) has no parquet to infer a
@@ -959,35 +965,45 @@ final class KeyedParquetTable(
     */
   private def statsKeyPrunedFiles(keysDf: DataFrame, touched: Set[Int],
                                   curDir: Path): Option[Seq[String]] = {
-    val keyCol = bucketKeys match {
-      case Seq(k) if statsCols.contains(k) => k
-      case _ => return None
-    }
     if (!Files.exists(statsDirOf(curDir))) return None
     import org.apache.spark.sql.types._
-    val orderable = keysDf.schema(keyCol).dataType match {
-      case _: DecimalType => true
-      case IntegerType | LongType | ShortType | ByteType | StringType |
-           DoubleType | FloatType | TimestampType | DateType | BooleanType => true
-      case _ => false // arrays/structs/binary: no driver-side ordering
+    // RANGE pruning needs a single, driver-orderable bucket-key column
+    // covered by statsCols; MEMBERSHIP pruning only needs the bucket-key
+    // hash and works at any key arity (the band/quarter-bucket index
+    // tables are bucketed by multi-column band keys)
+    val rangeCol: Option[String] = bucketKeys match {
+      case Seq(k) if statsCols.contains(k) =>
+        val orderable = keysDf.schema(k).dataType match {
+          case _: DecimalType => true
+          case IntegerType | LongType | ShortType | ByteType | StringType |
+               DoubleType | FloatType | TimestampType | DateType | BooleanType => true
+          case _ => false // arrays/structs/binary: no driver-side ordering
+        }
+        if (orderable) Some(k) else None
+      case _ => None
     }
-    if (!orderable) return None
+    val statsDf = spark.read.parquet(statsDirOf(curDir).toString)
+    // bloom presence is a property of the INDEX on disk (a snapshot
+    // written before the table opted in simply has none)
+    val bloomOn = bloomKeyBits > 0 && statsDf.columns.contains(bloomColName)
+    if (rangeCol.isEmpty && !bloomOn) return None
     import KeyedParquetTable.cmpAny
-    // same hash as [[bucketExpr]] — single bucket-key case; __h is the SAME
-    // xxhash64 the bloom build aggregates over, so membership is bit-exact
+    // __h is the SAME xxhash64 over the bucket keys that [[bucketExpr]]
+    // and the bloom build use, so bucket ids and membership are bit-exact
+    val hashCol = xxhash64(bucketKeys.map(keysDf(_)): _*)
     val probe = keysDf.select(
-      pmod(abs(xxhash64(keysDf(keyCol))), lit(bucketCount)).cast("int").as("__b"),
-      keysDf(keyCol).as("__k"),
-      xxhash64(keysDf(keyCol)).as("__h"))
+      pmod(abs(hashCol), lit(bucketCount)).cast("int").as("__b"),
+      rangeCol.map(keysDf(_)).getOrElse(lit(null)).as("__k"),
+      hashCol.as("__h"))
     // per-bucket probe summary: [lo, hi] range, null flag, and (bloom-opted
     // tables) the distinct probe hash set — capped so a caller that probes
     // far beyond the documented batch-bounded contract degrades to
     // range-only pruning instead of flooding the driver (null set = over
     // cap). All gathered in the ONE existing narrow job.
     val hashCap = KeyedParquetTable.bloomProbeHashCap
-    // local copy: mergeInto runs inside mapPartitions — referencing the
-    // FIELD there would close over `this` (and its SparkSession)
-    val bloomOn = bloomKeyBits > 0
+    // NOTE: mergeInto runs inside mapPartitions and must only capture
+    // local vals (bloomOn, hashCap) — a FIELD reference would close over
+    // `this` (and its SparkSession)
     type Summary = (Any, Any, Boolean, scala.collection.mutable.Set[Long])
     val merged = scala.collection.mutable.Map.empty[Int, Summary]
     def mergeInto(m: scala.collection.mutable.Map[Int, Summary], b: Int,
@@ -1011,8 +1027,13 @@ final class KeyedParquetTable(
       it.foreach { r =>
         val b = r.getInt(0)
         val k = r.get(1)
+        // a null range key still contributes its HASH: the bloom build
+        // hashed every data row the same way (xxhash64 folds nulls
+        // deterministically), so membership attests null keys exactly —
+        // only the range rule needs the hasNull escape
         if (k == null)
-          mergeInto(m, b, null, null, hasNull = true, scala.collection.mutable.Set.empty)
+          mergeInto(m, b, null, null, hasNull = true,
+            scala.collection.mutable.Set(r.getLong(2)))
         else
           mergeInto(m, b, k, k, hasNull = false,
             scala.collection.mutable.Set(r.getLong(2)))
@@ -1021,19 +1042,15 @@ final class KeyedParquetTable(
     }.collect().foreach { case (b, (lo, hi, hasNull, hs)) =>
       mergeInto(merged, b, lo, hi, hasNull, hs)
     }
-    val statsDf = spark.read.parquet(statsDirOf(curDir).toString)
-    // bloom column presence is a property of the INDEX on disk (a snapshot
-    // written before the table opted in simply has none)
-    val bloomIdx =
-      if (bloomKeyBits > 0 && statsDf.columns.contains(s"bloom_$keyCol")) 4 else -1
-    val cols = Seq(col("file_path"), col("bucket"),
-      col(s"mn_$keyCol"), col(s"mx_$keyCol")) ++
-      (if (bloomIdx >= 0) Seq(col(s"bloom_$keyCol")) else Nil)
+    // fixed 5-column shape whatever is eligible (absent layers read null);
     // touched-bucket filter BEFORE collect: the driver pulls only the
-    // probed buckets' index rows — with bloom filters in the index the
+    // probed buckets' index rows — with bloom filters in the index a
     // full-snapshot pull would be O(files × bloom bytes), no longer the
     // trivial metadata the min/max-only index was
-    val stats = statsDf.select(cols: _*)
+    val stats = statsDf.select(col("file_path"), col("bucket"),
+        rangeCol.map(k => col(s"mn_$k")).getOrElse(lit(null)).as("__mn"),
+        rangeCol.map(k => col(s"mx_$k")).getOrElse(lit(null)).as("__mx"),
+        (if (bloomOn) col(bloomColName) else lit(null)).as("__bl"))
       .filter(col("bucket").isin(touched.toSeq: _*))
       .collect()
     val keep = stats.iterator.filter { r =>
@@ -1041,16 +1058,18 @@ final class KeyedParquetTable(
       touched.contains(b) && (merged.get(b) match {
         case None => true // superset bucket with no probe rows: keep whole
         case Some((lo, hi, hasNull, hs)) =>
-          val rangeOk = r.isNullAt(2) || r.isNullAt(3) ||
+          // range: null probe keys / null file bounds cannot be attested —
+          // keep (min/max skip nulls on both sides)
+          val rangeOk = rangeCol.isEmpty || hasNull || r.isNullAt(2) ||
+            r.isNullAt(3) ||
             (lo != null && cmpAny(r.get(3), lo) >= 0 && cmpAny(r.get(2), hi) <= 0)
-          // membership pruning: a file whose filter misses EVERY probe hash
-          // provably holds none of them. Null filter cell (pre-opt-in file)
-          // or over-cap probe set → no attestation, keep. Note an all-null-
-          // key file (null mn/mx) IS bloom-prunable: its filter holds only
-          // hash(null), which a non-null probe set never matches.
-          val bloomOk = bloomIdx < 0 || hs == null || r.isNullAt(bloomIdx) ||
-            hs.exists(graft.ops.KeyBloom.mightContain(r.getAs[Array[Byte]](bloomIdx), _))
-          hasNull || (rangeOk && bloomOk)
+          // membership: a file whose filter misses EVERY probe hash
+          // provably holds none of them — exact for null keys too (the
+          // build hashed every row, nulls included). Null filter cell
+          // (pre-opt-in file) or over-cap probe set → no attestation, keep.
+          val bloomOk = !bloomOn || hs == null || r.isNullAt(4) ||
+            hs.exists(graft.ops.KeyBloom.mightContain(r.getAs[Array[Byte]](4), _))
+          rangeOk && bloomOk
       })
     }.map(r => curDir.toString + "/" + r.getString(0)).toVector
     Some(keep)

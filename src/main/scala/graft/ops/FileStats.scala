@@ -32,20 +32,25 @@ object FileStats {
     * `__bucket=k/` dirs holding `p=…/` subdirs would otherwise trip
     * partition inference with CONFLICTING_DIRECTORY_STRUCTURES).
     *
-    * `bloom = Some((c, bits))` adds a `bloom_<c>` binary column: one
-    * [[KeyBloom]] membership filter per file over `xxhash64(c)`, the
-    * pruning complement for hash-distributed keys whose min/max ranges
-    * never narrow (see [[KeyBloom]] for sizing).
+    * `bloom = Some((ks, bits))` adds a `bloom_<ks joined by _>` binary
+    * column: one [[KeyBloom]] membership filter per file over
+    * `xxhash64(ks…)` — the pruning complement for hash-distributed keys
+    * whose min/max ranges never narrow (see [[KeyBloom]] for sizing).
+    * Any key arity: the hash folds the tuple exactly like a bucket
+    * layout's own hash does, nulls included.
     */
   def collect(spark: SparkSession, paths: Seq[String], cols: Seq[String],
               basePath: Option[String] = None,
-              bloom: Option[(String, Int)] = None): DataFrame = {
-    require(cols.nonEmpty, "need at least one stats column")
+              bloom: Option[(Seq[String], Int)] = None): DataFrame = {
+    require(cols.nonEmpty || bloom.isDefined,
+      "need at least one stats column or a bloom spec")
     require(paths.nonEmpty, "need at least one path")
+    require(bloom.forall(_._1.nonEmpty), "bloom needs at least one key column")
     val aggs = count(lit(1)).as("n_rows") +:
       (cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))) ++
-        bloom.map { case (c, bits) =>
-          KeyBloom.agg(bits)(xxhash64(col(c))).as(s"bloom_$c") })
+        bloom.map { case (ks, bits) =>
+          KeyBloom.agg(bits)(xxhash64(ks.map(col): _*))
+            .as(s"bloom_${ks.mkString("_")}") })
     basePath.fold(spark.read)(b => spark.read.option("basePath", b))
       .parquet(paths: _*)
       .groupBy(input_file_name().as("file_path"))

@@ -99,10 +99,41 @@ class KeyBloomSpec extends SparkSpec {
       .filter(col("id") === 7L).count() === 1L)
   }
 
+  test("bloom-only pruning on a MULTI-column bucket key (the band-index " +
+    "shape: no statsCols, membership is the only file-level layer)") {
+    // keyed (band_id, band_hash, doc_id), bucketed by the band pair —
+    // exactly how the incremental LSH indexes lay out; band hashes are
+    // uniform, so min/max could never prune even if collected
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_bloom_band"),
+      Seq("band_id", "band_hash", "doc_id"), Nil, 4,
+      bucketBy = Seq("band_id", "band_hash"), bloomKeyBits = 1 << 13)
+    def fam(r: Int) = (0 until 300).filter(_ % 3 == r)
+      .map(i => (i % 7, (i * 2654435761L) ^ r, i.toLong)) // overlapping band_ids
+      .toDF("band_id", "band_hash", "doc_id")
+    t.commit(fam(0))
+    t.append(fam(1))
+    t.append(fam(2))
+    // probe two band keys from family 0
+    val probes = Seq((0, (0 * 2654435761L) ^ 0), (3, (3 * 2654435761L) ^ 0))
+      .toDF("band_id", "band_hash")
+    val got = t.readForKeys(probes)
+    val expect = t.read().join(probes, Seq("band_id", "band_hash"), "left_semi")
+    assert(got.join(probes, Seq("band_id", "band_hash"), "left_semi").count()
+      === expect.count())
+    assert(expect.count() > 0)
+    // membership pruned to a strict subset of the touched buckets' files
+    val scanned = got.inputFiles.toSet
+    val touchedDirs = scanned.flatMap(_.split("/").find(_.startsWith("__bucket=")))
+    val bucketFiles = t.files().collect().map(_.getString(0))
+      .filter(p => touchedDirs.exists(d => p.contains(s"/$d/"))).toSet
+    assert(scanned.nonEmpty && scanned.size < bucketFiles.size,
+      s"expected a strict file subset: ${scanned.size} of ${bucketFiles.size}")
+  }
+
   test("misconfiguration fails loudly at construction") {
-    intercept[IllegalArgumentException] { // no statsCols on the bucket key
+    intercept[IllegalArgumentException] { // bloom needs a bucketed layout
       new KeyedParquetTable(spark, tmpDir("kpt_bloom_bad1"), Seq("id"),
-        Nil, 4, Nil, bloomKeyBits = 1 << 13)
+        Nil, 0, Nil, bloomKeyBits = 1 << 13)
     }
     intercept[IllegalArgumentException] { // non-multiple-of-8 width
       new KeyedParquetTable(spark, tmpDir("kpt_bloom_bad2"), Seq("id"),
