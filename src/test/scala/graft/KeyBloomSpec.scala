@@ -128,6 +128,13 @@ class KeyBloomSpec extends SparkSpec {
       .filter(p => touchedDirs.exists(d => p.contains(s"/$d/"))).toSet
     assert(scanned.nonEmpty && scanned.size < bucketFiles.size,
       s"expected a strict file subset: ${scanned.size} of ${bucketFiles.size}")
+    // maintenance keeps the filters fresh: compaction rewrites fragmented
+    // buckets and recollects their blooms in the same commit
+    assert(t.compact(minInputFiles = 2).isDefined)
+    val after = t.readForKeys(probes)
+    assert(after.join(probes, Seq("band_id", "band_hash"), "left_semi").count()
+      === expect.count())
+    assert(t.readStats().filter(col("bloom_band_id_band_hash").isNull).count() === 0L)
   }
 
   test("misconfiguration fails loudly at construction") {
