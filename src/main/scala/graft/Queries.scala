@@ -1624,6 +1624,31 @@ object Queries {
       Some("""SELECT event_id, user_id, value FROM events
              |WHERE event_id IN (9, 21, 42, 99, 300)""".stripMargin)),
 
+    // WRITE-AUDIT-PUBLISH end-to-end: the refreshed state is STAGED (next
+    // snapshot written, pointer untouched, fence held), audited against the
+    // live table, then published atomically — consumers can never observe
+    // an unvalidated snapshot. Oracle recomputes the published final state;
+    // KeyedParquetTableSpec proves the fence/abandon/takeover edges.
+    "q_wap_publish" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val ev = t("events").select("event_id", "user_id", "value")
+        val base = scratchDir("graft_wap_")
+        val table = new KeyedParquetTable(s, s"$base/t", Seq("event_id"), Nil, 8)
+        table.commit(ev.filter(col("event_id") % 2 === 0))
+        val staged = table.stageCommit(ev) // full refresh, staged
+        // the audit gate: staged state must not LOSE rows vs live
+        val auditRows = table.readStaged(staged).count()
+        require(auditRows >= table.read().count(),
+          s"WAP audit failed: staged $auditRows rows lost data")
+        table.publishStaged(staged)
+        table.read().agg(count(lit(1)).as("n"),
+          sum("event_id").as("sum_ids"),
+          count(when(col("value").isNotNull, 1)).as("n_val"))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+             |COUNT(value) AS n_val FROM events""".stripMargin)),
+
     // Stats-index LIFECYCLE round-trip: an opted-in KeyedParquetTable
     // (statsCols) maintains its per-file min/max index transactionally —
     // commit builds it, the bucket-scoped merge re-collects only touched

@@ -383,6 +383,73 @@ final class KeyedParquetTable(
     swingPointerCas(next - 1, next)
   }
 
+  // ---- write-audit-publish staging ---------------------------------------
+
+  /** WRITE-AUDIT-PUBLISH: write the full next snapshot and hold the commit
+    * claim WITHOUT swinging the pointer — readers keep seeing the current
+    * snapshot while an auditor validates the staged one via [[readStaged]]
+    * (e.g. the [[graft.validate.Validation]] suite), then [[publishStaged]]
+    * makes it live atomically or [[abandonStaged]] discards it. Iceberg's
+    * WAP pattern on this engine's fence: the held claim keeps concurrent
+    * writers out for the audit window, which is bounded by the commit
+    * lease — a staged snapshot whose writer dies is swept by the next
+    * claimant exactly like any crashed commit, so nothing dangles.
+    *
+    * Same state-replacing semantics as [[commit]]: pass `txn` iff the
+    * staged state includes that batch's effects.
+    */
+  def stageCommit(df: DataFrame, txn: Option[String] = None): Long = {
+    schemaCache = None
+    val cur = currentVersion
+    val next = cur + 1
+    claimCommit(next)
+    Files.createDirectories(rootPath)
+    if (Files.exists(versionDir(next))) deleteRecursively(versionDir(next))
+    val (out, parts) = withLayout(df)
+    val writer = out.write.mode("overwrite")
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      .parquet(versionDir(next).toString)
+    refreshStats(cur, next, versionDir(next), None, Nil)
+    txn.foreach(writeTxn(versionDir(next), _))
+    next
+  }
+
+  /** Audit-side read of a snapshot staged by [[stageCommit]] (readVersion
+    * refuses versions above the pointer on purpose — an unpublished
+    * snapshot is not table state).
+    */
+  def readStaged(staged: Long): DataFrame = {
+    require(staged > currentVersion && Files.exists(versionDir(staged)),
+      s"$root has no staged snapshot v$staged")
+    spark.read.parquet(versionDir(staged).toString)
+  }
+
+  /** Publish a staged snapshot: verify OUR claim still fences the version
+    * (a dead-writer takeover after lease expiry may have replaced the
+    * staged data — publishing someone else's half-written commit would be
+    * corruption), then CAS the pointer. */
+  def publishStaged(staged: Long): Long = {
+    require(Files.exists(versionDir(staged)),
+      s"$root: staged snapshot v$staged is gone (abandoned, or swept after " +
+        "the commit lease expired) — restage")
+    val claim = claimPath(staged)
+    val ownClaim = Files.exists(claim) &&
+      (try Files.readString(claim).trim.split(' ').headOption.contains(writerToken)
+       catch { case _: java.io.IOException => false })
+    if (!ownClaim) throw new java.util.ConcurrentModificationException(
+      s"$root: the commit claim on staged v$staged is no longer this " +
+        "writer's (lease expired and another writer took over) — restage")
+    swingPointerCas(staged - 1, staged)
+  }
+
+  /** Discard a staged snapshot and release its claim. */
+  def abandonStaged(staged: Long): Unit = {
+    require(staged > currentVersion,
+      s"$root: v$staged is published table state, not a staged snapshot")
+    if (Files.exists(versionDir(staged))) deleteRecursively(versionDir(staged))
+    Files.deleteIfExists(claimPath(staged))
+  }
+
   /** The most recent txn id still in effect for the CURRENT snapshot (None
     * if no commit in the chain carried one). Txn-LESS commits (compact,
     * maintenance, a merge without a txn) carry the previous snapshot's

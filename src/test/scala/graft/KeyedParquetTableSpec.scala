@@ -792,6 +792,41 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(t.changesBetween(t.currentVersion, t.currentVersion).count() === 0L)
   }
 
+  test("write-audit-publish: stage, audit, publish or abandon under the fence") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_wap"), Seq("id"), Nil, 4)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v0 = t.currentVersion
+    // stage: readers keep the old state; the auditor sees the staged one
+    val staged = t.stageCommit(Seq((1L, "a"), (2L, "B2"), (3L, "c")).toDF("id", "v"))
+    assert(t.currentVersion === v0)
+    assert(t.read().count() === 2L)
+    assert(t.readStaged(staged).count() === 3L)
+    // the held claim fences concurrent writers out during the audit window
+    val w2 = new KeyedParquetTable(spark, t.root, Seq("id"), Nil, 4)
+    intercept[java.util.ConcurrentModificationException] {
+      w2.merge(Seq((9L, "z", "u")).toDF("id", "v", "operation"))
+    }
+    // audit passed → publish swings atomically and releases the fence
+    assert(t.publishStaged(staged) === staged)
+    assert(t.currentVersion === staged)
+    assert(t.read().count() === 3L)
+    w2.merge(Seq((9L, "z", "u")).toDF("id", "v", "operation")) // fence released
+    assert(t.read().count() === 4L)
+    // audit failed → abandon leaves no trace; the version number is reused
+    val bad = t.stageCommit(Seq((1L, "oops")).toDF("id", "v"))
+    t.abandonStaged(bad)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, s"v$bad")))
+    t.merge(Seq((4L, "d", "u")).toDF("id", "v", "operation"))
+    assert(t.read().count() === 5L)
+    // lease takeover: a foreign writer re-claimed the staged version —
+    // publishing would swing THEIR half-written data, so it must refuse
+    val s2 = t.stageCommit(Seq((1L, "x")).toDF("id", "v"))
+    java.nio.file.Files.writeString(t.claimPath(s2),
+      s"other-writer ${System.currentTimeMillis()}")
+    intercept[java.util.ConcurrentModificationException] { t.publishStaged(s2) }
+    t.abandonStaged(s2)
+  }
+
   test("layout params are pinned at first commit; a mismatched open fails " +
     "LOUDLY instead of silently mis-hashing probes") {
     val root = tmpDir("kpt_layout_pin")
