@@ -398,7 +398,30 @@ final class KeyedParquetTable(
     * Same state-replacing semantics as [[commit]]: pass `txn` iff the
     * staged state includes that batch's effects.
     */
-  def stageCommit(df: DataFrame, txn: Option[String] = None): Long = {
+  def stageCommit(df: DataFrame, txn: Option[String] = None): Long =
+    stageInternal(df, txn, carry = false)
+
+  /** WAP for the INCREMENTAL path: stage a keyed merge — bucket-scoped on a
+    * bucketed table (touched buckets written, the rest hard-linked through,
+    * same cost shape as [[merge]]) — without publishing it. Readers stay on
+    * the pre-merge snapshot until [[publishStaged]]; [[abandonStaged]]
+    * drops the staged dir (unlinking hard links never harms the published
+    * snapshot's shared files). Txn semantics match [[merge]]: a txn-less
+    * staged merge carries the previous marker forward on publish.
+    */
+  def stageMerge(source: DataFrame, opCol: String = "operation",
+                 txn: Option[String] = None): Long = {
+    require(exists, s"stageMerge target $root does not exist")
+    if (bucketCount > 0) mergeScoped(source, opCol, txn, None, swing = false)
+    else stageInternal(Merge.mergeUpsert(read(), source, keys, opCol), txn,
+      carry = true)
+  }
+
+  /** Shared stage writer: [[commitInternal]] minus the pointer swing (the
+    * claim from [[claimCommit]] stays held as the audit-window fence).
+    */
+  private def stageInternal(df: DataFrame, txn: Option[String],
+                            carry: Boolean): Long = {
     schemaCache = None
     val cur = currentVersion
     val next = cur + 1
@@ -410,7 +433,10 @@ final class KeyedParquetTable(
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(versionDir(next).toString)
     refreshStats(cur, next, versionDir(next), None, Nil)
-    txn.foreach(writeTxn(versionDir(next), _))
+    txn match {
+      case Some(t) => writeTxn(versionDir(next), t)
+      case None    => if (carry) carryTxn(cur, versionDir(next))
+    }
     next
   }
 
@@ -719,16 +745,19 @@ final class KeyedParquetTable(
 
   private def mergeScoped(source: DataFrame, opCol: String,
                           txn: Option[String],
-                          sourceBuckets: Option[Set[Int]] = None): Long = {
+                          sourceBuckets: Option[Set[Int]] = None,
+                          swing: Boolean = true): Long = {
     val cur = currentVersion
     val curDir = versionDir(cur)
     // flat (non-bucket-partitioned) layout from a foreign writer → full merge
     val hasFlatFiles = Files.exists(curDir) &&
       listEntries(curDir).exists(p =>
         Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-    if (hasFlatFiles)
-      return commitInternal(Merge.mergeUpsert(read(), source, keys, opCol),
-        txn, carry = true)
+    if (hasFlatFiles) {
+      val full = Merge.mergeUpsert(read(), source, keys, opCol)
+      return if (swing) commitInternal(full, txn, carry = true)
+      else stageInternal(full, txn, carry = true)
+    }
     val src = source.withColumn("__bucket", bucketExpr)
     // bounded by bucketCount — driver-safe; a caller-precomputed set skips
     // re-evaluating the source plan just to learn the ids
@@ -743,7 +772,7 @@ final class KeyedParquetTable(
             .filter(col("__bucket").isin(touched.toSeq: _*))
         Merge.mergeUpsert(targetTouched, src, keys, opCol)
       }
-    commitScoped(merged, touched, txn)
+    commitScoped(merged, touched, txn, swing)
   }
 
   /** Commit a snapshot whose `buckets` contain EXACTLY `content` — the other
@@ -775,7 +804,7 @@ final class KeyedParquetTable(
     * swing the pointer.
     */
   private def commitScoped(content: DataFrame, touched: Set[Int],
-                           txn: Option[String]): Long = {
+                           txn: Option[String], swing: Boolean = true): Long = {
     val cur = currentVersion
     val curDir = versionDir(cur)
     val next = cur + 1
@@ -815,7 +844,9 @@ final class KeyedParquetTable(
       touchedSeq.map(b => nextDir.resolve(s"__bucket=$b"))
         .filter(Files.exists(_)).map(_.toString))
     txn.fold(carryTxn(cur, nextDir))(writeTxn(nextDir, _))
-    swingPointerCas(cur, next)
+    // swing=false is [[stageMerge]]'s write-audit-publish half: the claim
+    // stays held and the pointer untouched until publishStaged/abandonStaged
+    if (swing) swingPointerCas(cur, next) else next
   }
 
   /** Append rows as a new snapshot (K5) — one commit per batch, by design;

@@ -827,6 +827,33 @@ class KeyedParquetTableSpec extends SparkSpec {
     t.abandonStaged(s2)
   }
 
+  test("stageMerge: a bucket-scoped merge stages without publishing; " +
+    "abandon never harms hard-linked published files") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_wap_merge"), Seq("id"),
+      Nil, 8)
+    t.commit((0L until 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val before = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // staged upsert + delete: readers unaffected, auditor sees merged state
+    val staged = t.stageMerge(Seq((3L, "NEW", "u"), (7L, "", "d"), (200L, "n", "u"))
+      .toDF("id", "v", "operation"))
+    assert(t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === before)
+    val stagedRows = t.readStaged(staged)
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(stagedRows === (before - ((3L, "v3")) - ((7L, "v7"))
+      + ((3L, "NEW")) + ((200L, "n"))))
+    // the staged snapshot hard-links untouched buckets: abandoning it must
+    // leave every published file intact
+    t.abandonStaged(staged)
+    assert(t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === before)
+    // stage again and publish this time
+    val s2 = t.stageMerge(Seq((5L, "P", "u")).toDF("id", "v", "operation"))
+    assert(t.publishStaged(s2) === s2)
+    assert(t.read().filter(col("id") === 5L).select("v").head().getString(0) === "P")
+    assert(t.read().count() === 100L)
+  }
+
   test("layout params are pinned at first commit; a mismatched open fails " +
     "LOUDLY instead of silently mis-hashing probes") {
     val root = tmpDir("kpt_layout_pin")
