@@ -1624,6 +1624,32 @@ object Queries {
       Some("""SELECT event_id, user_id, value FROM events
              |WHERE event_id IN (9, 21, 42, 99, 300)""".stripMargin)),
 
+    // TAGGED time travel under aggressive retention: the mid-pipeline state
+    // is tagged, later merges advance the table, expire_snapshots runs with
+    // retainLast=1 — and the tag still reproduces the exact tagged state
+    // (tags pin retention; an untagged version would be swept). Oracle
+    // recomputes the tagged-point state from the raw table.
+    "q_tagged_time_travel" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val ev = t("events").select("event_id", "user_id", "value")
+        val base = scratchDir("graft_tags_")
+        val table = new KeyedParquetTable(s, s"$base/t", Seq("event_id"), Nil, 8)
+        table.commit(ev.filter(col("event_id") % 4 === 0))
+        table.merge(ev.filter(col("event_id") % 4 === 1)
+          .withColumn("operation", lit("u")))
+        table.tagSnapshot("train-v1")
+        table.merge(ev.filter(col("event_id") % 4 === 2)
+          .withColumn("operation", lit("u")))
+        table.merge(ev.filter(col("event_id") % 4 === 3)
+          .withColumn("operation", lit("u")))
+        table.expireSnapshots(olderThanMs = -1L, retainLast = 1)
+        table.readTag("train-v1").agg(count(lit(1)).as("n"),
+          sum("event_id").as("sum_ids"))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
+             |FROM events WHERE event_id % 4 IN (0, 1)""".stripMargin)),
+
     // WRITE-AUDIT-PUBLISH end-to-end: the refreshed state is STAGED (next
     // snapshot written, pointer untouched, fence held), audited against the
     // live table, then published atomically — consumers can never observe

@@ -1326,7 +1326,9 @@ final class KeyedParquetTable(
       listEntries(rootPath)
         .map(_.getFileName.toString).filter(_.matches("v\\d+"))
         .map(_.drop(1).toLong).sorted
-    val keep = all.takeRight(retainLast).toSet + cur
+    // tagged versions are retention-pinned: a tag is a promise that this
+    // exact state stays reproducible until the tag is dropped
+    val keep = all.takeRight(retainLast).toSet + cur ++ tags.values
     val cutoff = System.currentTimeMillis() - olderThanMs
     val victims = all.filterNot(keep).filter { v =>
       Files.getLastModifiedTime(versionDir(v)).toMillis < cutoff
@@ -1351,9 +1353,60 @@ final class KeyedParquetTable(
       s"cannot roll back to v$version: no such retained snapshot")
     require(version <= cur, s"cannot roll back FORWARD (v$version > v$cur)")
     if (version == cur) return
+    val pinned = tags.filter { case (_, v) => v > version && v <= cur }
+    require(pinned.isEmpty,
+      s"rollbackTo(v$version) would purge tagged snapshot(s) " +
+        pinned.map { case (n, v) => s"$n=v$v" }.mkString(", ") +
+        " — drop the tag(s) first")
     schemaCache = None // the rolled-back-to snapshot may predate an evolution
     swingPointer(version)
     ((version + 1) to cur).foreach(v => deleteRecursively(versionDir(v)))
+  }
+
+  // ---- named snapshot refs (tags) -----------------------------------------
+
+  /** Tag a retained snapshot with a durable name — Iceberg's tag refs, the
+    * reproducibility primitive a training pipeline needs ("train-v1 read
+    * EXACTLY this state"). A tag pins retention: [[expireSnapshots]] never
+    * expires a tagged version and [[rollbackTo]] refuses to purge one
+    * (drop the tag first). Tags are root-scoped metadata (`_tags`,
+    * atomically replaced), not snapshot-scoped — they survive commits and
+    * travel with the table.
+    */
+  def tagSnapshot(name: String, version: Long = currentVersion): Unit = {
+    require(name.nonEmpty && !name.contains('=') && !name.contains('\n'),
+      s"invalid tag name '$name'")
+    require(version >= 0 && version <= currentVersion &&
+      Files.exists(versionDir(version)),
+      s"cannot tag v$version: not a retained snapshot of $root")
+    writeTags(tags + (name -> version))
+  }
+
+  /** Time-travel read by tag name. */
+  def readTag(name: String): DataFrame = {
+    val v = tags.getOrElse(name,
+      throw new IllegalArgumentException(s"$root has no tag '$name'"))
+    readVersion(v)
+  }
+
+  /** All tags (name → version). */
+  def tags: Map[String, Long] = {
+    val p = rootPath.resolve("_tags")
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).linesIterator.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1).trim.toLong }
+      .toMap
+  }
+
+  /** Drop a tag (the snapshot itself stays until retention expires it). */
+  def dropTag(name: String): Unit = writeTags(tags - name)
+
+  private def writeTags(t: Map[String, Long]): Unit = {
+    Files.createDirectories(rootPath)
+    val tmp = rootPath.resolve("_tags.tmp")
+    Files.writeString(tmp, t.map { case (n, v) => s"$n=$v" }.mkString("\n"))
+    Files.move(tmp, rootPath.resolve("_tags"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** M3: delete files under the root that belong to no live snapshot. */
@@ -1369,7 +1422,8 @@ final class KeyedParquetTable(
           .split(' ').lift(1).flatMap(_.toLongOption).getOrElse(0L) < commitLeaseMs
          catch { case _: java.io.IOException => false })
     val live = entries.map(_.getFileName.toString)
-      .filter(n => n == "_latest" || n == "_properties" || n.matches("v\\d+")).toSet
+      .filter(n => n == "_latest" || n == "_properties" || n == "_tags" ||
+        n.matches("v\\d+")).toSet
     val orphans = entries.filterNot(p =>
       live(p.getFileName.toString) || liveClaim(p))
     orphans.foreach(deleteRecursively)

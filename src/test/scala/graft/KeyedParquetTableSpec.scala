@@ -827,6 +827,39 @@ class KeyedParquetTableSpec extends SparkSpec {
     t.abandonStaged(s2)
   }
 
+  test("snapshot tags pin retention and refuse rollback-purge; readTag " +
+    "time-travels by name") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_tags"), Seq("id"), Nil, 4)
+    t.commit(Seq((1L, "a")).toDF("id", "v")) // v0
+    t.merge(Seq((2L, "b", "u")).toDF("id", "v", "operation")) // v1
+    t.tagSnapshot("train-v1") // tags v1
+    t.merge(Seq((3L, "c", "u")).toDF("id", "v", "operation")) // v2
+    t.merge(Seq((4L, "d", "u")).toDF("id", "v", "operation")) // v3
+    assert(t.tags === Map("train-v1" -> 1L))
+    assert(t.readTag("train-v1").count() === 2L)
+    // rollback across the tag refuses while the tag pins v1
+    intercept[IllegalArgumentException] { t.rollbackTo(0L) }
+    // aggressive expiry keeps the tagged version alive (retainLast=1 would
+    // otherwise sweep everything but the head)
+    val expired = t.expireSnapshots(olderThanMs = -1L, retainLast = 1)
+    assert(!expired.contains(1L))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, "v1")))
+    assert(t.readTag("train-v1").count() === 2L)
+    t.dropTag("train-v1")
+    assert(t.tags.isEmpty)
+    // v0 was expired (untagged, beyond retainLast) — roll back to the
+    // earliest retained version instead
+    t.rollbackTo(1L)
+    assert(t.currentVersion === 1L)
+    // maintenance never sweeps the _tags file
+    t.tagSnapshot("keep")
+    t.removeOrphanFiles()
+    assert(t.tags === Map("keep" -> 1L))
+    // unknown tag / untagged version fail loudly
+    intercept[IllegalArgumentException] { t.readTag("nope") }
+    intercept[IllegalArgumentException] { t.tagSnapshot("x", 99L) }
+  }
+
   test("stageMerge: a bucket-scoped merge stages without publishing; " +
     "abandon never harms hard-linked published files") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_wap_merge"), Seq("id"),
