@@ -860,8 +860,16 @@ final class KeyedParquetTable(
     * (the cumulative-cost trap for a lineage table taking one append per
     * micro-batch forever).
     */
-  def append(df: DataFrame): Long = {
-    if (!exists) return commit(df)
+  def append(df: DataFrame): Long = append(df, None)
+
+  /** [[append]] carrying a txn marker, committed atomically with the batch
+    * (same idempotent-writer primitive as [[merge]]'s `txn`). For an
+    * append-per-batch writer (the lineage pattern) the marker turns the
+    * was-this-batch-recorded replay probe into a metadata read — no
+    * per-batch Spark job on the happy path.
+    */
+  def append(df: DataFrame, txn: Option[String]): Long = {
+    if (!exists) return commit(df, txn)
     val cur = currentVersion
     val next = cur + 1
     val curDir = versionDir(cur)
@@ -885,7 +893,7 @@ final class KeyedParquetTable(
       walkParquet(nextDir)
         .filterNot(p => linkedRel(nextDir.relativize(p).toString))
         .map(_.toString))
-    carryTxn(cur, nextDir)
+    txn.fold(carryTxn(cur, nextDir))(writeTxn(nextDir, _))
     swingPointerCas(cur, next)
   }
 

@@ -91,13 +91,20 @@ object Ingest {
     import spark.implicits._
     val batchTxn = batchId.toString
     val lineageDone = lineage.exists { l =>
-      l.exists && {
-        val rows =
-          if (l.bucketCount > 0 && l.bucketKeys == Seq("batch_id"))
-            l.readForKeys(Seq(batchId).toDF("batch_id"))
-          else l.read()
-        rows.filter(col("batch_id") === batchId).limit(1).count() > 0
-      }
+      l.exists && (l.lastTxn.flatMap(_.toLongOption) match {
+        // txn-marked lineage (appends carry the batch id): markers advance
+        // monotonically with Structured Streaming's batch ids under one
+        // checkpoint, so a marker at or past this id proves the row was
+        // recorded — a metadata read, no per-batch Spark job
+        case Some(m) => m >= batchId
+        // pre-marker lineage table: bucket-pruned scan probe (one job)
+        case None =>
+          val rows =
+            if (l.bucketCount > 0 && l.bucketKeys == Seq("batch_id"))
+              l.readForKeys(Seq(batchId).toDF("batch_id"))
+            else l.read()
+          rows.filter(col("batch_id") === batchId).limit(1).count() > 0
+      })
     }
     // tables ingested before txn marking existed report None and re-merge
     // once on redelivery (a harmless semantic no-op); from then on the
@@ -122,7 +129,8 @@ object Ingest {
       else Future.unit
     val fl =
       if (!lineageDone)
-        Future(lineage.foreach(_.append(Seq(BatchLineage(batchId, n, "applied")).toDF())))
+        Future(lineage.foreach(_.append(
+          Seq(BatchLineage(batchId, n, "applied")).toDF(), Some(batchTxn))))
       else Future.unit
     Await.result(fm, Duration.Inf)
     Await.result(fl, Duration.Inf)
