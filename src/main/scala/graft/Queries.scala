@@ -283,6 +283,36 @@ object Queries {
       Some("""SELECT source, CAST(CEIL(ROUND(COUNT(*) * 0.2, 9)) AS BIGINT) AS n_sampled
              |FROM documents GROUP BY source""".stripMargin)),
 
+    // Epoch shuffle + sharding for training export: md5(seed:id) keys give
+    // a reproducible global permutation, leading 16 bits pick the shard,
+    // rank-within-shard is the loader's read order. The oracle recomputes
+    // the full assignment (md5 + hex digits + window) — every row's shard
+    // AND position must match bit-for-bit, proving the permutation is
+    // engine-portable, not Spark-internal.
+    "q_train_shuffle" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        Sampling.shuffleShard(t("documents"), "doc_id", "ep0", 8)
+          .select("doc_id", "shard", "shard_pos")
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id,
+             |    md5(concat_ws(':', 'ep0', CAST(doc_id AS VARCHAR))) AS kk
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, kk, CAST(
+             |    ((instr('0123456789abcdef', substr(kk, 1, 1)) - 1) * 4096
+             |     + (instr('0123456789abcdef', substr(kk, 2, 1)) - 1) * 256
+             |     + (instr('0123456789abcdef', substr(kk, 3, 1)) - 1) * 16
+             |     + (instr('0123456789abcdef', substr(kk, 4, 1)) - 1)) % 8
+             |    AS INT) AS shard
+             |  FROM k)
+             |SELECT doc_id, shard,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY kk, doc_id)
+             |    AS BIGINT) AS shard_pos
+             |FROM s""".stripMargin),
+      headline = true),
+
     // Heavy-hitter detection, two-pass: a bounded Misra–Gries sketch (one
     // map-side-combinable agg, O(k) state) surfaces candidate hot keys,
     // then ONE filtered groupBy exact-counts just the candidates. The

@@ -44,6 +44,40 @@ object Sampling {
                          keepBelow: Long): Column =
     pmod(xxhash64(col(idCol)), lit(mod)) < keepBelow
 
+  /** Deterministic epoch shuffle + sharding — the training-EXPORT stage: a
+    * reproducible global permutation of the corpus, materialized as shard
+    * files a data loader streams in order. Changing `seed` (e.g. the epoch
+    * number) yields an independent permutation of the SAME rows — the
+    * standard per-epoch reshuffle without any RNG state to persist.
+    *
+    * Each row gets a shuffle key `md5(seed ':' id)`; the shard is the key's
+    * leading 16 bits mod `numShards` (uniform to ±1 row in 65536), and
+    * `shard_pos` is the row's rank within its shard under (key, id) order.
+    * Reading shards 0..numShards−1 each sorted by `shard_pos` replays the
+    * permutation. md5-of-string is engine-portable (unlike xxhash64's
+    * seed/typing subtleties across engines), so a loader in ANY system can
+    * recompute the assignment; uniformity of the low digits is what the
+    * fraction-cut samplers above rely on too.
+    *
+    * One hash exchange on the shard id + an in-partition sort; no global
+    * sort, no single-partition window. Each shard's rank runs on one task,
+    * so pick numShards ≫ executor count at scale (thousands of shards for
+    * a 100 TB corpus — which is also what the loader wants).
+    */
+  def shuffleShard(df: DataFrame, idCol: String, seed: String,
+                   numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(col("__shuffle_key"), 1, 4), 16, 10)
+      .cast("long"), lit(numShards.toLong)).cast("int")
+    df.withColumn("__shuffle_key", key)
+      .withColumn("shard", shard)
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy("shard")
+          .orderBy(col("__shuffle_key").asc, col(idCol).asc)).cast("long"))
+      .drop("__shuffle_key")
+  }
+
   /** Deterministic weighted interleave — the data-MIXING stage: order rows
     * so sources appear in proportion to their weights (weight 3 : 1 ⇒ three
     * rows of the first per one of the second, evenly spread, not blocked).

@@ -61,6 +61,38 @@ class SamplingSpec extends SparkSpec {
     assert(!mixed.exists(_._1 == "junk")) // weight-0 source excluded
   }
 
+  test("shuffleShard: every row exactly once, positions contiguous per shard") {
+    val df = (1L to 500L).toDF("id")
+    val out = Sampling.shuffleShard(df, "id", "ep0", 8).cache()
+    try {
+      assert(out.select("id").as[Long].collect().sorted.toSeq === (1L to 500L))
+      assert(out.select("shard").as[Int].collect().forall(s => s >= 0 && s < 8))
+      // shard_pos is 1..N_s within every shard (a rank, no gaps/dupes)
+      val byShard = out.groupBy("shard")
+        .agg(count(lit(1)).as("n"), max("shard_pos").as("mx"), min("shard_pos").as("mn"),
+          countDistinct("shard_pos").as("nd"))
+        .collect()
+      assert(byShard.forall(r => r.getLong(2) === r.getLong(1)
+        && r.getLong(3) === 1L && r.getLong(4) === r.getLong(1)))
+      // leading-16-bit assignment is near-uniform: no empty shard at n=500
+      assert(byShard.length === 8 && byShard.forall(_.getLong(1) > 20L))
+    } finally out.unpersist()
+  }
+
+  test("shuffleShard is deterministic; a different seed permutes differently") {
+    val df = (1L to 300L).toDF("id")
+    def run(seed: String, d: org.apache.spark.sql.DataFrame) =
+      Sampling.shuffleShard(d, "id", seed, 4)
+        .select("id", "shard", "shard_pos")
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    val a = run("ep0", df)
+    val b = run("ep0", df.repartition(17, col("id")))
+    assert(a === b) // stable across partitionings and runs
+    val c = run("ep1", df)
+    assert(a !== c) // a new epoch seed is a different permutation
+    assert(c.keySet === a.keySet) // ... of the same rows
+  }
+
   test("deterministicByKey membership is a pure function of the id") {
     val df = fixture
     val kept = df.filter(Sampling.deterministicByKey(df, "id", 100L, 25L))
