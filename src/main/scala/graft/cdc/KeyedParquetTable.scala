@@ -447,7 +447,10 @@ final class KeyedParquetTable(
   def readStaged(staged: Long): DataFrame = {
     require(staged > currentVersion && Files.exists(versionDir(staged)),
       s"$root has no staged snapshot v$staged")
-    spark.read.parquet(versionDir(staged).toString)
+    val df = spark.read.parquet(versionDir(staged).toString)
+    // same surface as read()/readVersion: __bucket is layout, not data —
+    // an audit query must see the schema readers will see after publish
+    if (bucketCount > 0 && df.columns.contains("__bucket")) df.drop("__bucket") else df
   }
 
   /** Publish a staged snapshot: verify OUR claim still fences the version

@@ -871,6 +871,8 @@ class KeyedParquetTableSpec extends SparkSpec {
       .toDF("id", "v", "operation"))
     assert(t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
       === before)
+    // audit surface = reader surface: __bucket layout column stays internal
+    assert(t.readStaged(staged).columns.toSeq === t.read().columns.toSeq)
     val stagedRows = t.readStaged(staged)
       .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(stagedRows === (before - ((3L, "v3")) - ((7L, "v7"))
