@@ -1427,16 +1427,26 @@ final class KeyedParquetTable(
     // an in-flight commit claim within its lease is LIVE (sweeping it would
     // break the fence under a concurrent maintenance run); expired claims
     // from dead writers are orphans like any other leftover
+    def withinLease(p: Path): Boolean =
+      try System.currentTimeMillis() - Files.readString(p).trim
+        .split(' ').lift(1).flatMap(_.toLongOption).getOrElse(0L) < commitLeaseMs
+      catch { case _: java.io.IOException => false }
     def liveClaim(p: Path): Boolean =
-      p.getFileName.toString.matches("_commit\\.v\\d+") &&
-        (try System.currentTimeMillis() - Files.readString(p).trim
-          .split(' ').lift(1).flatMap(_.toLongOption).getOrElse(0L) < commitLeaseMs
-         catch { case _: java.io.IOException => false })
-    val live = entries.map(_.getFileName.toString)
-      .filter(n => n == "_latest" || n == "_properties" || n == "_tags" ||
-        n.matches("v\\d+")).toSet
+      p.getFileName.toString.matches("_commit\\.v\\d+") && withinLease(p)
+    // a vN dir ABOVE the pointer is an in-flight or staged snapshot: live
+    // exactly while its commit claim's lease holds (publishStaged verifies
+    // claim ownership, so a swept-claim snapshot can never publish anyway);
+    // a dead stager's leftovers become orphans like any other — this IS the
+    // "swept after the commit lease expired" case publishStaged documents
+    val cur = currentVersion
+    def liveVersionDir(p: Path): Boolean = {
+      val n = p.getFileName.toString
+      n.matches("v\\d+") && (n.drop(1).toLong <= cur ||
+        withinLease(rootPath.resolve(s"_commit.$n")))
+    }
+    val liveAux = Set("_latest", "_properties", "_tags")
     val orphans = entries.filterNot(p =>
-      live(p.getFileName.toString) || liveClaim(p))
+      liveAux(p.getFileName.toString) || liveVersionDir(p) || liveClaim(p))
     orphans.foreach(deleteRecursively)
     orphans.map(_.toString)
   }

@@ -889,6 +889,31 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(t.read().count() === 100L)
   }
 
+  test("removeOrphanFiles sweeps a dead stager's expired staged snapshot " +
+    "but keeps one whose commit lease is live") {
+    import java.nio.file.{Files, Paths}
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_wap_sweep"), Seq("id"), Nil, 4)
+    t.commit((0L until 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val staged = t.stageCommit(Seq((1L, "x")).toDF("id", "v"))
+    // live lease: the staged snapshot survives maintenance
+    assert(t.removeOrphanFiles().isEmpty)
+    assert(Files.exists(Paths.get(t.root, s"v$staged")))
+    // back-date the claim past the lease — a dead stager's leftovers: the
+    // staged dir AND the expired claim are orphans (this is the swept case
+    // publishStaged's restage message documents)
+    val claim = Paths.get(t.root, s"_commit.v$staged")
+    Files.writeString(claim,
+      s"dead-writer ${System.currentTimeMillis() - t.commitLeaseMs - 1}")
+    val removed = t.removeOrphanFiles()
+    assert(removed.exists(_.endsWith(s"v$staged")))
+    assert(!Files.exists(Paths.get(t.root, s"v$staged")))
+    assert(!Files.exists(claim))
+    // published state untouched; restaging then publishing still works
+    assert(t.read().count() === 20L)
+    val s2 = t.stageCommit(Seq((1L, "y")).toDF("id", "v"))
+    assert(t.publishStaged(s2) === s2)
+  }
+
   test("layout params are pinned at first commit; a mismatched open fails " +
     "LOUDLY instead of silently mis-hashing probes") {
     val root = tmpDir("kpt_layout_pin")
