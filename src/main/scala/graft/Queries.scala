@@ -313,6 +313,43 @@ object Queries {
              |FROM s""".stripMargin),
       headline = true),
 
+    // Budget-capped corpus selection: best documents first (quality desc,
+    // doc_id tiebreak) until the 12k-token budget is spent. The oracle IS
+    // the single-window cumulative-sum form; the engine's selectByBudget
+    // must reproduce its exact row set from the three-pass bucketed plan
+    // (no single-task global window). Quality formula shared with
+    // q_corpus_report's proven cross-engine pair.
+    "q_token_budget" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val scored = t("documents").select(col("doc_id"),
+          TextOps.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+          TextOps.qualityScore(col("text")).as("__q"))
+        Sampling.selectByBudget(scored, "n_tokens", 12000L, -col("__q"),
+            Seq(col("doc_id")))
+          .select("doc_id", "n_tokens")
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN LENGTH(text) = 0 THEN 0
+             |         ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS nt
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, nt,
+             |    LEAST(1.0, CASE WHEN nt = 0 THEN 0.0
+             |      ELSE CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) / nt END * 2.0) * 0.4
+             |    + (CASE WHEN nt BETWEEN 20 AND 1000 THEN 1.0 WHEN nt >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+             |    + (1.0 - LEAST(1.0, CASE WHEN LENGTH(text) = 0 THEN 0.0
+             |      ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / LENGTH(text) END * 5.0)) * 0.2
+             |    AS quality
+             |  FROM scored),
+             |c AS (SELECT doc_id, nt, SUM(nt) OVER (
+             |    ORDER BY quality DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM q)
+             |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens
+             |FROM c WHERE cum <= 12000""".stripMargin),
+      headline = true),
+
     // Heavy-hitter detection, two-pass: a bounded Misra–Gries sketch (one
     // map-side-combinable agg, O(k) state) surfaces candidate hot keys,
     // then ONE filtered groupBy exact-counts just the candidates. The

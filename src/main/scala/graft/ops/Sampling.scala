@@ -78,6 +78,74 @@ object Sampling {
       .drop("__shuffle_key")
   }
 
+  /** Budget-capped greedy selection — "take the best documents until the
+    * token budget is spent": keeps exactly the rows whose running total of
+    * `weightCol` (summed in ascending (`key`, tiebreaks) order — pass e.g.
+    * `-quality` for best-first) stays ≤ `budget`. Equivalent to the SQL
+    * {{{ SUM(w) OVER (ORDER BY key, tiebreaks ROWS UNBOUNDED PRECEDING)
+    *     <= budget }}}
+    * but never plans the single-task global window that form implies.
+    *
+    * Same three-pass shape as [[graft.ops.Ranks.globalRank]]: sampled key
+    * boundaries freeze into literals (placement only steers parallelism),
+    * a per-bucket weight histogram (O(buckets) rows to the driver) turns
+    * into cumulative offsets, and then — because weights are non-negative,
+    * so the running total is monotone across buckets — every bucket is
+    * classified whole: total within budget → kept outright (no window),
+    * past it → dropped outright; only the ONE straddling bucket computes a
+    * per-row running total (a single ~N/buckets task — raise `buckets` at
+    * scale). Rows after the first overflow are excluded even if their own
+    * weight is 0, exactly matching the window form. NULL weights count 0;
+    * NULL keys sort first (Spark's asc default). Ties beyond `tiebreaks`
+    * make the cut nondeterministic — supply a unique total order.
+    */
+  def selectByBudget(df: DataFrame, weightCol: String, budget: Long,
+                     key: Column, tiebreaks: Seq[Column],
+                     buckets: Int = 32): DataFrame = {
+    require(budget >= 0L, s"budget must be non-negative, got $budget")
+    val v = key.cast("double")
+    val w = coalesce(col(weightCol).cast("long"), lit(0L))
+    val guardedW = when(w < 0L,
+      raise_error(lit(s"selectByBudget: negative $weightCol — monotone " +
+        "running totals need non-negative weights"))).otherwise(w)
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val sampledRow = df.select(percentile_approx(v, typedLit(probs), lit(10000))
+      .as("__b")).head()
+    val sampled =
+      if (sampledRow.isNullAt(0)) Seq.empty[Double] else sampledRow.getSeq[Double](0)
+    val boundaries = sampled.distinct.sorted
+    val bucket: Column =
+      if (boundaries.isEmpty) lit(0)
+      else boundaries.map(b => when(v > lit(b), 1).otherwise(0)).reduce(_ + _)
+    val hist = df.groupBy(bucket.as("__bucket")).agg(sum(guardedW).as("__w"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val starts = hist.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toMap
+    val keepWhole = hist.collect {
+      case (b, bw) if starts(b) + bw <= budget => b
+    }.toSet
+    // monotone totals ⇒ at most one straddler: starts within budget, end past
+    val straddler = hist.find { case (b, bw) =>
+      starts(b) <= budget && starts(b) + bw > budget
+    }
+    val bucketed = df.withColumn("__bucket", bucket)
+    val whole =
+      if (keepWhole.isEmpty) bucketed.filter(lit(false))
+      else bucketed.filter(col("__bucket").isInCollection(keepWhole))
+    straddler match {
+      case None => whole.drop("__bucket")
+      case Some((b, _)) =>
+        val win = Window.partitionBy("__bucket")
+          .orderBy(key.asc +: tiebreaks.map(_.asc): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cut = bucketed.filter(col("__bucket") === b)
+          .withColumn("__cum", sum(guardedW).over(win) + lit(starts(b)))
+          .filter(col("__cum") <= budget)
+          .drop("__cum")
+        whole.unionByName(cut).drop("__bucket")
+    }
+  }
+
   /** Deterministic weighted interleave — the data-MIXING stage: order rows
     * so sources appear in proportion to their weights (weight 3 : 1 ⇒ three
     * rows of the first per one of the second, evenly spread, not blocked).

@@ -93,6 +93,40 @@ class SamplingSpec extends SparkSpec {
     assert(c.keySet === a.keySet) // ... of the same rows
   }
 
+  test("selectByBudget equals the single-window cumulative-sum reference") {
+    import org.apache.spark.sql.expressions.Window
+    // adversarial weights: zeros, ties in the key, a spike bigger than most
+    val rows = (1L to 400L).map(i =>
+      (i, (i * 37 % 11).toDouble, if (i % 7 == 0) 0L else i % 23 + 1L))
+    val df = rows.toDF("id", "quality", "w")
+    for (budget <- Seq(0L, 1L, 500L, 2000L, 100000L)) {
+      val got = Sampling.selectByBudget(df, "w", budget, -col("quality"),
+          Seq(col("id")), buckets = 8)
+        .select("id").as[Long].collect().sorted.toSeq
+      val ref = df.withColumn("__cum", sum(col("w")).over(
+          Window.orderBy(col("quality").desc, col("id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("__cum") <= budget)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got === ref, s"budget=$budget")
+    }
+  }
+
+  test("selectByBudget: stable across partitionings; negative weights raise") {
+    val df = (1L to 200L).map(i => (i, i % 13 + 1L)).toDF("id", "w")
+    val a = Sampling.selectByBudget(df, "w", 300L, col("id"), Nil)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.selectByBudget(df.repartition(17, col("id")), "w", 300L,
+        col("id"), Nil)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b && a.nonEmpty)
+    val bad = Seq((1L, -5L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.selectByBudget(bad, "w", 10L, col("id"), Nil).collect()
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
+
   test("deterministicByKey membership is a pure function of the id") {
     val df = fixture
     val kept = df.filter(Sampling.deterministicByKey(df, "id", 100L, 25L))
