@@ -78,6 +78,25 @@ object Sampling {
       .drop("__shuffle_key")
   }
 
+  /** Materialize [[shuffleShard]]'s permutation as a training-export
+    * directory: `path/shard=K/` per shard, with the PHYSICAL row order
+    * inside each shard's file equal to the shard's read order — a data
+    * loader streams the file sequentially, no sort at load time.
+    *
+    * `repartition(numShards, shard)` hash-routes each whole shard to one
+    * task (possibly several shards per task), and `sortWithinPartitions
+    * (shard, shard_pos)` lays every shard's rows out contiguously in
+    * order — so each `shard=K/` dir holds exactly one file written in
+    * read order. One exchange + one in-partition sort beyond
+    * [[shuffleShard]]'s own window.
+    */
+  def writeShards(df: DataFrame, idCol: String, seed: String,
+                  numShards: Int, path: String): Unit =
+    shuffleShard(df, idCol, seed, numShards)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions("shard", "shard_pos")
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   /** Budget-capped greedy selection — "take the best documents until the
     * token budget is spent": keeps exactly the rows whose running total of
     * `weightCol` (summed in ascending (`key`, tiebreaks) order — pass e.g.

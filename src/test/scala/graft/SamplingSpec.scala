@@ -93,6 +93,26 @@ class SamplingSpec extends SparkSpec {
     assert(c.keySet === a.keySet) // ... of the same rows
   }
 
+  test("writeShards: one file per shard, physical row order = read order") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_shards_").toString
+    val df = (1L to 400L).toDF("id")
+    Sampling.writeShards(df, "id", "ep2", 4, dir)
+    val expected = Sampling.shuffleShard(df, "id", "ep2", 4)
+    for (s <- 0 until 4) {
+      val files = Files.list(Paths.get(dir, s"shard=$s")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet"))
+      assert(files.length === 1, s"shard $s should hold exactly one file")
+      // single file, read whole (far below maxPartitionBytes → one split):
+      // collect order IS file order
+      val physical = spark.read.parquet(files.head).select("id")
+        .as[Long].collect().toSeq
+      val want = expected.filter(col("shard") === s).orderBy("shard_pos")
+        .select("id").as[Long].collect().toSeq
+      assert(physical === want, s"shard $s physical order")
+    }
+  }
+
   test("selectByBudget equals the single-window cumulative-sum reference") {
     import org.apache.spark.sql.expressions.Window
     // adversarial weights: zeros, ties in the key, a spike bigger than most
