@@ -322,9 +322,13 @@ object Queries {
     "q_token_budget" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
+        // checkpoint: selectByBudget's three passes (boundary sample,
+        // weight histogram, final cut) would otherwise each re-run the
+        // regex-heavy quality scoring over the full corpus
         val scored = t("documents").select(col("doc_id"),
           TextOps.tokenCountWs(col("text")).cast("long").as("n_tokens"),
           TextOps.qualityScore(col("text")).as("__q"))
+          .localCheckpoint(true)
         Sampling.selectByBudget(scored, "n_tokens", 12000L, -col("__q"),
             Seq(col("doc_id")))
           .select("doc_id", "n_tokens")
@@ -348,6 +352,32 @@ object Queries {
              |  FROM q)
              |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens
              |FROM c WHERE cum <= 12000""".stripMargin),
+      headline = true),
+
+    // Sequence-length distribution as a mergeable log-scale histogram
+    // (HdrHistogram buckets: exact below 2^4, then 16 sub-buckets per
+    // power-of-two octave — bounded relative error at every magnitude).
+    // Bucket arithmetic is integer-only (msb from the binary string, one
+    // shift), so the oracle recomputes the identical histogram in SQL;
+    // quantile reads and mergeability are LogHistogramSpec's job.
+    "q_token_length_hist" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("documents")
+          .select(TextOps.tokenCountWs(col("text")).cast("long").as("nt"))
+          .groupBy(graft.ops.LogHistogram.bucketOf(col("nt"), 4).as("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
+      },
+      Some("""WITH v AS (
+             |  SELECT CASE WHEN LENGTH(text) = 0 THEN 0
+             |    ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS nt
+             |  FROM documents)
+             |SELECT CAST(CASE WHEN nt < 16 THEN nt
+             |    ELSE (LENGTH(format('{:b}', nt)) - 4) * 16
+             |      + (nt >> (LENGTH(format('{:b}', nt)) - 5)) - 16 END AS BIGINT)
+             |  AS bucket,
+             |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS sum_tokens
+             |FROM v GROUP BY 1""".stripMargin),
       headline = true),
 
     // Heavy-hitter detection, two-pass: a bounded Misra–Gries sketch (one
