@@ -54,6 +54,32 @@ class LogHistogramSpec extends SparkSpec {
     assert(merged === hist(vs))
   }
 
+  test("incrementally maintained histogram (IncrementalAgg keyed on the " +
+    "bucket) is bit-identical to one-shot; quantiles read off the table") {
+    import graft.cdc.KeyedParquetTable
+    import graft.streaming.IncrementalAgg
+    val vs = (1L to 3000L).map(i => (i * 17 + 3) % 20000L)
+    def bucketed(xs: Seq[Long]) = xs.toDF("v")
+      .select(LogHistogram.bucketOf(col("v"), s).as("bucket"), col("v"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist_").toString
+    val table = new KeyedParquetTable(spark, dir, Seq("bucket"), Nil, 4)
+    // three micro-batches, txn-marked like a foreachBatch maintainer
+    vs.grouped(1100).zipWithIndex.foreach { case (chunk, i) =>
+      IncrementalAgg.applyBatch(table, bucketed(chunk), "bucket", "v",
+        txnId = Some(i.toString))
+    }
+    val maintained = table.read()
+      .select(col("bucket"), col("n_rows"))
+      .as[(Long, Long)].collect().toMap
+    val oneShot = bucketed(vs).groupBy("bucket").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(maintained === oneShot)
+    // quantile read straight off the maintained table
+    val est = LogHistogram.quantiles(maintained.toSeq, s, Seq(0.5)).head
+    val exact = vs.sorted.apply(math.ceil(0.5 * vs.size).toInt - 1)
+    assert(math.abs(est - exact).toDouble / exact <= math.pow(2, -s) + 1e-9)
+  }
+
   test("quantiles from the histogram are within 2^-s of the exact values") {
     // skewed fixture: token-length-like (many short, a long tail)
     val vs = (1L to 20000L).map(i => (math.pow(i.toDouble / 200.0, 2.5) + 1).toLong)
