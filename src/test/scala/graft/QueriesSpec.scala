@@ -97,6 +97,17 @@ class QueriesSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"single-task stage:\n$plan")
   }
 
+  test("shuffle/budget/histogram queries plan no single-partition exchange") {
+    // shuffleShard's per-shard window, selectByBudget's straddling-bucket
+    // window and the histogram groupBy must all partition — the global
+    // window forms they replace would plan Exchange SinglePartition
+    for (name <- Seq("q_train_shuffle", "q_token_budget", "q_token_length_hist")) {
+      val plan = Queries.all(name).fn(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"), s"$name single-task stage:\n$plan")
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
