@@ -354,6 +354,42 @@ object Queries {
              |FROM c WHERE cum <= 12000""".stripMargin),
       headline = true),
 
+    // Per-source token quota: within each source, best documents first
+    // (quality desc, doc_id tiebreak) until that source has contributed
+    // 4000 tokens — the token-budget form of mix balancing (q_source_cap
+    // caps DOCS; this caps TOKENS). One partitioned window, no global sort.
+    "q_source_token_cap" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val scored = t("documents").select(col("doc_id"), col("source"),
+          TextOps.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+          TextOps.qualityScore(col("text")).as("__q"))
+        Sampling.capWeightPerGroup(scored, "source", "n_tokens", 4000L,
+            -col("__q"), Seq(col("doc_id")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, source, text,
+             |    CASE WHEN LENGTH(text) = 0 THEN 0
+             |         ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS nt
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, source, nt,
+             |    LEAST(1.0, CASE WHEN nt = 0 THEN 0.0
+             |      ELSE CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) / nt END * 2.0) * 0.4
+             |    + (CASE WHEN nt BETWEEN 20 AND 1000 THEN 1.0 WHEN nt >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+             |    + (1.0 - LEAST(1.0, CASE WHEN LENGTH(text) = 0 THEN 0.0
+             |      ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / LENGTH(text) END * 5.0)) * 0.2
+             |    AS quality
+             |  FROM scored),
+             |c AS (SELECT source, nt, SUM(nt) OVER (PARTITION BY source
+             |    ORDER BY quality DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM q)
+             |SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+             |FROM c WHERE cum <= 4000 GROUP BY source""".stripMargin),
+      headline = true),
+
     // Sequence-length distribution as a mergeable log-scale histogram
     // (HdrHistogram buckets: exact below 2^4, then 16 sub-buckets per
     // power-of-two octave — bounded relative error at every magnitude).

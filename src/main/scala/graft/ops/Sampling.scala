@@ -165,6 +165,34 @@ object Sampling {
     }
   }
 
+  /** Per-group budget cap — the token-quota form of source balancing: within
+    * each group (source/domain/language), keep rows in ascending (`key`,
+    * tiebreaks) order while the group's running `weightCol` total stays
+    * ≤ `budget` ("every source contributes at most B tokens, best first").
+    * One partitioned window — a hash exchange on the group column, each
+    * group an independent task; contrast [[selectByBudget]], whose budget
+    * is GLOBAL and therefore needs the three-pass plan. If one group
+    * dominates the corpus at extreme scale, run [[selectByBudget]] on that
+    * group alone and this cap on the rest. NULL weights count 0; negative
+    * weights raise (monotonicity of the running total is what makes the
+    * cut well-defined).
+    */
+  def capWeightPerGroup(df: DataFrame, groupCol: String, weightCol: String,
+                        budget: Long, key: Column,
+                        tiebreaks: Seq[Column]): DataFrame = {
+    require(budget >= 0L, s"budget must be non-negative, got $budget")
+    val w = coalesce(col(weightCol).cast("long"), lit(0L))
+    val guardedW = when(w < 0L,
+      raise_error(lit(s"capWeightPerGroup: negative $weightCol — monotone " +
+        "running totals need non-negative weights"))).otherwise(w)
+    val win = Window.partitionBy(groupCol)
+      .orderBy(key.asc +: tiebreaks.map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(guardedW).over(win))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Deterministic weighted interleave — the data-MIXING stage: order rows
     * so sources appear in proportion to their weights (weight 3 : 1 ⇒ three
     * rows of the first per one of the second, evenly spread, not blocked).

@@ -147,6 +147,28 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("non-negative"))
   }
 
+  test("capWeightPerGroup equals the per-group window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = for (g <- 0 until 4; i <- 0 until 120)
+      yield (s"src$g", g * 1000L + i, (i * 13 % 9).toDouble, i % 17 + 1L)
+    val df = rows.toDF("source", "id", "quality", "w")
+    val got = Sampling.capWeightPerGroup(df, "source", "w", 250L,
+        -col("quality"), Seq(col("id")))
+      .select("id").as[Long].collect().sorted.toSeq
+    val ref = df.withColumn("__cum", sum(col("w")).over(
+        Window.partitionBy("source").orderBy(col("quality").desc, col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__cum") <= 250L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === ref && got.nonEmpty)
+    // every group stays within budget
+    val perGroup = Sampling.capWeightPerGroup(df, "source", "w", 250L,
+        -col("quality"), Seq(col("id")))
+      .groupBy("source").agg(sum("w").as("t"))
+      .as[(String, Long)].collect()
+    assert(perGroup.length === 4 && perGroup.forall(_._2 <= 250L))
+  }
+
   test("deterministicByKey membership is a pure function of the id") {
     val df = fixture
     val kept = df.filter(Sampling.deterministicByKey(df, "id", 100L, 25L))
