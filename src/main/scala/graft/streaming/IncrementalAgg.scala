@@ -186,9 +186,12 @@ object IncrementalAgg {
     // eager localCheckpoint: the bucket probe, the retraction key set, the
     // entity commit and the delta all read this — materialize the dedup
     // window once and truncate its lineage so the concurrent entity/agg
-    // halves below never recompute it. (A lazy persist was measured SLOWER:
-    // cache materialization + the halves serializing on cache locks cost
-    // more than the checkpoint jobs save.)
+    // halves below never recompute it. (Both alternatives measured SLOWER:
+    // a lazy persist serializes the halves on cache locks; a LAZY
+    // localCheckpoint — letting the bucket probe's action materialize it,
+    // saving one job — lost ~25% wall-clock because under AQE the probe
+    // satisfies itself from shuffle reuse without fully populating the
+    // checkpoint, so later consumers recompute the window.)
     val latest = graft.ops.Dedup.dedupLatest(batch, keys, ordering).localCheckpoint(true)
     // ONE bucket job per table per batch: the entity table's set serves the
     // empty-batch probe, the pre-image read AND the entity merge; the agg
