@@ -247,6 +247,43 @@ object Validation {
   def cdcEventTypeCounts(cdc: DataFrame, opCol: String = "operation"): DataFrame =
     cdc.groupBy(opCol).agg(count(lit(1)).as("n"))
 
+  /** Distribution drift between two retained snapshots of a maintained
+    * histogram table ([[graft.ops.LogHistogram]] buckets in the key column,
+    * counts in `n_rows` — the shape `IncrementalAgg.applyBatch` keyed on
+    * the bucket maintains): total-variation-style L1 distance
+    * Σ|p_a − p_b| over the union of buckets, in [0, 2]. 0 = identical
+    * shapes, 2 = disjoint supports. The per-version reads are O(buckets)
+    * to the driver — histogram size, never data size — so the check costs
+    * the same whether the table summarizes 10^4 or 10^12 values; an empty
+    * snapshot is treated as a point mass on nothing (drift 2 vs any
+    * non-empty one, 0 vs another empty).
+    */
+  def histogramDrift(table: KeyedParquetTable, vA: Long, vB: Long,
+                     bucketCol: String = "bucket",
+                     countCol: String = "n_rows"): Double = {
+    def histOf(v: Long): Map[Long, Long] =
+      table.readVersion(v).select(col(bucketCol).cast("long"), col(countCol).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (a, b) = (histOf(vA), histOf(vB))
+    val (ta, tb) = (a.values.sum.toDouble, b.values.sum.toDouble)
+    if (ta == 0 && tb == 0) return 0.0
+    if (ta == 0 || tb == 0) return 2.0
+    (a.keySet ++ b.keySet).iterator.map { k =>
+      math.abs(a.getOrElse(k, 0L) / ta - b.getOrElse(k, 0L) / tb)
+    }.sum
+  }
+
+  /** [[histogramDrift]] as a banded check: drift above `maxDrift` fails —
+    * the "did this batch change the value distribution" guard a pipeline
+    * runs after each maintenance fold.
+    */
+  def distributionCheck(table: KeyedParquetTable, vA: Long, vB: Long,
+                        maxDrift: Double = 0.25): CheckResult = {
+    val d = histogramDrift(table, vA, vB)
+    CheckResult("distribution_drift", d <= maxDrift,
+      Map("l1_drift" -> d.toString, "max" -> maxDrift.toString))
+  }
+
   // --- V8: suite composition -------------------------------------------------
 
   /** Run a set of checks, band the overall result like the reference

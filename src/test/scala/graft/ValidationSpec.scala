@@ -137,6 +137,27 @@ class ValidationSpec extends SparkSpec {
     assert(e.getMessage.contains("tableChecksum"))
   }
 
+  test("histogramDrift: 0 on identical snapshots, large on a shifted batch") {
+    import graft.ops.LogHistogram
+    import graft.streaming.IncrementalAgg
+    val t = new KeyedParquetTable(spark, tmpDir("hist_drift"), Seq("bucket"), Nil, 4)
+    def fold(vs: Seq[Long], txn: String): Long = {
+      IncrementalAgg.applyBatch(t,
+        vs.toDF("v").select(LogHistogram.bucketOf(col("v"), 4).as("bucket"), col("v")),
+        "bucket", "v", txnId = Some(txn))
+      t.currentVersion
+    }
+    // short-text-like values, then a heavily shifted batch (1000×)
+    val v1 = fold((1L to 2000L).map(i => i % 60 + 5), "0")
+    val v2 = fold((1L to 2000L).map(i => (i % 60 + 5) * 1000), "1")
+    assert(Validation.histogramDrift(t, v1, v1) === 0.0)
+    val d = Validation.histogramDrift(t, v1, v2)
+    // v2 = v1's counts PLUS the shifted mass: sizeable but < the disjoint max
+    assert(d > 0.5 && d < 2.0, s"drift=$d")
+    assert(!Validation.distributionCheck(t, v1, v2, maxDrift = 0.25).valid)
+    assert(Validation.distributionCheck(t, v1, v1).valid)
+  }
+
   test("XorChecksum typed Aggregator equals the bit_xor built-in") {
     import graft.functions.XorChecksum
     val df = spark.range(10000).select(xxhash64(col("id")).as("h"))
