@@ -67,7 +67,13 @@ object Sampling {
   def shuffleShard(df: DataFrame, idCol: String, seed: String,
                    numShards: Int): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
-    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    // loud failure on NULL ids (leakageSafeSplit's convention): concat_ws
+    // would silently skip them, giving every null-id row the SAME key and
+    // an undefined tie order — a nondeterministic permutation
+    val id = when(col(idCol).isNull, raise_error(lit(
+        s"shuffleShard: NULL $idCol — the permutation key needs a non-null id")))
+      .otherwise(col(idCol).cast("string"))
+    val key = md5(concat_ws(":", lit(seed), id))
     val shard = pmod(conv(substring(col("__shuffle_key"), 1, 4), 16, 10)
       .cast("long"), lit(numShards.toLong)).cast("int")
     df.withColumn("__shuffle_key", key)

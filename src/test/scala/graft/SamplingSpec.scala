@@ -79,6 +79,14 @@ class SamplingSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("shuffleShard raises on NULL ids instead of collapsing their keys") {
+    val df = Seq(Some(1L), None, Some(3L)).toDF("id")
+    val e = intercept[Exception] {
+      Sampling.shuffleShard(df, "id", "ep0", 4).collect()
+    }
+    assert(e.getMessage.contains("NULL id"))
+  }
+
   test("shuffleShard is deterministic; a different seed permutes differently") {
     val df = (1L to 300L).toDF("id")
     def run(seed: String, d: org.apache.spark.sql.DataFrame) =
