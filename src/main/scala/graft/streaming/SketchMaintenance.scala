@@ -114,4 +114,33 @@ object SketchMaintenance {
       if (rows.isEmpty) Map.empty
       else rows.head.getSeq[Long](0).zip(rows.head.getSeq[Long](1)).toMap
     }
+
+  /** Log-scale histogram maintenance — the quantile member of the family:
+    * fold each batch's [[graft.ops.LogHistogram]] bucket counts (plus the
+    * exact value sum per bucket, a free by-product that sharpens in-bucket
+    * interpolation) into a bucket-keyed table via
+    * [[IncrementalAgg.applyBatch]]. Bucket counts merge by ADDITION, so
+    * the maintained histogram is bit-identical to the one-shot histogram
+    * over the concatenated stream (LogHistogramSpec); pass `txnId` from
+    * foreachBatch for replay safety, same as the aggregate maintainers.
+    */
+  def applyHistogramBatch(table: KeyedParquetTable, batch: DataFrame,
+                          valueCol: Column, subBits: Int,
+                          txnId: Option[String] = None): Unit =
+    IncrementalAgg.applyBatch(table,
+      batch.select(graft.ops.LogHistogram.bucketOf(valueCol, subBits)
+        .as("bucket"), valueCol.cast("long").as("__v")),
+      "bucket", "__v", txnId)
+
+  /** Quantile estimates straight off a maintained histogram table —
+    * O(buckets) driver data, answerable at any moment without rescanning
+    * history. Empty/absent table → empty result.
+    */
+  def readQuantiles(table: KeyedParquetTable, subBits: Int,
+                    qs: Seq[Double]): Seq[Long] =
+    if (!table.exists) Seq.empty
+    else graft.ops.LogHistogram.quantiles(
+      table.read().select(col("bucket").cast("long"), col("n_rows"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq, // O(buckets)
+      subBits, qs)
 }

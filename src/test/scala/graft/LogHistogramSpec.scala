@@ -80,6 +80,27 @@ class LogHistogramSpec extends SparkSpec {
     assert(math.abs(est - exact).toDouble / exact <= math.pow(2, -s) + 1e-9)
   }
 
+  test("SketchMaintenance.applyHistogramBatch + readQuantiles round-trip") {
+    import graft.cdc.KeyedParquetTable
+    import graft.streaming.SketchMaintenance
+    val vs = (1L to 4000L).map(i => (i * 7 + 1) % 5000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_histm_").toString
+    val table = new KeyedParquetTable(spark, dir, Seq("bucket"), Nil, 4)
+    vs.grouped(1500).zipWithIndex.foreach { case (chunk, i) =>
+      SketchMaintenance.applyHistogramBatch(table, chunk.toDF("v"), col("v"), s,
+        txnId = Some(i.toString))
+    }
+    val oneShot = vs.toDF("v")
+      .groupBy(LogHistogram.bucketOf(col("v"), s).as("b"))
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toSeq
+    assert(SketchMaintenance.readQuantiles(table, s, Seq(0.5, 0.9, 0.99))
+      === LogHistogram.quantiles(oneShot, s, Seq(0.5, 0.9, 0.99)))
+    // absent table → empty
+    val none = new KeyedParquetTable(spark,
+      java.nio.file.Files.createTempDirectory("graft_histx_").toString, Seq("bucket"))
+    assert(SketchMaintenance.readQuantiles(none, s, Seq(0.5)) === Seq.empty)
+  }
+
   test("quantiles from the histogram are within 2^-s of the exact values") {
     // skewed fixture: token-length-like (many short, a long tail)
     val vs = (1L to 20000L).map(i => (math.pow(i.toDouble / 200.0, 2.5) + 1).toLong)
