@@ -249,6 +249,50 @@ object Queries {
       },
       Some(finalStateOracle)),
 
+    // Mid-stream SCHEMA EVOLUTION under the CDC merge cadence: the entity
+    // table gains a column between batch 1 and batch 2 via the
+    // metadata-only addColumn (zero data I/O — pre-evolution files are
+    // hard-linked and read NULL for the new column). Batch-2 rows carry a
+    // computed value; keys whose final state came from batch 1 keep NULL.
+    // Because the batches split on the total order, the final state is the
+    // global latest-per-key — SQL-expressible, so the evolved read is
+    // hash-checked against DuckDB (the spec covers file-identity/physical
+    // invariants; this covers cross-engine value semantics).
+    "q_schema_evolution" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val parsed = parsedEventsCached(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "operation")
+          .localCheckpoint(true)
+        val maxId = parsed.agg(max("event_id")).head().getLong(0)
+        val mid = (maxId + 1) / 2
+        val tmp = scratchDir("graft_schevo_")
+        val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
+        table.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
+        def half(cond: Column): DataFrame =
+          Dedup.dedupLatest(parsed.filter(cond), Seq("user_id"), Seq(col("event_id").desc))
+            .select((parsed.columns.filterNot(_ == "operation").map(col)
+              .toIndexedSeq :+ col("operation")): _*)
+        table.merge(half(col("event_id") < mid))
+        table.addColumn("high_value", LongType)
+        table.merge(half(col("event_id") >= mid)
+          .withColumn("high_value", when(col("value") > 50.0, 1L).otherwise(0L))
+          .select("user_id", "event_id", "event_type", "value", "high_value",
+            "operation"))
+        table.read()
+      },
+      Some("""WITH m AS (SELECT (MAX(event_id) + 1) // 2 AS mid FROM events),
+             |final AS (
+             |  SELECT user_id, event_id, event_type, value FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |    FROM events) t
+             |  WHERE rn = 1 AND event_type <> 'error')
+             |SELECT f.user_id, f.event_id, f.event_type, f.value,
+             |  CASE WHEN f.event_id >= m.mid
+             |       THEN CAST(CASE WHEN f.value > 50.0 THEN 1 ELSE 0 END AS BIGINT)
+             |  END AS high_value
+             |FROM final f, m""".stripMargin)),
+
     // Token-window chunking (32-token windows, stride 16 → 50% overlap) —
     // the segmentation stage of a training pipeline. Chunk TEXT is
     // oracle-checked byte-for-byte: both engines slice the same

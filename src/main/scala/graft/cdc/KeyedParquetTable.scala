@@ -89,13 +89,57 @@ final class KeyedParquetTable(
     */
   @volatile private var schemaCache: Option[org.apache.spark.sql.types.StructType] = None
 
-  private def snapshotSchema(dir: Path): org.apache.spark.sql.types.StructType =
-    schemaCache match {
-      case Some(s) => s
-      case None =>
-        val s = spark.read.parquet(dir.toString).schema
-        schemaCache = Some(s)
-        s
+  private def snapshotSchema(dir: Path): org.apache.spark.sql.types.StructType = {
+    // cache ONLY the current snapshot's schema: historical dirs reach here
+    // too (readBuckets against a retained version), and after a schema
+    // evolution their shape differs — caching one would poison the other
+    val isCurrent = dir == versionDir(currentVersion)
+    if (isCurrent && schemaCache.isDefined) schemaCache.get
+    else {
+      val s = declaredSchema(dir).getOrElse(spark.read.parquet(dir.toString).schema)
+      if (isCurrent) schemaCache = Some(s)
+      s
+    }
+  }
+
+  /** The snapshot's DECLARED read schema, when one was pinned by a schema
+    * evolution ([[addColumn]]/[[dropColumn]]): `_schema.json` inside the
+    * snapshot dir, written before the pointer swings (atomic with the
+    * commit) and carried forward by every snapshot-incremental commit.
+    * Without it, footer inference would resolve a post-evolution snapshot —
+    * where hard-linked pre-evolution files and freshly written files carry
+    * DIFFERENT physical schemas — to an arbitrary file's schema, silently
+    * dropping or resurrecting columns. The declared schema makes every
+    * reader see the evolved shape: parquet scans with an explicit schema
+    * fill columns absent from a file with nulls and ignore extra ones.
+    */
+  private def declaredSchema(dir: Path): Option[org.apache.spark.sql.types.StructType] = {
+    val f = dir.resolve("_schema.json")
+    if (!Files.exists(f)) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  private def writeSchemaMeta(dir: Path,
+                              s: org.apache.spark.sql.types.StructType): Unit = {
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("_schema.json"), s.json)
+  }
+
+  /** Carry the previous snapshot's declared schema into a snapshot-
+    * incremental commit's directory (before the pointer swings). Mirrors
+    * [[carryTxn]]: an evolution's declared schema must survive every scoped
+    * merge/append/compaction, or the next snapshot would fall back to
+    * footer inference over mixed-schema files.
+    */
+  private def carrySchemaMeta(prevVersion: Long, nextDir: Path): Unit =
+    if (prevVersion >= 0) {
+      val f = versionDir(prevVersion).resolve("_schema.json")
+      if (Files.exists(f)) {
+        Files.createDirectories(nextDir)
+        Files.copy(f, nextDir.resolve("_schema.json"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
     }
 
   def exists: Boolean = currentVersion >= 0
@@ -118,12 +162,16 @@ final class KeyedParquetTable(
     require(Files.exists(versionDir(version)),
       s"snapshot v$version of $root was expired; retained versions only")
     // historical versions may predate a schema evolution — only the current
-    // snapshot uses the cached schema
+    // snapshot uses the cached schema; an old snapshot still honors its OWN
+    // declared schema (it may itself be post-evolution with mixed files)
     val df =
       if (version == currentVersion)
         spark.read.schema(snapshotSchema(versionDir(version)))
           .parquet(versionDir(version).toString)
-      else spark.read.parquet(versionDir(version).toString)
+      else declaredSchema(versionDir(version)) match {
+        case Some(s) => spark.read.schema(s).parquet(versionDir(version).toString)
+        case None    => spark.read.parquet(versionDir(version).toString)
+      }
     if (bucketCount > 0 && df.columns.contains("__bucket")) df.drop("__bucket") else df
   }
 
@@ -846,6 +894,7 @@ final class KeyedParquetTable(
     refreshStats(cur, next, nextDir, Some(touched),
       touchedSeq.map(b => nextDir.resolve(s"__bucket=$b"))
         .filter(Files.exists(_)).map(_.toString))
+    carrySchemaMeta(cur, nextDir)
     txn.fold(carryTxn(cur, nextDir))(writeTxn(nextDir, _))
     // swing=false is [[stageMerge]]'s write-audit-publish half: the claim
     // stays held and the pointer untouched until publishStaged/abandonStaged
@@ -896,6 +945,7 @@ final class KeyedParquetTable(
       walkParquet(nextDir)
         .filterNot(p => linkedRel(nextDir.relativize(p).toString))
         .map(_.toString))
+    carrySchemaMeta(cur, nextDir)
     txn.fold(carryTxn(cur, nextDir))(writeTxn(nextDir, _))
     swingPointerCas(cur, next)
   }
@@ -928,6 +978,87 @@ final class KeyedParquetTable(
       require(f.dataType.sql == curTypes(f.name).sql,
         s"append type mismatch for $root.${f.name}: snapshot ${curTypes(f.name)} " +
           s"vs batch ${f.dataType}; schema evolution requires a full commit()")
+  }
+
+  // ---- schema evolution ---------------------------------------------------
+  //
+  // Iceberg treats add/drop column as METADATA-ONLY commits: no data file is
+  // touched, and readers resolve each file against the table schema by
+  // field id. This layout reproduces that cost shape — an evolution commit
+  // hard-links every file of the current snapshot (O(files) inodes, zero
+  // data I/O: the shape that holds on a 100 TB table) and pins the evolved
+  // READ schema in `_schema.json`, which every subsequent reader and
+  // snapshot-incremental commit honors (name-based resolution: parquet
+  // scans with an explicit schema null-fill absent columns and ignore
+  // extra ones). Backfilling a real default is the one genuinely O(table)
+  // form ([[addColumnWithDefault]]) — same as Iceberg, where an
+  // initial-default still requires a rewrite to materialize physically.
+
+  /** ADD COLUMN (nullable, no backfill): metadata-only commit. Existing
+    * rows read NULL for the new column; merges/appends after this must
+    * carry it ([[requireAppendCompatible]] and `mergeUpsert`'s projection
+    * enforce that loudly).
+    */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Long = {
+    require(exists, s"addColumn target $root does not exist")
+    val cur = snapshotSchema(versionDir(currentVersion))
+    require(!cur.fieldNames.contains(name),
+      s"$root already has a column '$name'")
+    evolveTo(org.apache.spark.sql.types.StructType(
+      cur.fields :+ org.apache.spark.sql.types.StructField(name, dataType, nullable = true)))
+  }
+
+  /** DROP COLUMN: metadata-only commit — the bytes stay in existing files
+    * (until compaction naturally rewrites them) but every reader projects
+    * the column away, exactly Iceberg's drop-column semantics. Key, bucket,
+    * partition and stats columns are load-bearing and refuse to drop.
+    */
+  def dropColumn(name: String): Long = {
+    require(exists, s"dropColumn target $root does not exist")
+    val cur = snapshotSchema(versionDir(currentVersion))
+    require(cur.fieldNames.contains(name), s"$root has no column '$name'")
+    require(!keys.contains(name) && !bucketKeys.contains(name),
+      s"cannot drop key column '$name'")
+    require(!partitionBy.contains(name), s"cannot drop partition column '$name'")
+    require(!statsCols.contains(name),
+      s"cannot drop stats column '$name' — reopen the table without it in statsCols first")
+    require(name != "__bucket", "cannot drop the bucket layout column")
+    evolveTo(org.apache.spark.sql.types.StructType(
+      cur.fields.filterNot(_.name == name)))
+  }
+
+  /** ADD COLUMN with a materialized default: the O(table) full-rewrite form
+    * (every row is physically backfilled — use [[addColumn]] when NULL is
+    * an acceptable value for pre-evolution rows). Carries the txn marker:
+    * the rewrite preserves every previously applied batch's effects.
+    */
+  def addColumnWithDefault(name: String,
+                           default: org.apache.spark.sql.Column): Long = {
+    require(exists, s"addColumnWithDefault target $root does not exist")
+    require(!snapshotSchema(versionDir(currentVersion)).fieldNames.contains(name),
+      s"$root already has a column '$name'")
+    commitInternal(read().withColumn(name, default), None, carry = true)
+  }
+
+  /** Metadata-only evolution commit: hard-link EVERY file of the current
+    * snapshot (data and `_stats` index alike — neither changes), pin the
+    * new declared schema, carry the txn marker.
+    */
+  private def evolveTo(newSchema: org.apache.spark.sql.types.StructType): Long = {
+    val cur = currentVersion
+    val curDir = versionDir(cur)
+    val next = cur + 1
+    val nextDir = versionDir(next)
+    claimCommit(next)
+    if (Files.exists(nextDir)) deleteRecursively(nextDir)
+    Files.createDirectories(nextDir)
+    walkEntries(curDir).filter(Files.isRegularFile(_))
+      .filterNot(p => Set("_txn", "_schema.json").contains(p.getFileName.toString))
+      .foreach(linkInto(curDir, nextDir, _))
+    writeSchemaMeta(nextDir, newSchema)
+    carryTxn(cur, nextDir)
+    schemaCache = Some(newSchema)
+    swingPointerCas(cur, next)
   }
 
   /** Snapshot history — analog of Iceberg's `.history` metadata table. */
@@ -1324,6 +1455,7 @@ final class KeyedParquetTable(
     refreshStats(cur, next, nextDir, Some(rewrittenIds),
       rewrittenIds.toSeq.map(b => nextDir.resolve(s"__bucket=$b"))
         .filter(Files.exists(_)).map(_.toString))
+    carrySchemaMeta(cur, nextDir)
     carryTxn(cur, nextDir)
     Some(swingPointerCas(cur, next))
   }

@@ -958,4 +958,107 @@ class KeyedParquetTableSpec extends SparkSpec {
     legacy.merge(Seq((6L, "z", "u")).toDF("id", "v", "operation"))
     assert(legacy.properties("graft.layout.bucket-count") === "8") // re-stamped
   }
+
+  private def dataFileKeys(dir: String, v: Long): Set[Object] = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/v$v"))
+    try s.iterator().asScala.toSeq
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_stats") && java.nio.file.Files.isRegularFile(p))
+      .map(p => java.nio.file.Files.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey)
+      .toSet
+    finally s.close()
+  }
+
+  test("addColumn is metadata-only: zero data I/O, nulls for old rows, " +
+    "merges carry the column forward") {
+    val dir = tmpDir("kpt_addcol")
+    val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4)
+    t.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val preV = t.currentVersion
+    t.addColumn("score", DoubleType)
+    // metadata-only: every data file of the new snapshot is a hard link of
+    // the previous snapshot's (same inode identity) — no byte was rewritten
+    assert(dataFileKeys(dir, preV) === dataFileKeys(dir, t.currentVersion))
+    // old rows read NULL for the new column; time travel shows the old shape
+    assert(t.read().schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    assert(t.read().filter(col("score").isNull).count() === 3L)
+    assert(t.readVersion(preV).schema.fieldNames.toSeq === Seq("id", "v"))
+    // a merge carrying the column updates it; untouched keys keep NULL —
+    // and the declared schema survives the scoped commit (the new snapshot
+    // mixes files with and without the physical column)
+    t.merge(Seq((1L, "a2", 0.9, "u"), (4L, "d", 0.5, "u"))
+      .toDF("id", "v", "score", "operation"))
+    val rows = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows === Array((1L, "a2", Some(0.9)), (2L, "b", None),
+      (3L, "c", None), (4L, "d", Some(0.5))))
+    // bucket-pruned reads resolve the evolved schema too
+    assert(t.readForKeys(Seq(2L).toDF("id")).schema.fieldNames.contains("score"))
+    // appends with the pre-evolution shape are rejected loudly
+    intercept[IllegalArgumentException] { t.append(Seq((9L, "z")).toDF("id", "v")) }
+  }
+
+  test("dropColumn is metadata-only: readers project it away, bytes stay " +
+    "until compaction; load-bearing columns refuse") {
+    val dir = tmpDir("kpt_dropcol")
+    val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4,
+      statsCols = Seq("id"))
+    t.commit(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "aux"))
+    val preV = t.currentVersion
+    t.dropColumn("aux")
+    assert(dataFileKeys(dir, preV) === dataFileKeys(dir, t.currentVersion))
+    assert(t.read().schema.fieldNames.toSeq === Seq("id", "v"))
+    // physical bytes still present in the linked files (Iceberg drop-column
+    // semantics: data outlives the schema until a rewrite)
+    val rawCols = spark.read.parquet(s"$dir/v$preV").schema.fieldNames.toSet
+    assert(rawCols.contains("aux"))
+    // merges now use the narrowed shape; compaction materializes it
+    t.merge(Seq((1L, "a2", "u"), (2L, "b", "u"), (3L, "c", "u"))
+      .toDF("id", "v", "operation"))
+    assert(t.read().orderBy("id").collect().map(_.getString(1)).toSeq ===
+      Seq("a2", "b", "c"))
+    t.compact(minInputFiles = 1)
+    assert(t.read().schema.fieldNames.toSeq === Seq("id", "v"))
+    // refusals: key / stats / missing columns
+    intercept[IllegalArgumentException] { t.dropColumn("id") }
+    intercept[IllegalArgumentException] { t.dropColumn("nope") }
+    val t2 = new KeyedParquetTable(spark, tmpDir("kpt_dropstat"), Seq("id"),
+      Nil, 4, statsCols = Seq("val2"))
+    t2.commit(Seq((1L, 5L)).toDF("id", "val2"))
+    intercept[IllegalArgumentException] { t2.dropColumn("val2") }
+  }
+
+  test("addColumnWithDefault backfills every existing row (full rewrite)") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_backfill"), Seq("id"), Nil, 4)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.addColumnWithDefault("flag", lit(0L))
+    assert(t.read().filter(col("flag") === 0L).count() === 2L)
+    // the evolved schema is physical: a later merge and read round-trip
+    t.merge(Seq((2L, "b2", 1L, "u")).toDF("id", "v", "flag", "operation"))
+    val rows = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows === Array((1L, "a", 0L), (2L, "b2", 1L)))
+    intercept[IllegalArgumentException] { t.addColumnWithDefault("flag", lit(9L)) }
+  }
+
+  test("declared schema survives append and expire after evolution") {
+    val dir = tmpDir("kpt_evo_carry")
+    val t = new KeyedParquetTable(spark, dir, Seq("id"))
+    t.append(Seq((1L, "x")).toDF("id", "v"))
+    t.addColumn("score", DoubleType)
+    // append with the evolved shape: new files carry the column physically,
+    // linked old files do not — the carried declared schema unifies them
+    t.append(Seq((2L, "y", 1.5)).toDF("id", "v", "score"))
+    val rows = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows === Array((1L, None), (2L, Some(1.5))))
+    // a fresh instance (no warm cache) resolves the same declared schema
+    val t2 = new KeyedParquetTable(spark, dir, Seq("id"))
+    assert(t2.read().schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    // expiring pre-evolution snapshots keeps the linked data + schema alive
+    t.expireSnapshots(olderThanMs = 0L, retainLast = 1)
+    assert(t.read().count() === 2L)
+  }
 }
