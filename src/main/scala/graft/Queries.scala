@@ -293,6 +293,50 @@ object Queries {
              |  END AS high_value
              |FROM final f, m""".stripMargin)),
 
+    // MERGE-ON-READ predicate delete under the CDC cadence: fold batch 1,
+    // deleteWhere (a compliance wipe — zero data files rewritten, the
+    // matched keys become a delete set readers anti-join), then fold
+    // batch 2, whose upserts RE-INSERT deleted keys they touch (their
+    // buckets rewrite post-delete state and prune the set). Final state is
+    // SQL-expressible, so the whole deferred-delete lifecycle is
+    // hash-checked against DuckDB; physical invariants (hard links, set
+    // pruning, compaction materialization) are KeyedParquetTableSpec's.
+    "q_mor_delete" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val parsed = parsedEventsCached(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "operation")
+          .localCheckpoint(true)
+        val maxId = parsed.agg(max("event_id")).head().getLong(0)
+        val mid = (maxId + 1) / 2
+        val tmp = scratchDir("graft_mor_")
+        val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
+        table.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
+        def half(cond: Column): DataFrame =
+          Dedup.dedupLatest(parsed.filter(cond), Seq("user_id"), Seq(col("event_id").desc))
+            .select((parsed.columns.filterNot(_ == "operation").map(col)
+              .toIndexedSeq :+ col("operation")): _*)
+        table.merge(half(col("event_id") < mid))
+        table.deleteWhere(col("value") > 80.0)
+        table.merge(half(col("event_id") >= mid))
+        table.read()
+      },
+      Some("""WITH m AS (SELECT (MAX(event_id) + 1) // 2 AS mid FROM events),
+             |l1 AS (SELECT user_id, event_id, event_type, value FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |    FROM events WHERE event_id < (SELECT mid FROM m)) t WHERE rn = 1),
+             |l2 AS (SELECT user_id, event_id, event_type, value FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |    FROM events WHERE event_id >= (SELECT mid FROM m)) t WHERE rn = 1)
+             |SELECT user_id, event_id, event_type, value
+             |FROM l2 WHERE event_type <> 'error'
+             |UNION ALL
+             |SELECT user_id, event_id, event_type, value FROM l1
+             |WHERE event_type <> 'error'
+             |  AND (value <= 80.0 OR value IS NULL)
+             |  AND NOT EXISTS (SELECT 1 FROM l2
+             |                  WHERE l2.user_id IS NOT DISTINCT FROM l1.user_id)""".stripMargin)),
+
     // Token-window chunking (32-token windows, stride 16 → 50% overlap) —
     // the segmentation stage of a training pipeline. Chunk TEXT is
     // oracle-checked byte-for-byte: both engines slice the same

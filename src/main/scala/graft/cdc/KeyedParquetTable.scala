@@ -172,7 +172,8 @@ final class KeyedParquetTable(
         case Some(s) => spark.read.schema(s).parquet(versionDir(version).toString)
         case None    => spark.read.parquet(versionDir(version).toString)
       }
-    if (bucketCount > 0 && df.columns.contains("__bucket")) df.drop("__bucket") else df
+    val live = applyDeletes(df, versionDir(version)) // merge-on-read
+    if (bucketCount > 0 && live.columns.contains("__bucket")) live.drop("__bucket") else live
   }
 
   /** Incremental append read: ONLY the data added after `sinceVersion` —
@@ -203,9 +204,10 @@ final class KeyedParquetTable(
     else {
       // basePath: partition-column values live only in directory names, so
       // reading leaf files without it would return NULL partition columns.
-      val df = spark.read.schema(snapshotSchema(versionDir(currentVersion)))
-        .option("basePath", versionDir(currentVersion).toString)
-        .parquet(fresh: _*)
+      val df = applyDeletes(
+        spark.read.schema(snapshotSchema(versionDir(currentVersion)))
+          .option("basePath", versionDir(currentVersion).toString)
+          .parquet(fresh: _*), versionDir(currentVersion))
       if (bucketCount > 0 && df.columns.contains("__bucket")) df.drop("__bucket") else df
     }
   }
@@ -265,17 +267,17 @@ final class KeyedParquetTable(
       // two-level plan an Iceberg (partition, manifest min/max) scan does
       case Some(files) if files.isEmpty => read().limit(0)
       case Some(files) =>
-        spark.read.schema(snapshotSchema(curDir))
+        applyDeletes(spark.read.schema(snapshotSchema(curDir))
           .option("basePath", curDir.toString)
-          .parquet(files: _*)
+          .parquet(files: _*), curDir)
           .drop("__bucket")
       case None =>
         // basePath: partition values live in directory names; cached schema
         // (uniform by construction — [[requireAppendCompatible]] rejects
         // mixed-schema snapshots) skips per-probe footer inference
-        spark.read.schema(snapshotSchema(curDir))
+        applyDeletes(spark.read.schema(snapshotSchema(curDir))
           .option("basePath", curDir.toString)
-          .parquet(chosen.map(_.toString): _*)
+          .parquet(chosen.map(_.toString): _*), curDir)
           .drop("__bucket")
     }
   }
@@ -305,9 +307,9 @@ final class KeyedParquetTable(
       p.getFileName.toString.stripPrefix("__bucket=").toIntOption.exists(buckets)
     }
     if (chosen.isEmpty) read().limit(0)
-    else spark.read.schema(snapshotSchema(curDir))
+    else applyDeletes(spark.read.schema(snapshotSchema(curDir))
       .option("basePath", curDir.toString)
-      .parquet(chosen.map(_.toString): _*)
+      .parquet(chosen.map(_.toString): _*), curDir)
       .drop("__bucket")
   }
 
@@ -330,8 +332,30 @@ final class KeyedParquetTable(
     * into the join and simply produce no change rows (correct, unpruned).
     */
   def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    // merge-on-read guard: the bucket-diff scoping below infers "unchanged
+    // rows" from unchanged file identity, which a delete-set change breaks
+    // (a deleteWhere commit hard-links every data file). Scoping stays
+    // valid only when both versions carry the IDENTICAL delete set (same
+    // inode identity — hard-link carried); otherwise fall back to the full
+    // keyed diff, which reads through applyDeletes on both sides and stays
+    // exact.
+    def delIdentity(v: Long): Option[Set[Object]] = {
+      val d = deletesDirOf(versionDir(v))
+      if (!Files.exists(d)) Some(Set.empty)
+      else {
+        val ks = walkEntries(d).filter(p => Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet"))
+          .map(p => Files.readAttributes(p,
+            classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey)
+        if (ks.contains(null)) None else Some(ks.toSet)
+      }
+    }
+    val deletesIdentical = (delIdentity(fromVersion), delIdentity(toVersion)) match {
+      case (Some(a), Some(b)) => a == b
+      case _                  => false
+    }
     val scopedBuckets: Option[Set[Int]] =
-      if (bucketCount <= 0) None
+      if (bucketCount <= 0 || !deletesIdentical) None
       else {
         // bucket id → file-identity set; None when identity can't be
         // attested (flat/foreign layout, or a filesystem without fileKey)
@@ -819,8 +843,9 @@ final class KeyedParquetTable(
       else {
         val targetTouched =
           if (walkParquet(curDir).isEmpty) src.limit(0).drop(opCol) // empty table
-          else spark.read.schema(snapshotSchema(curDir)).parquet(curDir.toString)
-            .filter(col("__bucket").isin(touched.toSeq: _*))
+          else applyDeletes( // rewritten buckets must emit POST-delete state
+            spark.read.schema(snapshotSchema(curDir)).parquet(curDir.toString)
+              .filter(col("__bucket").isin(touched.toSeq: _*)), curDir)
         Merge.mergeUpsert(targetTouched, src, keys, opCol)
       }
     commitScoped(merged, touched, txn, swing)
@@ -894,6 +919,7 @@ final class KeyedParquetTable(
     refreshStats(cur, next, nextDir, Some(touched),
       touchedSeq.map(b => nextDir.resolve(s"__bucket=$b"))
         .filter(Files.exists(_)).map(_.toString))
+    carryDeletesPruned(curDir, nextDir, touched)
     carrySchemaMeta(cur, nextDir)
     txn.fold(carryTxn(cur, nextDir))(writeTxn(nextDir, _))
     // swing=false is [[stageMerge]]'s write-audit-publish half: the claim
@@ -945,6 +971,7 @@ final class KeyedParquetTable(
       walkParquet(nextDir)
         .filterNot(p => linkedRel(nextDir.relativize(p).toString))
         .map(_.toString))
+    carryDeletesPruned(curDir, nextDir, Set.empty)
     carrySchemaMeta(cur, nextDir)
     txn.fold(carryTxn(cur, nextDir))(writeTxn(nextDir, _))
     swingPointerCas(cur, next)
@@ -1060,6 +1087,117 @@ final class KeyedParquetTable(
     schemaCache = Some(newSchema)
     swingPointerCas(cur, next)
   }
+
+  // ---- merge-on-read predicate deletes ------------------------------------
+  //
+  // Iceberg v2's delete-file mechanism, re-expressed on this layout: a
+  // predicate delete ([[deleteWhere]]) commits a KEY SET (`_deletes/`
+  // parquet inside the snapshot dir, atomic with the pointer swing) and
+  // hard-links every data file — O(matched keys) I/O instead of the
+  // copy-on-write bucket rewrite, the shape a compliance wipe needs on a
+  // 100 TB table. Every read path anti-joins the snapshot's delete set
+  // (merge-on-read); commits that REWRITE buckets emit post-delete state,
+  // so they prune the carried set to the untouched buckets — deletes are
+  // materialized incrementally by the table's own maintenance (a full
+  // compact/commit clears the set entirely), exactly Iceberg's
+  // rewrite-position-deletes lifecycle.
+
+  private def deletesDirOf(dir: Path): Path = dir.resolve("_deletes")
+
+  private def hasDeletes(dir: Path): Boolean = {
+    val d = deletesDirOf(dir)
+    Files.exists(d) && walkEntries(d).exists(p =>
+      Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+  }
+
+  private def deleteKeySet(dir: Path): Option[DataFrame] =
+    if (!hasDeletes(dir)) None
+    else Some(spark.read.parquet(deletesDirOf(dir).toString))
+
+  /** Anti-join `df` against the snapshot's delete key set (null-safe: a
+    * NULL key is a legitimate key and must delete like any other). No-op
+    * when the snapshot carries no deletes — the common case pays nothing.
+    */
+  private def applyDeletes(df: DataFrame, dir: Path): DataFrame =
+    deleteKeySet(dir) match {
+      case None => df
+      case Some(del) =>
+        val d = del.select(keys.map(k => col(k).as(s"__del_$k")): _*)
+        val cond = keys.map(k => df(k) <=> d(s"__del_$k")).reduce(_ && _)
+        df.join(d, cond, "left_anti")
+    }
+
+  /** MERGE-ON-READ predicate delete: rows matching `cond` leave the table
+    * as of the committed snapshot, but NO data file is rewritten — the
+    * matched keys are recorded as a delete set that readers anti-join
+    * (including [[readForKeys]]/[[readBuckets]], so incremental
+    * maintainers see post-delete state). Physical reclamation rides the
+    * table's own maintenance: any commit that rewrites a bucket emits its
+    * post-delete state and drops that bucket's keys from the set, and a
+    * [[compact]]/full [[commit]] materializes everything. A later upsert
+    * of a deleted key re-inserts it (its bucket's rewrite prunes the set).
+    *
+    * Cost: one filtered scan to collect matched keys + an O(set) write.
+    * The delete set is keyed data, not metadata — it shuffles to one file
+    * and is bounded by the keys deleted since the last rewrite of their
+    * buckets.
+    *
+    * Key-granularity contract (like the scoped merge): `cond` identifies
+    * whole rows by their CURRENT values and deletion applies per KEY.
+    */
+  def deleteWhere(cond: org.apache.spark.sql.Column,
+                  txn: Option[String] = None): Long = {
+    require(exists, s"deleteWhere target $root does not exist")
+    val cur = currentVersion
+    val curDir = versionDir(cur)
+    val next = cur + 1
+    val nextDir = versionDir(next)
+    claimCommit(next)
+    if (Files.exists(nextDir)) deleteRecursively(nextDir)
+    Files.createDirectories(nextDir)
+    // hard-link every current file (data + _stats verbatim — file stats
+    // stay valid as supersets); the delete set is rebuilt below
+    walkEntries(curDir).filter(Files.isRegularFile(_))
+      .filterNot(p => Set("_txn", "_schema.json").contains(p.getFileName.toString))
+      .filterNot(p => curDir.relativize(p).iterator().asScala
+        .exists(_.getFileName.toString == "_deletes"))
+      .foreach(linkInto(curDir, nextDir, _))
+    // read() already applies the carried set, so `matched` holds only
+    // still-live keys; union + distinct keeps the set minimal
+    val matched = read().filter(cond).select(keys.map(col): _*).distinct()
+    val full = deleteKeySet(curDir) match {
+      case None      => matched
+      case Some(old) => old.select(keys.map(col): _*).unionByName(matched).distinct()
+    }
+    full.repartition(1).write.mode("overwrite")
+      .parquet(deletesDirOf(nextDir).toString)
+    carrySchemaMeta(cur, nextDir)
+    txn.fold(carryTxn(cur, nextDir))(writeTxn(nextDir, _))
+    swingPointerCas(cur, next)
+  }
+
+  /** Prune the carried delete set for a commit that rewrote `touched`
+    * buckets with post-delete content (their deleted keys are now
+    * physically absent), carrying the rest into `nextDir`. A key pruned
+    * here can re-enter data via a later upsert — which is the point.
+    */
+  private def carryDeletesPruned(curDir: Path, nextDir: Path,
+                                 touched: Set[Int]): Unit =
+    if (hasDeletes(curDir)) {
+      if (touched.isEmpty || bucketCount <= 0)
+        // nothing rewritten: hard-link the set verbatim — zero Spark jobs,
+        // and preserved inode identity keeps changesBetween's bucket-diff
+        // scoping valid across the commit
+        walkEntries(deletesDirOf(curDir)).filter(Files.isRegularFile(_))
+          .foreach(linkInto(curDir, nextDir, _))
+      else {
+        val remaining = deleteKeySet(curDir).get
+          .filter(!pmod(abs(xxhash64(bucketKeys.map(col): _*)),
+            lit(bucketCount)).cast("int").isin(touched.toSeq: _*))
+        remaining.repartition(1).write.mode("overwrite")
+          .parquet(deletesDirOf(nextDir).toString)
+      }
+    }
 
   /** Snapshot history — analog of Iceberg's `.history` metadata table. */
   def history(): DataFrame = {
@@ -1390,7 +1528,8 @@ final class KeyedParquetTable(
     walkEntries(dir)
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .filterNot(p => dir.relativize(p).iterator().asScala
-        .exists(_.getFileName.toString == "_stats"))
+        .exists(e => e.getFileName.toString == "_stats" ||
+          e.getFileName.toString == "_deletes"))
 
   /** M1: rewrite small files — if the current snapshot has at least
     * `minInputFiles` fragments. On a bucketed table the rewrite is
@@ -1425,9 +1564,21 @@ final class KeyedParquetTable(
         carry = true))
     // fragmentation is judged per LEAF directory: a partitioned bucket with
     // one file per partition dir is already compact (a per-bucket file
-    // count would flag it forever and churn-rewrite it on every call)
+    // count would flag it forever and churn-rewrite it on every call).
+    // Buckets with PENDING merge-on-read delete keys also rewrite — the
+    // delete-threshold rule of Iceberg's rewrite_data_files: compaction is
+    // where deferred deletes become physical, so a compacted table carries
+    // no delete set for the buckets it touched (one bounded bucket-id job,
+    // only when a delete set exists)
+    val deleteBuckets: Set[Int] =
+      if (!hasDeletes(curDir)) Set.empty
+      else distinctInts(deleteKeySet(curDir).get.select(
+        pmod(abs(xxhash64(bucketKeys.map(col): _*)), lit(bucketCount))
+          .cast("int").as("__b")))
     val (fragmented, intact) = bucketDirsOf(curDir).partition(d =>
-      walkParquet(d).groupBy(_.getParent).exists(_._2.size >= 2))
+      walkParquet(d).groupBy(_.getParent).exists(_._2.size >= 2) ||
+        d.getFileName.toString.stripPrefix("__bucket=").toIntOption
+          .exists(deleteBuckets))
     if (fragmented.isEmpty) return None
     val next = cur + 1
     val nextDir = versionDir(next)
@@ -1438,9 +1589,10 @@ final class KeyedParquetTable(
     // one hash partition per fragmented bucket → ~one output file each;
     // basePath keeps the __bucket / partition columns readable from the
     // directory names so the rewrite lands back in the same layout
-    spark.read.schema(snapshotSchema(curDir))
-      .option("basePath", curDir.toString)
-      .parquet(fragmented.map(_.toString): _*)
+    applyDeletes( // compaction MATERIALIZES merge-on-read deletes
+      spark.read.schema(snapshotSchema(curDir))
+        .option("basePath", curDir.toString)
+        .parquet(fragmented.map(_.toString): _*), curDir)
       .repartition(math.max(targetPartitions, fragmented.size), col("__bucket"))
       .write.mode("append")
       .partitionBy(("__bucket" +: partitionBy): _*)
@@ -1455,6 +1607,7 @@ final class KeyedParquetTable(
     refreshStats(cur, next, nextDir, Some(rewrittenIds),
       rewrittenIds.toSeq.map(b => nextDir.resolve(s"__bucket=$b"))
         .filter(Files.exists(_)).map(_.toString))
+    carryDeletesPruned(curDir, nextDir, rewrittenIds)
     carrySchemaMeta(cur, nextDir)
     carryTxn(cur, nextDir)
     Some(swingPointerCas(cur, next))

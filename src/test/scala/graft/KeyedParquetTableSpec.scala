@@ -963,7 +963,8 @@ class KeyedParquetTableSpec extends SparkSpec {
     val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/v$v"))
     try s.iterator().asScala.toSeq
       .filter(p => p.toString.endsWith(".parquet") &&
-        !p.toString.contains("_stats") && java.nio.file.Files.isRegularFile(p))
+        !p.toString.contains("_stats") && !p.toString.contains("_deletes") &&
+        java.nio.file.Files.isRegularFile(p))
       .map(p => java.nio.file.Files.readAttributes(p,
         classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey)
       .toSet
@@ -1041,6 +1042,59 @@ class KeyedParquetTableSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(rows === Array((1L, "a", 0L), (2L, "b2", 1L)))
     intercept[IllegalArgumentException] { t.addColumnWithDefault("flag", lit(9L)) }
+  }
+
+  test("deleteWhere is merge-on-read: zero data rewrite, all read paths " +
+    "filter, upsert re-inserts, compact materializes") {
+    val dir = tmpDir("kpt_mor")
+    val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4)
+    t.commit(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("id", "v", "n"))
+    val preV = t.currentVersion
+    t.deleteWhere(col("n") >= 30L)
+    // zero data I/O: every data file of the new snapshot is a hard link
+    assert(dataFileKeys(dir, preV) === dataFileKeys(dir, t.currentVersion))
+    // every read surface sees post-delete state
+    assert(t.read().orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // readForKeys returns a bucket SUPERSET by contract — the deleted key
+    // itself must be gone, co-bucketed live keys may ride along
+    assert(!t.readForKeys(Seq(3L).toDF("id"))
+      .collect().map(_.getLong(0)).contains(3L))
+    assert(t.readBuckets((0 until 4).toSet).count() === 2L)
+    // time travel still sees the pre-delete snapshot
+    assert(t.readVersion(preV).count() === 4L)
+    // an upsert of a deleted key re-inserts it (its bucket's rewrite
+    // prunes the carried set)
+    t.merge(Seq((3L, "c2", 99L, "u")).toDF("id", "v", "n", "operation"))
+    assert(t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c2")))
+    // deleting again, then compacting, physically materializes: the
+    // delete set is gone and rows stay filtered without it
+    t.deleteWhere(col("id") === 1L)
+    assert(t.read().count() === 2L)
+    t.compact(minInputFiles = 1)
+    assert(t.read().orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$dir/v${t.currentVersion}/_deletes")) ||
+      spark.read.parquet(s"$dir/v${t.currentVersion}/_deletes").count() === 0L)
+    // deleted-then-reinserted histories replay exactly via changesBetween
+    val ch = t.changesBetween(preV, t.currentVersion)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(ch === Array((1L, "delete"), (3L, "update"), (4L, "delete")))
+  }
+
+  test("deleteWhere commits atomically with a txn marker and stacks sets") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_mor_txn"), Seq("id"), Nil, 4)
+    t.commit((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.deleteWhere(col("id") <= 3L, txn = Some("wipe-1"))
+    assert(t.lastTxn === Some("wipe-1"))
+    t.deleteWhere(col("id") >= 9L) // txn-less: carries wipe-1 forward
+    assert(t.lastTxn === Some("wipe-1"))
+    assert(t.read().count() === 5L)
+    // the set is minimal: already-deleted keys don't re-enter it
+    val del = spark.read.parquet(
+      s"${t.root}/v${t.currentVersion}/_deletes")
+    assert(del.count() === 5L && del.distinct().count() === 5L)
   }
 
   test("declared schema survives append and expire after evolution") {
