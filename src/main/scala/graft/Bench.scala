@@ -132,6 +132,15 @@ object Bench {
         n
       }
       val filesBefore = nFiles(lineage)
+      // phase 2b: merge-on-read compliance wipe on the merged entity table —
+      // commits a delete key set with every data file hard-linked (the
+      // O(matched keys) shape), then one read through the anti-join
+      val liveBefore = entity.read().count() // untimed baseline
+      val t2b = System.nanoTime()
+      entity.deleteWhere(col("value") > 95.0)
+      val liveAfter = entity.read().count() // timed: read through the anti-join
+      val morSec = (System.nanoTime() - t2b) / 1e9
+      val morDeleted = liveBefore - liveAfter
       // phase 3: the maintenance pass itself
       val t2 = System.nanoTime()
       lineage.compact(minInputFiles = 5)
@@ -146,7 +155,9 @@ object Bench {
       val orphanSec = (System.nanoTime() - t4) / 1e9
       s"""{"rows":$nRows,"merge_sec":$mergeSec,""" +
         s""""merge_rows_per_sec":${nRows / mergeSec},""" +
-        s""""append_sec":$appendSec,"compact_sec":$compactSec,""" +
+        s""""append_sec":$appendSec,""" +
+        s""""mor_delete_sec":$morSec,"mor_deleted_rows":$morDeleted,""" +
+        s""""compact_sec":$compactSec,""" +
         s""""files_before_compact":$filesBefore,"files_after_compact":$filesAfter,""" +
         s""""expired_snapshots":$expired,"expire_sec":$expireSec,""" +
         s""""orphans_removed":$orphans,"orphan_sec":$orphanSec}"""

@@ -1067,6 +1067,26 @@ final class KeyedParquetTable(
     commitInternal(read().withColumn(name, default), None, carry = true)
   }
 
+  /** RENAME COLUMN — an O(table) rewrite on this layout, unlike Iceberg
+    * where field ids make renames metadata-only: files here resolve
+    * columns by NAME, so a rename must be physical (a declared-schema
+    * alias map would have to be threaded through every name-based reader
+    * and would still break foreign readers of the parquet itself).
+    * Load-bearing names (key/bucket/partition/stats columns) refuse.
+    */
+  def renameColumn(from: String, to: String): Long = {
+    require(exists, s"renameColumn target $root does not exist")
+    val cur = snapshotSchema(versionDir(currentVersion))
+    require(cur.fieldNames.contains(from), s"$root has no column '$from'")
+    require(!cur.fieldNames.contains(to), s"$root already has a column '$to'")
+    require(!keys.contains(from) && !bucketKeys.contains(from),
+      s"cannot rename key column '$from'")
+    require(!partitionBy.contains(from), s"cannot rename partition column '$from'")
+    require(!statsCols.contains(from),
+      s"cannot rename stats column '$from' — reopen the table without it in statsCols first")
+    commitInternal(read().withColumnRenamed(from, to), None, carry = true)
+  }
+
   /** Metadata-only evolution commit: hard-link EVERY file of the current
     * snapshot (data and `_stats` index alike — neither changes), pin the
     * new declared schema, carry the txn marker.

@@ -1097,6 +1097,19 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(del.count() === 5L && del.distinct().count() === 5L)
   }
 
+  test("renameColumn rewrites physically; load-bearing names refuse") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_rename"), Seq("id"), Nil, 4)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.renameColumn("v", "label")
+    assert(t.read().schema.fieldNames.toSeq === Seq("id", "label"))
+    assert(t.read().orderBy("id").collect().map(_.getString(1)).toSeq === Seq("a", "b"))
+    t.merge(Seq((2L, "b2", "u")).toDF("id", "label", "operation"))
+    assert(t.read().orderBy("id").collect().map(_.getString(1)).toSeq === Seq("a", "b2"))
+    intercept[IllegalArgumentException] { t.renameColumn("id", "key") }
+    intercept[IllegalArgumentException] { t.renameColumn("nope", "x") }
+    intercept[IllegalArgumentException] { t.renameColumn("label", "id") }
+  }
+
   test("declared schema survives append and expire after evolution") {
     val dir = tmpDir("kpt_evo_carry")
     val t = new KeyedParquetTable(spark, dir, Seq("id"))
