@@ -1168,6 +1168,35 @@ final class KeyedParquetTable(
   def deleteWhere(cond: org.apache.spark.sql.Column,
                   txn: Option[String] = None): Long = {
     require(exists, s"deleteWhere target $root does not exist")
+    // read() already applies the carried set, so the matched keys are only
+    // still-live ones; the commit unions + dedups against the carried set
+    commitDeleteSet(read().filter(cond).select(keys.map(col): _*), txn)
+  }
+
+  /** [[deleteWhere]] for a KNOWN key set — the zero-scan form: where the
+    * predicate delete pays one full filtered read to discover its keys,
+    * a wipe that already knows them (the GDPR/right-to-be-forgotten case:
+    * "delete THESE user ids") commits in O(set) total — no data file is
+    * read OR written. Keys absent from the table are harmless (the
+    * read-side anti-join simply never matches them), so callers need not
+    * pre-probe existence. `keysDf` must carry the table's key columns
+    * under their own names and stored types (same contract as
+    * [[readForKeys]] — a differently-typed key would survive the
+    * null-safe anti-join and silently NOT delete).
+    */
+  def deleteKeys(keysDf: DataFrame, txn: Option[String] = None): Long = {
+    require(exists, s"deleteKeys target $root does not exist")
+    keys.foreach(k => require(keysDf.columns.contains(k),
+      s"deleteKeys frame must carry key column '$k'"))
+    commitDeleteSet(keysDf.select(keys.map(col): _*), txn)
+  }
+
+  /** Shared delete-set commit: hard-link every current file (data +
+    * `_stats` verbatim — file stats stay valid as supersets), write the
+    * carried-set ∪ `incoming` (deduped) as the new `_deletes`, carry
+    * schema/txn metadata, swing.
+    */
+  private def commitDeleteSet(incoming: DataFrame, txn: Option[String]): Long = {
     val cur = currentVersion
     val curDir = versionDir(cur)
     val next = cur + 1
@@ -1175,19 +1204,15 @@ final class KeyedParquetTable(
     claimCommit(next)
     if (Files.exists(nextDir)) deleteRecursively(nextDir)
     Files.createDirectories(nextDir)
-    // hard-link every current file (data + _stats verbatim — file stats
-    // stay valid as supersets); the delete set is rebuilt below
     walkEntries(curDir).filter(Files.isRegularFile(_))
       .filterNot(p => Set("_txn", "_schema.json").contains(p.getFileName.toString))
       .filterNot(p => curDir.relativize(p).iterator().asScala
         .exists(_.getFileName.toString == "_deletes"))
       .foreach(linkInto(curDir, nextDir, _))
-    // read() already applies the carried set, so `matched` holds only
-    // still-live keys; union + distinct keeps the set minimal
-    val matched = read().filter(cond).select(keys.map(col): _*).distinct()
     val full = deleteKeySet(curDir) match {
-      case None      => matched
-      case Some(old) => old.select(keys.map(col): _*).unionByName(matched).distinct()
+      case None      => incoming.distinct()
+      case Some(old) =>
+        old.select(keys.map(col): _*).unionByName(incoming).distinct()
     }
     full.repartition(1).write.mode("overwrite")
       .parquet(deletesDirOf(nextDir).toString)

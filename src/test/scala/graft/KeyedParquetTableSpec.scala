@@ -1097,6 +1097,26 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(del.count() === 5L && del.distinct().count() === 5L)
   }
 
+  test("deleteKeys wipes known keys with zero table scan; absent keys harmless") {
+    val dir = tmpDir("kpt_delkeys")
+    val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4)
+    t.commit((1L to 8L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val preV = t.currentVersion
+    // wipe keys 2, 5 and a key that was never in the table
+    t.deleteKeys(Seq(2L, 5L, 999L).toDF("id"), txn = Some("gdpr-1"))
+    assert(dataFileKeys(dir, preV) === dataFileKeys(dir, t.currentVersion))
+    assert(t.read().orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 3L, 4L, 6L, 7L, 8L))
+    assert(t.lastTxn === Some("gdpr-1"))
+    // stacks with a predicate delete; set stays deduped
+    t.deleteKeys(Seq(2L, 7L).toDF("id"))
+    assert(t.read().count() === 5L)
+    val del = spark.read.parquet(s"$dir/v${t.currentVersion}/_deletes")
+    assert(del.count() === del.distinct().count())
+    // key-column contract enforced loudly
+    intercept[IllegalArgumentException] { t.deleteKeys(Seq(1L).toDF("wrong")) }
+  }
+
   test("renameColumn rewrites physically; load-bearing names refuse") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_rename"), Seq("id"), Nil, 4)
     t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
