@@ -293,6 +293,35 @@ object Queries {
              |  END AS high_value
              |FROM final f, m""".stripMargin)),
 
+    // The cdc_merge_final_state fold driven through mergeMor: delete ops
+    // route to the snapshot delete set (zero bucket rewrites for their
+    // buckets) instead of copy-on-write rewrites — and the final state must
+    // still be bit-identical to the from-scratch oracle. Proves the MoR
+    // merge path computes MERGE semantics exactly, batch after batch, with
+    // deferred deletes interleaving with later re-inserting upserts.
+    "cdc_mor_final_state" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val parsed = parsedEventsCached(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "operation")
+          .localCheckpoint(true)
+        val maxId = parsed.agg(max("event_id")).head().getLong(0)
+        val nBatches = 4L
+        val tmp = scratchDir("graft_mormerge_")
+        val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
+        table.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
+        (0L until nBatches).foreach { b =>
+          val lo = b * (maxId + 1) / nBatches
+          val hi = (b + 1) * (maxId + 1) / nBatches
+          val batch = parsed.filter(col("event_id") >= lo && col("event_id") < hi)
+          val deduped = Dedup.dedupLatest(batch, Seq("user_id"), Seq(col("event_id").desc))
+          table.mergeMor(deduped.select(
+            (parsed.columns.filterNot(_ == "operation").map(col).toIndexedSeq :+ col("operation")): _*))
+        }
+        table.read().select("user_id", "event_id", "event_type", "value")
+      },
+      Some(finalStateOracle)),
+
     // MERGE-ON-READ predicate delete under the CDC cadence: fold batch 1,
     // deleteWhere (a compliance wipe — zero data files rewritten, the
     // matched keys become a delete set readers anti-join), then fold

@@ -771,6 +771,59 @@ final class KeyedParquetTable(
       carry = true)
   }
 
+  /** MERGE with MERGE-ON-READ deletes: upserts rewrite their touched
+    * buckets exactly like [[merge]], but the batch's DELETE rows route to
+    * the snapshot's delete key set instead of forcing their buckets to
+    * rewrite — commit cost is O(upsert-touched buckets + delete keys), not
+    * O(all-touched buckets). The win is delete-heavy CDC: a pure-tombstone
+    * batch (GDPR wipe stream, TTL expiry) commits with ZERO bucket
+    * rewrites. Deletes whose key's bucket IS being rewritten are applied
+    * physically by the rewrite (never entering the set); deferred deletes
+    * are materialized later by compaction/upserts, like [[deleteWhere]].
+    *
+    * Trade-off vs [[merge]]: reads pay the anti-join until maintenance
+    * materializes the set — the standard Iceberg v2 read tax. Same
+    * cardinality contract (deduped source, one row per key).
+    * Bucketed engine-layout tables only.
+    */
+  def mergeMor(source: DataFrame, opCol: String = "operation",
+               txn: Option[String] = None): Long = {
+    require(exists, s"mergeMor target $root does not exist")
+    require(bucketCount > 0 && !hasForeignFlatFiles,
+      "mergeMor requires a bucketed engine-layout table — use merge()")
+    val cur = currentVersion
+    val curDir = versionDir(cur)
+    val src = source.withColumn("__bucket", bucketExpr)
+    val dels = src.filter(col(opCol) === "d")
+    // ONE bounded probe job yields upsert AND delete bucket sets (distinct
+    // (bucket, is-delete) pairs, ≤ 2×bucketCount rows to the driver)
+    val pairs = src.select(col("__bucket"), (col(opCol) <=> lit("d")).as("__d"))
+      .rdd.mapPartitions(it =>
+        it.map(r => (r.getInt(0), r.getBoolean(1))).toSet.iterator)
+      .collect().toSet
+    val touched = pairs.collect { case (b, false) => b }
+    // deletes whose bucket rewrites anyway are applied physically there;
+    // only the rest defer to the set (None keeps the zero-job carry path)
+    val delBucketsOutside = pairs.collect { case (b, true) => b } -- touched
+    val merged =
+      if (touched.isEmpty) src.limit(0).drop(opCol)
+      else {
+        val targetTouched =
+          if (walkParquet(curDir).isEmpty) src.limit(0).drop(opCol)
+          else applyDeletes( // rewritten buckets emit POST-delete state
+            spark.read.schema(snapshotSchema(curDir)).parquet(curDir.toString)
+              .filter(col("__bucket").isin(touched.toSeq: _*)), curDir)
+        // deletes of untouched buckets match nothing in targetTouched and
+        // contribute no upsert row — they only reach the set below
+        Merge.mergeUpsert(targetTouched, src, keys, opCol)
+      }
+    commitScoped(merged, touched, txn, swing = true,
+      extraDeletes =
+        if (delBucketsOutside.isEmpty) None
+        else Some(dels.filter(
+          col("__bucket").isin(delBucketsOutside.toSeq: _*))))
+  }
+
   /** True when snapshot `v` holds at least one parquet data file. An empty
     * snapshot (fresh [[createIfNotExists]]) has no footers to infer a schema
     * from, so readers that would scan it substitute an empty frame instead.
@@ -880,7 +933,8 @@ final class KeyedParquetTable(
     * swing the pointer.
     */
   private def commitScoped(content: DataFrame, touched: Set[Int],
-                           txn: Option[String], swing: Boolean = true): Long = {
+                           txn: Option[String], swing: Boolean = true,
+                           extraDeletes: Option[DataFrame] = None): Long = {
     val cur = currentVersion
     val curDir = versionDir(cur)
     val next = cur + 1
@@ -919,7 +973,7 @@ final class KeyedParquetTable(
     refreshStats(cur, next, nextDir, Some(touched),
       touchedSeq.map(b => nextDir.resolve(s"__bucket=$b"))
         .filter(Files.exists(_)).map(_.toString))
-    carryDeletesPruned(curDir, nextDir, touched)
+    carryDeletesPruned(curDir, nextDir, touched, extraDeletes)
     carrySchemaMeta(cur, nextDir)
     txn.fold(carryTxn(cur, nextDir))(writeTxn(nextDir, _))
     // swing=false is [[stageMerge]]'s write-audit-publish half: the claim
@@ -1227,22 +1281,30 @@ final class KeyedParquetTable(
     * here can re-enter data via a later upsert — which is the point.
     */
   private def carryDeletesPruned(curDir: Path, nextDir: Path,
-                                 touched: Set[Int]): Unit =
-    if (hasDeletes(curDir)) {
-      if (touched.isEmpty || bucketCount <= 0)
-        // nothing rewritten: hard-link the set verbatim — zero Spark jobs,
-        // and preserved inode identity keeps changesBetween's bucket-diff
-        // scoping valid across the commit
+                                 touched: Set[Int],
+                                 extra: Option[DataFrame] = None): Unit = {
+    val carried = deleteKeySet(curDir)
+    (carried, extra) match {
+      case (None, None) => ()
+      case (Some(_), None) if touched.isEmpty || bucketCount <= 0 =>
+        // nothing rewritten, nothing added: hard-link the set verbatim —
+        // zero Spark jobs, and preserved inode identity keeps
+        // changesBetween's bucket-diff scoping valid across the commit
         walkEntries(deletesDirOf(curDir)).filter(Files.isRegularFile(_))
           .foreach(linkInto(curDir, nextDir, _))
-      else {
-        val remaining = deleteKeySet(curDir).get
-          .filter(!pmod(abs(xxhash64(bucketKeys.map(col): _*)),
+      case _ =>
+        val notTouched = (df: DataFrame) =>
+          if (touched.isEmpty || bucketCount <= 0) df
+          else df.filter(!pmod(abs(xxhash64(bucketKeys.map(col): _*)),
             lit(bucketCount)).cast("int").isin(touched.toSeq: _*))
-        remaining.repartition(1).write.mode("overwrite")
+        val parts =
+          carried.map(c => notTouched(c.select(keys.map(col): _*))).toSeq ++
+            extra.map(e => notTouched(e.select(keys.map(col): _*))).toSeq
+        parts.reduce(_ unionByName _).distinct()
+          .repartition(1).write.mode("overwrite")
           .parquet(deletesDirOf(nextDir).toString)
-      }
     }
+  }
 
   /** Snapshot history — analog of Iceberg's `.history` metadata table. */
   def history(): DataFrame = {

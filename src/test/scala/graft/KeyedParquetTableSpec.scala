@@ -1117,6 +1117,42 @@ class KeyedParquetTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.deleteKeys(Seq(1L).toDF("wrong")) }
   }
 
+  test("mergeMor ≡ merge on mixed batches; pure-tombstone batches rewrite " +
+    "zero buckets") {
+    val seed = new scala.util.Random(77)
+    def batch(n: Int): Seq[(Long, String, String)] =
+      (1 to n).map { _ =>
+        val id = seed.nextInt(40).toLong
+        (id, s"v${seed.nextInt(1000)}", if (seed.nextInt(4) == 0) "d" else "u")
+      }.groupBy(_._1).map(_._2.head).toSeq // dedup: one row per key
+    val dirA = tmpDir("kpt_mor_a"); val dirB = tmpDir("kpt_mor_b")
+    val a = new KeyedParquetTable(spark, dirA, Seq("id"), Nil, 8)
+    val b = new KeyedParquetTable(spark, dirB, Seq("id"), Nil, 8)
+    val init = (1L to 40L).map(i => (i, s"i$i")).toDF("id", "v")
+    a.commit(init); b.commit(init)
+    (1 to 4).foreach { _ =>
+      val rows = batch(25).toDF("id", "v", "operation").localCheckpoint(true)
+      a.merge(rows); b.mergeMor(rows)
+      // identical logical state after every batch, whatever mix of
+      // physical rewrites vs deferred deletes each side chose
+      assert(a.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        b.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    }
+    // pure-tombstone batch: zero bucket rewrites on the MoR side — every
+    // data file hard-links through (copy-on-write would rewrite buckets)
+    val preV = b.currentVersion
+    val tomb = b.read().limit(5).select(col("id"), col("v"))
+      .withColumn("operation", lit("d")).localCheckpoint(true)
+    a.merge(tomb); b.mergeMor(tomb)
+    assert(dataFileKeys(dirB, preV) === dataFileKeys(dirB, b.currentVersion))
+    assert(a.read().orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      b.read().orderBy("id").collect().map(_.getLong(0)).toSeq)
+    // an upsert later re-inserts a deferred-deleted key
+    val key = tomb.head().getLong(0)
+    b.mergeMor(Seq((key, "back", "u")).toDF("id", "v", "operation"))
+    assert(b.read().filter(col("id") === key).count() === 1L)
+  }
+
   test("renameColumn rewrites physically; load-bearing names refuse") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_rename"), Seq("id"), Nil, 4)
     t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
