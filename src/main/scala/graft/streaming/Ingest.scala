@@ -45,9 +45,10 @@ object Ingest {
     */
   def start(parsed: DataFrame, table: KeyedParquetTable, ordering: Seq[Column],
             checkpointDir: String, lineage: Option[KeyedParquetTable] = None,
-            triggerMs: Long = 1000L, opCol: String = "operation"): StreamingQuery =
+            triggerMs: Long = 1000L, opCol: String = "operation",
+            mor: Boolean = false): StreamingQuery =
     run(parsed, table, ordering, checkpointDir, lineage, opCol,
-      Trigger.ProcessingTime(triggerMs))
+      Trigger.ProcessingTime(triggerMs), mor)
 
   /** Shared checkpoint/foreachBatch wiring for [[start]] and
     * [[drainAvailable]] — one place to evolve query naming/error handling.
@@ -55,12 +56,12 @@ object Ingest {
   private def run(parsed: DataFrame, table: KeyedParquetTable,
                   ordering: Seq[Column], checkpointDir: String,
                   lineage: Option[KeyedParquetTable], opCol: String,
-                  trigger: Trigger): StreamingQuery =
+                  trigger: Trigger, mor: Boolean = false): StreamingQuery =
     parsed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, table, ordering, lineage, opCol)
+        applyBatch(batch, batchId, table, ordering, lineage, opCol, mor)
         ()
       }
       .start()
@@ -86,7 +87,7 @@ object Ingest {
     */
   def applyBatch(batch: DataFrame, batchId: Long, table: KeyedParquetTable,
                  ordering: Seq[Column], lineage: Option[KeyedParquetTable],
-                 opCol: String = "operation"): Boolean = {
+                 opCol: String = "operation", mor: Boolean = false): Boolean = {
     val spark = batch.sparkSession
     import spark.implicits._
     val batchTxn = batchId.toString
@@ -125,7 +126,12 @@ object Ingest {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val fm =
-      if (!mergeDone && n > 0) Future(table.merge(deduped, opCol, Some(batchTxn)))
+      if (!mergeDone && n > 0) Future(
+        // mor: the batch's delete ops defer to the snapshot delete set
+        // (zero bucket rewrites for tombstones) — right for delete-heavy
+        // streams; same txn-marked exactly-once semantics either way
+        if (mor) table.mergeMor(deduped, opCol, Some(batchTxn))
+        else table.merge(deduped, opCol, Some(batchTxn)))
       else Future.unit
     val fl =
       if (!lineageDone)
@@ -250,9 +256,10 @@ object Ingest {
   def drainAvailable(parsed: DataFrame, table: KeyedParquetTable,
                      ordering: Seq[Column], checkpointDir: String,
                      lineage: Option[KeyedParquetTable] = None,
-                     opCol: String = "operation"): StreamingQuery =
+                     opCol: String = "operation",
+                     mor: Boolean = false): StreamingQuery =
     run(parsed, table, ordering, checkpointDir, lineage, opCol,
-      Trigger.AvailableNow())
+      Trigger.AvailableNow(), mor)
 
   /** Batch-mode replay twin: apply a bounded CDC frame as one merge —
     * used for backfill and for the reference's batch path.

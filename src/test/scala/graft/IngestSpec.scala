@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.types._
@@ -54,6 +56,50 @@ class IngestSpec extends SparkSpec {
     // batch ids unique — no batch applied twice
     assert(lin.count() === lin.select("batch_id").distinct().count())
     assert(lin.count() > batches1)
+  }
+
+  test("MoR streaming ingest: tombstone batches defer to the delete set, " +
+    "state identical to copy-on-write ingest, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("ingest_mor_tbl")
+    // bucketed: mergeMor requires the engine bucket layout
+    val table = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4)
+    table.createIfNotExists(tableSchema)
+    val stream = MemoryStream[Cdc]
+    val q = Ingest.start(stream.toDF(), table, Seq(col("seq").desc),
+      tmpDir("ingest_mor_ckpt"), None, triggerMs = 50L, mor = true)
+    stream.addData(Cdc(1, "a", "u", 1), Cdc(2, "b", "u", 2), Cdc(3, "c", "u", 3))
+    q.processAllAvailable()
+    val preV = table.currentVersion
+    // pure-tombstone micro-batch: MoR commits it with ZERO bucket rewrites
+    stream.addData(Cdc(1, null, "d", 4), Cdc(3, null, "d", 5))
+    q.processAllAvailable()
+    assert(table.read().orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/v${table.currentVersion}/_deletes")))
+    // zero data rewrite for the tombstone batch
+    def keysOf(v: Long) = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/v$v"))
+      try s.iterator().asScala.toSeq.filter(p =>
+          p.toString.endsWith(".parquet") && !p.toString.contains("_deletes") &&
+          java.nio.file.Files.isRegularFile(p))
+        .map(p => java.nio.file.Files.readAttributes(p,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey).toSet
+      finally s.close()
+    }
+    assert(keysOf(preV) === keysOf(table.currentVersion))
+    // upsert re-inserts a tombstoned key; txn markers keep replay idempotent
+    stream.addData(Cdc(3, "c2", "u", 6))
+    q.processAllAvailable()
+    q.stop()
+    assert(table.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((2L, "b"), (3L, "c2")))
+    val lastTxn = table.lastTxn
+    // redelivery of the last batch is skipped wholesale
+    val batch = Seq(Cdc(3, "c2", "u", 6)).toDF()
+    assert(!Ingest.applyBatch(batch, lastTxn.get.toLong, table,
+      Seq(col("seq").desc), None, mor = true))
   }
 
   test("drainAvailable (AvailableNow) processes what's there, terminates, resumes cleanly") {
