@@ -1275,6 +1275,19 @@ final class KeyedParquetTable(
     swingPointerCas(cur, next)
   }
 
+  /** The current snapshot's pending merge-on-read delete keys — the
+    * observability surface for DELETE DEBT: every key here taxes reads
+    * with the anti-join until maintenance materializes it (compaction
+    * treats delete-carrying buckets as rewrite-due). Empty frame with the
+    * key schema when the snapshot carries no set.
+    */
+  def pendingDeleteKeys(): DataFrame = {
+    require(exists, s"table $root has no snapshot")
+    deleteKeySet(versionDir(currentVersion))
+      .map(_.select(keys.map(col): _*))
+      .getOrElse(read().limit(0).select(keys.map(col): _*))
+  }
+
   /** Prune the carried delete set for a commit that rewrote `touched`
     * buckets with post-delete content (their deleted keys are now
     * physically absent), carrying the rest into `nextDir`. A key pruned

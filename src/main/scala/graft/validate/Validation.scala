@@ -227,6 +227,23 @@ object Validation {
         "files" -> nFiles.toString, "partition_skew" -> skew.toString))
   }
 
+  /** MERGE-ON-READ DELETE DEBT: how many keys the table's pending delete
+    * set shadows. Every key taxes reads with the anti-join probe until
+    * maintenance materializes it (compaction rewrites delete-carrying
+    * buckets), so a maintainer alerts well before the set rivals the data:
+    * pass while `n ≤ maxKeys`, Warning above 50% of the bound. Cost is
+    * O(set) — one read of the `_deletes` parquet, never a data scan.
+    */
+  def morDeleteDebt(table: KeyedParquetTable,
+                    maxKeys: Long = 100000L): CheckResult = {
+    val n = table.pendingDeleteKeys().count()
+    val level =
+      if (n <= maxKeys / 2) "Good" else if (n <= maxKeys) "Warning" else "Poor"
+    CheckResult("mor_delete_debt", n <= maxKeys,
+      Map("n_delete_keys" -> n.toString, "max_keys" -> maxKeys.toString,
+        "level" -> level))
+  }
+
   // --- the three checks the reference declares but never defines -------------
 
   /** Data freshness: newest event in `tsCol` no older than maxAgeSec

@@ -168,4 +168,18 @@ class ValidationSpec extends SparkSpec {
     val shuffled = df.orderBy(rand(3)).agg(XorChecksum.column(col("h"))).head().getLong(0)
     assert(shuffled === typed)
   }
+
+  test("morDeleteDebt bands on pending delete-set size; compaction clears it") {
+    val t = new graft.cdc.KeyedParquetTable(spark, tmpDir("val_mor"), Seq("id"), Nil, 4)
+    t.commit((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    assert(Validation.morDeleteDebt(t).valid) // no set at all
+    t.deleteKeys((1L to 6L).toDF("id"))
+    val warn = Validation.morDeleteDebt(t, maxKeys = 10L)
+    assert(warn.valid && warn.details("level") === "Warning" &&
+      warn.details("n_delete_keys") === "6")
+    assert(!Validation.morDeleteDebt(t, maxKeys = 5L).valid)
+    t.compact(minInputFiles = 1) // materializes: debt back to zero
+    val after = Validation.morDeleteDebt(t, maxKeys = 5L)
+    assert(after.valid && after.details("n_delete_keys") === "0")
+  }
 }
