@@ -111,4 +111,19 @@ class QueriesSpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("merge-on-read read plan: delete anti-join broadcasts, no cartesian") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_morplan_").toString
+    val t = new graft.cdc.KeyedParquetTable(spark, dir, Seq("id"), Nil, 4)
+    t.commit(spark.range(1000).select(col("id"), (col("id") % 7).as("v")))
+    t.deleteWhere(col("v") === 3)
+    val plan = t.read().queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"MoR read cartesian:\n$plan")
+    // a batch-bounded delete set must reach the scan as a broadcast hash
+    // anti-join (LeftAnti, BuildRight) — a shuffled plan here would tax
+    // every read with a full exchange of the DATA side
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"MoR read does not broadcast the delete set:\n$plan")
+  }
 }
