@@ -131,7 +131,19 @@ object IncrementalAgg {
   }
 
   /** Retraction-aware fold of one CDC batch — incremental view maintenance
-    * over a CHANGELOG, not just an append stream. Maintains
+    * over a CHANGELOG, not just an append stream.
+    *
+    * MERGE-ON-READ interplay: a direct
+    * [[KeyedParquetTable.deleteWhere]]/`deleteKeys` wipe on `entityTable`
+    * BYPASSES the changelog — this maintainer never observes it, so the
+    * aggregate keeps counting the wiped entities (the same contract as any
+    * lakehouse IVM: deletes must flow through the changelog, here as
+    * `opCol = "d"` rows, to retract). After a direct wipe, recompute the
+    * aggregate from the entity table. Reads HERE are wipe-consistent
+    * (pre-images come through the delete-set anti-join), so the folds
+    * themselves never resurrect wiped rows.
+    *
+    * Maintains
     *
     * {{{ SELECT groupCol, count(*) AS n_rows, sum(valueCol) AS sum_<valueCol>
     *     FROM <current entity state> GROUP BY groupCol }}}
