@@ -176,6 +176,29 @@ final class KeyedParquetTable(
     if (bucketCount > 0 && live.columns.contains("__bucket")) live.drop("__bucket") else live
   }
 
+  /** Time-travel by TIMESTAMP — Iceberg's `TIMESTAMP AS OF`: reads the
+    * snapshot that was current at `epochMs` (the largest retained version
+    * whose commit time ≤ `epochMs`). Commit time is the snapshot dir's
+    * mtime — the same clock [[history]] reports `made_current_at` from;
+    * snapshot dirs are immutable after the pointer swings, so the stamp is
+    * stable for the life of the version. Refuses loudly when `epochMs`
+    * predates every retained snapshot (the state it names is expired or
+    * never existed — answering with a later state would be silently
+    * wrong).
+    */
+  def readAsOf(epochMs: Long): DataFrame = {
+    require(exists, s"table $root has no snapshot")
+    val candidates = listEntries(rootPath)
+      .filter(p => p.getFileName.toString.matches("v\\d+"))
+      .map(p => (p.getFileName.toString.drop(1).toLong,
+        Files.getLastModifiedTime(p).toMillis))
+      .filter { case (v, ts) => v <= currentVersion && ts <= epochMs }
+    require(candidates.nonEmpty,
+      s"$root has no retained snapshot at or before epochMs=$epochMs " +
+        "(expired, or before the table existed)")
+    readVersion(candidates.maxBy(_._1)._1)
+  }
+
   /** Incremental append read: ONLY the data added after `sinceVersion` —
     * O(new data), never a rescan. Works because appends are snapshot-
     * incremental (prior files HARD-LINK into the new snapshot under their

@@ -1153,6 +1153,25 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(b.read().filter(col("id") === key).count() === 1L)
   }
 
+  test("readAsOf resolves TIMESTAMP AS OF against retained snapshots") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_asof"), Seq("id"))
+    t.createIfNotExists(schema)
+    t.merge(Seq((1L, "a", "u")).toDF("id", "v", "operation"))
+    Thread.sleep(30)
+    val betweenTs = System.currentTimeMillis()
+    Thread.sleep(30)
+    t.merge(Seq((1L, "a2", "u"), (2L, "b", "u")).toDF("id", "v", "operation"))
+    // between the merges → the first merged state; now → current state
+    assert(readAsOfRows(t, betweenTs) === Seq((1L, "a")))
+    assert(readAsOfRows(t, System.currentTimeMillis()) ===
+      Seq((1L, "a2"), (2L, "b")))
+    // before the table existed → loud refusal, not a silently-later state
+    intercept[IllegalArgumentException] { t.readAsOf(betweenTs - 3600_000L) }
+  }
+
+  private def readAsOfRows(t: KeyedParquetTable, ts: Long): Seq[(Long, String)] =
+    t.readAsOf(ts).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
   test("renameColumn rewrites physically; load-bearing names refuse") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_rename"), Seq("id"), Nil, 4)
     t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
