@@ -542,9 +542,18 @@ final class KeyedParquetTable(
   def readStaged(staged: Long): DataFrame = {
     require(staged > currentVersion && Files.exists(versionDir(staged)),
       s"$root has no staged snapshot v$staged")
-    val df = spark.read.parquet(versionDir(staged).toString)
-    // same surface as read()/readVersion: __bucket is layout, not data —
-    // an audit query must see the schema readers will see after publish
+    val dir = versionDir(staged)
+    // the audit must see EXACTLY what readers will see after publish:
+    // the staged snapshot's declared schema (carried through a staged
+    // scoped merge on an evolved table — footer inference over its mixed
+    // files would resolve arbitrarily) and its merge-on-read delete set
+    // (carried/pruned like any scoped commit — raw files still hold the
+    // deleted rows)
+    val raw = declaredSchema(dir) match {
+      case Some(s) => spark.read.schema(s).parquet(dir.toString)
+      case None    => spark.read.parquet(dir.toString)
+    }
+    val df = applyDeletes(raw, dir)
     if (bucketCount > 0 && df.columns.contains("__bucket")) df.drop("__bucket") else df
   }
 

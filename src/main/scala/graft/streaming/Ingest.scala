@@ -170,14 +170,16 @@ object Ingest {
                     valueCol: String = "value",
                     schema: org.apache.spark.sql.types.StructType = graft.cdc.CdcModel.envelopeSchema,
                     classify: DataFrame => DataFrame = null,
-                    opCol: String = "operation"): RawBatchMetrics = {
+                    opCol: String = "operation",
+                    mor: Boolean = false): RawBatchMetrics = {
     val (valid, rejected, obs) =
       graft.cdc.CdcParse.parseWithDeadLetterObserved(raw, valueCol, schema)
     val toCdc = Option(classify).getOrElse { (df: DataFrame) =>
       df.withColumn(opCol, graft.cdc.CdcParse.classifyOperation(
         col("__deleted"), col(table.keys.head))).drop("__deleted")
     }
-    val applied = applyBatch(toCdc(valid), batchId, table, ordering, lineage, opCol)
+    val applied = applyBatch(toCdc(valid), batchId, table, ordering, lineage,
+      opCol, mor)
     if (!applied) return RawBatchMetrics(applied = false, -1L, -1L, 0L)
     // applyBatch's localCheckpoint ran an action over the observed plan, so
     // this get() returns immediately (a replayed batch runs no action —

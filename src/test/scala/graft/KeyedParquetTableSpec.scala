@@ -1153,6 +1153,23 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(b.read().filter(col("id") === key).count() === 1L)
   }
 
+  test("readStaged audits post-publish truth: staged merge on a MoR table " +
+    "hides carried-deleted rows") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_wap_mor"), Seq("id"), Nil, 4)
+    t.commit((1L to 8L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.deleteKeys(Seq(7L, 8L).toDF("id"))
+    val staged = t.stageMerge(Seq((1L, "a2", "u")).toDF("id", "v", "operation"))
+    // the staged audit view applies the carried delete set — exactly what
+    // read() will return after publish
+    val auditRows = t.readStaged(staged).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(!auditRows.map(_._1).contains(7L) && !auditRows.map(_._1).contains(8L))
+    assert(auditRows.head === ((1L, "a2")))
+    t.publishStaged(staged)
+    assert(t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === auditRows)
+  }
+
   test("readAsOf resolves TIMESTAMP AS OF against retained snapshots") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_asof"), Seq("id"))
     t.createIfNotExists(schema)
