@@ -1351,6 +1351,43 @@ final class KeyedParquetTable(
     }
   }
 
+  /** Zero-copy CLONE of the current snapshot into a fresh table root —
+    * the CREATE TABLE ... CLONE / snapshot-export primitive: v0 of the
+    * clone hard-links every file of this table's current snapshot (data,
+    * `_stats` index, `_deletes` set, declared `_schema.json`), so the
+    * clone costs O(files) inodes and zero data I/O, then evolves
+    * independently (immutable parquet + per-snapshot dirs make the link
+    * sharing invisible to either side). Layout properties are copied so
+    * the pinning check travels with the physical layout. The source's
+    * `_txn` replay marker deliberately does NOT carry — the clone is a
+    * NEW table; the source stream's at-least-once bookkeeping would
+    * wrongly suppress the first replayed batch into it. Sandboxing,
+    * experiments, and re-layout migrations start here instead of from a
+    * full copy.
+    */
+  def cloneTo(newRoot: String): KeyedParquetTable = {
+    require(exists, s"cloneTo source $root has no snapshot")
+    val dst = Paths.get(newRoot)
+    require(!Files.exists(dst) || listEntries(dst).isEmpty,
+      s"cloneTo target $newRoot must not exist or be empty")
+    val curDir = versionDir(currentVersion)
+    val v0 = dst.resolve("v0")
+    Files.createDirectories(v0)
+    walkEntries(curDir).filter(Files.isRegularFile(_))
+      .filterNot(_.getFileName.toString == "_txn")
+      .foreach(linkInto(curDir, v0, _))
+    val props = rootPath.resolve("_properties")
+    if (Files.exists(props))
+      Files.copy(props, dst.resolve("_properties"),
+        StandardCopyOption.REPLACE_EXISTING)
+    val tmp = dst.resolve("_latest.tmp0")
+    Files.writeString(tmp, "0")
+    Files.move(tmp, dst.resolve("_latest"), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    new KeyedParquetTable(spark, newRoot, keys, partitionBy, bucketCount,
+      bucketKeys, statsCols, bloomKeyBits)
+  }
+
   /** Snapshot history — analog of Iceberg's `.history` metadata table. */
   def history(): DataFrame = {
     import spark.implicits._

@@ -1170,6 +1170,31 @@ class KeyedParquetTableSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq === auditRows)
   }
 
+  test("cloneTo: zero-copy snapshot clone evolves independently, carries " +
+    "deletes/layout but not the txn marker") {
+    val srcDir = tmpDir("kpt_clone_src")
+    val t = new KeyedParquetTable(spark, srcDir, Seq("id"), Nil, 4)
+    t.createIfNotExists(schema)
+    t.merge((1L to 6L).map(i => (i, s"v$i", "u")).toDF("id", "v", "operation"),
+      "operation", Some("batch-9"))
+    t.deleteKeys(Seq(6L).toDF("id"))
+    val cloneDir = tmpDir("kpt_clone_dst") + "/t"
+    val c = t.cloneTo(cloneDir)
+    // zero-copy: the clone's data files ARE the source's (same inodes)
+    assert(dataFileKeys(srcDir, t.currentVersion) === dataFileKeys(cloneDir, 0L))
+    // identical logical state, delete set included
+    assert(c.read().orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // layout pinning traveled; replay marker did not
+    assert(c.properties("graft.layout.bucket-count") === "4")
+    assert(c.lastTxn === None && t.lastTxn === Some("batch-9"))
+    // independent evolution in both directions
+    c.merge(Seq((1L, "CLONE", "u"), (9L, "new", "u")).toDF("id", "v", "operation"))
+    assert(t.read().filter(col("v") === "CLONE").count() === 0L)
+    assert(t.read().count() === 5L && c.read().count() === 6L)
+    intercept[IllegalArgumentException] { t.cloneTo(cloneDir) } // non-empty target
+  }
+
   test("readAsOf resolves TIMESTAMP AS OF against retained snapshots") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_asof"), Seq("id"))
     t.createIfNotExists(schema)
