@@ -1170,6 +1170,45 @@ class KeyedParquetTableSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq === auditRows)
   }
 
+  test("lifecycle: MoR deletes × schema evolution × maintenance fold to the " +
+    "model state") {
+    // model: id -> (v, score) with score=None before the evolution
+    var model = (1L to 12L).map(i => i -> (s"v$i", Option.empty[Double])).toMap
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_life"), Seq("id"), Nil, 4)
+    t.commit(model.toSeq.map { case (id, (v, _)) => (id, v) }.toDF("id", "v"))
+    def check(): Unit = {
+      val got = t.read().orderBy("id").collect().map { r =>
+        (r.getLong(0), r.getString(1),
+          if (r.schema.fieldNames.contains("score") && !r.isNullAt(r.fieldIndex("score")))
+            Some(r.getDouble(r.fieldIndex("score"))) else None)
+      }.toSeq
+      val want = model.toSeq.sortBy(_._1).map { case (id, (v, s)) => (id, v, s) }
+      assert(got === want)
+    }
+    // MoR wipe
+    t.deleteKeys(Seq(3L, 7L, 11L).toDF("id")); model --= Seq(3L, 7L, 11L); check()
+    // metadata-only evolution on a delete-carrying table
+    t.addColumn("score", DoubleType); check()
+    // MoR merge carrying the new column: tombstone + re-insert + update
+    t.mergeMor(Seq(
+      (1L, Option("v1b"), Option(0.5), "u"),
+      (3L, Option("back"), Option(0.9), "u"),
+      (5L, Option.empty[String], Option.empty[Double], "d"))
+      .toDF("id", "v", "score", "operation"))
+    model += 1L -> ("v1b", Some(0.5)); model += 3L -> ("back", Some(0.9))
+    model -= 5L; check()
+    // maintenance materializes everything; retention keeps state intact
+    t.compact(minInputFiles = 1)
+    t.expireSnapshots(olderThanMs = 0L, retainLast = 1)
+    check()
+    assert(spark.read.parquet(
+      s"${t.root}/v${t.currentVersion}/_deletes").count() === 0L)
+    // a fresh instance (cold caches) resolves the same state
+    val t2 = new KeyedParquetTable(spark, t.root, Seq("id"), Nil, 4)
+    assert(t2.read().count() === model.size.toLong)
+    assert(t2.read().schema.fieldNames.contains("score"))
+  }
+
   test("cloneTo: zero-copy snapshot clone evolves independently, carries " +
     "deletes/layout but not the txn marker") {
     val srcDir = tmpDir("kpt_clone_src")
