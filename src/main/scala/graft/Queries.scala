@@ -322,6 +322,36 @@ object Queries {
       },
       Some(finalStateOracle)),
 
+    // Zero-copy CLONE mid-fold: batch 1 merges into the source, the table
+    // clones (hard links only), batch 2 merges into the SOURCE — the clone
+    // must still read exactly the batch-1 state (snapshot isolation across
+    // the link sharing). The oracle recomputes the batch-1 fold in SQL.
+    "q_table_clone" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val parsed = parsedEventsCached(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "operation")
+          .localCheckpoint(true)
+        val maxId = parsed.agg(max("event_id")).head().getLong(0)
+        val mid = (maxId + 1) / 2
+        val base = scratchDir("graft_clone_")
+        val table = new KeyedParquetTable(s, s"$base/src", Seq("user_id"), Nil, 8)
+        table.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
+        def half(cond: Column): DataFrame =
+          Dedup.dedupLatest(parsed.filter(cond), Seq("user_id"), Seq(col("event_id").desc))
+            .select((parsed.columns.filterNot(_ == "operation").map(col)
+              .toIndexedSeq :+ col("operation")): _*)
+        table.merge(half(col("event_id") < mid))
+        val clone = table.cloneTo(s"$base/clone")
+        table.merge(half(col("event_id") >= mid)) // source diverges
+        clone.read()
+      },
+      Some("""SELECT user_id, event_id, event_type, value
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |      FROM events
+             |      WHERE event_id < (SELECT (MAX(event_id) + 1) // 2 FROM events)) t
+             |WHERE rn = 1 AND event_type <> 'error'""".stripMargin)),
+
     // MERGE-ON-READ predicate delete under the CDC cadence: fold batch 1,
     // deleteWhere (a compliance wipe — zero data files rewritten, the
     // matched keys become a delete set readers anti-join), then fold
