@@ -1083,6 +1083,81 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(ch === Array((1L, "delete"), (3L, "update"), (4L, "delete")))
   }
 
+  test("delete set is bucket-sharded: a small delete rewrites only its " +
+    "shard, the rest hard-link; scoped reads prune delete shards") {
+    val dir = tmpDir("kpt_del_shard")
+    val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 8)
+    t.commit((1L to 400L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // a LARGE pending set spread over many buckets
+    t.deleteKeys((1L to 200L).toDF("id"))
+    // per-shard file identity (inode) of the pending set
+    def shardKeys(v: Long): Map[String, Set[Object]] = {
+      val del = java.nio.file.Paths.get(s"$dir/v$v/_deletes")
+      java.nio.file.Files.list(del).iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.startsWith("__dbucket="))
+        .map { d =>
+          d.getFileName.toString -> java.nio.file.Files.walk(d)
+            .iterator().asScala.toSeq
+            .filter(p => p.toString.endsWith(".parquet"))
+            .map(p => java.nio.file.Files.readAttributes(p,
+              classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey)
+            .toSet
+        }.toMap
+    }
+    val before = shardKeys(t.currentVersion)
+    assert(before.size > 1, "pending set should span multiple shards")
+    // a SMALL delete (one key, one bucket) must rewrite only that shard:
+    // every other shard's files carry identical inodes (hard links)
+    t.deleteKeys(Seq(300L).toDF("id"))
+    val after = shardKeys(t.currentVersion)
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    assert(changed.size === 1, s"expected 1 rewritten shard, got $changed")
+    assert(t.read().count() === 199L)
+    assert(t.pendingDeleteKeys().count() === 201L)
+    // bucket-scoped reads through the sharded set stay exact
+    assert(!t.readForKeys(Seq(5L).toDF("id")).collect()
+      .map(_.getLong(0)).contains(5L))
+    assert(!t.readForKeys(Seq(300L).toDF("id")).collect()
+      .map(_.getLong(0)).contains(300L))
+    assert(t.readForKeys(Seq(250L).toDF("id")).collect()
+      .map(_.getLong(0)).contains(250L))
+  }
+
+  test("append re-introduces a MoR-deleted key exactly: new row lives, " +
+    "old row stays dead, survives compaction") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_del_append"), Seq("id"), Nil, 4)
+    t.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.deleteKeys(Seq(2L, 3L).toDF("id"))
+    assert(t.read().collect().map(_.getLong(0)).toSeq === Seq(1L))
+    t.append(Seq((2L, "b2")).toDF("id", "v"))
+    // the appended generation is live, the tombstoned old row is NOT
+    // resurrected, and the untouched tombstone (id=3) keeps suppressing
+    def state() = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(state() === Seq((1L, "a"), (2L, "b2")))
+    // the materialization is exact through compaction (the r9-ADVICE bug
+    // was compaction destroying the appended row)
+    t.compact(minInputFiles = 1)
+    assert(state() === Seq((1L, "a"), (2L, "b2")))
+    // appends with NO overlap still carry the set without a rewrite
+    val t2root = tmpDir("kpt_del_append2")
+    val t2 = new KeyedParquetTable(spark, t2root, Seq("id"), Nil, 4)
+    t2.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t2.deleteKeys(Seq(2L).toDF("id"))
+    t2.append(Seq((9L, "z")).toDF("id", "v"))
+    assert(t2.read().orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 9L))
+    assert(t2.pendingDeleteKeys().count() === 1L)
+    // unbucketed layout has no bucket to materialize at: refuse loudly
+    val t3 = new KeyedParquetTable(spark, tmpDir("kpt_del_append3"), Seq("id"))
+    t3.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t3.deleteKeys(Seq(2L).toDF("id"))
+    intercept[IllegalArgumentException] {
+      t3.append(Seq((2L, "b2")).toDF("id", "v"))
+    }
+  }
+
   test("deleteWhere commits atomically with a txn marker and stacks sets") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_mor_txn"), Seq("id"), Nil, 4)
     t.commit((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
@@ -1201,8 +1276,9 @@ class KeyedParquetTableSpec extends SparkSpec {
     t.compact(minInputFiles = 1)
     t.expireSnapshots(olderThanMs = 0L, retainLast = 1)
     check()
-    assert(spark.read.parquet(
-      s"${t.root}/v${t.currentVersion}/_deletes").count() === 0L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"${t.root}/v${t.currentVersion}/_deletes")) ||
+      spark.read.parquet(s"${t.root}/v${t.currentVersion}/_deletes").count() === 0L)
     // a fresh instance (cold caches) resolves the same state
     val t2 = new KeyedParquetTable(spark, t.root, Seq("id"), Nil, 4)
     assert(t2.read().count() === model.size.toLong)
