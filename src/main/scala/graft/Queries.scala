@@ -2988,29 +2988,62 @@ object Queries {
              |ORDER BY sim DESC, b.vec_id ASC LIMIT 20""".stripMargin),
       headline = true),
 
-    // LSH-bucketed ANN (multi-probe) — the scale path; recall vs brute force
-    // is asserted in ScalaTest.
+    // LSH-bucketed ANN (multi-probe) — the scale path, gated on PLANTED
+    // ground truth (r9 ask #7: the rows-only row must fail loudly on a
+    // recall regression, not only on crashes). The fixture embeddings are
+    // isotropic noise (measured pairwise cosines ∈ [−0.34, 0.30]): sign-LSH
+    // recall there is geometry-bound to ≈ the probed bucket fraction
+    // (measured 0.0–0.2), so a threshold on natural recall is either
+    // vacuous or flaky. Instead the corpus gains 25 ε-scaled copies of the
+    // query vector: cosine is scale-invariant (their similarity is exactly
+    // 1.0, far above the ≤0.3 noise), and a positive scale preserves every
+    // hyperplane sign, so the copies land in the query's own bucket (or a
+    // Hamming-1 probe under fp rounding) — recall is deterministically 1.0
+    // unless bucketing/probing/ranking actually breaks, and the in-query
+    // assert raises below 0.9. Statistical recall on CLUSTERED data stays
+    // in SimilaritySpec (≥0.8).
     "q_ann_lsh" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val emb = t("embeddings")
-        Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
-          emb.filter(col("vec_id") === 0).select("embedding"),
-          "vec_id", "embedding", 20)
+        val query = emb.filter(col("vec_id") === 0).select("embedding")
+        val planted = emb.filter(col("vec_id") === 0)
+          .crossJoin(s.range(1, 26).select(col("id").as("__i")))
+          .select((col("vec_id") + lit(10000000L) + col("__i")).as("vec_id"),
+            transform(col("embedding"),
+              x => x * (lit(1.0f) + col("__i").cast("float") / lit(1000.0f)))
+              .as("embedding"))
+        val corpus = emb.filter(col("vec_id") =!= 0)
+          .select("vec_id", "embedding").unionByName(planted)
+        Similarity.withRecallGate(
+          Similarity.lshTopK(corpus, query, "vec_id", "embedding", 20),
+          Similarity.cosineTopK(corpus, query, "vec_id", "embedding", 20),
+          "vec_id", k = 20, minRecall = 0.9)
       },
       None),
 
     // IVF ANN over a PERSISTED index (build once per corpus: centroids +
     // centroid_id-partitioned vectors; query scans only the probed cells'
-    // files). Recall + file-pruning are asserted in SimilaritySpec.
+    // files). File-pruning asserted in SimilaritySpec; recall audited
+    // in-query against brute force, raising below 0.9 (r9 ask #7).
+    // nProbe=14 of the 16 cells: on the isotropic fixture recall tracks
+    // the probed-cell fraction almost linearly (measured 0.35/0.65/0.8/0.9
+    // at nProbe 4/6/8/10 — identical at sf0.01 and sf0.1), so this is the
+    // setting with ≥0.9-with-margin at both gate SFs; on a real clustered
+    // corpus the same recall needs far fewer probes (SimilaritySpec holds
+    // ≥0.8 at nProbe=4 on clustered data).
     "q_ann_ivf" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val emb = t("embeddings")
         val indexDir = ivfIndexFor(s, dir, emb)
-        Similarity.ivfQuery(s, indexDir,
-          emb.filter(col("vec_id") === 0).select("embedding"),
-          "vec_id", "embedding", k = 20, nProbe = 6)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val query = emb.filter(col("vec_id") === 0).select("embedding")
+        Similarity.withRecallGate(
+          Similarity.ivfQuery(s, indexDir, query,
+            "vec_id", "embedding", k = 20, nProbe = 14),
+          Similarity.cosineTopK(corpus, query, "vec_id", "embedding", 20),
+          "vec_id", k = 20, minRecall = 0.9)
       },
       None,
       headline = true),

@@ -54,6 +54,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Append `recall_at_k` (vs an EXACT result's ids) to an approximate
+    * top-k and RAISE when it falls below `minRecall` — an in-query recall
+    * gate, so a rows-only correctness row for an index-backed ANN query
+    * fails LOUDLY on a recall regression instead of only on crashes
+    * (VERDICT r9 ask #7). The exact side is the oracle-able brute-force
+    * answer; both sides are k rows, so the audit costs one broadcast
+    * semi-join over k rows on top of the exact scan. `assert_true` rides
+    * in a filter column that every output row evaluates — Catalyst cannot
+    * prune it away.
+    */
+  def withRecallGate(approx: DataFrame, exactIds: DataFrame, idCol: String,
+                     k: Int, minRecall: Double): DataFrame = {
+    val hits = approx.join(broadcast(exactIds.select(idCol)), Seq(idCol), "left_semi")
+      .agg(count(lit(1)).cast("double").as("__hits"))
+    approx.crossJoin(broadcast(hits))
+      .withColumn("recall_at_k", col("__hits") / lit(k.toDouble))
+      .withColumn("__recall_ok", assert_true(col("recall_at_k") >= minRecall,
+        concat(lit(s"ANN recall@$k regression: "), col("recall_at_k").cast("string"),
+          lit(s" < $minRecall"))))
+      .filter(col("__recall_ok").isNull)
+      .drop("__recall_ok", "__hits")
+  }
+
   /** Deterministic random hyperplanes (seeded), as literal arrays — shipped
     * with the plan, no side channel.
     */
