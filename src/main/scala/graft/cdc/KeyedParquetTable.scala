@@ -231,20 +231,21 @@ final class KeyedParquetTable(
 
   /** Time-travel by TIMESTAMP — Iceberg's `TIMESTAMP AS OF`: reads the
     * snapshot that was current at `epochMs` (the largest retained version
-    * whose commit time ≤ `epochMs`). Commit time is the snapshot dir's
-    * mtime — the same clock [[history]] reports `made_current_at` from;
-    * snapshot dirs are immutable after the pointer swings, so the stamp is
-    * stable for the life of the version. Refuses loudly when `epochMs`
-    * predates every retained snapshot (the state it names is expired or
-    * never existed — answering with a later state would be silently
-    * wrong).
+    * whose commit time ≤ `epochMs`). Commit time is the `_committed_at`
+    * stamp written at the pointer swing ([[commitTimeMs]] — the same clock
+    * [[history]] reports `made_current_at` from; dir-mtime fallback for
+    * pre-stamp snapshots), so a WAP-staged snapshot resolves from its
+    * PUBLISH time, not its earlier write time. Refuses loudly when
+    * `epochMs` predates every retained snapshot (the state it names is
+    * expired or never existed — answering with a later state would be
+    * silently wrong).
     */
   def readAsOf(epochMs: Long): DataFrame = {
     require(exists, s"table $root has no snapshot")
     val candidates = listEntries(rootPath)
       .filter(p => p.getFileName.toString.matches("v\\d+"))
-      .map(p => (p.getFileName.toString.drop(1).toLong,
-        Files.getLastModifiedTime(p).toMillis))
+      .map(p => p.getFileName.toString.drop(1).toLong)
+      .map(v => (v, commitTimeMs(v)))
       .filter { case (v, ts) => v <= currentVersion && ts <= epochMs }
     require(candidates.nonEmpty,
       s"$root has no retained snapshot at or before epochMs=$epochMs " +
@@ -796,9 +797,34 @@ final class KeyedParquetTable(
       throw new java.util.ConcurrentModificationException(
         s"$root: base snapshot moved v$expected -> v$cur during this commit — aborting")
     }
+    // commit-time stamp, written AT the swing: TIMESTAMP AS OF / history
+    // must resolve from when a version became CURRENT, not from dir mtime
+    // — a WAP-staged dir's mtime predates publishStaged (a timestamp
+    // inside the audit window would resolve to the staged state as if it
+    // were live), and coarse-mtime filesystems blur adjacent commits.
+    // First stamp wins: a rollback re-swings to an old version without
+    // rewriting when it ORIGINALLY became current, so historical
+    // timestamp probes stay stable. IO failure falls back to dir mtime.
+    val stamp = versionDir(next).resolve("_committed_at")
+    if (!Files.exists(stamp))
+      try Files.writeString(stamp, System.currentTimeMillis().toString)
+      catch { case _: java.io.IOException => () }
     val v = swingPointer(next)
     Files.deleteIfExists(claimPath(next))
     v
+  }
+
+  /** When snapshot `v` became current: its `_committed_at` stamp (written
+    * at pointer swing), falling back to dir mtime for snapshots that
+    * predate the stamp (or whose stamp write failed).
+    */
+  private def commitTimeMs(v: Long): Long = {
+    val m = versionDir(v).resolve("_committed_at")
+    val stamped =
+      if (!Files.exists(m)) None
+      else try Files.readString(m).trim.toLongOption
+      catch { case _: java.io.IOException => None }
+    stamped.getOrElse(Files.getLastModifiedTime(versionDir(v)).toMillis)
   }
 
   /** Hard-link `f` into the mirrored location under `nextDir` (immutable
@@ -875,7 +901,15 @@ final class KeyedParquetTable(
       "mergeMor requires a bucketed engine-layout table — use merge()")
     val cur = currentVersion
     val curDir = versionDir(cur)
-    val src = source.withColumn("__bucket", bucketExpr)
+    // checkpoint ONCE: the bucket/op probe, the delete-set write, and the
+    // merge content below would otherwise evaluate the source plan three
+    // times — a non-deterministic source could route a delete key into the
+    // set inconsistently with the rewritten bucket content (VERDICT r9
+    // ADVICE; merge() grew a sourceBuckets overload for the same reason,
+    // and Ingest.applyBatch checkpoints its batch before fanning out).
+    // O(batch) materialization, and the probe stops re-running the full
+    // source plan — a net win for any non-trivial source.
+    val src = source.withColumn("__bucket", bucketExpr).localCheckpoint(true)
     val dels = src.filter(col(opCol) === "d")
     // ONE bounded probe job yields upsert AND delete bucket sets (distinct
     // (bucket, is-delete) pairs, ≤ 2×bucketCount rows to the driver)
@@ -1327,7 +1361,7 @@ final class KeyedParquetTable(
     if (Files.exists(nextDir)) deleteRecursively(nextDir)
     Files.createDirectories(nextDir)
     walkEntries(curDir).filter(Files.isRegularFile(_))
-      .filterNot(p => Set("_txn", "_schema.json").contains(p.getFileName.toString))
+      .filterNot(p => Set("_txn", "_schema.json", "_committed_at").contains(p.getFileName.toString))
       .foreach(linkInto(curDir, nextDir, _))
     writeSchemaMeta(nextDir, newSchema)
     carryTxn(cur, nextDir)
@@ -1487,7 +1521,7 @@ final class KeyedParquetTable(
     if (Files.exists(nextDir)) deleteRecursively(nextDir)
     Files.createDirectories(nextDir)
     walkEntries(curDir).filter(Files.isRegularFile(_))
-      .filterNot(p => Set("_txn", "_schema.json").contains(p.getFileName.toString))
+      .filterNot(p => Set("_txn", "_schema.json", "_committed_at").contains(p.getFileName.toString))
       .filterNot(p => curDir.relativize(p).iterator().asScala
         .exists(_.getFileName.toString == "_deletes"))
       .foreach(linkInto(curDir, nextDir, _))
@@ -1663,7 +1697,7 @@ final class KeyedParquetTable(
     val v0 = dst.resolve("v0")
     Files.createDirectories(v0)
     walkEntries(curDir).filter(Files.isRegularFile(_))
-      .filterNot(_.getFileName.toString == "_txn")
+      .filterNot(p => Set("_txn", "_committed_at").contains(p.getFileName.toString))
       .foreach(linkInto(curDir, v0, _))
     val props = rootPath.resolve("_properties")
     if (Files.exists(props))
@@ -1682,11 +1716,10 @@ final class KeyedParquetTable(
     import spark.implicits._
     val rows = if (!Files.exists(rootPath)) Seq.empty else
       listEntries(rootPath)
-        .filter(p => p.getFileName.toString.startsWith("v"))
+        .filter(p => p.getFileName.toString.matches("v\\d+"))
         .map { p =>
-          (p.getFileName.toString.drop(1).toLong,
-            new java.sql.Timestamp(Files.getLastModifiedTime(p).toMillis),
-            p.getFileName.toString.drop(1).toLong == currentVersion)
+          val v = p.getFileName.toString.drop(1).toLong
+          (v, new java.sql.Timestamp(commitTimeMs(v)), v == currentVersion)
         }.sortBy(_._1)
     rows.toDF("snapshot_id", "made_current_at", "is_current")
   }

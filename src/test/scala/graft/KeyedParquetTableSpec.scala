@@ -1326,6 +1326,29 @@ class KeyedParquetTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.readAsOf(betweenTs - 3600_000L) }
   }
 
+  test("readAsOf resolves a WAP snapshot from its PUBLISH time, not its " +
+    "staged write time") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_asof_wap"), Seq("id"), Nil, 4)
+    t.commit(Seq((1L, "a")).toDF("id", "v"))
+    Thread.sleep(30)
+    // staged: written NOW, published LATER — the audit window in between
+    val staged = t.stageMerge(Seq((2L, "b", "u")).toDF("id", "v", "operation"))
+    Thread.sleep(30)
+    val auditTs = System.currentTimeMillis() // inside the audit window
+    Thread.sleep(30)
+    t.publishStaged(staged)
+    // a timestamp inside the audit window must NOT see the staged rows
+    // (r9 ADVICE: dir-mtime resolution leaked them as if already live)
+    assert(readAsOfRows(t, auditTs) === Seq((1L, "a")))
+    assert(readAsOfRows(t, System.currentTimeMillis()) ===
+      Seq((1L, "a"), (2L, "b")))
+    // history's made_current_at agrees with the publish-time ordering
+    val hist = t.history().orderBy("snapshot_id").collect()
+      .map(r => r.getTimestamp(1).getTime)
+    assert(hist.sameElements(hist.sorted))
+    assert(hist.last > auditTs)
+  }
+
   private def readAsOfRows(t: KeyedParquetTable, ts: Long): Seq[(Long, String)] =
     t.readAsOf(ts).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
 
