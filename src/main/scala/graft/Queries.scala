@@ -293,6 +293,93 @@ object Queries {
              |  END AS high_value
              |FROM final f, m""".stripMargin)),
 
+    // Mid-stream METADATA-ONLY RENAME under the CDC merge cadence: the
+    // entity table renames value→score between batch 1 and batch 2 (zero
+    // data I/O — every pre-rename file hard-links and physically keeps the
+    // old column name; batch-2 rewrites land the new name). The read must
+    // resolve BOTH physical generations under the logical name via the
+    // declared schema's rename history — and the final state is the global
+    // latest-per-key, so the mixed-generation read is hash-checked against
+    // DuckDB. Physical invariants (no file rewrite, chained renames, time
+    // travel keeping the old name) are KeyedParquetTableSpec's.
+    "q_metadata_rename" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val parsed = parsedEventsCached(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "operation")
+          .localCheckpoint(true)
+        val maxId = parsed.agg(max("event_id")).head().getLong(0)
+        val mid = (maxId + 1) / 2
+        val tmp = scratchDir("graft_rename_")
+        val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
+        table.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
+        def half(cond: Column): DataFrame =
+          Dedup.dedupLatest(parsed.filter(cond), Seq("user_id"), Seq(col("event_id").desc))
+            .select((parsed.columns.filterNot(_ == "operation").map(col)
+              .toIndexedSeq :+ col("operation")): _*)
+        table.merge(half(col("event_id") < mid))
+        table.renameColumn("value", "score")
+        table.merge(half(col("event_id") >= mid)
+          .withColumnRenamed("value", "score")
+          .select("user_id", "event_id", "event_type", "score", "operation"))
+        table.read()
+      },
+      Some("""SELECT user_id, event_id, event_type, value AS score
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |      FROM events) t
+             |WHERE rn = 1 AND event_type <> 'error'""".stripMargin)),
+
+    // APPEND-AFTER-DELETE (Iceberg v2 sequence semantics): fold batch 1,
+    // wipe every key with value > 80 (merge-on-read delete set), then
+    // APPEND fresh rows for exactly the wiped keys. The appended
+    // generation must be live while the tombstoned old rows stay dead —
+    // the engine materializes the delete for the overlapping buckets at
+    // append time (carrying the tombstone would shadow the new row;
+    // merely pruning it would resurrect the old one). Final state is
+    // SQL-expressible: batch-1 survivors plus the re-appended rows.
+    "q_mor_reappend" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val parsed = parsedEventsCached(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "operation")
+          .localCheckpoint(true)
+        val maxId = parsed.agg(max("event_id")).head().getLong(0)
+        val mid = (maxId + 1) / 2
+        val tmp = scratchDir("graft_reapp_")
+        val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
+        table.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
+        table.merge(Dedup.dedupLatest(parsed.filter(col("event_id") < mid),
+          Seq("user_id"), Seq(col("event_id").desc))
+          .select((parsed.columns.filterNot(_ == "operation").map(col)
+            .toIndexedSeq :+ col("operation")): _*))
+        // the wiped key set, captured BEFORE the delete commits
+        val wiped = table.read().filter(col("value") > 80.0)
+          .select("user_id").localCheckpoint(true)
+        table.deleteWhere(col("value") > 80.0)
+        val reappend = Dedup.dedupLatest(
+          parsed.filter(col("event_id") >= mid && col("event_type") =!= "error"),
+          Seq("user_id"), Seq(col("event_id").desc))
+          .join(wiped, Seq("user_id"), "left_semi")
+          .drop("operation")
+        table.append(reappend)
+        table.read()
+      },
+      Some("""WITH m AS (SELECT (MAX(event_id) + 1) // 2 AS mid FROM events),
+             |h1 AS (SELECT user_id, event_id, event_type, value FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |    FROM events WHERE event_id < (SELECT mid FROM m)) t
+             |  WHERE rn = 1 AND event_type <> 'error'),
+             |wiped AS (SELECT user_id FROM h1 WHERE value > 80.0),
+             |app AS (SELECT user_id, event_id, event_type, value FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |    FROM events
+             |    WHERE event_id >= (SELECT mid FROM m) AND event_type <> 'error') t
+             |  WHERE rn = 1 AND user_id IN (SELECT user_id FROM wiped))
+             |SELECT user_id, event_id, event_type, value FROM h1
+             |WHERE (value <= 80.0 OR value IS NULL)
+             |UNION ALL
+             |SELECT user_id, event_id, event_type, value FROM app""".stripMargin)),
+
     // The cdc_merge_final_state fold driven through mergeMor: delete ops
     // route to the snapshot delete set (zero bucket rewrites for their
     // buckets) instead of copy-on-write rewrites — and the final state must
