@@ -2049,13 +2049,32 @@ final class KeyedParquetTable(
     * steady-state compaction cost tracks the buckets the recent merges
     * fragmented, not the table size. Unbucketed tables fall back to the
     * full rewrite (fine for small tables).
+    *
+    * `sortBy`: Iceberg's SORT-strategy rewrite (`rewrite_data_files`
+    * strategy => 'sort') — rewritten buckets land locally sorted on these
+    * columns, so parquet row-group min/max tighten for range predicates
+    * and ordered consumers read without a sort. The clustering rides an
+    * already-paid rewrite: zero extra I/O, one in-memory sort per output
+    * partition; the `_stats` file index refreshes from the rewritten
+    * files either way. Columns must exist; empty = today's unsorted
+    * bin-pack.
     */
-  def compact(minInputFiles: Int = 5, targetPartitions: Int = 1): Option[Long] = {
+  def compact(minInputFiles: Int = 5, targetPartitions: Int = 1,
+              sortBy: Seq[String] = Nil): Option[Long] = {
     if (!exists || files().count() < minInputFiles) None
-    else if (bucketCount > 0 && bucketDirsOf(versionDir(currentVersion)).nonEmpty)
-      compactScoped(targetPartitions)
-    else Some(commitInternal(read().repartition(targetPartitions), None,
-      carry = true))
+    else {
+      sortBy.foreach(c => require(
+        snapshotSchema(versionDir(currentVersion)).fieldNames.contains(c),
+        s"compact sortBy column '$c' does not exist in $root"))
+      if (bucketCount > 0 && bucketDirsOf(versionDir(currentVersion)).nonEmpty)
+        compactScoped(targetPartitions, sortBy)
+      else {
+        val base = read().repartition(targetPartitions)
+        val out = if (sortBy.isEmpty) base
+          else base.sortWithinPartitions(sortBy.map(col): _*)
+        Some(commitInternal(out, None, carry = true))
+      }
+    }
   }
 
   private def bucketDirsOf(dir: Path): Seq[Path] =
@@ -2063,7 +2082,8 @@ final class KeyedParquetTable(
     else listEntries(dir).filter(p => Files.isDirectory(p) &&
       p.getFileName.toString.startsWith("__bucket="))
 
-  private def compactScoped(targetPartitions: Int): Option[Long] = {
+  private def compactScoped(targetPartitions: Int,
+                            sortBy: Seq[String] = Nil): Option[Long] = {
     val cur = currentVersion
     val curDir = versionDir(cur)
     // flat files from a foreign writer next to bucket dirs → scoped rewrite
@@ -2103,10 +2123,14 @@ final class KeyedParquetTable(
     // one hash partition per fragmented bucket → ~one output file each;
     // basePath keeps the __bucket / partition columns readable from the
     // directory names so the rewrite lands back in the same layout
-    applyDeletes( // compaction MATERIALIZES merge-on-read deletes
+    val rewrite = applyDeletes( // compaction MATERIALIZES merge-on-read deletes
       scanDeclared(snapshotSchema(curDir),
         Some(curDir.toString), fragmented.map(_.toString)), curDir)
       .repartition(math.max(targetPartitions, fragmented.size), col("__bucket"))
+    // sort strategy: cluster within each rewritten partition (bucket kept
+    // leading so the partitionBy layout is preserved file-contiguously)
+    (if (sortBy.isEmpty) rewrite
+     else rewrite.sortWithinPartitions(("__bucket" +: sortBy).map(col): _*))
       .write.mode("append")
       .partitionBy(("__bucket" +: partitionBy): _*)
       .parquet(nextDir.toString)

@@ -1158,6 +1158,29 @@ class KeyedParquetTableSpec extends SparkSpec {
     }
   }
 
+  test("compact sortBy: rewritten buckets land locally sorted, content intact") {
+    val dir = tmpDir("kpt_sort_compact")
+    val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4)
+    // several appends fragment the buckets with interleaved id ranges
+    t.commit((0L until 50L).map(i => (i * 7 % 200, s"v$i")).toDF("id", "v"))
+    t.append((50L until 100L).map(i => (i * 13 % 200, s"v$i")).toDF("id", "v"))
+    t.append((100L until 150L).map(i => (i * 3 % 200, s"v$i")).toDF("id", "v"))
+    val before = t.read().orderBy("id", "v").collect().toSeq
+    assert(t.compact(minInputFiles = 2, sortBy = Seq("id")).nonEmpty)
+    assert(t.read().orderBy("id", "v").collect().toSeq === before)
+    // every rewritten file is internally sorted on id (the row-group
+    // min/max tightening is a direct consequence of this ordering)
+    val files = t.files().collect().map(_.getString(0))
+    files.foreach { f =>
+      val ids = spark.read.parquet(f).select("id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"file $f not sorted")
+    }
+    // sortBy on a missing column refuses
+    intercept[IllegalArgumentException] {
+      t.compact(minInputFiles = 1, sortBy = Seq("nope"))
+    }
+  }
+
   test("deleteWhere commits atomically with a txn marker and stacks sets") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_mor_txn"), Seq("id"), Nil, 4)
     t.commit((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
