@@ -414,24 +414,49 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(tp.compact(minInputFiles = 2).isEmpty) // stable afterwards
   }
 
-  test("lifecycle property: random merge/append/compact/expire history == map fold (5 seeds)") {
+  test("lifecycle property: random merge/append/MoR-delete/re-append/" +
+    "compact/expire history == map fold (5 seeds)") {
     for (seed <- 0 until 5) {
       val rnd = new scala.util.Random(100 + seed)
       val t = new KeyedParquetTable(spark, tmpDir(s"kpt_prop$seed"), Seq("id"), Nil, 8)
       t.createIfNotExists(schema)
       var model = Map.empty[Long, String]
+      var removed = Set.empty[Long] // keys wiped at some point (re-append pool)
       var fresh = 1000L // append-only ids, disjoint from merge keys by construction
-      for (_ <- 0 until 8) {
-        rnd.nextInt(3) match {
+      var step = 0
+      for (_ <- 0 until 10) {
+        step += 1
+        rnd.nextInt(5) match {
           case 2 =>
             val rows = (0 until rnd.nextInt(3) + 1).map { _ =>
               val k = fresh; fresh += 1; model += (k -> s"a$k"); (k, s"a$k")
             }
             t.append(rows.toDF("id", "v"))
+          case 3 =>
+            // merge-on-read wipe of live keys (routes through the sharded
+            // delete set, zero data rewrite)
+            val ks = rnd.shuffle(model.keys.toList).take(rnd.nextInt(3))
+            if (ks.nonEmpty) {
+              t.deleteKeys(ks.toDF("id")); model --= ks; removed ++= ks
+            }
+          case 4 =>
+            // RE-APPEND keys wiped earlier and not re-inserted since: the
+            // append-after-delete path (tombstone may be pending OR already
+            // materialized by an interleaved compact/rewrite — both must
+            // fold to "old dead, new live")
+            val cand = (removed -- model.keySet).toList.sorted
+            val ks = rnd.shuffle(cand).take(rnd.nextInt(2) + 1)
+            if (ks.nonEmpty) {
+              val rows = ks.map { k =>
+                val v = s"r$k-$step"; model += (k -> v); (k, v)
+              }
+              t.append(rows.toDF("id", "v"))
+            }
           case _ =>
             val keys = rnd.shuffle((0L until 30L).toList).take(rnd.nextInt(8) + 1)
             val rows = keys.map { k =>
-              if (rnd.nextInt(4) == 0) { model -= k; (k, null.asInstanceOf[String], "d") }
+              if (rnd.nextInt(4) == 0) { model -= k; removed += k
+                (k, null.asInstanceOf[String], "d") }
               else { val v = s"v${rnd.nextInt(100)}"; model += (k -> v); (k, v, "u") }
             }
             t.merge(rows.toDF("id", "v", "operation"))
@@ -439,8 +464,10 @@ class KeyedParquetTableSpec extends SparkSpec {
         if (rnd.nextInt(3) == 0) t.compact(minInputFiles = 2)
         if (rnd.nextInt(4) == 0) t.expireSnapshots(0L, retainLast = 2)
       }
-      val got = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toMap
-      assert(got === model, s"seed=$seed")
+      val rows = t.read().collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.length === rows.map(_._1).distinct.length,
+        s"seed=$seed: duplicate keys in read (append-after-delete resurrection?)")
+      assert(rows.toMap === model, s"seed=$seed")
     }
   }
 
@@ -1122,6 +1149,19 @@ class KeyedParquetTableSpec extends SparkSpec {
       .map(_.getLong(0)).contains(300L))
     assert(t.readForKeys(Seq(250L).toDF("id")).collect()
       .map(_.getLong(0)).contains(250L))
+    // and the pruning is PHYSICAL on the delete side too: the probe's plan
+    // scans only the probed buckets' delete shards, a strict subset
+    val probe = t.readForKeys(Seq(5L).toDF("id"))
+    val delFiles = probe.inputFiles.filter(_.contains("_deletes"))
+    assert(delFiles.nonEmpty && delFiles.forall(_.contains("__dbucket=")))
+    val shardIds = delFiles.flatMap(_.split("/")
+      .find(_.startsWith("__dbucket=")).map(_.stripPrefix("__dbucket="))).toSet
+    val dataBuckets = probe.inputFiles.filterNot(_.contains("_deletes"))
+      .flatMap(_.split("/").find(_.startsWith("__bucket="))
+        .map(_.stripPrefix("__bucket="))).toSet
+    assert(shardIds.subsetOf(dataBuckets),
+      s"delete shards $shardIds exceed probed buckets $dataBuckets")
+    assert(shardIds.size < before.size, "expected a strict shard subset")
   }
 
   test("append re-introduces a MoR-deleted key exactly: new row lives, " +
