@@ -1711,6 +1711,50 @@ final class KeyedParquetTable(
       bucketKeys, statsCols, bloomKeyBits)
   }
 
+  /** Per-retained-snapshot STORAGE accounting, hard-link aware — the
+    * retention planner's question ("what does expiring this snapshot
+    * actually reclaim?") that naive per-dir byte sums answer wrongly on
+    * this layout, where snapshot-incremental commits hard-link most files:
+    * a 16-snapshot table of mostly-shared links holds ~1× the data, not
+    * 16×. Per snapshot: file count, total bytes (what a naive `du` of the
+    * dir says), and EXCLUSIVE bytes — files whose inode appears in no
+    * other retained snapshot, i.e. exactly what [[expireSnapshots]] of
+    * this version alone would free. Counts data, `_stats` and `_deletes`
+    * files alike (all are reclaimed together). Pure metadata walk on the
+    * driver — O(retained files) inodes, no Spark job, same scale contract
+    * as [[history]]/[[files]].
+    */
+  def storageFootprint(): DataFrame = {
+    import spark.implicits._
+    val versions =
+      if (!Files.exists(rootPath)) Seq.empty[Long]
+      else listEntries(rootPath).map(_.getFileName.toString)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted
+    val perVersion = versions.map { v =>
+      val fs = walkEntries(versionDir(v))
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map { p =>
+          val attrs = Files.readAttributes(p,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          (attrs.fileKey, attrs.size)
+        }
+      v -> fs
+    }
+    // inode -> number of retained snapshots referencing it (fileKey null on
+    // filesystems without stable keys → counted as always-exclusive, the
+    // conservative direction for "what would expire free")
+    val refCount = perVersion.flatMap(_._2.map(_._1)).filter(_ != null)
+      .groupBy(identity).map { case (k, xs) => k -> xs.size }
+    val rows = perVersion.map { case (v, fs) =>
+      val exclusive = fs.collect {
+        case (k, sz) if k == null || refCount.getOrElse(k, 1) == 1 => sz
+      }.sum
+      (v, fs.size.toLong, fs.map(_._2).sum, exclusive, v == currentVersion)
+    }
+    rows.toDF("snapshot_id", "n_files", "total_bytes", "exclusive_bytes",
+      "is_current")
+  }
+
   /** Snapshot history — analog of Iceberg's `.history` metadata table. */
   def history(): DataFrame = {
     import spark.implicits._

@@ -471,6 +471,34 @@ class KeyedParquetTableSpec extends SparkSpec {
     }
   }
 
+  test("storageFootprint: hard-link-aware exclusive bytes = what expire reclaims") {
+    val dir = tmpDir("kpt_foot")
+    val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4)
+    t.commit((0L until 40L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.append((100L until 120L).map(i => (i, s"a$i")).toDF("id", "v"))
+    t.append((200L until 220L).map(i => (i, s"b$i")).toDF("id", "v"))
+    val fp = t.storageFootprint().orderBy("snapshot_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(fp.map(_._1).toSeq === Seq(0L, 1L, 2L) && fp.last._5)
+    // v0's files are all shared into v1/v2 via hard links: zero exclusive
+    assert(fp(0)._4 === 0L)
+    // v1 shares v0's files and its own batch forward into v2: zero exclusive
+    assert(fp(1)._4 === 0L)
+    // the current snapshot holds the only reference to the latest batch
+    assert(fp(2)._4 > 0L && fp(2)._4 < fp(2)._3)
+    // total_bytes grows (naive du) while actual disk usage is ~shared;
+    // v2 total covers v1's (superset via links)
+    assert(fp(2)._3 > fp(1)._3 && fp(1)._3 > fp(0)._3)
+    // expire v0+v1: reclaimed = nothing shared is lost, reads intact
+    val live = t.read().count()
+    t.expireSnapshots(0L, retainLast = 1)
+    assert(t.read().count() === live)
+    val after = t.storageFootprint().collect()
+    assert(after.length === 1)
+    // everything the survivor holds is now exclusive to it
+    assert(after.head.getLong(3) === after.head.getLong(2))
+  }
+
   test("fileStats: per-file bounds cover the snapshot exactly") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_stats"), Seq("id"), Nil, 4)
     t.commit((0L until 200L).map(i => (i, s"v$i")).toDF("id", "v"))
