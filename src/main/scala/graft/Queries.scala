@@ -293,6 +293,35 @@ object Queries {
              |  END AS high_value
              |FROM final f, m""".stripMargin)),
 
+    // SORT-strategy compaction under the CDC cadence: fold two merge
+    // batches (fragmenting the buckets), then compact with sortBy — the
+    // Iceberg rewrite_data_files 'sort' strategy: rewritten buckets land
+    // locally ordered so row-group min/max tighten for range scans. The
+    // clustering must be CONTENT-NEUTRAL: the read after the sorted
+    // rewrite hash-matches the from-scratch fold oracle. Physical
+    // ordering is KeyedParquetTableSpec's per-file assertion.
+    "q_sorted_compact" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val parsed = parsedEventsCached(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "operation")
+          .localCheckpoint(true)
+        val maxId = parsed.agg(max("event_id")).head().getLong(0)
+        val mid = (maxId + 1) / 2
+        val tmp = scratchDir("graft_sortc_")
+        val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
+        table.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
+        def half(cond: Column): DataFrame =
+          Dedup.dedupLatest(parsed.filter(cond), Seq("user_id"), Seq(col("event_id").desc))
+            .select((parsed.columns.filterNot(_ == "operation").map(col)
+              .toIndexedSeq :+ col("operation")): _*)
+        table.merge(half(col("event_id") < mid))
+        table.merge(half(col("event_id") >= mid))
+        table.compact(minInputFiles = 1, sortBy = Seq("event_id"))
+        table.read()
+      },
+      Some(finalStateOracle)),
+
     // Mid-stream METADATA-ONLY RENAME under the CDC merge cadence: the
     // entity table renames value→score between batch 1 and batch 2 (zero
     // data I/O — every pre-rename file hard-links and physically keeps the

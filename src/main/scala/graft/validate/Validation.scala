@@ -227,6 +227,30 @@ object Validation {
         "files" -> nFiles.toString, "partition_skew" -> skew.toString))
   }
 
+  /** RETENTION OVERHEAD: bytes held EXCLUSIVELY by non-current retained
+    * snapshots — exactly what expiring all history would reclaim, computed
+    * hard-link aware via [[KeyedParquetTable.storageFootprint]] (shared
+    * inodes cost nothing extra on this layout, so a naive per-dir sum
+    * overstates overhead by the retention depth). Pass while reclaimable ≤
+    * `maxRatio` × the current snapshot's bytes; Warning above half the
+    * bound. Driver-side metadata walk, no Spark job — safe on a schedule.
+    */
+  def retentionOverhead(table: KeyedParquetTable,
+                        maxRatio: Double = 2.0): CheckResult = {
+    val fp = table.storageFootprint().collect()
+    val cur = fp.find(_.getBoolean(4)).map(_.getLong(2)).getOrElse(0L)
+    val reclaimable = fp.filterNot(_.getBoolean(4)).map(_.getLong(3)).sum
+    val ratio = if (cur == 0L) 0.0 else reclaimable.toDouble / cur
+    val level =
+      if (ratio <= maxRatio / 2) "Good"
+      else if (ratio <= maxRatio) "Warning" else "Poor"
+    CheckResult("retention_overhead", ratio <= maxRatio,
+      Map("reclaimable_bytes" -> reclaimable.toString,
+        "current_bytes" -> cur.toString,
+        "ratio" -> ratio.toString, "max_ratio" -> maxRatio.toString,
+        "retained_snapshots" -> fp.length.toString, "level" -> level))
+  }
+
   /** MERGE-ON-READ DELETE DEBT: how many keys the table's pending delete
     * set shadows. Every key taxes reads with the anti-join probe until
     * maintenance materializes it (compaction rewrites delete-carrying

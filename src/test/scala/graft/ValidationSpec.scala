@@ -182,4 +182,21 @@ class ValidationSpec extends SparkSpec {
     val after = Validation.morDeleteDebt(t, maxKeys = 5L)
     assert(after.valid && after.details("n_delete_keys") === "0")
   }
+
+  test("retentionOverhead bands on reclaimable history bytes; expire clears it") {
+    val t = new graft.cdc.KeyedParquetTable(spark, tmpDir("val_ret"), Seq("id"), Nil, 4)
+    t.commit((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // link-shared appends: history holds almost nothing exclusively
+    t.append((100L to 120L).map(i => (i, s"a$i")).toDF("id", "v"))
+    val cheap = Validation.retentionOverhead(t)
+    assert(cheap.valid && cheap.details("level") === "Good")
+    // full rewrites: each superseded snapshot's files become exclusive
+    // history — overhead climbs past the bound
+    (0 until 3).foreach(_ => t.commit(t.read()))
+    val heavy = Validation.retentionOverhead(t, maxRatio = 1.0)
+    assert(!heavy.valid || heavy.details("level") != "Good")
+    t.expireSnapshots(0L, retainLast = 1)
+    val after = Validation.retentionOverhead(t, maxRatio = 1.0)
+    assert(after.valid && after.details("reclaimable_bytes") === "0")
+  }
 }
