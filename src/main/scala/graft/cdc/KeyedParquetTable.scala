@@ -1321,6 +1321,14 @@ final class KeyedParquetTable(
     * partition/stats columns) refuse, as does reusing a retired physical
     * name. Foreign readers of the raw parquet see mixed names — the
     * declared schema is the read contract, same as any evolved snapshot.
+    *
+    * Named cost: while rename history is live, a predicate on the renamed
+    * column sits above the coalesce projection and does NOT push down to
+    * the parquet scan (Iceberg's field ids avoid this; a name-resolved
+    * layout can't). Same temporary-read-tax family as the MoR delete
+    * anti-join, and it retires the same way — each bucket rewrite /
+    * compaction materializes the logical name; after a full rewrite the
+    * history is gone and pushdown is back.
     */
   def renameColumn(from: String, to: String): Long = {
     require(exists, s"renameColumn target $root does not exist")
