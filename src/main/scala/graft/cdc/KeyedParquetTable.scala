@@ -408,28 +408,60 @@ final class KeyedParquetTable(
   def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
     // merge-on-read guard: the bucket-diff scoping below infers "unchanged
     // rows" from unchanged file identity, which a delete-set change breaks
-    // (a deleteWhere commit hard-links every data file). Scoping stays
-    // valid only when both versions carry the IDENTICAL delete set (same
-    // inode identity — hard-link carried); otherwise fall back to the full
-    // keyed diff, which reads through applyDeletes on both sides and stays
-    // exact.
+    // (a deleteWhere commit hard-links every data file). With the SHARDED
+    // set, delete identity is attributable per bucket — bucket B's live
+    // content depends only on B's data files and B's shard (the pmod
+    // sharding guarantees B's delete keys live nowhere else) — so a
+    // delete-heavy table keeps O(changed buckets) changelogs: the diff
+    // scope is (data-changed ∪ shard-changed) buckets. Flat sets (or a
+    // filesystem without stable fileKeys) can't attribute keys to buckets;
+    // there the old all-or-nothing rule applies — identical set → scope by
+    // data identity, differing set → full keyed diff (exact, unpruned).
+    def fileKeysOf(d: Path): Set[Object] =
+      walkEntries(d).filter(p => Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet"))
+        .map(p => Files.readAttributes(p,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey)
+        .toSet
+    // per-bucket delete-shard identity; None when not attributable
+    def delShardIdentity(v: Long): Option[Map[Int, Set[Object]]] = {
+      val dir = versionDir(v)
+      if (!hasDeletes(dir)) Some(Map.empty)
+      else {
+        val del = deletesDirOf(dir)
+        val shards = deleteShardDirs(del)
+        val hasFlatFiles = walkEntries(del).exists(p =>
+          Files.isRegularFile(p) && p.toString.endsWith(".parquet") &&
+            !del.relativize(p).iterator().asScala
+              .exists(_.getFileName.toString.startsWith(s"$DelBucketCol=")))
+        if (shards.isEmpty || hasFlatFiles) None
+        else {
+          val m = shards.map(s => (shardIdOf(s), fileKeysOf(s)))
+          if (m.exists(e => e._1.isEmpty || e._2.contains(null))) None
+          else Some(m.map(e => e._1.get -> e._2).toMap)
+        }
+      }
+    }
+    // whole-set identity, the flat-layout fallback comparison
     def delIdentity(v: Long): Option[Set[Object]] = {
       val d = deletesDirOf(versionDir(v))
       if (!Files.exists(d)) Some(Set.empty)
-      else {
-        val ks = walkEntries(d).filter(p => Files.isRegularFile(p) &&
-            p.toString.endsWith(".parquet"))
-          .map(p => Files.readAttributes(p,
-            classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey)
-        if (ks.contains(null)) None else Some(ks.toSet)
+      else { val ks = fileKeysOf(d); if (ks.contains(null)) None else Some(ks) }
+    }
+    // delete contribution to the scope: Some(buckets) when attributable,
+    // Some(empty) when provably identical, None → full diff required
+    val delScope: Option[Set[Int]] =
+      (delShardIdentity(fromVersion), delShardIdentity(toVersion)) match {
+        case (Some(da), Some(db)) =>
+          Some((da.keySet ++ db.keySet).filter(k => da.get(k) != db.get(k)))
+        case _ =>
+          (delIdentity(fromVersion), delIdentity(toVersion)) match {
+            case (Some(a), Some(b)) if a == b => Some(Set.empty)
+            case _                            => None
+          }
       }
-    }
-    val deletesIdentical = (delIdentity(fromVersion), delIdentity(toVersion)) match {
-      case (Some(a), Some(b)) => a == b
-      case _                  => false
-    }
     val scopedBuckets: Option[Set[Int]] =
-      if (bucketCount <= 0 || !deletesIdentical) None
+      if (bucketCount <= 0 || delScope.isEmpty) None
       else {
         // bucket id → file-identity set; None when identity can't be
         // attested (flat/foreign layout, or a filesystem without fileKey)
@@ -438,18 +470,15 @@ final class KeyedParquetTable(
           if (dirs.isEmpty) return None
           val m = dirs.map { d =>
             val b = d.getFileName.toString.stripPrefix("__bucket=").toIntOption
-            val ks = walkEntries(d).filter(p => Files.isRegularFile(p) &&
-                p.toString.endsWith(".parquet"))
-              .map(p => Files.readAttributes(p,
-                classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey)
-            (b, ks.toSet)
+            (b, fileKeysOf(d))
           }
           if (m.exists(e => e._1.isEmpty || e._2.contains(null))) None
           else Some(m.map(e => e._1.get -> e._2).toMap)
         }
         (identities(fromVersion), identities(toVersion)) match {
           case (Some(fa), Some(fb)) =>
-            Some((fa.keySet ++ fb.keySet).filter(k => fa.get(k) != fb.get(k)))
+            Some((fa.keySet ++ fb.keySet).filter(k => fa.get(k) != fb.get(k)) ++
+              delScope.get)
           case _ => None
         }
       }

@@ -1249,6 +1249,34 @@ class KeyedParquetTableSpec extends SparkSpec {
     }
   }
 
+  test("changesBetween stays bucket-scoped across sharded delete commits") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_ch_mor"), Seq("id"), Nil, 8)
+    t.commit((0L until 200L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val v0 = t.currentVersion
+    // a wipe hard-links every data file; only one delete shard appears
+    t.deleteKeys(Seq(5L).toDF("id"))
+    val v1 = t.currentVersion
+    val ch = t.changesBetween(v0, v1)
+    assert(ch.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((5L, "delete")))
+    // the r9 behavior was a FULL keyed diff here (any delete-set change
+    // killed the scoping); per-shard identity restores O(changed buckets):
+    // the diff's scan covers exactly the one shard-changed bucket
+    val buckets = ch.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("__bucket="))).toSet
+    assert(buckets.size === 1, s"expected 1 scanned bucket, got $buckets")
+    // interleaved merge + wipe still diffs exactly, still scoped
+    t.merge(Seq((7L, "x", "u"), (300L, "n", "u")).toDF("id", "v", "operation"))
+    t.deleteKeys(Seq(9L).toDF("id"))
+    val ch2 = t.changesBetween(v1, t.currentVersion)
+    assert(ch2.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      .toSeq === Seq((7L, "update"), (9L, "delete"), (300L, "insert")))
+    val buckets2 = ch2.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("__bucket="))).toSet
+    assert(buckets2.size <= 3 && buckets2.size < 8,
+      s"expected ≤3 scanned buckets, got $buckets2")
+  }
+
   test("deleteWhere commits atomically with a txn marker and stacks sets") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_mor_txn"), Seq("id"), Nil, 4)
     t.commit((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
