@@ -2232,9 +2232,15 @@ final class KeyedParquetTable(
   }
 
   /** M2: drop snapshot dirs older than `olderThanMs`, always retaining the
-    * newest `retainLast` (and never the current pointer target).
+    * newest `retainLast` (and never the current pointer target). Age is
+    * the commit-time stamp ([[commitTimeMs]]), not dir mtime — a
+    * WAP-staged snapshot's dir predates its publish, and retention must
+    * count from when readers could first see it. `dryRun = true` returns
+    * the victims without deleting — pair with [[storageFootprint]] for
+    * "what would this retention policy reclaim" planning.
     */
-  def expireSnapshots(olderThanMs: Long, retainLast: Int = 5): Seq[Long] = {
+  def expireSnapshots(olderThanMs: Long, retainLast: Int = 5,
+                      dryRun: Boolean = false): Seq[Long] = {
     val cur = currentVersion
     val all = if (!Files.exists(rootPath)) Seq.empty[Long] else
       listEntries(rootPath)
@@ -2244,10 +2250,8 @@ final class KeyedParquetTable(
     // exact state stays reproducible until the tag is dropped
     val keep = all.takeRight(retainLast).toSet + cur ++ tags.values
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val victims = all.filterNot(keep).filter { v =>
-      Files.getLastModifiedTime(versionDir(v)).toMillis < cutoff
-    }
-    victims.foreach(v => deleteRecursively(versionDir(v)))
+    val victims = all.filterNot(keep).filter(v => commitTimeMs(v) < cutoff)
+    if (!dryRun) victims.foreach(v => deleteRecursively(versionDir(v)))
     victims
   }
 

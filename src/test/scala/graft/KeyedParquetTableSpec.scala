@@ -471,6 +471,22 @@ class KeyedParquetTableSpec extends SparkSpec {
     }
   }
 
+  test("expireSnapshots dryRun reports victims without deleting") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_dry"), Seq("id"))
+    t.commit(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    val planned = t.expireSnapshots(0L, retainLast = 1, dryRun = true)
+    assert(planned === Seq(0L, 1L))
+    // nothing deleted: history intact, the plan re-reports identically
+    assert(t.history().count() === 3L)
+    assert(t.readVersion(0L).count() === 1L)
+    assert(t.expireSnapshots(0L, retainLast = 1, dryRun = true) === planned)
+    // the real pass deletes exactly what the dry run promised
+    assert(t.expireSnapshots(0L, retainLast = 1) === planned)
+    assert(t.history().count() === 1L)
+  }
+
   test("storageFootprint: hard-link-aware exclusive bytes = what expire reclaims") {
     val dir = tmpDir("kpt_foot")
     val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4)
