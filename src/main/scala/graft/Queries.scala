@@ -293,6 +293,36 @@ object Queries {
              |  END AS high_value
              |FROM final f, m""".stripMargin)),
 
+    // BRANCH write-audit-publish under the CDC cadence: batch 1 folds on
+    // MAIN, batch 2 folds on a zero-copy BRANCH (Iceberg's audit-branch
+    // workflow generalized past one staged commit), then fastForward
+    // publishes the branch state atomically (CAS on the fork point). The
+    // published final state is the plain two-batch fold — SQL-expressible,
+    // hash-checked; isolation/divergence/maintenance physics are
+    // KeyedParquetTableSpec's.
+    "q_branch_publish" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val parsed = parsedEventsCached(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "operation")
+          .localCheckpoint(true)
+        val maxId = parsed.agg(max("event_id")).head().getLong(0)
+        val mid = (maxId + 1) / 2
+        val tmp = scratchDir("graft_branch_")
+        val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
+        table.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
+        def half(cond: Column): DataFrame =
+          Dedup.dedupLatest(parsed.filter(cond), Seq("user_id"), Seq(col("event_id").desc))
+            .select((parsed.columns.filterNot(_ == "operation").map(col)
+              .toIndexedSeq :+ col("operation")): _*)
+        table.merge(half(col("event_id") < mid))
+        val audit = table.createBranch("audit")
+        audit.merge(half(col("event_id") >= mid))
+        table.fastForward("audit")
+        table.read()
+      },
+      Some(finalStateOracle)),
+
     // SORT-strategy compaction under the CDC cadence: fold two merge
     // batches (fragmenting the buckets), then compact with sortBy — the
     // Iceberg rewrite_data_files 'sort' strategy: rewritten buckets land

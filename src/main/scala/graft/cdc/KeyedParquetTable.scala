@@ -2281,6 +2281,93 @@ final class KeyedParquetTable(
     ((version + 1) to cur).foreach(v => deleteRecursively(versionDir(v)))
   }
 
+  // ---- branch refs ---------------------------------------------------------
+  //
+  // Iceberg branch parity on the hard-link snapshot model: a branch is a
+  // WRITABLE zero-copy fork — [[cloneTo]] under `root/_branches/<name>/`
+  // with the fork-point version recorded — and publishing is a
+  // FAST-FORWARD CAS: iff main has not moved past the fork point, the
+  // branch's current snapshot hard-links into main's next version and the
+  // pointer swings (O(files) inodes, zero data I/O). This generalizes the
+  // single-commit write-audit-publish of [[stageMerge]] to arbitrarily
+  // many commits: write/evolve/maintain ON the branch with the full table
+  // API, audit it, then publish atomically — Iceberg's audit-branch
+  // workflow. Main's own maintenance never breaks a branch: hard links
+  // keep shared inodes alive through expire, and `_branches` is live
+  // metadata to the orphan sweep. Divergence is refused loudly at
+  // publish (re-branch and replay — the same linear-history contract as
+  // [[swingPointerCas]]); branches never merge row-wise.
+
+  private def branchRoot(name: String): Path =
+    rootPath.resolve("_branches").resolve(name)
+
+  /** Fork a writable zero-copy branch at the current snapshot. */
+  def createBranch(name: String): KeyedParquetTable = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid branch name '$name'")
+    require(exists, s"createBranch source $root has no snapshot")
+    require(!Files.exists(branchRoot(name)),
+      s"$root already has a branch '$name'")
+    val base = currentVersion
+    val t = cloneTo(branchRoot(name).toString)
+    Files.writeString(branchRoot(name).resolve("_base"), base.toString)
+    t
+  }
+
+  /** Open an existing branch as a full [[KeyedParquetTable]]. */
+  def branch(name: String): KeyedParquetTable = {
+    require(Files.exists(branchRoot(name)), s"$root has no branch '$name'")
+    new KeyedParquetTable(spark, branchRoot(name).toString, keys, partitionBy,
+      bucketCount, bucketKeys, statsCols, bloomKeyBits)
+  }
+
+  def branches: Seq[String] = {
+    val d = rootPath.resolve("_branches")
+    if (!Files.exists(d)) Nil
+    else listEntries(d).filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).sorted
+  }
+
+  def dropBranch(name: String): Unit = deleteRecursively(branchRoot(name))
+
+  /** Publish a branch: fast-forward main to the branch's current snapshot,
+    * atomically, iff main still sits at the branch's fork point — the
+    * linear-history CAS. Everything the branch state carries (data,
+    * declared schema, delete shards, stats index, txn marker) links
+    * wholesale; the published commit gets its OWN commit-time stamp. On
+    * success the branch re-forks from the published tip, so further branch
+    * commits can fast-forward again. Diverged main refuses loudly.
+    */
+  def fastForward(name: String): Long = {
+    val br = branch(name)
+    require(br.exists, s"branch '$name' of $root has no snapshot")
+    val baseFile = branchRoot(name).resolve("_base")
+    val base =
+      try Files.readString(baseFile).trim.toLong
+      catch { case _: java.io.IOException | _: NumberFormatException =>
+        throw new IllegalStateException(
+          s"branch '$name' of $root has no readable fork point (_base)")
+      }
+    val cur = currentVersion
+    if (cur != base) throw new java.util.ConcurrentModificationException(
+      s"$root moved v$base -> v$cur since branch '$name' forked — " +
+        "re-branch from the current tip and replay")
+    val next = cur + 1
+    claimCommit(next)
+    val nextDir = versionDir(next)
+    if (Files.exists(nextDir)) deleteRecursively(nextDir)
+    Files.createDirectories(nextDir)
+    val srcDir = br.versionDir(br.currentVersion)
+    walkEntries(srcDir).filter(Files.isRegularFile(_))
+      .foreach(linkInto(srcDir, nextDir, _))
+    // this publish is a NEW commit of main: it must not inherit the
+    // branch-side commit instant
+    Files.deleteIfExists(nextDir.resolve("_committed_at"))
+    val v = swingPointerCas(cur, next)
+    schemaCache = None // the branch may have evolved the schema
+    Files.writeString(baseFile, v.toString)
+    v
+  }
+
   // ---- named snapshot refs (tags) -----------------------------------------
 
   /** Tag a retained snapshot with a durable name — Iceberg's tag refs, the
@@ -2351,7 +2438,7 @@ final class KeyedParquetTable(
       n.matches("v\\d+") && (n.drop(1).toLong <= cur ||
         withinLease(rootPath.resolve(s"_commit.$n")))
     }
-    val liveAux = Set("_latest", "_properties", "_tags")
+    val liveAux = Set("_latest", "_properties", "_tags", "_branches")
     val orphans = entries.filterNot(p =>
       liveAux(p.getFileName.toString) || liveVersionDir(p) || liveClaim(p))
     orphans.foreach(deleteRecursively)

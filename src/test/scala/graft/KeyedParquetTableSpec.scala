@@ -471,6 +471,47 @@ class KeyedParquetTableSpec extends SparkSpec {
     }
   }
 
+  test("branches: zero-copy writable fork, isolation, CAS fast-forward, " +
+    "divergence refusal, maintenance-proof") {
+    val dir = tmpDir("kpt_branch")
+    val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4)
+    t.commit((1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val b = t.createBranch("audit")
+    assert(t.branches === Seq("audit"))
+    // zero-copy: the branch's v0 holds the same inodes as main's tip
+    assert(dataFileKeys(dir, t.currentVersion) ===
+      dataFileKeys(s"$dir/_branches/audit", 0L))
+    // branch writes (merge + MoR delete) leave main untouched
+    b.merge(Seq((1L, "B", "u"), (7L, "n", "u")).toDF("id", "v", "operation"))
+    b.deleteKeys(Seq(2L).toDF("id"))
+    assert(t.read().count() === 6L)
+    assert(b.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((1L, "B"), (3L, "v3"), (4L, "v4"), (5L, "v5"), (6L, "v6"), (7L, "n")))
+    // publish: main fast-forwards to the branch state wholesale (delete
+    // shards included), atomically
+    t.fastForward("audit")
+    assert(t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === b.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    // the branch re-forked at the published tip: further commits publish again
+    b.merge(Seq((8L, "m", "u")).toDF("id", "v", "operation"))
+    t.fastForward("audit")
+    assert(t.read().count() === 7L)
+    // divergence: main moves after a fork -> publish refuses loudly
+    val b2 = t.createBranch("b2")
+    t.merge(Seq((9L, "z", "u")).toDF("id", "v", "operation"))
+    intercept[java.util.ConcurrentModificationException] { t.fastForward("b2") }
+    // main maintenance cannot break a live branch (hard links + live aux)
+    t.expireSnapshots(0L, retainLast = 1)
+    t.removeOrphanFiles()
+    assert(t.branch("b2").read().count() === 7L)
+    assert(t.branches === Seq("audit", "b2"))
+    t.dropBranch("b2")
+    assert(t.branches === Seq("audit"))
+    intercept[IllegalArgumentException] { t.branch("b2") }
+    intercept[IllegalArgumentException] { t.createBranch("audit") } // exists
+    intercept[IllegalArgumentException] { t.createBranch("bad/name") }
+  }
+
   test("expireSnapshots dryRun reports victims without deleting") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_dry"), Seq("id"))
     t.commit(Seq((1L, "a")).toDF("id", "v"))
