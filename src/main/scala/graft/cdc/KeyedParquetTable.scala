@@ -1351,13 +1351,12 @@ final class KeyedParquetTable(
     * name. Foreign readers of the raw parquet see mixed names — the
     * declared schema is the read contract, same as any evolved snapshot.
     *
-    * Named cost: while rename history is live, a predicate on the renamed
-    * column sits above the coalesce projection and does NOT push down to
-    * the parquet scan (Iceberg's field ids avoid this; a name-resolved
-    * layout can't). Same temporary-read-tax family as the MoR delete
-    * anti-join, and it retires the same way — each bucket rewrite /
-    * compaction materializes the logical name; after a full rewrite the
-    * history is gone and pushdown is back.
+    * Pushdown: a predicate on the renamed column resolves through the
+    * coalesce, which the parquet source cannot translate — left alone the
+    * rename would cost row-group pruning until maintenance materializes
+    * it. [[graft.plans.CoalescePushdown]] (injected by GraftExtensions)
+    * restores it: a provably-additive OR-twin over both physical
+    * generations reaches the scan, verified by CoalescePushdownSpec.
     */
   def renameColumn(from: String, to: String): Long = {
     require(exists, s"renameColumn target $root does not exist")

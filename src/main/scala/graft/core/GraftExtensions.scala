@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // restore parquet pushdown for coalesce-over-attributes predicates —
+    // the rename-history read shape (provably additive; see its Scaladoc)
+    ext.injectPreCBORule(_ => graft.plans.CoalescePushdown)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getCanonicalName, "vec_dot"),
