@@ -510,6 +510,17 @@ class KeyedParquetTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.branch("b2") }
     intercept[IllegalArgumentException] { t.createBranch("audit") } // exists
     intercept[IllegalArgumentException] { t.createBranch("bad/name") }
+    // schema evolution ON the branch publishes wholesale: after the main
+    // tip moved to v_published, re-fork, evolve + write on the branch,
+    // publish — main resolves the evolved declared schema cold
+    val b3 = t.createBranch("evolve")
+    b3.renameColumn("v", "label")
+    b3.merge(Seq((10L, "ten", "u")).toDF("id", "label", "operation"))
+    t.fastForward("evolve")
+    assert(t.read().schema.fieldNames.toSeq === Seq("id", "label"))
+    val cold = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4)
+    assert(cold.read().filter(col("id") === 10L).select("label")
+      .head().getString(0) === "ten")
   }
 
   test("expireSnapshots dryRun reports victims without deleting") {
