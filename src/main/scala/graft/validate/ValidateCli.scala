@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
   *     <keyCols,comma-sep> [checkCols,comma-sep] [check]
   * where check ∈ row_count | checksum | sample_data | validation_suite
   * (default: validation_suite). Prints one JSON line per check.
+  *
+  * check = table_health instead treats <srcParquet> as a
+  * [[graft.cdc.KeyedParquetTable]] ROOT (keyed by <keyCols>; <sinkParquet>
+  * ignored, pass "-") and runs the storage-health trio: tableHealth,
+  * morDeleteDebt, retentionOverhead — the scheduled-ops surface (V7).
   */
 object ValidateCli {
   def main(args: Array[String]): Unit = {
@@ -21,9 +26,10 @@ object ValidateCli {
       SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"),
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val src = spark.read.parquet(srcPath)
-    val sink = spark.read.parquet(sinkPath)
-    val cols = if (args.length >= 4 && args(3).nonEmpty) args(3).split(",").toSeq
+    // lazy: table_health takes a TABLE ROOT as src (no flat parquet there)
+    lazy val src = spark.read.parquet(srcPath)
+    lazy val sink = spark.read.parquet(sinkPath)
+    lazy val cols = if (args.length >= 4 && args(3).nonEmpty) args(3).split(",").toSeq
       else src.columns.toSeq.intersect(sink.columns.toSeq)
     val which = if (args.length >= 5) args(4) else "validation_suite"
 
@@ -33,6 +39,10 @@ object ValidateCli {
       case "sample_data" => Seq(Validation.sampleConsistency(src, sink, keys))
       case "validation_suite" =>
         run("row_count") ++ run("checksum") ++ run("sample_data")
+      case "table_health" =>
+        val t = new graft.cdc.KeyedParquetTable(spark, srcPath, keys)
+        Seq(Validation.tableHealth(t), Validation.morDeleteDebt(t),
+          Validation.retentionOverhead(t))
       case other => sys.error(s"unknown check: $other")
     }
 
