@@ -388,6 +388,40 @@ object Queries {
              |      FROM events) t
              |WHERE rn = 1 AND event_type <> 'error'""".stripMargin)),
 
+    // Filter ON the renamed column over mixed physical generations: the
+    // CoalescePushdown rule conjoins an OR-twin over both physical names
+    // that reaches the parquet scan (CoalescePushdownSpec asserts the
+    // plan); THIS row hash-checks the rewrite's soundness cross-engine —
+    // an over-eager twin would silently drop pre- or post-rename rows,
+    // and the DuckDB oracle (which sees one logical column) would catch
+    // it every round.
+    "q_rename_filter" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val parsed = parsedEventsCached(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "operation")
+          .localCheckpoint(true)
+        val maxId = parsed.agg(max("event_id")).head().getLong(0)
+        val mid = (maxId + 1) / 2
+        val tmp = scratchDir("graft_renfil_")
+        val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
+        table.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
+        def half(cond: Column): DataFrame =
+          Dedup.dedupLatest(parsed.filter(cond), Seq("user_id"), Seq(col("event_id").desc))
+            .select((parsed.columns.filterNot(_ == "operation").map(col)
+              .toIndexedSeq :+ col("operation")): _*)
+        table.merge(half(col("event_id") < mid))
+        table.renameColumn("value", "score")
+        table.merge(half(col("event_id") >= mid)
+          .withColumnRenamed("value", "score")
+          .select("user_id", "event_id", "event_type", "score", "operation"))
+        table.read().filter(col("score") > 50.0)
+      },
+      Some("""SELECT user_id, event_id, event_type, value AS score
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |      FROM events) t
+             |WHERE rn = 1 AND event_type <> 'error' AND value > 50.0""".stripMargin)),
+
     // APPEND-AFTER-DELETE (Iceberg v2 sequence semantics): fold batch 1,
     // wipe every key with value > 80 (merge-on-read delete set), then
     // APPEND fresh rows for exactly the wiped keys. The appended
