@@ -1007,6 +1007,39 @@ final class KeyedParquetTable(
         .cast("int").as("__b")))
   }
 
+  /** Zero-job form of [[bucketsFor]]: an aggregate metric expression a
+    * caller attaches with `df.observe(obs, table.bucketSetMetric(...))` so an
+    * action it ALREADY pays (an eager localCheckpoint, a write) answers the
+    * bucket probe as a side effect — the per-batch maintainers ride this on
+    * their checkpoint jobs instead of paying a separate collect per table.
+    * `keyCols` supplies the frame's expressions for this table's bucket keys
+    * (order-aligned with [[bucketKeys]]); rows where `excludeWhen` holds are
+    * skipped (`collect_set` ignores the nulled-out value). Decode the
+    * observed value with [[bucketSet]]. Driver data bounded by bucketCount.
+    */
+  def bucketSetMetric(keyCols: Seq[org.apache.spark.sql.Column],
+                      excludeWhen: Option[org.apache.spark.sql.Column] = None)
+  : org.apache.spark.sql.Column = {
+    require(bucketCount > 0, s"$root is not bucketed — no bucket metric")
+    require(keyCols.length == bucketKeys.length,
+      s"need ${bucketKeys.length} key expression(s) for buckets $bucketKeys")
+    ensureLayout(stamp = false)
+    val b = pmod(abs(xxhash64(keyCols: _*)), lit(bucketCount)).cast("int")
+    collect_set(excludeWhen.fold(b)(c => when(c, lit(null)).otherwise(b)))
+  }
+
+  /** Decode a [[bucketSetMetric]] observation value into the bucket set. */
+  def bucketSet(observed: Any): Set[Int] = observed match {
+    case s: scala.collection.Seq[_] => s.map {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalStateException(
+        s"bucket metric yielded non-integer $other")
+    }.toSet
+    case other => throw new IllegalStateException(
+      s"bucket metric yielded ${if (other == null) "null" else other.getClass}")
+  }
+
   /** Narrow distinct-collect of one int column: per-partition dedup, then a
     * driver-side union — ONE job with no shuffle (a `.distinct().collect()`
     * pays a full exchange plus an extra AQE stage job). Driver data is

@@ -72,8 +72,14 @@ object IncrementalAgg {
     val sumAggs = valueCols.map(c =>
       coalesce(sum(guarded(col(c), c)), lit(BigDecimal(0)))
         .cast("decimal(38,6)").as(s"sum_$c"))
-    val partial = batch.groupBy(col(key))
+    val partial0 = batch.groupBy(col(key))
       .agg(count(lit(1)).as("n_rows"), sumAggs: _*)
+    // the bucket probe RIDES the checkpoint job as an observed metric
+    // (bucketSetMetric) — same set as bucketsFor, zero extra jobs
+    val probeObs =
+      if (table.bucketCount > 0) Some(org.apache.spark.sql.Observation()) else None
+    val partial = probeObs.fold(partial0)(o =>
+        partial0.observe(o, table.bucketSetMetric(Seq(col(key))).as("__bk")))
       .localCheckpoint(true)
     // first use: the just-created empty snapshot has no parquet footers to
     // read a schema from — the first partial IS the aggregate
@@ -86,10 +92,10 @@ object IncrementalAgg {
       // and [[KeyedParquetTable.replaceBuckets]] commits it directly,
       // skipping merge's anti-join re-read of rows this plan already
       // scanned. NULL keys group natively (no <=> machinery needed).
-      // bucketsFor doubles as the empty-batch probe (one narrow job),
-      // and the read half still scans ONLY the touched buckets —
+      // the observed metric doubles as the empty-batch probe (at zero
+      // jobs), and the read half still scans ONLY the touched buckets —
       // O(batch-key-spread) I/O on a table that grows forever.
-      val buckets = table.bucketsFor(partial.select(col(key)))
+      val buckets = table.bucketSet(probeObs.get.get("__bk"))
       if (buckets.isEmpty) return // empty batch: nothing to fold
       table.createIfNotExists(org.apache.spark.sql.types.StructType(partial.schema.fields))
       // readBuckets, NOT readForKeys: replaceBuckets requires the COMPLETE
@@ -204,14 +210,28 @@ object IncrementalAgg {
     // saving one job — lost ~25% wall-clock because under AQE the probe
     // satisfies itself from shuffle reuse without fully populating the
     // checkpoint, so later consumers recompute the window.)
-    val latest = graft.ops.Dedup.dedupLatest(batch, keys, ordering).localCheckpoint(true)
-    // ONE bucket job per table per batch: the entity table's set serves the
-    // empty-batch probe, the pre-image read AND the entity merge; the agg
-    // table's set serves the fold read AND its commit — each would
-    // otherwise pay its own distinct+collect job
+    // ZERO bucket jobs per batch: both tables' bucket probes RIDE the
+    // checkpoint materialization as observed metrics (bucketSetMetric) —
+    // the entity set serves the empty-batch probe, the pre-image read AND
+    // the entity merge; the agg-additions set (delete rows excluded, same
+    // rows the `additions` filter below keeps) combines with the pre-image
+    // groups' set observed on the pre checkpoint to bound the agg fold —
+    // where each would otherwise pay its own distinct+collect job.
+    val latestRaw = graft.ops.Dedup.dedupLatest(batch, keys, ordering)
+    val probeMetrics =
+      (if (entityTable.bucketCount > 0)
+        Seq(entityTable.bucketSetMetric(keys.map(col)).as("__ebk")) else Nil) ++
+      (if (aggTable.bucketCount > 0)
+        Seq(aggTable.bucketSetMetric(Seq(col(groupCol)),
+          excludeWhen = Some(col(opCol) === "d")).as("__abk")) else Nil)
+    val probeObs =
+      if (probeMetrics.nonEmpty) Some(org.apache.spark.sql.Observation()) else None
+    val latest = probeObs.fold(latestRaw)(o =>
+        latestRaw.observe(o, probeMetrics.head, probeMetrics.tail: _*))
+      .localCheckpoint(true)
     val entityBuckets: Option[Set[Int]] =
       if (entityTable.bucketCount > 0)
-        Some(entityTable.bucketsFor(latest.select(keys.map(col): _*)))
+        Some(entityTable.bucketSet(probeObs.get.get("__ebk")))
       else None
     if (entityBuckets.fold(latest.isEmpty)(_.isEmpty)) { latest.unpersist(false); return }
     // FUSED entity read (hot path, bucketed entity table in the engine's
@@ -224,6 +244,12 @@ object IncrementalAgg {
     // persist() stores MEMORY_AND_DISK, so an outsized bucket spills rather
     // than OOMs.
     val fused = entityTable.bucketCount > 0 && !entityTable.hasForeignFlatFiles
+    // the pre-image groups' agg-bucket probe rides the pre checkpoint job
+    // below; an absent/empty pre contributes no buckets
+    val preObs =
+      if (fused && aggTable.bucketCount > 0)
+        Some(org.apache.spark.sql.Observation()) else None
+    var preWasRead = false
     val preState: Option[DataFrame] = if (fused) {
       entityTable.createIfNotExists(
         org.apache.spark.sql.types.StructType(latest.drop(opCol).schema.fields))
@@ -238,10 +264,21 @@ object IncrementalAgg {
         else entityTable.currentVersion
       // a fresh (empty) snapshot has no parquet footers to read a schema
       // from — substitute an empty frame
-      if (entityTable.snapshotHasFiles(preV))
-        Some(entityTable.readBuckets(entityBuckets.get, preV).localCheckpoint(true))
-      else Some(latest.drop(opCol).limit(0))
+      if (entityTable.snapshotHasFiles(preV)) {
+        val raw = entityTable.readBuckets(entityBuckets.get, preV)
+        preWasRead = true
+        Some(preObs.fold(raw)(o => raw.observe(o,
+            aggTable.bucketSetMetric(Seq(col(groupCol))).as("__pbk")))
+          .localCheckpoint(true))
+      } else Some(latest.drop(opCol).limit(0))
     } else None
+    // pre-image groups' agg buckets, observed on the pre checkpoint job
+    // above (never resolved when the read branch didn't run — a fresh
+    // entity table has nothing to retract from, so the set is empty)
+    val preAggBuckets: Set[Int] =
+      if (preWasRead && preObs.isDefined)
+        aggTable.bucketSet(preObs.get.get("__pbk"))
+      else Set.empty
     def entityHalf(): Unit = preState match {
       case Some(pre) =>
         // fused commit: `pre` IS the complete current state of the touched
@@ -320,18 +357,16 @@ object IncrementalAgg {
       // count reaches zero is simply absent from the new state (= delete);
       // negative raises.
       //
-      // Bucket probe WITHOUT the retraction semi-join: replaceBuckets is
-      // correct for any SUPERSET of the touched agg buckets (the fold
-      // rewrites the COMPLETE state of every bucket it lists), so probing
-      // the groups of (additions ∪ pre) — one narrow job over two already-
-      // checkpointed frames, no broadcast build, no shuffle — replaces the
-      // exact-narrowing that needed the delta materialized first. The
-      // superset stays bounded by the batch's working set: pre IS the
-      // touched entity buckets' state.
+      // Bucket probe WITHOUT the retraction semi-join OR any probe job:
+      // replaceBuckets is correct for any SUPERSET of the touched agg
+      // buckets (the fold rewrites the COMPLETE state of every bucket it
+      // lists), and the groups of (additions ∪ pre) were already observed
+      // as metrics on the two checkpoint materializations above — the
+      // probe that once cost its own narrow job is now set union on the
+      // driver. The superset stays bounded by the batch's working set:
+      // pre IS the touched entity buckets' state.
       val pre = preState.get
-      val aggBuckets = aggTable.bucketsFor(
-        additions.select(col("__g").as(groupCol))
-          .unionByName(pre.select(col(groupCol))))
+      val aggBuckets = aggTable.bucketSet(probeObs.get.get("__abk")) ++ preAggBuckets
       if (aggBuckets.isEmpty) return // all-delete batch on empty pre state
       val deltaRows = additions.unionByName(retractions(pre)).select(
         col("__g").as(groupCol) +: col("__dn").as("n_rows") +:

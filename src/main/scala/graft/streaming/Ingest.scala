@@ -118,10 +118,20 @@ object Ingest {
     if (lineageDone && !table.exists) return false
     // localCheckpoint: the count, the merge's bucket discovery, and the
     // merge write would otherwise each re-run the dedup window (3× the
-    // batch shuffle on the hot ingest path)
+    // batch shuffle on the hot ingest path) — and the count AND the merge's
+    // touched-bucket probe both RIDE the checkpoint job as observed
+    // metrics, so the steady-state batch pays checkpoint + merge write,
+    // with zero standalone probe jobs
+    val canProbe = !mor && table.bucketCount > 0 &&
+      table.bucketKeys.forall(batch.columns.contains)
+    val obs = org.apache.spark.sql.Observation()
+    val metrics = count(lit(1)).as("__n") +:
+      (if (canProbe) Seq(table.bucketSetMetric(table.bucketKeys.map(col)).as("__bk"))
+       else Nil)
     val deduped = Dedup.dedupLatest(batch, table.keys, ordering)
+      .observe(obs, metrics.head, metrics.tail: _*)
       .localCheckpoint(true)
-    val n = deduped.count()
+    val n = obs.get("__n").asInstanceOf[Long]
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -131,7 +141,8 @@ object Ingest {
         // (zero bucket rewrites for tombstones) — right for delete-heavy
         // streams; same txn-marked exactly-once semantics either way
         if (mor) table.mergeMor(deduped, opCol, Some(batchTxn))
-        else table.merge(deduped, opCol, Some(batchTxn)))
+        else table.merge(deduped, opCol, Some(batchTxn),
+          if (canProbe) Some(table.bucketSet(obs.get("__bk"))) else None))
       else Future.unit
     val fl =
       if (!lineageDone)

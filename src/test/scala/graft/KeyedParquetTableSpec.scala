@@ -1585,6 +1585,34 @@ class KeyedParquetTableSpec extends SparkSpec {
       Seq("a", "b2", "c"))
   }
 
+  test("bucketSetMetric observed on a checkpoint matches bucketsFor; " +
+    "excludeWhen drops rows; layout mismatch still fails loudly") {
+    val root = tmpDir("kpt_bucket_metric")
+    val t = new KeyedParquetTable(spark, root, Seq("id"), Nil, 8)
+    t.commit((0L until 40L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val batch = Seq((3L, "a", "u"), (17L, "b", "u"), (29L, "c", "d"))
+      .toDF("id", "v", "operation")
+    val obs = org.apache.spark.sql.Observation()
+    val cp = batch.observe(obs,
+        t.bucketSetMetric(Seq(col("id"))).as("all"),
+        t.bucketSetMetric(Seq(col("id")),
+          excludeWhen = Some(col("operation") === "d")).as("nodel"))
+      .localCheckpoint(true)
+    // the checkpoint action resolved both metrics — no further job needed
+    assert(t.bucketSet(obs.get("all")) === t.bucketsFor(batch.select("id")))
+    assert(t.bucketSet(obs.get("nodel")) ===
+      t.bucketsFor(batch.filter(col("operation") =!= "d").select("id")))
+    assert(cp.count() === 3L)
+    // empty frame: the metric still resolves, to the empty set
+    val obsEmpty = org.apache.spark.sql.Observation()
+    batch.limit(0).observe(obsEmpty,
+      t.bucketSetMetric(Seq(col("id"))).as("b")).localCheckpoint(true)
+    assert(t.bucketSet(obsEmpty.get("b")) === Set.empty[Int])
+    // a mismatched-layout open refuses the metric like every other probe
+    val wrong = new KeyedParquetTable(spark, root, Seq("id"), Nil, 4)
+    intercept[IllegalStateException] { wrong.bucketSetMetric(Seq(col("id"))) }
+  }
+
   test("declared schema survives append and expire after evolution") {
     val dir = tmpDir("kpt_evo_carry")
     val t = new KeyedParquetTable(spark, dir, Seq("id"))
