@@ -576,6 +576,42 @@ object Queries {
              |  AND NOT EXISTS (SELECT 1 FROM l2
              |                  WHERE l2.user_id IS NOT DISTINCT FROM l1.user_id)""".stripMargin)),
 
+    // Copy-on-write UPDATE … SET scoped to the buckets holding matches:
+    // commit latest-per-user state, then updateWhere rewrites cheap
+    // purchases in place. Assignments are SIMULTANEOUS — event_type's new
+    // value reads the PRE-update `value` while `value` itself doubles; a
+    // sequential implementation would feed the doubled value into the
+    // label and hash-mismatch. (FLOOR before the BIGINT cast: DuckDB's
+    // double→int cast rounds where Spark truncates.)
+    "q_update_where" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val latest = Dedup.dedupLatest(
+            t("events").select("user_id", "event_id", "event_type", "value"),
+            Seq("user_id"), Seq(col("event_id").desc))
+        val tmp = scratchDir("graft_upd_")
+        val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
+        table.commit(latest)
+        table.updateWhere(
+          col("event_type") === "purchase" && col("value") < 50.0,
+          Map(
+            "event_type" -> concat(lit("promo_"),
+              floor(col("value")).cast("bigint").cast("string")),
+            "value" -> (col("value") * 2)))
+        table.read()
+      },
+      Some("""WITH l AS (
+             |  SELECT user_id, event_id, event_type, value FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |    FROM events) t WHERE rn = 1)
+             |SELECT user_id, event_id,
+             |  CASE WHEN event_type = 'purchase' AND value < 50.0
+             |       THEN concat('promo_', CAST(FLOOR(value) AS BIGINT))
+             |       ELSE event_type END AS event_type,
+             |  CASE WHEN event_type = 'purchase' AND value < 50.0
+             |       THEN value * 2 ELSE value END AS value
+             |FROM l""".stripMargin)),
+
     // Token-window chunking (32-token windows, stride 16 → 50% overlap) —
     // the segmentation stage of a training pipeline. Chunk TEXT is
     // oracle-checked byte-for-byte: both engines slice the same

@@ -1527,6 +1527,69 @@ final class KeyedParquetTable(
         df.join(d, cond, "left_anti")
     }
 
+  /** Copy-on-write UPDATE … SET — the DML verb between [[merge]]'s keyed
+    * upsert and [[deleteWhere]]'s predicate delete (reference analog: the
+    * source system's row updates that arrive as CDC `u` envelopes,
+    * `/root/reference/src/processor/spark_batch.py:238-266`, exposed here
+    * as a direct table operation). Every row matching `cond` has each
+    * `set` column re-evaluated; all assignments are SIMULTANEOUS — each
+    * expression reads the row's pre-update values, even when one assigned
+    * column references another. Unmatched rows in touched buckets rewrite
+    * byte-equal; untouched buckets hard-link verbatim.
+    *
+    * Cost is O(touched buckets + one filtered probe), not O(table): the
+    * probe discovers the buckets holding matches (parquet predicate
+    * pushdown applies), and only those rewrite — Iceberg's copy-on-write
+    * UPDATE scoped to the partitions it touches. Assigning key, bucket or
+    * partition columns is refused: an update that could MOVE a row between
+    * buckets/partitions is a delete+insert ([[merge]] expresses it).
+    * Assigned values cast to the column's declared type, so an update can
+    * never drift the schema. A no-match update is a NO-OP returning the
+    * current version — no empty snapshot is committed.
+    */
+  def updateWhere(cond: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  txn: Option[String] = None): Long = {
+    require(exists, s"updateWhere target $root does not exist")
+    require(set.nonEmpty, "updateWhere needs at least one SET assignment")
+    // logical row schema: the layout column is re-derived at commit
+    val schema = org.apache.spark.sql.types.StructType(
+      snapshotSchema(versionDir(currentVersion)).fields.filterNot(_.name == "__bucket"))
+    set.keys.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"updateWhere: no column '$c' in ${schema.fieldNames.mkString(", ")}")
+      require(!keys.contains(c) && !bucketKeys.contains(c),
+        s"updateWhere: cannot assign key column '$c' — a key-moving " +
+          "update is a delete+insert; use merge()")
+      require(!partitionBy.contains(c),
+        s"updateWhere: cannot assign partition column '$c'")
+    }
+    // one simultaneous projection: every field selected from the ORIGINAL
+    // row, assigned fields wrapped in when(cond, expr) — sequential
+    // withColumn would let one assignment leak into another's read
+    def applySet(df: DataFrame): DataFrame = df.select(schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(e) => when(cond, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None    => col(f.name)
+      }
+    }: _*)
+    if (bucketCount <= 0) {
+      // unbucketed: the honest full rewrite (no bucket scope to exploit);
+      // read() applies any pending delete set, so the rewrite materializes
+      // it — matching commit()'s full-recompute semantics
+      // carry=true: an in-place update preserves every previously marked
+      // batch's effects (unlike commit()'s state replacement)
+      commitInternal(applySet(read()), txn, carry = true)
+    } else {
+      // probe: which buckets hold a match (post-delete state — a deleted
+      // row must not resurrect by matching the update predicate)
+      val touched = distinctInts(
+        read().filter(cond).select(bucketExpr.cast("int").as("__b")))
+      if (touched.isEmpty) currentVersion
+      else replaceBuckets(applySet(readBuckets(touched)), touched, txn)
+    }
+  }
+
   /** MERGE-ON-READ predicate delete: rows matching `cond` leave the table
     * as of the committed snapshot, but NO data file is rewritten — the
     * matched keys are recorded as a delete set that readers anti-join

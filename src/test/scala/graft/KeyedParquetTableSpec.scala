@@ -1206,6 +1206,77 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(ch === Array((1L, "delete"), (3L, "update"), (4L, "delete")))
   }
 
+  test("updateWhere: copy-on-write scoped to touched buckets, simultaneous " +
+    "assignments, no-op on no match, refuses row-moving columns") {
+    val dir = tmpDir("kpt_upd")
+    val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 8)
+    t.commit((1L to 400L).map(i => (i, s"v$i", i * 10L)).toDF("id", "v", "n"))
+    val preV = t.currentVersion
+    val preFiles = dataFileKeys(dir, preV)
+    // update ONE key: only its bucket may rewrite, the rest hard-link
+    t.updateWhere(col("id") === 7L,
+      Map("v" -> concat(lit("n_was_"), col("n").cast("string")),
+          "n" -> (col("n") + 1000L)))
+    val postFiles = dataFileKeys(dir, t.currentVersion)
+    assert((preFiles -- postFiles).nonEmpty) // 7's bucket rewrote
+    // every bucket EXCEPT 7's is hard-linked verbatim
+    val b7 = spark.range(1).select(
+      pmod(abs(xxhash64(lit(7L))), lit(8)).cast("int")).head().getInt(0)
+    def byBucket(v: Long): Map[String, Set[Object]] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/v$v"))
+      try s.iterator().asScala.toSeq
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !p.toString.contains("_stats") && !p.toString.contains("_deletes") &&
+          java.nio.file.Files.isRegularFile(p))
+        .groupBy(p => p.getParent.getFileName.toString)
+        .map { case (k, ps) => k -> ps.map(p => java.nio.file.Files.readAttributes(p,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey).toSet }
+      finally s.close()
+    }
+    val (preB, postB) = (byBucket(preV), byBucket(t.currentVersion))
+    preB.keys.filterNot(_ == s"__bucket=$b7").foreach { b =>
+      assert(postB(b) === preB(b), s"untouched $b must hard-link verbatim")
+    }
+    assert(postB(s"__bucket=$b7") !== preB(s"__bucket=$b7"))
+    // simultaneity: v's expression read the PRE-update n (70), n doubled after
+    val r7 = t.read().filter(col("id") === 7L).head()
+    assert(r7.getString(1) === "n_was_70" && r7.getLong(2) === 1070L)
+    assert(t.read().count() === 400L)
+    // unmatched rows byte-identical
+    assert(t.read().filter(col("id") === 8L).head().getString(1) === "v8")
+    // no-match update is a NO-OP: version unchanged, nothing committed
+    val v0 = t.currentVersion
+    assert(t.updateWhere(col("id") === -1L, Map("n" -> lit(0L))) === v0)
+    assert(t.currentVersion === v0)
+    // assigned values cast to the DECLARED type (int literal → long column)
+    t.updateWhere(col("id") === 9L, Map("n" -> lit(5)))
+    assert(t.read().filter(col("id") === 9L).head().getLong(2) === 5L)
+    assert(t.read().schema("n").dataType === LongType)
+    // a MoR-deleted row must NOT resurrect by matching the predicate
+    t.deleteWhere(col("id") === 11L)
+    t.updateWhere(col("id") === 11L, Map("n" -> lit(1L)))
+    assert(t.read().filter(col("id") === 11L).count() === 0L)
+    // row-moving / unknown assignments refuse loudly
+    intercept[IllegalArgumentException] {
+      t.updateWhere(col("n") > 0L, Map("id" -> lit(1L)))
+    }
+    intercept[IllegalArgumentException] {
+      t.updateWhere(col("n") > 0L, Map("nope" -> lit(1L)))
+    }
+    // time travel still reads the pre-update state
+    assert(t.readVersion(preV).filter(col("id") === 7L).head().getString(1) === "v7")
+    // txn marker commits atomically with the update
+    t.updateWhere(col("id") === 12L, Map("n" -> lit(7L)), txn = Some("upd-b1"))
+    assert(t.lastTxn === Some("upd-b1"))
+  }
+
+  test("updateWhere on an unbucketed table: full rewrite, same semantics") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_upd_flat"), Seq("id"))
+    t.commit(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "v", "n"))
+    t.updateWhere(col("v") === "a", Map("n" -> (col("n") * 100L)))
+    assert(t.read().orderBy("id").collect().map(_.getLong(2)).toSeq === Seq(100L, 2L))
+  }
+
   test("delete set is bucket-sharded: a small delete rewrites only its " +
     "shard, the rest hard-link; scoped reads prune delete shards") {
     val dir = tmpDir("kpt_del_shard")
