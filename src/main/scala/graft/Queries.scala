@@ -612,6 +612,30 @@ object Queries {
              |       THEN value * 2 ELSE value END AS value
              |FROM l""".stripMargin)),
 
+    // Atomic predicate backfill (Delta replaceWhere / Iceberg filtered
+    // overwrite): all 'click' rows are replaced in ONE commit by a
+    // corrected recomputation that is a strict subset (cheap clicks
+    // vanish, the rest double) — the cardinality change is what separates
+    // REPLACE from UPDATE. DuckDB recomputes the backfilled final state.
+    "q_replace_where" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val all = t("events").select("event_id", "user_id", "event_type", "value")
+        val tmp = scratchDir("graft_ow_")
+        val table = new KeyedParquetTable(s, tmp, Seq("event_id"), Nil, 8)
+        table.commit(all)
+        val corrected = all
+          .filter(col("event_type") === "click" && col("value") >= 10.0)
+          .withColumn("value", col("value") * 2)
+        table.overwriteWhere(col("event_type") === "click", corrected)
+        table.read()
+      },
+      Some("""SELECT event_id, user_id, event_type, value
+             |FROM events WHERE event_type <> 'click'
+             |UNION ALL
+             |SELECT event_id, user_id, event_type, value * 2 AS value
+             |FROM events WHERE event_type = 'click' AND value >= 10.0""".stripMargin)),
+
     // Token-window chunking (32-token windows, stride 16 → 50% overlap) —
     // the segmentation stage of a training pipeline. Chunk TEXT is
     // oracle-checked byte-for-byte: both engines slice the same

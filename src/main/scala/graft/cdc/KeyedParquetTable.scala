@@ -1590,6 +1590,69 @@ final class KeyedParquetTable(
     }
   }
 
+  /** Predicate overwrite — Delta's `replaceWhere` / Iceberg's filtered
+    * overwrite, the BACKFILL primitive: atomically replace every row
+    * matching `cond` with `replacement` in one commit (the reference's
+    * recompute-and-reload validation remediation path,
+    * `/root/reference/src/validation/validation.py:221-280`, done as one
+    * atomic snapshot instead of a drop-and-reload window). Readers see
+    * either the old state or the fully-backfilled one, never a gap.
+    *
+    * Scope: only the buckets holding matched rows OR receiving replacement
+    * rows rewrite; the rest hard-link. On a day-partitioned table with
+    * `cond` on the partition column, the probe's filtered read partition-
+    * prunes, so a one-day backfill costs O(that day + its buckets), not
+    * O(table) — the 100 TB shape.
+    *
+    * Every replacement row must itself satisfy `cond` (Delta's
+    * replaceWhere contract — without it a backfill could silently leak
+    * rows into ranges it promised not to touch): violations raise inside
+    * the commit's own write job (zero extra pass), aborting before the
+    * pointer swings. Rows where `cond` is NULL count as NOT matching
+    * (kept), the same three-valued convention as [[updateWhere]]/
+    * [[deleteWhere]]. `replacement` must carry the declared columns;
+    * values cast to declared types.
+    */
+  def overwriteWhere(cond: org.apache.spark.sql.Column, replacement: DataFrame,
+                     txn: Option[String] = None): Long = {
+    require(exists, s"overwriteWhere target $root does not exist")
+    val schema = org.apache.spark.sql.types.StructType(
+      snapshotSchema(versionDir(currentVersion)).fields.filterNot(_.name == "__bucket"))
+    schema.fieldNames.foreach(c => require(replacement.columns.contains(c),
+      s"overwriteWhere replacement is missing declared column '$c'"))
+    val matches = coalesce(cond, lit(false))
+    // the replaceWhere contract, enforced inside the commit's write job:
+    // when() short-circuits, so the error expression only evaluates on a
+    // violating row
+    val guarded = replacement.select(schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+      .filter(when(matches, lit(true)).otherwise(raise_error(concat(
+        lit(s"overwriteWhere: replacement row violates the predicate: "),
+        to_json(struct(keys.map(col): _*))))))
+    if (bucketCount <= 0) {
+      commitInternal(read().filter(!matches).unionByName(guarded), txn, carry = true)
+    } else {
+      // single evaluation of the replacement source (the mergeMor
+      // re-evaluation class of bug): one eager checkpoint materializes it,
+      // its bucket probe rides that job as an observed metric, and the
+      // predicate guard raises HERE — before the commit claim is taken
+      val probeObs = org.apache.spark.sql.Observation()
+      val g = guarded
+        .observe(probeObs, bucketSetMetric(bucketKeys.map(col)).as("__bk"))
+        .localCheckpoint(true)
+      // rewrite the union of both sides' buckets: where matched rows leave
+      // AND where replacement rows land (they can differ — a backfill may
+      // insert keys that had no prior rows)
+      val touched =
+        distinctInts(read().filter(matches)
+          .select(bucketExpr.cast("int").as("__b"))) ++
+        bucketSet(probeObs.get("__bk"))
+      if (touched.isEmpty) currentVersion
+      else replaceBuckets(
+        readBuckets(touched).filter(!matches).unionByName(g), touched, txn)
+    }
+  }
+
   /** MERGE-ON-READ predicate delete: rows matching `cond` leave the table
     * as of the committed snapshot, but NO data file is rewritten — the
     * matched keys are recorded as a delete set that readers anti-join

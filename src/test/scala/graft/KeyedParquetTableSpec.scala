@@ -1277,6 +1277,47 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(t.read().orderBy("id").collect().map(_.getLong(2)).toSeq === Seq(100L, 2L))
   }
 
+  test("overwriteWhere: atomic predicate backfill — matched rows replaced, " +
+    "cardinality may change, untouched buckets hard-link, contract enforced") {
+    val dir = tmpDir("kpt_ow")
+    val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 8)
+    // group 3 is CONCENTRATED on two ids so the backfill touches few
+    // buckets (a group spread over every bucket would rightly rewrite all)
+    t.commit((1L to 400L).map(i =>
+      (i, s"v$i", if (i == 7L || i == 300L) 3 else (i % 3).toInt))
+      .toDF("id", "v", "g"))
+    val preV = t.currentVersion
+    // backfill group 3: replacement is a SUBSET with corrected values and
+    // one brand-new key — a true replace, not an update
+    val repl = Seq((7L, "fixed7", 3), (998L, "new", 3)).toDF("id", "v", "g")
+    t.overwriteWhere(col("g") === 3, repl)
+    val got = t.read().filter(col("g") === 3).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((7L, "fixed7"), (998L, "new")))
+    // the other groups are untouched in content... (300 was replaced away)
+    assert(t.read().filter(col("g") =!= 3).count() === 398L)
+    assert(t.read().filter(col("id") === 4L).head().getString(1) === "v4")
+    // ...and buckets holding NO matched/replacement rows are hard-linked
+    val pre = dataFileKeys(dir, preV); val post = dataFileKeys(dir, t.currentVersion)
+    assert((pre intersect post).nonEmpty, "some untouched bucket must hard-link")
+    // time travel still reads the pre-backfill state
+    assert(t.readVersion(preV).filter(col("g") === 3).count() === 2L)
+    // replaceWhere contract: a replacement row OUTSIDE the predicate aborts
+    // the whole commit, nothing published
+    val vNow = t.currentVersion
+    intercept[Exception] {
+      t.overwriteWhere(col("g") === 3, Seq((5L, "leak", 4)).toDF("id", "v", "g"))
+    }
+    assert(t.currentVersion === vNow)
+    assert(t.read().filter(col("id") === 5L).head().getString(1) === "v5")
+    // NULL predicate rows count as NOT matching: they are kept
+    val t2 = new KeyedParquetTable(spark, tmpDir("kpt_ow_null"), Seq("id"), Nil, 4)
+    t2.commit(Seq((1L, Some(1)), (2L, None), (3L, Some(3)))
+      .toDF("id", "g"))
+    t2.overwriteWhere(col("g") === 3, Seq((9L, Some(3))).toDF("id", "g"))
+    assert(t2.read().orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 9L))
+  }
+
   test("delete set is bucket-sharded: a small delete rewrites only its " +
     "shard, the rest hard-link; scoped reads prune delete shards") {
     val dir = tmpDir("kpt_del_shard")
