@@ -924,13 +924,15 @@ object Queries {
         // rewrites only touched buckets — the shape that holds at 100 TB
         val entity = new KeyedParquetTable(s, s"$base/entity", Seq("user_id"), Nil, 8)
         val aggT = new KeyedParquetTable(s, s"$base/agg", Seq("event_type"), Nil, 4)
-        (0L until nBatches).foreach { b =>
-          val lo = b * (maxId + 1) / nBatches
-          val hi = (b + 1) * (maxId + 1) / nBatches
-          IncrementalAgg.applyCdcBatch(entity, aggT,
-            parsed.filter(col("event_id") >= lo && col("event_id") < hi),
-            "event_type", "value", Seq(col("event_id").desc))
-        }
+        // pipelined form: batch k+1's dedup window + probes overlap batch
+        // k's commits (commit order and replay protocol unchanged)
+        IncrementalAgg.applyCdcBatches(entity, aggT,
+          (0L until nBatches).map { b =>
+            val lo = b * (maxId + 1) / nBatches
+            val hi = (b + 1) * (maxId + 1) / nBatches
+            parsed.filter(col("event_id") >= lo && col("event_id") < hi)
+          },
+          "event_type", "value", Seq(col("event_id").desc))
         IncrementalAgg.snapshot(aggT, "value")
       },
       Some("""WITH final AS (
@@ -958,11 +960,11 @@ object Queries {
         val entity = new KeyedParquetTable(s, s"$base/entity", Seq("user_id"), Nil, 8)
         val aggT = new KeyedParquetTable(s, s"$base/agg", Seq("event_type"), Nil, 4)
         val mid = (maxId + 1) / 2
-        Seq((0L, mid), (mid, maxId + 1)).foreach { case (lo, hi) =>
-          IncrementalAgg.applyCdcBatchN(entity, aggT,
-            parsed.filter(col("event_id") >= lo && col("event_id") < hi),
-            "event_type", Seq("value", "event_id"), Seq(col("event_id").desc))
-        }
+        IncrementalAgg.applyCdcBatchesN(entity, aggT,
+          Seq((0L, mid), (mid, maxId + 1)).map { case (lo, hi) =>
+            parsed.filter(col("event_id") >= lo && col("event_id") < hi)
+          },
+          "event_type", Seq("value", "event_id"), Seq(col("event_id").desc))
         IncrementalAgg.snapshotN(aggT, Seq("value", "event_id"))
       },
       Some("""WITH final AS (

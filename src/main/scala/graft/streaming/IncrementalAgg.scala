@@ -187,36 +187,48 @@ object IncrementalAgg {
   def applyCdcBatchN(entityTable: KeyedParquetTable, aggTable: KeyedParquetTable,
                      batch: DataFrame, groupCol: String, valueCols: Seq[String],
                      ordering: Seq[Column], opCol: String = "operation",
-                     txnId: Option[String] = None): Unit = {
-    require(valueCols.nonEmpty, "need at least one value column")
+                     txnId: Option[String] = None): Unit =
+    applyPreparedCdc(entityTable, aggTable,
+      prepareCdcBatch(entityTable, aggTable, batch, groupCol, ordering, opCol),
+      groupCol, valueCols, opCol, txnId)
+
+  /** One CDC batch after its commit-independent half ran: the dedup window
+    * materialized once, both tables' bucket probes already resolved (they
+    * rode the checkpoint job as observed metrics).
+    */
+  private final case class PreparedCdcBatch(
+    latest: DataFrame,
+    entityBuckets: Option[Set[Int]],
+    aggAddBuckets: Option[Set[Int]])
+
+  /** The commit-INDEPENDENT prefix of [[applyCdcBatchN]]: dedup the batch
+    * to merge cardinality, checkpoint it, resolve the bucket probes. Reads
+    * only the batch — never table state — so it can run for batch k+1
+    * while batch k's commits are still in flight ([[applyCdcBatchesN]]).
+    *
+    * merge-cardinality rule: one row per entity per batch, latest wins.
+    * eager localCheckpoint: the bucket probe, the retraction key set, the
+    * entity commit and the delta all read this — materialize the dedup
+    * window once and truncate its lineage so the concurrent entity/agg
+    * halves never recompute it. (Both alternatives measured SLOWER:
+    * a lazy persist serializes the halves on cache locks; a LAZY
+    * localCheckpoint — letting the bucket probe's action materialize it,
+    * saving one job — lost ~25% wall-clock because under AQE the probe
+    * satisfies itself from shuffle reuse without fully populating the
+    * checkpoint, so later consumers recompute the window.)
+    * ZERO bucket jobs per batch: both tables' bucket probes RIDE the
+    * checkpoint materialization as observed metrics (bucketSetMetric) —
+    * the entity set serves the empty-batch probe, the pre-image read AND
+    * the entity merge; the agg-additions set (delete rows excluded, same
+    * rows the `additions` filter keeps) combines with the pre-image
+    * groups' set observed on the pre checkpoint to bound the agg fold —
+    * where each would otherwise pay its own distinct+collect job.
+    */
+  private def prepareCdcBatch(entityTable: KeyedParquetTable,
+                              aggTable: KeyedParquetTable, batch: DataFrame,
+                              groupCol: String, ordering: Seq[Column],
+                              opCol: String): PreparedCdcBatch = {
     val keys = entityTable.keys
-    require(aggTable.keys == Seq(groupCol),
-      s"aggTable must be keyed by the group column '$groupCol' (got ${aggTable.keys})")
-    // at-least-once replay guard: each table's merge commits the batch's
-    // txn id ATOMICALLY with its snapshot, so after a crash anywhere
-    // between the two merges the replay applies exactly the missing half —
-    // the delta is never folded twice (without a txnId, a replay between
-    // the merges WOULD double-apply; pass one from foreachBatch's batchId).
-    val aggDone = txnId.isDefined && aggTable.exists && aggTable.lastTxn == txnId
-    val entityDone = txnId.isDefined && entityTable.exists && entityTable.lastTxn == txnId
-    if (aggDone && entityDone) return
-    // merge-cardinality rule: one row per entity per batch, latest wins.
-    // eager localCheckpoint: the bucket probe, the retraction key set, the
-    // entity commit and the delta all read this — materialize the dedup
-    // window once and truncate its lineage so the concurrent entity/agg
-    // halves below never recompute it. (Both alternatives measured SLOWER:
-    // a lazy persist serializes the halves on cache locks; a LAZY
-    // localCheckpoint — letting the bucket probe's action materialize it,
-    // saving one job — lost ~25% wall-clock because under AQE the probe
-    // satisfies itself from shuffle reuse without fully populating the
-    // checkpoint, so later consumers recompute the window.)
-    // ZERO bucket jobs per batch: both tables' bucket probes RIDE the
-    // checkpoint materialization as observed metrics (bucketSetMetric) —
-    // the entity set serves the empty-batch probe, the pre-image read AND
-    // the entity merge; the agg-additions set (delete rows excluded, same
-    // rows the `additions` filter below keeps) combines with the pre-image
-    // groups' set observed on the pre checkpoint to bound the agg fold —
-    // where each would otherwise pay its own distinct+collect job.
     val latestRaw = graft.ops.Dedup.dedupLatest(batch, keys, ordering)
     val probeMetrics =
       (if (entityTable.bucketCount > 0)
@@ -229,10 +241,72 @@ object IncrementalAgg {
     val latest = probeObs.fold(latestRaw)(o =>
         latestRaw.observe(o, probeMetrics.head, probeMetrics.tail: _*))
       .localCheckpoint(true)
-    val entityBuckets: Option[Set[Int]] =
+    PreparedCdcBatch(latest,
       if (entityTable.bucketCount > 0)
-        Some(entityTable.bucketSet(probeObs.get.get("__ebk")))
-      else None
+        Some(entityTable.bucketSet(probeObs.get.get("__ebk"))) else None,
+      if (aggTable.bucketCount > 0)
+        Some(aggTable.bucketSet(probeObs.get.get("__abk"))) else None)
+  }
+
+  /** Fold a SEQUENCE of CDC batches with cross-batch pipelining: batch
+    * k+1's [[prepareCdcBatch]] (the dedup window + checkpoint + probes —
+    * a pure read of the batch, touching no table state) runs concurrently
+    * with batch k's commits, so the per-batch critical path drops from
+    * (dedup + pre-read + commit) to (pre-read + commit) for every batch
+    * after the first. Commit order — and therefore the replay protocol,
+    * retraction math and txn markers — is IDENTICAL to calling
+    * [[applyCdcBatchN]] in a loop: prepares are speculative reads, and
+    * each batch's two table commits still happen strictly before the next
+    * batch's. `txnIds(i)` (when provided) is batch i's replay marker.
+    */
+  def applyCdcBatchesN(entityTable: KeyedParquetTable, aggTable: KeyedParquetTable,
+                       batches: Seq[DataFrame], groupCol: String,
+                       valueCols: Seq[String], ordering: Seq[Column],
+                       opCol: String = "operation",
+                       txnIds: Seq[String] = Nil): Unit = {
+    if (batches.isEmpty) return
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    var pending: Future[PreparedCdcBatch] = Future(
+      prepareCdcBatch(entityTable, aggTable, batches.head, groupCol, ordering, opCol))
+    batches.indices.foreach { i =>
+      val prepared = Await.result(pending, Duration.Inf)
+      if (i + 1 < batches.size)
+        pending = Future(prepareCdcBatch(entityTable, aggTable,
+          batches(i + 1), groupCol, ordering, opCol))
+      applyPreparedCdc(entityTable, aggTable, prepared, groupCol, valueCols,
+        opCol, txnIds.lift(i))
+    }
+  }
+
+  /** Single-measure [[applyCdcBatchesN]]. */
+  def applyCdcBatches(entityTable: KeyedParquetTable, aggTable: KeyedParquetTable,
+                      batches: Seq[DataFrame], groupCol: String, valueCol: String,
+                      ordering: Seq[Column], opCol: String = "operation",
+                      txnIds: Seq[String] = Nil): Unit =
+    applyCdcBatchesN(entityTable, aggTable, batches, groupCol, Seq(valueCol),
+      ordering, opCol, txnIds)
+
+  private def applyPreparedCdc(entityTable: KeyedParquetTable,
+                               aggTable: KeyedParquetTable,
+                               prepared: PreparedCdcBatch, groupCol: String,
+                               valueCols: Seq[String], opCol: String,
+                               txnId: Option[String]): Unit = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    val keys = entityTable.keys
+    require(aggTable.keys == Seq(groupCol),
+      s"aggTable must be keyed by the group column '$groupCol' (got ${aggTable.keys})")
+    // at-least-once replay guard: each table's merge commits the batch's
+    // txn id ATOMICALLY with its snapshot, so after a crash anywhere
+    // between the two merges the replay applies exactly the missing half —
+    // the delta is never folded twice (without a txnId, a replay between
+    // the merges WOULD double-apply; pass one from foreachBatch's batchId).
+    val aggDone = txnId.isDefined && aggTable.exists && aggTable.lastTxn == txnId
+    val entityDone = txnId.isDefined && entityTable.exists && entityTable.lastTxn == txnId
+    val latest = prepared.latest
+    if (aggDone && entityDone) { latest.unpersist(false); return }
+    val entityBuckets = prepared.entityBuckets
     if (entityBuckets.fold(latest.isEmpty)(_.isEmpty)) { latest.unpersist(false); return }
     // FUSED entity read (hot path, bucketed entity table in the engine's
     // own layout): the touched buckets' complete state is scanned ONCE and
@@ -366,7 +440,7 @@ object IncrementalAgg {
       // driver. The superset stays bounded by the batch's working set:
       // pre IS the touched entity buckets' state.
       val pre = preState.get
-      val aggBuckets = aggTable.bucketSet(probeObs.get.get("__abk")) ++ preAggBuckets
+      val aggBuckets = prepared.aggAddBuckets.get ++ preAggBuckets
       if (aggBuckets.isEmpty) return // all-delete batch on empty pre state
       val deltaRows = additions.unionByName(retractions(pre)).select(
         col("__g").as(groupCol) +: col("__dn").as("n_rows") +:

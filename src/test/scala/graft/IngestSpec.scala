@@ -201,6 +201,39 @@ class IngestSpec extends SparkSpec {
     assert(snap === Map("b" -> ((2L, 27.5, 7.0))))
   }
 
+  test("applyCdcBatchesN: pipelined multi-batch fold equals the sequential fold") {
+    import graft.streaming.IncrementalAgg
+    def b(rows: (Long, String, Double, String, Long)*) =
+      rows.toDF("id", "g", "v", "operation", "seq")
+    val batches = Seq(
+      b((1L, "a", 10.0, "u", 1L), (2L, "a", 5.0, "u", 2L), (3L, "b", 7.5, "u", 3L)),
+      b((1L, "b", 20.0, "u", 4L), (2L, "a", 0.0, "d", 5L)),
+      b((4L, "c", 1.0, "u", 6L), (2L, "b", 2.0, "u", 7L)),
+      b((3L, "b", 0.0, "d", 8L)))
+    // sequential reference
+    val entSeq = new KeyedParquetTable(spark, tmpDir("pipe_ent_seq"), Seq("id"), Nil, 4)
+    val aggSeq = new KeyedParquetTable(spark, tmpDir("pipe_agg_seq"), Seq("g"), Nil, 2)
+    batches.foreach(IncrementalAgg.applyCdcBatch(entSeq, aggSeq, _,
+      "g", "v", Seq(col("seq").desc)))
+    // pipelined, with txn markers
+    val entP = new KeyedParquetTable(spark, tmpDir("pipe_ent_p"), Seq("id"), Nil, 4)
+    val aggP = new KeyedParquetTable(spark, tmpDir("pipe_agg_p"), Seq("g"), Nil, 2)
+    val txns = batches.indices.map(i => s"t$i")
+    IncrementalAgg.applyCdcBatches(entP, aggP, batches, "g", "v",
+      Seq(col("seq").desc), txnIds = txns)
+    def snap(t: KeyedParquetTable): Map[String, (Long, Double)] =
+      IncrementalAgg.snapshot(t, "v").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(snap(aggP) === snap(aggSeq))
+    assert(entP.read().drop("operation").collect().toSet ===
+      entSeq.read().drop("operation").collect().toSet)
+    // replaying the tail batch (at-least-once redelivery) is a no-op: both
+    // tables' txn markers recognize it
+    IncrementalAgg.applyCdcBatches(entP, aggP, Seq(batches.last), "g", "v",
+      Seq(col("seq").desc), txnIds = Seq(txns.last))
+    assert(snap(aggP) === snap(aggSeq))
+  }
+
   test("applyBatch raises loudly on values beyond the decimal fold range") {
     import graft.streaming.IncrementalAgg
     val table = new KeyedParquetTable(spark, tmpDir("incr_overflow"), Seq("k"))
