@@ -576,6 +576,57 @@ object Queries {
              |  AND NOT EXISTS (SELECT 1 FROM l2
              |                  WHERE l2.user_id IS NOT DISTINCT FROM l1.user_id)""".stripMargin)),
 
+    // O(metadata) aggregates: COUNT(*) and MIN/MAX answered from the
+    // transactional _stats index (Iceberg's manifest-count answer) after a
+    // full CDC lifecycle — two merges and TWO MoR delete commits, so the
+    // final snapshot carries live delete debt and the hybrid path (clean
+    // buckets from stats, debt buckets by scoped delete-applied scan) is
+    // what the oracle checks, not just the all-clean sum.
+    "q_metadata_count" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val parsed = parsedEventsCached(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "operation")
+          .localCheckpoint(true)
+        val maxId = parsed.agg(max("event_id")).head().getLong(0)
+        val mid = (maxId + 1) / 2
+        val tmp = scratchDir("graft_metacount_")
+        val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8,
+          statsCols = Seq("event_id"))
+        table.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
+        def half(cond: Column): DataFrame =
+          Dedup.dedupLatest(parsed.filter(cond), Seq("user_id"), Seq(col("event_id").desc))
+            .select((parsed.columns.filterNot(_ == "operation").map(col)
+              .toIndexedSeq :+ col("operation")): _*)
+        table.merge(half(col("event_id") < mid))
+        table.deleteWhere(col("value") > 80.0)
+        table.merge(half(col("event_id") >= mid))
+        table.deleteWhere(col("event_type") === "click") // fresh debt shards
+        val n = table.countRows()
+        table.minMaxOf("event_id").withColumn("n_live", lit(n))
+          .select("n_live", "min_event_id", "max_event_id")
+      },
+      Some("""WITH m AS (SELECT (MAX(event_id) + 1) // 2 AS mid FROM events),
+             |l1 AS (SELECT user_id, event_id, event_type, value FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |    FROM events WHERE event_id < (SELECT mid FROM m)) t WHERE rn = 1),
+             |l2 AS (SELECT user_id, event_id, event_type, value FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |    FROM events WHERE event_id >= (SELECT mid FROM m)) t WHERE rn = 1),
+             |final AS (
+             |  SELECT user_id, event_id, event_type, value
+             |  FROM l2 WHERE event_type <> 'error'
+             |  UNION ALL
+             |  SELECT user_id, event_id, event_type, value FROM l1
+             |  WHERE event_type <> 'error'
+             |    AND (value <= 80.0 OR value IS NULL)
+             |    AND NOT EXISTS (SELECT 1 FROM l2
+             |                    WHERE l2.user_id IS NOT DISTINCT FROM l1.user_id))
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+             |       MIN(event_id) AS min_event_id,
+             |       MAX(event_id) AS max_event_id
+             |FROM final WHERE event_type <> 'click'""".stripMargin)),
+
     // Copy-on-write UPDATE … SET scoped to the buckets holding matches:
     // commit latest-per-user state, then updateWhere rewrites cheap
     // purchases in place. Assignments are SIMULTANEOUS — event_type's new

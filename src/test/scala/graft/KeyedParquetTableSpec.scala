@@ -1743,4 +1743,75 @@ class KeyedParquetTableSpec extends SparkSpec {
     t.expireSnapshots(olderThanMs = 0L, retainLast = 1)
     assert(t.read().count() === 2L)
   }
+
+  test("countRows/minMaxOf answer from the stats index without touching data") {
+    val dir = tmpDir("kpt_metacount")
+    val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4,
+      statsCols = Seq("id"))
+    t.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.merge((90L to 120L).map(i => (i, s"m$i", "u")).toDF("id", "v", "operation"))
+    assert(t.countRows() === 120L)
+    val mm = t.minMaxOf("id").head
+    assert((mm.getLong(0), mm.getLong(1)) === ((1L, 120L)))
+    // metadata-only proof: corrupt every data file — the stats answers
+    // must still come back exact, where any scan would now throw
+    import java.nio.file.{Files, Paths}
+    Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_stats") && !p.toString.contains("_deletes"))
+      .foreach(p => Files.write(p, Array[Byte](0, 1, 2, 3)))
+    assert(t.countRows() === 120L)
+    val mm2 = t.minMaxOf("id").head
+    assert((mm2.getLong(0), mm2.getLong(1)) === ((1L, 120L)))
+    intercept[Exception] { t.read().count() }
+  }
+
+  test("countRows/minMaxOf under MoR delete debt scan ONLY the debt buckets") {
+    val dir = tmpDir("kpt_metacount_mor")
+    val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 8,
+      statsCols = Seq("id"))
+    t.append((1L to 200L).map(i => (i, i * 2.0)).toDF("id", "score"))
+    t.deleteWhere(col("id") > 190L) // tombstones a few buckets' shards
+    val expect = t.read().count()
+    assert(expect < 200L && t.countRows() === expect)
+    val mm = t.minMaxOf("id").head
+    assert((mm.getLong(0), mm.getLong(1)) === ((1L, 190L)))
+    // debt-bucket-scoped proof: corrupt the data files of every bucket
+    // WITHOUT a delete shard — the hybrid must not open them
+    import java.nio.file.{Files, Paths}
+    val cur = Paths.get(dir).resolve(s"v${t.currentVersion}")
+    val debt = Files.list(cur.resolve("_deletes")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("__dbucket="))
+      .map(_.getFileName.toString.stripPrefix("__dbucket=").toInt).toSet
+    Files.list(cur).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("__bucket="))
+      .filterNot(p => debt(p.getFileName.toString.stripPrefix("__bucket=").toInt))
+      .flatMap(p => Files.walk(p).iterator().asScala)
+      .filter(_.toString.endsWith(".parquet"))
+      .foreach(p => Files.write(p, Array[Byte](9, 9, 9)))
+    assert(t.countRows() === expect)
+    val mm2 = t.minMaxOf("id").head
+    assert((mm2.getLong(0), mm2.getLong(1)) === ((1L, 190L)))
+    // compaction materializes the deletes; counts keep agreeing
+    val t2 = new KeyedParquetTable(spark, tmpDir("kpt_metacount_mor2"),
+      Seq("id"), Nil, 8, statsCols = Seq("id"))
+    t2.append((1L to 50L).map(i => (i, i * 1.0)).toDF("id", "score"))
+    t2.deleteWhere(col("id") <= 5L)
+    t2.compact(minInputFiles = 1)
+    assert(t2.countRows() === 45L && t2.countRows() === t2.read().count())
+  }
+
+  test("countRows/minMaxOf fall back honestly without an index") {
+    // no statsCols: scan fallback, still delete-exact
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_metacount_fb"), Seq("id"))
+    t.append((1L to 30L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.deleteWhere(col("id") > 25L)
+    assert(t.countRows() === 25L)
+    intercept[IllegalArgumentException] { t.minMaxOf("id") } // not covered
+    // empty table counts zero from either path
+    val e = new KeyedParquetTable(spark, tmpDir("kpt_metacount_e"), Seq("id"),
+      Nil, 0, Nil, statsCols = Seq("id"))
+    e.createIfNotExists(schema)
+    assert(e.countRows() === 0L)
+  }
 }
