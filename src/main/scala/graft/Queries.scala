@@ -576,6 +576,37 @@ object Queries {
              |  AND NOT EXISTS (SELECT 1 FROM l2
              |                  WHERE l2.user_id IS NOT DISTINCT FROM l1.user_id)""".stripMargin)),
 
+    // Bucket-layout evolution: the CDC-folded table migrates 8 -> 16
+    // buckets via rebucketTo (new root, one atomic full rewrite — the
+    // sanctioned re-layout when a bucket count stops fitting the data),
+    // then a keyed lookup probes under the NEW hash. The oracle recomputes
+    // the folded state; a row can only come back if the new layout's
+    // probe hashing finds the bucket that actually holds it.
+    "q_rebucket" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val parsed = parsedEventsCached(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "operation")
+          .localCheckpoint(true)
+        val tmp = scratchDir("graft_rebkt_")
+        val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
+        table.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
+        table.merge(
+          Dedup.dedupLatest(parsed, Seq("user_id"), Seq(col("event_id").desc))
+            .select((parsed.columns.filterNot(_ == "operation").map(col)
+              .toIndexedSeq :+ col("operation")): _*))
+        val t2 = table.rebucketTo(scratchDir("graft_rebkt16_"), 16)
+        val probes = parsed.filter(col("user_id") % 5 === 0)
+          .select("user_id").distinct()
+        t2.readForKeys(probes) // bucket superset under the NEW layout
+          .filter(col("user_id") % 5 === 0)
+          .select("user_id", "event_id", "event_type", "value")
+      },
+      Some("""SELECT user_id, event_id, event_type, value FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |  FROM events) t
+             |WHERE rn = 1 AND event_type <> 'error' AND user_id % 5 = 0""".stripMargin)),
+
     // O(metadata) aggregates: COUNT(*) and MIN/MAX answered from the
     // transactional _stats index (Iceberg's manifest-count answer) after a
     // full CDC lifecycle — two merges and TWO MoR delete commits, so the

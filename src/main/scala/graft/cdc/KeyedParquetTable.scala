@@ -1906,6 +1906,53 @@ final class KeyedParquetTable(
       bucketKeys, statsCols, bloomKeyBits)
   }
 
+  /** Bucket-layout evolution — the answer to "my bucket count stopped
+    * fitting the data" (the 100 TB question: a layout chosen at 1 TB
+    * rarely survives 100×). Layout params are immutable for the life of a
+    * root (see layout pinning above) because every scoped commit and probe
+    * on disk assumes them; the sanctioned migration writes the complete
+    * LIVE state — merge-on-read deletes applied, declared schema resolved,
+    * retired physical column names materialized — into `newRoot` under the
+    * NEW layout, one atomic commit, and returns the new-layout table.
+    *
+    * Deliberately a NEW root, not in-place: the pointer swing and the
+    * layout re-pin cannot be made atomic together under this filesystem
+    * model (a crash between them would leave probes hashing into the wrong
+    * buckets — wrong answers with no error), and in-place would silently
+    * invalidate every other live instance's cached layout. With a new root
+    * the source stays readable AND writable until the caller cuts over, so
+    * at scale this runs as a staged migration: rebucket, replay the delta
+    * (`changesBetween` from the rebucket's source version feeds
+    * [[merge]] on the new table), swap roots. Iceberg's bucket-spec
+    * partition evolution is metadata-only but leaves old files under the
+    * old spec — bucket-join co-location still requires exactly this
+    * rewrite there too; the cost is the feature.
+    *
+    * The rewrite itself is one full scan + one shuffle-free layout write
+    * (`partitionBy` on the new bucket hash), stats/bloom index rebuilt by
+    * the commit; pending delete debt does NOT carry — the rewrite
+    * materializes it, so the new table starts debt-free.
+    */
+  def rebucketTo(newRoot: String, newBucketCount: Int,
+                 newBucketBy: Seq[String] = Nil): KeyedParquetTable = {
+    require(exists, s"rebucketTo source $root has no snapshot")
+    val dst = Paths.get(newRoot)
+    require(!Files.exists(dst) || listEntries(dst).isEmpty,
+      s"rebucketTo target $newRoot must not exist or be empty")
+    val nb = if (newBucketBy.nonEmpty) newBucketBy else keys
+    require(newBucketCount != bucketCount || nb != bucketKeys,
+      s"rebucketTo: target layout equals the current one (count=$bucketCount, " +
+        s"keys=${bucketKeys.mkString(",")}) — use compact() to rewrite in-layout")
+    val nt = new KeyedParquetTable(spark, newRoot, keys, partitionBy,
+      newBucketCount, nb, statsCols, bloomKeyBits)
+    nt.commit(read())
+    // carry user table properties; the layout pins were re-stamped by the
+    // commit and must reflect the NEW layout
+    val carried = properties.filterNot(_._1.startsWith("graft.layout."))
+    if (carried.nonEmpty) nt.setProperties(carried)
+    nt
+  }
+
   /** Per-retained-snapshot STORAGE accounting, hard-link aware — the
     * retention planner's question ("what does expiring this snapshot
     * actually reclaim?") that naive per-dir byte sums answer wrongly on

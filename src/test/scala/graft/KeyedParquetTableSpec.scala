@@ -1744,6 +1744,45 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(t.read().count() === 2L)
   }
 
+  test("rebucketTo migrates to a new layout: content exact, deletes materialized, probes correct") {
+    val src = new KeyedParquetTable(spark, tmpDir("kpt_rebkt_src"), Seq("id"),
+      Nil, 4, statsCols = Seq("id"))
+    src.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    src.merge((80L to 110L).map(i => (i, s"m$i", "u")).toDF("id", "v", "operation"))
+    src.deleteWhere(col("id") > 105L) // live MoR debt at migration time
+    val expect = src.read().collect().toSet
+    val dstRoot = tmpDir("kpt_rebkt_dst")
+    val t2 = src.rebucketTo(dstRoot, 16)
+    assert(t2.bucketCount === 16)
+    assert(t2.read().collect().toSet === expect)
+    // deletes materialized: the new root starts debt-free
+    import java.nio.file.{Files, Paths}
+    assert(!Files.exists(Paths.get(dstRoot).resolve("v0").resolve("_deletes")))
+    // the new layout's bucket dirs are the new count's
+    val dirs = Files.list(Paths.get(dstRoot).resolve("v0")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("__bucket=")).toSeq
+    assert(dirs.size > 4 && dirs.forall(
+      _.stripPrefix("__bucket=").toInt < 16))
+    // keyed probes hash under the NEW layout and find their rows
+    // (readForKeys yields the touched buckets' rows — a superset; the
+    // probe keys must be IN it, which only holds if the new hash is used)
+    val probe = t2.readForKeys(Seq(83L, 17L).toDF("id"))
+      .filter(col("id").isin(17L, 83L)).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(probe === Array((17L, "v17"), (83L, "m83")))
+    // source is untouched and still writable
+    assert(src.read().collect().toSet === expect)
+    src.merge(Seq((200L, "late", "u")).toDF("id", "v", "operation"))
+    assert(src.read().count() === expect.size + 1)
+    // the new root's layout is pinned: a mismatched open fails loudly
+    val wrong = new KeyedParquetTable(spark, dstRoot, Seq("id"), Nil, 4)
+    intercept[IllegalStateException] { wrong.readForKeys(Seq(1L).toDF("id")) }
+    // a same-layout "migration" is refused (that's compact's job)
+    intercept[IllegalArgumentException] {
+      t2.rebucketTo(tmpDir("kpt_rebkt_noop"), 16)
+    }
+  }
+
   test("countRows/minMaxOf answer from the stats index without touching data") {
     val dir = tmpDir("kpt_metacount")
     val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4,
