@@ -576,36 +576,38 @@ object Queries {
              |  AND NOT EXISTS (SELECT 1 FROM l2
              |                  WHERE l2.user_id IS NOT DISTINCT FROM l1.user_id)""".stripMargin)),
 
-    // Bucket-layout evolution: the CDC-folded table migrates 8 -> 16
-    // buckets via rebucketTo (new root, one atomic full rewrite — the
-    // sanctioned re-layout when a bucket count stops fitting the data),
-    // then a keyed lookup probes under the NEW hash. The oracle recomputes
-    // the folded state; a row can only come back if the new layout's
-    // probe hashing finds the bucket that actually holds it.
+    // STAGED bucket-layout migration, end to end: fold the first half of
+    // the CDC stream into an 8-bucket table, rebucketTo a 16-bucket root
+    // (one atomic full rewrite — the sanctioned re-layout when a bucket
+    // count stops fitting the data), keep writing the SOURCE (second-half
+    // merge), then syncInto replays the changelog delta into the migrated
+    // table — the zero-downtime cutover shape a 100 TB re-layout needs.
+    // The full migrated state is hash-checked: every row must have both
+    // survived the re-layout AND arrived through the changelog replay
+    // under the NEW hash.
     "q_rebucket" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val parsed = parsedEventsCached(s, dir)
           .select("user_id", "event_id", "event_type", "value", "operation")
           .localCheckpoint(true)
+        val maxId = parsed.agg(max("event_id")).head().getLong(0)
+        val mid = (maxId + 1) / 2
         val tmp = scratchDir("graft_rebkt_")
         val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
         table.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
-        table.merge(
-          Dedup.dedupLatest(parsed, Seq("user_id"), Seq(col("event_id").desc))
+        def half(cond: Column): DataFrame =
+          Dedup.dedupLatest(parsed.filter(cond), Seq("user_id"), Seq(col("event_id").desc))
             .select((parsed.columns.filterNot(_ == "operation").map(col)
-              .toIndexedSeq :+ col("operation")): _*))
-        val t2 = table.rebucketTo(scratchDir("graft_rebkt16_"), 16)
-        val probes = parsed.filter(col("user_id") % 5 === 0)
-          .select("user_id").distinct()
-        t2.readForKeys(probes) // bucket superset under the NEW layout
-          .filter(col("user_id") % 5 === 0)
-          .select("user_id", "event_id", "event_type", "value")
+              .toIndexedSeq :+ col("operation")): _*)
+        table.merge(half(col("event_id") < mid))
+        val t16 = table.rebucketTo(scratchDir("graft_rebkt16_"), 16)
+        val migratedAt = table.currentVersion
+        table.merge(half(col("event_id") >= mid)) // source keeps moving
+        table.syncInto(t16, migratedAt)           // changelog catch-up
+        t16.read().select("user_id", "event_id", "event_type", "value")
       },
-      Some("""SELECT user_id, event_id, event_type, value FROM (
-             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-             |  FROM events) t
-             |WHERE rn = 1 AND event_type <> 'error' AND user_id % 5 = 0""".stripMargin)),
+      Some(finalStateOracle)),
 
     // O(metadata) aggregates: COUNT(*) and MIN/MAX answered from the
     // transactional _stats index (Iceberg's manifest-count answer) after a

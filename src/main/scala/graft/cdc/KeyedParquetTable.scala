@@ -1906,6 +1906,58 @@ final class KeyedParquetTable(
       bucketKeys, statsCols, bloomKeyBits)
   }
 
+  /** Incremental table-to-table replication: apply everything that changed
+    * in THIS table since `fromVersion` to `target` as ONE keyed merge —
+    * the changelog consumer the lakehouse world builds on Iceberg's
+    * changelog scan / Delta's CDF, and the catch-up half of a
+    * [[rebucketTo]] staged cutover (rebucket at version v, keep writing
+    * the source, then `syncInto(newTable, v)` before swapping roots).
+    *
+    * Shape: [[changesBetween]] yields the changed KEYS (bucket-diff
+    * scoped — O(touched buckets), not O(table)); values for
+    * inserts/updates come from this table's CURRENT state via a
+    * bucket-pruned [[readForKeys]], so a key that changed five times
+    * replays its final image once (the replay is idempotent, and a
+    * second syncInto over the same range is a no-op merge). Deletes
+    * travel as `d` rows. One shuffle-joined filter, one merge — no
+    * driver materialization of the change set.
+    *
+    * `fromVersion` must still be retained here (expireSnapshots prunes
+    * the diff base — sync before expiring, like any changelog consumer).
+    * The target must share this table's key columns; its bucket LAYOUT
+    * may differ freely (that is the rebucket case).
+    */
+  def syncInto(target: KeyedParquetTable, fromVersion: Long,
+               txn: Option[String] = None): Long = {
+    require(exists, s"syncInto source $root has no snapshot")
+    require(target.keys == keys,
+      s"syncInto target keys ${target.keys} must match source keys $keys")
+    val toV = currentVersion
+    require(fromVersion >= 0 && fromVersion <= toV,
+      s"syncInto: fromVersion $fromVersion outside [0, $toV]")
+    if (fromVersion == toV) return target.currentVersion // nothing changed
+    // at-least-once replay guard: the txn id commits atomically with the
+    // target merge, so a redelivered sync of the same range is a no-op
+    if (txn.isDefined && target.exists && target.lastTxn == txn)
+      return target.currentVersion
+    val ch = changesBetween(fromVersion, toV).localCheckpoint(true)
+    val upKeys = ch.filter(col("change_type") =!= "delete")
+      .select(keys.map(k => col(k).as(s"__s_$k")): _*)
+    val cur = readForKeys(ch.filter(col("change_type") =!= "delete")
+      .select(keys.map(col): _*))
+    val cond = keys.map(k => cur(k) <=> upKeys(s"__s_$k")).reduce(_ && _)
+    val upserts = cur.join(upKeys, cond, "left_semi")
+      .withColumn("operation", lit("u"))
+    val nonKey = cur.schema.fields.filterNot(f => keys.contains(f.name))
+    val dels = nonKey.foldLeft(
+        ch.filter(col("change_type") === "delete").select(keys.map(col): _*)) {
+        (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      .select(cur.columns.map(col): _*)
+      .withColumn("operation", lit("d"))
+    target.merge(upserts.unionByName(dels), "operation", txn)
+  }
+
   /** Bucket-layout evolution — the answer to "my bucket count stopped
     * fitting the data" (the 100 TB question: a layout chosen at 1 TB
     * rarely survives 100×). Layout params are immutable for the life of a

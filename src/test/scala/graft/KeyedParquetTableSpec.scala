@@ -1783,6 +1783,32 @@ class KeyedParquetTableSpec extends SparkSpec {
     }
   }
 
+  test("syncInto replays the changelog into a differently-bucketed target") {
+    val src = new KeyedParquetTable(spark, tmpDir("kpt_sync_src"), Seq("id"), Nil, 4)
+    src.append((1L to 60L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // staged cutover: migrate at this version, then keep writing the source
+    val dst = src.rebucketTo(tmpDir("kpt_sync_dst"), 8)
+    val v0 = src.currentVersion
+    src.merge(Seq((10L, "upd", "u"), (100L, "new", "u"), (20L, null, "d"))
+      .toDF("id", "v", "operation"))
+    src.merge(Seq((10L, "upd2", "u"), (101L, "new2", "u")).toDF("id", "v", "operation"))
+    // catch-up: one merge applies the net change since the migration point
+    src.syncInto(dst, v0, txn = Some("sync-1"))
+    assert(dst.read().collect().toSet === src.read().collect().toSet)
+    // a key that changed twice landed its FINAL image; the delete applied
+    val m = dst.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(10L) === "upd2" && !m.contains(20L) && m(100L) === "new")
+    // same-range replay is a no-op (txn marker short-circuits the merge)
+    val vBefore = dst.currentVersion
+    src.syncInto(dst, v0, txn = Some("sync-1"))
+    assert(dst.currentVersion === vBefore)
+    // nothing-changed sync commits nothing
+    assert(src.syncInto(dst, src.currentVersion) === dst.currentVersion)
+    // mismatched keys refuse
+    val alien = new KeyedParquetTable(spark, tmpDir("kpt_sync_alien"), Seq("other"))
+    intercept[IllegalArgumentException] { src.syncInto(alien, v0) }
+  }
+
   test("countRows/minMaxOf answer from the stats index without touching data") {
     val dir = tmpDir("kpt_metacount")
     val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4,
