@@ -972,13 +972,12 @@ object Queries {
         val nBatches = 4L
         val tmp = scratchDir("graft_incragg_")
         val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
-        (0L until nBatches).foreach { b =>
-          val lo = b * (maxId + 1) / nBatches
-          val hi = (b + 1) * (maxId + 1) / nBatches
-          IncrementalAgg.applyBatch(table,
-            events.filter(col("event_id") >= lo && col("event_id") < hi),
-            "user_id", "value")
-        }
+        IncrementalAgg.applyBatches(table,
+          (0L until nBatches).map { b =>
+            val lo = b * (maxId + 1) / nBatches
+            val hi = (b + 1) * (maxId + 1) / nBatches
+            events.filter(col("event_id") >= lo && col("event_id") < hi)
+          }, "user_id", "value")
         IncrementalAgg.snapshot(table, "value")
       },
       Some("""SELECT user_id, COUNT(*) AS n_rows,

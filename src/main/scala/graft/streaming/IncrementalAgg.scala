@@ -58,11 +58,19 @@ object IncrementalAgg {
     */
   def applyBatchN(table: KeyedParquetTable, batch: DataFrame,
                   key: String, valueCols: Seq[String],
-                  txnId: Option[String] = None): Unit = {
-    require(valueCols.nonEmpty, "need at least one value column")
-    require(table.keys == Seq(key),
-      s"aggregate table must be keyed by '$key' (got ${table.keys})")
-    if (txnId.isDefined && table.exists && table.lastTxn == txnId) return // replay
+                  txnId: Option[String] = None): Unit =
+    applyPreparedBatch(table,
+      preparePartial(table, batch, key, valueCols), key, valueCols, txnId)
+
+  /** One append-stream batch after its commit-independent half: the
+    * partial aggregate checkpointed, the bucket probe resolved. */
+  private final case class PreparedBatch(
+    partial: DataFrame, buckets: Option[Set[Int]])
+
+  /** Commit-independent prefix of [[applyBatchN]] — reads only the batch,
+    * so [[applyBatchesN]] runs it for batch k+1 while batch k commits. */
+  private def preparePartial(table: KeyedParquetTable, batch: DataFrame,
+                             key: String, valueCols: Seq[String]): PreparedBatch = {
     // coalesce: a batch where a key's values are ALL null would otherwise
     // produce a null partial, and null + current poisons the fold forever.
     // eager localCheckpoint: the bucket probe (or isEmpty), the fold and the
@@ -81,6 +89,50 @@ object IncrementalAgg {
     val partial = probeObs.fold(partial0)(o =>
         partial0.observe(o, table.bucketSetMetric(Seq(col(key))).as("__bk")))
       .localCheckpoint(true)
+    PreparedBatch(partial,
+      probeObs.map(o => table.bucketSet(o.get("__bk"))))
+  }
+
+  /** Fold a SEQUENCE of append-stream batches with the same cross-batch
+    * pipelining as [[applyCdcBatchesN]]: batch k+1's partial aggregation +
+    * checkpoint (a pure batch read) overlaps batch k's fold-and-commit.
+    * Commit order and txn semantics are identical to an [[applyBatchN]]
+    * loop. `txnIds(i)` (when provided) is batch i's replay marker.
+    */
+  def applyBatchesN(table: KeyedParquetTable, batches: Seq[DataFrame],
+                    key: String, valueCols: Seq[String],
+                    txnIds: Seq[String] = Nil): Unit = {
+    if (batches.isEmpty) return
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    var pending: Future[PreparedBatch] =
+      Future(preparePartial(table, batches.head, key, valueCols))
+    batches.indices.foreach { i =>
+      val prepared = Await.result(pending, Duration.Inf)
+      if (i + 1 < batches.size)
+        pending = Future(preparePartial(table, batches(i + 1), key, valueCols))
+      applyPreparedBatch(table, prepared, key, valueCols, txnIds.lift(i))
+    }
+  }
+
+  /** Single-measure [[applyBatchesN]]. */
+  def applyBatches(table: KeyedParquetTable, batches: Seq[DataFrame],
+                   key: String, valueCol: String,
+                   txnIds: Seq[String] = Nil): Unit =
+    applyBatchesN(table, batches, key, Seq(valueCol), txnIds)
+
+  private def applyPreparedBatch(table: KeyedParquetTable,
+                                 prepared: PreparedBatch, key: String,
+                                 valueCols: Seq[String],
+                                 txnId: Option[String]): Unit = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    require(table.keys == Seq(key),
+      s"aggregate table must be keyed by '$key' (got ${table.keys})")
+    if (txnId.isDefined && table.exists && table.lastTxn == txnId) {
+      prepared.partial.unpersist(false); return // replay
+    }
+    val partial = prepared.partial
     // first use: the just-created empty snapshot has no parquet footers to
     // read a schema from — the first partial IS the aggregate
     val firstUse = !table.exists
@@ -95,7 +147,7 @@ object IncrementalAgg {
       // the observed metric doubles as the empty-batch probe (at zero
       // jobs), and the read half still scans ONLY the touched buckets —
       // O(batch-key-spread) I/O on a table that grows forever.
-      val buckets = table.bucketSet(probeObs.get.get("__bk"))
+      val buckets = prepared.buckets.get
       if (buckets.isEmpty) return // empty batch: nothing to fold
       table.createIfNotExists(org.apache.spark.sql.types.StructType(partial.schema.fields))
       // readBuckets, NOT readForKeys: replaceBuckets requires the COMPLETE

@@ -201,6 +201,25 @@ class IngestSpec extends SparkSpec {
     assert(snap === Map("b" -> ((2L, 27.5, 7.0))))
   }
 
+  test("applyBatchesN: pipelined append-stream fold equals the sequential fold") {
+    import graft.streaming.IncrementalAgg
+    val batches = Seq(
+      Seq((1L, 1.0), (2L, 2.0), (1L, 3.0)).toDF("k", "v"),
+      Seq((2L, 4.0), (3L, 5.0)).toDF("k", "v"),
+      Seq((1L, 6.0)).toDF("k", "v"))
+    val tSeq = new KeyedParquetTable(spark, tmpDir("pipe_ab_seq"), Seq("k"), Nil, 4)
+    batches.foreach(IncrementalAgg.applyBatch(tSeq, _, "k", "v"))
+    val tP = new KeyedParquetTable(spark, tmpDir("pipe_ab_p"), Seq("k"), Nil, 4)
+    IncrementalAgg.applyBatches(tP, batches, "k", "v",
+      txnIds = batches.indices.map(i => s"b$i"))
+    def snap(t: KeyedParquetTable) = IncrementalAgg.snapshot(t, "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(snap(tP) === snap(tSeq))
+    // tail-batch redelivery is a no-op under its txn marker
+    IncrementalAgg.applyBatches(tP, Seq(batches.last), "k", "v", txnIds = Seq("b2"))
+    assert(snap(tP) === snap(tSeq))
+  }
+
   test("applyCdcBatchesN: pipelined multi-batch fold equals the sequential fold") {
     import graft.streaming.IncrementalAgg
     def b(rows: (Long, String, Double, String, Long)*) =
