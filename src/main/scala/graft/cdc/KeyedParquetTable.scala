@@ -545,7 +545,7 @@ final class KeyedParquetTable(
     val next = currentVersion + 1
     claimCommit(next)
     Files.createDirectories(rootPath)
-    val (out, parts) = withLayout(df)
+    val (out, parts) = withLayout(enforceConstraints(df))
     val writer = out.write.mode("overwrite")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(versionDir(next).toString)
@@ -1128,7 +1128,7 @@ final class KeyedParquetTable(
       // layout parity with commit()/withLayout: bucket dir FIRST, then the
       // table's partition spec — dropping partitionBy here would mix
       // directory depths across buckets and break partition discovery
-      content.write.mode("append")
+      enforceConstraints(content).write.mode("append")
         .partitionBy(("__bucket" +: partitionBy): _*)
         .parquet(nextDir.toString)
     }
@@ -1193,7 +1193,7 @@ final class KeyedParquetTable(
     val linked = walkParquet(curDir)
     linked.foreach(linkInto(curDir, nextDir, _))
     val linkedRel = linked.map(p => curDir.relativize(p).toString).toSet
-    val (out, parts) = withLayout(df)
+    val (out, parts) = withLayout(enforceConstraints(df))
     val writer = out.write.mode("append")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(nextDir.toString)
@@ -2784,13 +2784,88 @@ final class KeyedParquetTable(
   /** K2: table properties (the reference's TBLPROPERTIES,
     * `spark_batch.py:91-96`) persisted as simple key=value lines.
     */
-  def setProperties(props: Map[String, String]): Unit = {
+  def setProperties(props: Map[String, String]): Unit =
+    writeProperties(properties ++ props)
+
+  private def writeProperties(all: Map[String, String]): Unit = {
     Files.createDirectories(rootPath)
-    val merged = properties ++ props
     val tmp = rootPath.resolve("_properties.tmp")
-    Files.writeString(tmp, merged.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+    Files.writeString(tmp, all.map { case (k, v) => s"$k=$v" }.mkString("\n"))
     Files.move(tmp, rootPath.resolve("_properties"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ---- CHECK constraints --------------------------------------------------
+
+  private val ConstraintPrefix = "graft.constraint."
+
+  /** Declared CHECK constraints: name → boolean SQL expression. */
+  def constraints: Map[String, String] =
+    properties.collect { case (k, v) if k.startsWith(ConstraintPrefix) =>
+      k.stripPrefix(ConstraintPrefix) -> v }
+
+  /** Delta-parity `ADD CONSTRAINT … CHECK (expr)`: from now on EVERY row a
+    * commit writes — merge, append, update, backfill, compaction rewrite —
+    * must satisfy `exprSql`; a violating row fails the write job BEFORE
+    * the pointer swings, so the commit aborts whole and the table never
+    * holds the bad state. A NULL verdict is a violation (ANSI CHECK needs
+    * TRUE — otherwise a null-valued row slips every range constraint).
+    *
+    * `validate` (default) scans existing live rows once and refuses if any
+    * violate — the same O(table) scan Delta's ADD CONSTRAINT pays, and the
+    * reason enforcement may assert table-wide invariants on maintenance
+    * rewrites. `validate = false` skips the scan (trust-me mode for known
+    * clean 100 TB tables); if old rows DO violate, the next rewrite of
+    * their bucket raises — surfacing, not corrupting.
+    *
+    * The guard itself is a codegen'd per-row filter (assert_true that
+    * passes NULL or raises), a projection-level cost on writes only —
+    * reads never pay it.
+    */
+  def addConstraint(name: String, exprSql: String,
+                    validate: Boolean = true): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"constraint name '$name' must match [A-Za-z0-9_-]+ (it becomes a " +
+        "property key and a guard-column suffix)")
+    require(!exprSql.contains('\n'),
+      "constraint expression must be single-line (property-file encoding)")
+    if (exists) {
+      // analysis check: unresolvable columns / parse errors surface NOW,
+      // not inside some future commit's write job
+      val probe = read().filter(expr(exprSql) <=> lit(true))
+      probe.queryExecution.analyzed
+      if (validate) {
+        val bad = read().filter(!(expr(exprSql) <=> lit(true))).limit(1).collect()
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"addConstraint('$name'): existing rows violate ($exprSql), " +
+            s"e.g. ${bad.head}")
+      }
+    }
+    setProperties(Map(ConstraintPrefix + name -> exprSql))
+  }
+
+  def dropConstraint(name: String): Unit =
+    writeProperties(properties - (ConstraintPrefix + name))
+
+  /** Guard every row a commit writes with the declared CHECK constraints:
+    * the guard column raises on violation and is NULL otherwise, and the
+    * `isNull` filter both keeps every passing row and pins the assert into
+    * the plan where Catalyst cannot prune it. Applied inside the write
+    * plan — one codegen'd projection, no extra job, and the pointer-swing
+    * ordering makes a violation abort the whole commit atomically.
+    */
+  private def enforceConstraints(df: DataFrame): DataFrame = {
+    val cs = constraints
+    if (cs.isEmpty) df
+    else cs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
+      val guard = s"__ck_$n"
+      d.withColumn(guard,
+          assert_true(expr(e) <=> lit(true),
+            concat(lit(s"CHECK constraint '$n' ($e) violated by "),
+              to_json(struct(df.columns.map(col).toIndexedSeq: _*)))))
+        .filter(col(guard).isNull)
+        .drop(guard)
+    }
   }
 
   def properties: Map[String, String] = {

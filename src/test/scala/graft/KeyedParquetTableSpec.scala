@@ -1783,6 +1783,47 @@ class KeyedParquetTableSpec extends SparkSpec {
     }
   }
 
+  test("CHECK constraints: violating writes abort the commit atomically") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_ck"), Seq("id"), Nil, 4)
+    t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score"))
+    t.addConstraint("score_range", "score >= 0 AND score < 100")
+    assert(t.constraints === Map("score_range" -> "score >= 0 AND score < 100"))
+    val vBefore = t.currentVersion
+    // merge with one bad row: whole commit aborts, version does not move
+    val e = intercept[Exception] {
+      t.merge(Seq((3L, 50.0, "u"), (4L, -1.0, "u")).toDF("id", "score", "operation"))
+    }
+    def msgs(x: Throwable): String =
+      if (x == null) "" else Option(x.getMessage).getOrElse("") + msgs(x.getCause)
+    assert(msgs(e).contains("score_range"))
+    assert(t.currentVersion === vBefore && t.read().count() === 2L)
+    // NULL verdict is a violation (ANSI CHECK needs TRUE)
+    val e2 = intercept[Exception] {
+      t.append(Seq((5L, null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "score"))
+    }
+    assert(msgs(e2).contains("score_range"))
+    // passing rows commit normally through merge AND append
+    t.merge(Seq((3L, 50.0, "u")).toDF("id", "score", "operation"))
+    t.append(Seq((6L, 99.0)).toDF("id", "score"))
+    assert(t.read().count() === 4L)
+    // updateWhere assignments are guarded too
+    intercept[Exception] {
+      t.updateWhere(col("id") === 3L, Map("score" -> lit(123.0)))
+    }
+    // adding a constraint existing data violates refuses (and records nothing)
+    intercept[IllegalStateException] {
+      t.addConstraint("too_strict", "score > 15")
+    }
+    assert(!t.constraints.contains("too_strict"))
+    // unresolvable expression surfaces at ADD time, not at the next commit
+    intercept[Exception] { t.addConstraint("bad_col", "no_such_col > 0") }
+    // dropped constraint stops guarding
+    t.dropConstraint("score_range")
+    t.append(Seq((7L, -5.0)).toDF("id", "score"))
+    assert(t.read().count() === 5L)
+  }
+
   test("syncInto replays the changelog into a differently-bucketed target") {
     val src = new KeyedParquetTable(spark, tmpDir("kpt_sync_src"), Seq("id"), Nil, 4)
     src.append((1L to 60L).map(i => (i, s"v$i")).toDF("id", "v"))
