@@ -2099,6 +2099,73 @@ object Queries {
              |GROUP BY token ORDER BY df DESC, token ASC LIMIT 50""".stripMargin),
       headline = true),
 
+    // BM25 ranked retrieval — the classic lexical scorer a training-data
+    // search/retrieval layer needs next to the ANN stack. Self-contained
+    // query-term selection (the 5 terms ranked 11th-15th by document
+    // frequency, alphabetical tiebreak — deterministic cross-engine), then
+    // the scale-shaped plan: corpus stats (N, avgdl, per-doc length) in
+    // one token pass, postings restricted to the query terms BEFORE any
+    // per-doc work (broadcast semi-filter — O(query-term postings), never
+    // O(corpus) after the stats pass), score, top-20. Cross-engine float
+    // determinism: each TERM score quantizes to integer 1e6-units first
+    // and the doc score is the exact integer SUM — no float-addition-order
+    // dependence — with doc_id tiebreaking the ranking.
+    "q_bm25" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val toks = t("documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        // ONE explode + one (doc_id, token) shuffle; every downstream stat
+        // (doc length, document frequency, query-term postings) aggregates
+        // the compressed per-doc term counts, and the shared subplan lets
+        // AQE reuse the exchange instead of re-running the explode per
+        // branch — the pass count that matters when `text` is the 100 TB
+        // column
+        val dtf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dl = dtf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+        val dfT = dtf.groupBy("token").agg(count(lit(1)).as("df"))
+        // the 5 mid-frequency terms (ranks 11-15): TakeOrdered(15) then a
+        // 15-row single-partition window — no second sort or EXCEPT shuffle
+        val w15 = org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("token").asc)
+        val qterms = dfT.orderBy(col("df").desc, col("token").asc).limit(15)
+          .withColumn("__rn", row_number().over(w15))
+          .filter(col("__rn") > 10).drop("__rn")
+        val tf = dtf.join(broadcast(qterms), "token")
+        tf.join(dl, "doc_id").crossJoin(broadcast(stats))
+          .withColumn("term_score",
+            expr("ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 " +
+              "/ (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"))
+          .groupBy("doc_id")
+          .agg(sum(expr("CAST(ROUND(term_score * 1e6) AS BIGINT)")).as("score_q"))
+          .orderBy(col("score_q").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+             |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+             |dft AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+             |        FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+             |q15 AS (SELECT token, df FROM dft ORDER BY df DESC, token ASC LIMIT 15),
+             |q10 AS (SELECT token, df FROM dft ORDER BY df DESC, token ASC LIMIT 10),
+             |qterms AS (SELECT * FROM q15 EXCEPT ALL SELECT * FROM q10),
+             |tf AS (SELECT t.doc_id, t.token, q.df, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM toks t JOIN qterms q USING (token)
+             |       GROUP BY t.doc_id, t.token, q.df)
+             |SELECT tf.doc_id,
+             |  CAST(SUM(CAST(ROUND(
+             |    ln(1 + (s.n_docs - tf.df + 0.5) / (tf.df + 0.5)) * tf.tf * 2.2
+             |    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) * 1e6)
+             |    AS BIGINT)) AS BIGINT) AS score_q
+             |FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+             |GROUP BY tf.doc_id
+             |ORDER BY score_q DESC, tf.doc_id ASC LIMIT 20""".stripMargin),
+      headline = true),
+
     // Gap-based sessionization over the Long-nanos event timestamps
     // (lag window + cumulative flag — the batch analog of session windows).
     "q_sessionize" -> Q(
