@@ -382,7 +382,8 @@ object Ingest {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTs: String, rightTs: String, withinSeconds: Long,
-                   watermarkDelay: String = "1 minute"): DataFrame = {
+                   watermarkDelay: String = "1 minute",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
     val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
     // symmetric interval, as documented: |r.ts − l.ts| ≤ within — a right
@@ -391,8 +392,24 @@ object Ingest {
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $withinSeconds SECONDS") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $withinSeconds SECONDS"))
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $withinSeconds SECONDS"),
+      joinType)
   }
+
+  /** LEFT OUTER [[intervalJoin]] — attribution where the absence IS the
+    * answer (clicks that never converted, messages never acked): a left
+    * row with no right match inside the interval emits once with nulled
+    * right columns, but only after the watermark passes its join window —
+    * the engine must prove no matching right event can still arrive before
+    * declaring the non-match. Same bounded state as the inner form; the
+    * emission latency (one watermark delay + the interval) is the price of
+    * a provably-final answer on an unbounded stream.
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, keyCol: String,
+                        leftTs: String, rightTs: String, withinSeconds: Long,
+                        watermarkDelay: String = "1 minute"): DataFrame =
+    intervalJoin(left, right, keyCol, leftTs, rightTs, withinSeconds,
+      watermarkDelay, "left_outer")
 
   /** Stream-static dimension enrichment: join the CDC stream against a
     * batch dimension table. Planned per micro-batch as a broadcast hash

@@ -746,6 +746,38 @@ class IngestSpec extends SparkSpec {
     assert(rows === Set((1L, "home", 9.99)))
   }
 
+  test("left-outer interval join emits provably-final non-matches after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+    val joined = Ingest.intervalJoinOuter(
+      clicks.toDF().withColumnRenamed("ts", "click_ts"),
+      buys.toDF().withColumnRenamed("ts", "buy_ts"),
+      "user", "click_ts", "buy_ts", withinSeconds = 30L,
+      watermarkDelay = "10 seconds")
+    val q = joined.select(col("l.user"), col("page"), col("amount"))
+      .writeStream.format("memory").queryName("attribution_outer")
+      .outputMode("append").start()
+    clicks.addData(Click(ts(0), 1L, "home"), Click(ts(5), 2L, "shop"))
+    buys.addData(Buy(ts(10), 1L, 9.99)) // user 1 converts; user 2 never does
+    q.processAllAvailable()
+    // advance BOTH watermarks far past user 2's join window so the
+    // non-match becomes provable, then let the final batch flush it
+    clicks.addData(Click(ts(1000), 9L, "late"))
+    buys.addData(Buy(ts(1000), 9L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attribution_outer").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    // user 1 matched; user 2's click emitted ONCE with a null amount
+    assert(rows.contains((1L, "home", Some(9.99))))
+    assert(rows.contains((2L, "shop", None)))
+    // the matched row did not ALSO emit a phantom non-match
+    assert(!rows.contains((1L, "home", None)))
+  }
+
   test("stream-static enrichment joins the dim via broadcast each micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("id", "tier")
