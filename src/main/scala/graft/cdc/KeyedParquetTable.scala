@@ -482,11 +482,27 @@ final class KeyedParquetTable(
           case _ => None
         }
       }
-    val (a, b) = scopedBuckets match {
-      case Some(buckets) =>
-        (readBuckets(buckets, fromVersion), readBuckets(buckets, toVersion))
-      case None => (readVersion(fromVersion), readVersion(toVersion))
-    }
+    // a FILE-LESS snapshot (createIfNotExists's empty bucketed commit, or a
+    // rewrite that deleted every row) has no parquet footers to infer a
+    // schema from — the diff degenerates: empty base → every current row
+    // is an insert; empty target → every base row is a delete; shape the
+    // empty side off the non-empty one. Both file-less → nothing existed
+    // on either side, and with no schema anywhere the only honest answer
+    // is a loud refusal (callers guard with snapshotHasFiles).
+    val fromHas = snapshotHasFiles(fromVersion)
+    val toHas = snapshotHasFiles(toVersion)
+    require(fromHas || toHas,
+      s"changesBetween(v$fromVersion, v$toVersion) of $root: both snapshots " +
+        "are file-less — no schema exists to type an (empty) change set; " +
+        "guard the call with snapshotHasFiles")
+    val (a, b) =
+      if (fromHas && toHas) scopedBuckets match {
+        case Some(buckets) =>
+          (readBuckets(buckets, fromVersion), readBuckets(buckets, toVersion))
+        case None => (readVersion(fromVersion), readVersion(toVersion))
+      }
+      else if (toHas) { val bb = readVersion(toVersion); (bb.limit(0), bb) }
+      else { val aa = readVersion(fromVersion); (aa, aa.limit(0)) }
     val aCols = a.columns.filterNot(keys.contains).toSeq
     val bCols = b.columns.filterNot(keys.contains).toSeq
     require(aCols == bCols,
@@ -1940,7 +1956,13 @@ final class KeyedParquetTable(
     // target merge, so a redelivered sync of the same range is a no-op
     if (txn.isDefined && target.exists && target.lastTxn == txn)
       return target.currentVersion
+    // both endpoints file-less (e.g. createIfNotExists → sync before any
+    // data): nothing changed, and changesBetween would have no schema to
+    // type the empty set from
+    if (!snapshotHasFiles(fromVersion) && !snapshotHasFiles(toV))
+      return target.currentVersion
     val ch = changesBetween(fromVersion, toV).localCheckpoint(true)
+    if (ch.isEmpty) { ch.unpersist(false); return target.currentVersion }
     val upKeys = ch.filter(col("change_type") =!= "delete")
       .select(keys.map(k => col(k).as(s"__s_$k")): _*)
     val cur = readForKeys(ch.filter(col("change_type") =!= "delete")

@@ -1850,6 +1850,39 @@ class KeyedParquetTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { src.syncInto(alien, v0) }
   }
 
+  test("syncInto property: random CRUD histories replicate exactly across layouts " +
+    "(5 seeded runs, multi-sync)") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val src = new KeyedParquetTable(spark,
+        tmpDir(s"kpt_syncp_s$seed"), Seq("id"), Nil, 4)
+      val dst = new KeyedParquetTable(spark,
+        tmpDir(s"kpt_syncp_d$seed"), Seq("id"), Nil, 7) // different layout
+      src.createIfNotExists(StructType(Seq(
+        StructField("id", LongType), StructField("v", IntegerType))))
+      dst.createIfNotExists(StructType(Seq(
+        StructField("id", LongType), StructField("v", IntegerType))))
+      var lastSynced = src.currentVersion
+      (1 to 4).foreach { round =>
+        // a few random merges advance the source
+        (1 to rnd.nextInt(3) + 1).foreach { _ =>
+          val ops = List.fill(12)((rnd.nextLong(20).abs,
+            if (rnd.nextInt(4) == 0) "d" else "u", rnd.nextInt(1000)))
+          val batch = graft.ops.Dedup.dedupLatest(
+            ops.zipWithIndex.map { case ((k, op, v), i) =>
+              (k, v, i.toLong, op) }.toDF("id", "v", "seq", "operation"),
+            Seq("id"), Seq(col("seq").desc)).drop("seq")
+          src.merge(batch)
+        }
+        // periodic catch-up replication
+        src.syncInto(dst, lastSynced, txn = Some(s"sync-$seed-$round"))
+        lastSynced = src.currentVersion
+        assert(dst.read().collect().toSet === src.read().collect().toSet,
+          s"seed=$seed round=$round diverged")
+      }
+    }
+  }
+
   test("countRows/minMaxOf answer from the stats index without touching data") {
     val dir = tmpDir("kpt_metacount")
     val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4,
