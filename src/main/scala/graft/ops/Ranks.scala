@@ -99,4 +99,66 @@ object Ranks {
   def percentRankFromRank(rank: Column, total: Long): Column =
     if (total <= 1) lit(0.0)
     else (rank - 1).cast("double") / lit((total - 1).toDouble)
+
+  /** EXACT global quantiles without a global sort: for each probability p,
+    * the k-th smallest non-null value with k = max(1, ⌈p·N⌉) — the
+    * discrete ("lower" / `percentile_disc`) quantile, so the answer is an
+    * actual data value and cross-engine bit-identical (no interpolation
+    * arithmetic to disagree about).
+    *
+    * Same three-pass recipe as [[globalRank]], but pass 3 only touches the
+    * handful of buckets that CONTAIN a requested rank: the approximate
+    * boundaries steer bucketing (correctness never depends on their
+    * placement), the O(buckets) histogram locates each k's bucket and
+    * local offset on the driver, and one per-bucket window over just the
+    * straddling buckets — typically probes.length buckets ≈ a few percent
+    * of the data — yields the values. Everything else is never sorted.
+    * Ties are safe: bucketing depends only on the value, so equal values
+    * share a bucket and the value at any rank among them is deterministic
+    * even though row_number between ties is not.
+    *
+    * Returns (p double, k long, value double) — empty for an empty/all-null
+    * frame.
+    */
+  def exactQuantiles(df: DataFrame, value: Column, probs: Seq[Double],
+                     buckets: Int = 32): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"probs must be in (0,1]: $probs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = value.cast("double")
+    val vals = df.select(v.as("__v")).where(col("__v").isNotNull)
+    val sampledRow = vals.select(percentile_approx(col("__v"),
+      typedLit((1 until buckets).map(_.toDouble / buckets)), lit(10000)).as("__b")).head()
+    val boundaries =
+      (if (sampledRow.isNullAt(0)) Seq.empty[Double]
+       else sampledRow.getSeq[Double](0)).distinct.sorted
+    val bucket: Column =
+      if (boundaries.isEmpty) lit(0)
+      else boundaries.map(b => when(col("__v") > lit(b), 1).otherwise(0)).reduce(_ + _)
+    val counts = vals.groupBy(bucket.as("__bucket")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    if (total == 0L)
+      return Seq.empty[(Double, Long, Double)].toDF("p", "k", "value")
+    // driver-side O(probs × buckets): locate each k's bucket + local rank
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toMap
+    val targets = probs.map { p =>
+      val k = math.max(1L, math.ceil(p * total).toLong)
+      val (b, _) = counts.find { case (b, n) => offsets(b) + n >= k }.get
+      (p, k, b, k - offsets(b))
+    }
+    val targetDf = broadcast(
+      targets.toDF("p", "k", "__bucket", "__local_rank"))
+    val straddling = targets.map(_._3).toSet
+    val w = Window.partitionBy("__bucket").orderBy(col("__v").asc)
+    vals.withColumn("__bucket", bucket)
+      .where(col("__bucket").isInCollection(straddling))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .join(targetDf,
+        Seq("__bucket"))
+      .where(col("__rn") === col("__local_rank"))
+      .select(col("p"), col("k"), col("__v").as("value"))
+  }
 }

@@ -86,4 +86,53 @@ class RanksSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(q === Seq(1L, 2L, 3L))
   }
+
+  // ---- exactQuantiles -------------------------------------------------------
+
+  private def sortedRef(vals: Seq[Double], p: Double): (Long, Double) = {
+    val s = vals.sorted
+    val k = math.max(1L, math.ceil(p * s.size).toLong)
+    (k, s((k - 1).toInt))
+  }
+
+  test("exactQuantiles equals the sorted order statistic for every p") {
+    val df = fixture
+    val vals = df.select(col("price")).as[Double].collect().toSeq
+    val probs = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val got = Ranks.exactQuantiles(df, col("price"), probs, buckets = 8)
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === probs.toSet)
+    probs.foreach { p => assert(got(p) === sortedRef(vals, p), s"p=$p") }
+  }
+
+  test("exactQuantiles is exact under heavy ties") {
+    // many duplicates: only 5 distinct values over 1000 rows, so every
+    // bucket boundary lands inside a tie run
+    val df = (0 until 1000).map(i => (i.toLong, (i % 5).toDouble)).toDF("id", "price")
+    val vals = df.select(col("price")).as[Double].collect().toSeq
+    val probs = Seq(0.2, 0.5, 0.61, 0.8, 1.0)
+    val got = Ranks.exactQuantiles(df, col("price"), probs, buckets = 8)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    probs.foreach { p => assert(got(p) === sortedRef(vals, p)._2, s"p=$p") }
+  }
+
+  test("exactQuantiles skips nulls and handles empty/all-null frames") {
+    val withNulls = Seq[(Long, Option[Double])](
+      (1L, Some(3.0)), (2L, None), (3L, Some(1.0)), (4L, Some(2.0)), (5L, None))
+      .toDF("id", "price")
+    val m = Ranks.exactQuantiles(withNulls, col("price"), Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    assert(m === Map(0.5 -> 2.0, 1.0 -> 3.0))
+    val allNull = Seq[(Long, Option[Double])]((1L, None)).toDF("id", "price")
+    assert(Ranks.exactQuantiles(allNull, col("price"), Seq(0.5)).count() === 0L)
+    val empty = Seq.empty[(Long, Double)].toDF("id", "price")
+    assert(Ranks.exactQuantiles(empty, col("price"), Seq(0.5)).count() === 0L)
+  }
+
+  test("exactQuantiles never plans a single-partition global sort") {
+    val df = fixture
+    val q = Ranks.exactQuantiles(df, col("price"), Seq(0.5, 0.9), buckets = 8)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-task stage in:\n$plan")
+  }
 }
