@@ -161,6 +161,72 @@ object TextOps {
     regexp_replace(ip, "\\+?[0-9][0-9() \\-]{6,}[0-9]", "<PHONE>")
   }
 
+  /** Strip HTML/XML markup down to running text — the extraction stage a
+    * web-crawl corpus runs before any quality/dedup work. Non-content
+    * blocks (script/style/comments) are dropped wholesale, remaining tags
+    * become spaces (so `a</p><p>b` doesn't fuse into `ab`), the common
+    * entities decode, and whitespace collapses to single spaces.
+    *
+    * Pure codegen'd column ops. Patterns use inline `(?s)`/`(?i)` and
+    * non-greedy `.*?` only — semantics identical under Java regex and
+    * RE2-style engines, so the result is oracle-checkable byte-for-byte.
+    * `&amp;` decodes LAST: `&amp;lt;` must end as the literal `&lt;`, not
+    * re-decode to `<`.
+    */
+  def stripMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Corpus-wide exact paragraph dedup (the Dolma/CCNet paragraph stage):
+    * split every doc on `sep`, keep each distinct paragraph ONLY at its
+    * first occurrence in the corpus order `(doc, position)` — repeated
+    * boilerplate (footers, nav text, license blurbs) vanishes from every
+    * doc but the first — then reassemble docs from their surviving
+    * paragraphs in original order. Docs whose every paragraph was seen
+    * earlier drop out entirely (they were pure boilerplate).
+    *
+    * Shape: posexplode → one hash-shuffle groupBy on paragraph text (the
+    * exact-dedup shape; at 100 TB group on a hash of the paragraph to keep
+    * shuffle rows narrow) → struct-equality keeper filter → one groupBy on
+    * doc id to reassemble (array_sort on (pos, para) makes the
+    * collect_list order-independent). No windows over the whole corpus, no
+    * driver data, two shuffles total.
+    *
+    * Returns (idCol, textCol, n_paras_kept, n_paras_dropped).
+    */
+  def paragraphDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, sep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    val paras = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__para")))
+    // first occurrence per distinct paragraph = lexicographic min of
+    // (doc id, position) — one agg, no window
+    val keepers = paras.groupBy("__para")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__keep"),
+        count(lit(1)).as("__occurrences"))
+    paras.join(keepers, Seq("__para"))
+      .withColumn("__kept", struct(col("__id"), col("__pos")) === col("__keep"))
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__kept"),
+              struct(col("__pos"), col("__para"))))),
+            s => s("__para")),
+          sep).as(textCol),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_paras_kept"),
+        sum(when(col("__kept"), 0L).otherwise(1L)).as("n_paras_dropped"))
+      .where(col("n_paras_kept") > 0)
+  }
+
   // ---- Repetition / boilerplate detection ---------------------------------
 
   /** Fraction of repeated whitespace tokens: 1 − distinct/total (0 for empty

@@ -340,4 +340,72 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === oneShot)
     assert(oneShot === Set(10L, 12L))
   }
+
+  // ---- stripMarkup ----------------------------------------------------------
+
+  private def strip1(html: String): String =
+    Seq(html).toDF("h").select(TextOps.stripMarkup(col("h"))).head().getString(0)
+
+  test("stripMarkup drops script/style/comments wholesale, tags to spaces") {
+    assert(strip1("<html><head><title>T</title><style>p { color: red; }</style>" +
+      "<script>if (1 < 2) { go(); }</script></head>" +
+      "<body><!-- note --><h1>Hello</h1><p>world</p></body></html>")
+      === "T Hello world")
+    // multi-line block with attributes; (?s) must span the newline
+    assert(strip1("before<script type=\"text/javascript\">\nvar a = 1;\n" +
+      "var b = 2;\n</script>after") === "before after")
+    // adjacent block tags must not fuse words
+    assert(strip1("<p>one</p><p>two</p>") === "one two")
+  }
+
+  test("stripMarkup decodes entities with &amp; last") {
+    assert(strip1("a &lt;tag&gt; &quot;q&quot; &#39;s&#39; b&nbsp;c &amp; d")
+      === "a <tag> \"q\" 's' b c & d")
+    // double-encoded stays single-decoded: &amp;lt; is the LITERAL "&lt;"
+    assert(strip1("x &amp;lt; y") === "x &lt; y")
+  }
+
+  test("stripMarkup leaves plain text alone and collapses whitespace") {
+    assert(strip1("plain text stays") === "plain text stays")
+    assert(strip1("  a\t b\n\nc ") === "a b c")
+  }
+
+  // ---- paragraphDedup -------------------------------------------------------
+
+  test("paragraphDedup keeps each paragraph only at its first (doc,pos)") {
+    val docs = Seq(
+      (1L, "alpha one\nSHARED FOOTER\nbody of one"),
+      (2L, "alpha two\nSHARED FOOTER\nbody of two"),
+      (3L, "SHARED FOOTER\nbody of three")).toDF("doc_id", "text")
+    val res = TextOps.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(res(1L) === (("alpha one\nSHARED FOOTER\nbody of one", 3L, 0L)))
+    assert(res(2L) === (("alpha two\nbody of two", 2L, 1L)))
+    assert(res(3L) === (("body of three", 1L, 1L)))
+  }
+
+  test("paragraphDedup dedups within a doc and drops all-duplicate docs") {
+    val docs = Seq(
+      (1L, "same para\nsame para\nunique tail"),
+      (2L, "same para")).toDF("doc_id", "text")
+    val res = TextOps.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // second occurrence inside doc 1 dropped; doc 2 was pure duplicate
+    assert(res === Map(1L -> "same para\nunique tail"))
+  }
+
+  test("paragraphDedup is partitioning-independent (deterministic)") {
+    val docs = (1L to 50L).map(i =>
+      (i, s"unique lead $i\ncommon boilerplate paragraph\nunique tail ${i % 7}"))
+      .toDF("doc_id", "text")
+    val a = TextOps.paragraphDedup(docs.repartition(13), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = TextOps.paragraphDedup(docs.coalesce(1), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+    // boilerplate survives only in doc 1; "unique tail k" only at first doc with that k
+    assert(a.contains((1L, "unique lead 1\ncommon boilerplate paragraph\nunique tail 1")))
+    assert(a.contains((2L, "unique lead 2\nunique tail 2")))
+    assert(a.contains((8L, "unique lead 8")))  // tail 1 already owned by doc 1
+  }
 }
