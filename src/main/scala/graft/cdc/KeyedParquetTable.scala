@@ -1980,6 +1980,57 @@ final class KeyedParquetTable(
     target.merge(upserts.unionByName(dels), "operation", txn)
   }
 
+  /** Full-snapshot reconciliation — MERGE's "WHEN NOT MATCHED BY SOURCE
+    * THEN DELETE" clause, i.e. make this table's live state EQUAL the
+    * given snapshot. This is the recovery path a CDC lakehouse needs when
+    * the changelog had a gap (connector re-snapshot, upstream restore):
+    * you hold a complete current image, not a delta, and the table must
+    * converge to it without rewriting 100 TB.
+    *
+    * Shape: diff FIRST, merge the difference —
+    *   changed  = snapshot EXCEPT current      (new keys + changed rows)
+    *   missing  = current-keys ANTI snapshot   (rows to delete)
+    * so the commit touches only buckets holding an actual difference; an
+    * identical snapshot commits NOTHING (version unchanged). The two
+    * full-table scans are inherent to snapshot diffing (every engine's
+    * NOT-MATCHED-BY-SOURCE pays them — it's a full outer comparison); the
+    * win is on the WRITE side, where a 0.1%-drift snapshot rewrites 0.1%
+    * of buckets, and on bucketed tables deletes ride the merge-on-read
+    * set (zero rewrites for pure-delete drift).
+    *
+    * Cardinality contract: `snapshot` must hold ONE row per key (it is a
+    * table image, not a changelog), with exactly the table's columns.
+    */
+  def reconcile(snapshot: DataFrame, txn: Option[String] = None): Long = {
+    require(exists, s"reconcile target $root does not exist")
+    val cur = read()
+    require(snapshot.columns.toSet == cur.columns.toSet,
+      s"reconcile snapshot columns ${snapshot.columns.toSeq} must equal " +
+        s"table columns ${cur.columns.toSeq}")
+    require(!cur.columns.contains("operation"),
+      "reconcile needs the 'operation' column name free")
+    val cols = cur.columns.toSeq
+    // one materialization: the snapshot feeds the except, the anti join,
+    // and (via the union) the merge — same single-evaluation rule as
+    // mergeMor (a non-deterministic source must not diff against itself)
+    val snap = snapshot.select(cols.map(col): _*).localCheckpoint(true)
+    val changed = snap.except(cur).withColumn("operation", lit("u"))
+    val nonKey = cur.schema.fields.filterNot(f => keys.contains(f.name))
+    val missing = nonKey.foldLeft(
+        cur.select(keys.map(col): _*)
+          .join(snap.select(keys.map(col): _*), keys, "left_anti")) {
+        (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      .select(cols.map(col): _*)
+      .withColumn("operation", lit("d"))
+    // materialize the diff once; an equal snapshot must NOT bump the version
+    val delta = changed.unionByName(missing).localCheckpoint(true)
+    if (delta.isEmpty) { currentVersion }
+    else if (bucketCount > 0 && !hasForeignFlatFiles)
+      mergeMor(delta, "operation", txn)
+    else merge(delta, "operation", txn)
+  }
+
   /** Bucket-layout evolution — the answer to "my bucket count stopped
     * fitting the data" (the 100 TB question: a layout chosen at 1 TB
     * rarely survives 100×). Layout params are immutable for the life of a
