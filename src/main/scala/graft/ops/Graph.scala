@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph signals for web-corpus curation: a crawl-scale training
+  * pipeline ranks pages by graph importance (the PageRank-as-quality-prior
+  * filter) before admission, alongside the text-quality scores in
+  * [[TextOps]]. (Extension surface — the reference has no graph ops.)
+  */
+object Graph {
+
+  /** Deterministic integer-quantized PageRank.
+    *
+    * Scores live in integer NANO-units (1.0 ≡ 1e9) and every update step is
+    * pure Long arithmetic:
+    *
+    *   contribution(edge) = score(src) DIV outDegree(src)
+    *   next(node)         = 0.15e9  +  (85 × Σ contributions) DIV 100
+    *
+    * so the result is bit-reproducible across engines, partitionings and
+    * re-runs — double summation order can't move it, which is what makes a
+    * graph-quality gate hash-checkable. The quantization bias per node per
+    * iteration is < outDegree + 100 nano-units (two floor divisions):
+    * irrelevant for ranking. Long headroom: total graph mass is
+    * nodes × 1e9, and the damping multiply ×85 needs it under ~1e17 — fine
+    * to ~10^8 nodes; beyond that, drop to micro-units.
+    *
+    * Pregel shape: per iteration, join scores⨝degree on src → per-edge
+    * contribution → one hash-shuffle groupBy on dst → left join back to the
+    * node set (dangling and source-only nodes keep the base term — their
+    * mass leaks, the standard simplification). No driver-side data at any
+    * point; at cluster scale pre-partition `edges` by src so the
+    * score/degree joins co-locate, and let AQE handle hub-node skew on the
+    * dst aggregation. Lineage grows linearly with iterations — checkpoint
+    * every ~10 rounds if you run deep.
+    *
+    * `edges` rows are (src, dst) pairs; multi-edges count multiply (dedup
+    * first if unwanted). Returns (node, score) with score in nano-units.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    var scores = nodes.withColumn("score", lit(1000000000L))
+    (1 to iterations).foreach { _ =>
+      val inflow = e
+        .join(scores.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("score DIV deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      scores = nodes
+        .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000000L) +
+            expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) DIV 100"))
+            .as("score"))
+    }
+    scores
+  }
+}

@@ -69,4 +69,37 @@ object Quantize {
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Seeded ±1 sign matrix for [[randomProject]]: outDim rows of inDim
+    * signs from a fixed-seed PRNG — the projection is a pure function of
+    * (inDim, outDim, seed), so any engine holding the same three constants
+    * rebuilds the identical matrix (the query layer embeds it as literals
+    * on both sides of an oracle pair).
+    */
+  def projectionSigns(inDim: Int, outDim: Int, seed: Long): Array[Array[Int]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(outDim, inDim)(if (rnd.nextBoolean()) 1 else -1)
+  }
+
+  /** ±1 random-projection (Achlioptas / JL-transform) dimensionality
+    * reduction, integer-exact: components quantize once to micro-unit Longs
+    * (round(x·1e6)), each output dim is a signed SUM of those Longs — no
+    * double accumulation anywhere, so the projection is bit-reproducible
+    * across engines and partitionings. Distances shrink by the usual JL
+    * factor; use it as the cheap prefilter in front of exact cosine (scan
+    * 8 longs instead of 64 floats — 16× less vector I/O at the screening
+    * stage), not as the final ranking.
+    *
+    * Pure codegen'd column ops (transform + zip_with + aggregate), one
+    * value per output dim; no shuffle, no UDF. Long headroom: |component|
+    * micro-units × inDim ≤ ~1e13 for unit-norm-ish embeddings — ample.
+    */
+  def randomProject(vec: Column, signs: Array[Array[Int]]): Column = {
+    val q = transform(vec, x => round(x.cast("double") * 1e6).cast("long"))
+    array(signs.map { row =>
+      aggregate(
+        zip_with(q, typedlit(row.toSeq), (a, s) => a * s.cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    }.toIndexedSeq: _*)
+  }
 }

@@ -56,4 +56,32 @@ class QuantizeSpec extends SparkSpec {
     assert(r.getDouble(0) === 0.0)
     assert(r.getSeq[Int](1).forall(_ === 0))
   }
+
+  test("randomProject equals the driver-side integer reference exactly") {
+    val rnd = new scala.util.Random(9)
+    val vecs = (0L until 50L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val signs = Quantize.projectionSigns(inDim = 16, outDim = 4, seed = 7L)
+    def ref(v: Seq[Float]): Seq[Long] = {
+      // HALF_UP on the shortest decimal repr — Spark round(double) semantics
+      // (math.round would differ on negative exact halves)
+      val q = v.map(x => java.math.BigDecimal.valueOf(x.toDouble * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact)
+      signs.toSeq.map(row => row.zip(q).map { case (s, x) => s * x }.sum)
+    }
+    val got = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Quantize.randomProject(col("embedding"), signs).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    vecs.foreach { case (id, v) => assert(got(id) === ref(v), s"vec $id") }
+  }
+
+  test("projectionSigns is a pure function of (inDim, outDim, seed)") {
+    val a = Quantize.projectionSigns(64, 8, 42L)
+    val b = Quantize.projectionSigns(64, 8, 42L)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.length === 8 && a.forall(_.length === 64))
+    assert(a.flatten.forall(s => s == 1 || s == -1))
+    // seed actually matters
+    val c = Quantize.projectionSigns(64, 8, 43L)
+    assert(a.map(_.toSeq).toSeq !== c.map(_.toSeq).toSeq)
+  }
 }
