@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
 import graft.cdc.{CdcParse, KeyedParquetTable, Merge}
 import graft.functions.HeavyHitters
 import graft.streaming.IncrementalAgg
-import graft.ops.{Bucketing, Components, Dedup, FuzzyDedup, Multimodal, Prefilter, Quantize, RangeLayout, Ranks, Sampling, Similarity, Skew, TextOps}
+import graft.ops.{Bucketing, Components, Dedup, FuzzyDedup, Graph, Multimodal, Prefilter, Quantize, RangeLayout, Ranks, Sampling, Similarity, Skew, TextOps}
 import graft.validate.Validation
 
 /** The engine's registered query workload.
@@ -168,6 +168,45 @@ object Queries {
       .withColumn("operation",
         CdcParse.classifyOperation(col("__deleted"), col("user_id")))
       .drop("__deleted")
+
+  /** DuckDB mirror of [[graft.ops.Graph.pageRank]] over the synthesized
+    * events link graph, unrolled one CTE pair per iteration — both engines
+    * run the identical integer recurrence, so scores hash-match exactly.
+    */
+  private def pageRankOracle(iterations: Int): String = {
+    val head =
+      """WITH e AS (SELECT DISTINCT user_id % 211 AS src, (user_id * 7 + event_id) % 211 AS dst FROM events),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |s0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS score FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s"""i$k AS (SELECT e.dst AS node, SUM(s${k - 1}.score // d.deg) AS inflow
+         |  FROM e JOIN s${k - 1} ON s${k - 1}.node = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         |s$k AS (SELECT n.node, CAST(150000000 + (85 * COALESCE(i$k.inflow, 0)) // 100 AS BIGINT) AS score
+         |  FROM nodes n LEFT JOIN i$k ON i$k.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$iters\nSELECT node, score FROM s$iterations"
+  }
+
+  /** Shared sign matrix for the random-projection oracle pair: both the
+    * Spark column and the DuckDB SQL below embed these exact ±1 literals.
+    */
+  private val projSigns = Quantize.projectionSigns(inDim = 64, outDim = 8, seed = 42L)
+
+  private val projOracle: String = {
+    val dims = projSigns.map { row =>
+      val litList = row.mkString("[", ", ", "]")
+      s"CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * ($litList)[i])) AS BIGINT)"
+    }.mkString("[", ",\n  ", "]")
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |p AS (SELECT vec_id, $dims AS pr FROM q)
+       |SELECT vec_id,
+       |  MD5(array_to_string(list_transform(pr, x -> CAST(x AS VARCHAR)), ',')) AS proj_md5,
+       |  CAST(list_sum(list_transform(pr, x -> abs(x))) AS BIGINT) AS proj_l1
+       |FROM p""".stripMargin
+  }
 
   private val finalStateOracle =
     """SELECT user_id, event_id, event_type, value
@@ -501,6 +540,50 @@ object Queries {
         table.read().select("user_id", "event_id", "event_type", "value")
       },
       Some(finalStateOracle)),
+
+    // Full-snapshot RECONCILIATION (MERGE's NOT-MATCHED-BY-SOURCE): the
+    // table holds the folded final state, then converges to a drifted
+    // complete image — some keys gone (reconcile must delete them), some
+    // values changed, some keys new — via diff-first merge: only differing
+    // buckets rewrite, missing keys ride the merge-on-read delete set.
+    // This is the CDC recovery path for a changelog gap (connector
+    // re-snapshot); the oracle computes the drifted image directly.
+    "q_snapshot_reconcile" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val parsed = parsedEventsCached(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "operation")
+          .localCheckpoint(true)
+        val base = Merge.foldFinalState(parsed, Seq("user_id"),
+            Seq(col("event_id").desc))
+          .select("user_id", "event_id", "event_type", "value")
+          .localCheckpoint(true)
+        val tmp = scratchDir("graft_reconcile_")
+        val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
+        table.createIfNotExists(base.schema)
+        table.merge(base.withColumn("operation", lit("u")))
+        val snap = base.filter(col("user_id") % 10 =!= 3)
+          .withColumn("value", when(col("user_id") % 10 === 4,
+            col("value") + 1.5).otherwise(col("value")))
+          .unionByName(base.filter(col("user_id") % 10 === 5).select(
+            (col("user_id") + 1000000L).as("user_id"),
+            (col("event_id") + 1L).as("event_id"),
+            lit("synth").as("event_type"),
+            (col("value") * 2).as("value")))
+        table.reconcile(snap)
+        table.read().select("user_id", "event_id", "event_type", "value")
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id, event_id, event_type, value
+             |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |        FROM events) t
+             |  WHERE rn = 1 AND event_type <> 'error')
+             |SELECT user_id, event_id, event_type,
+             |  CASE WHEN user_id % 10 = 4 THEN value + 1.5 ELSE value END AS value
+             |FROM base WHERE user_id % 10 <> 3
+             |UNION ALL
+             |SELECT user_id + 1000000, event_id + 1, 'synth', value * 2
+             |FROM base WHERE user_id % 10 = 5""".stripMargin)),
 
     // Zero-copy CLONE mid-fold: batch 1 merges into the source, the table
     // clones (hard links only), batch 2 merges into the SOURCE — the clone
@@ -2792,6 +2875,141 @@ object Queries {
              |MD5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_fp,
              |CAST(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS BIGINT) AS norm_len
              |FROM documents""".stripMargin)),
+
+    // Markup extraction — the stage a web-crawl corpus runs FIRST: deterministic
+    // HTML (tags, style/script blocks, comments, entities — all synthesized
+    // from doc_id so every strip path is exercised) wrapped around each doc,
+    // stripped back to running text by TextOps.stripMarkup; both engines
+    // build, strip, and md5 the identical string.
+    "q_html_strip" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val id = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><head><title>D"), id,
+          lit("</title><style>p { margin: 0; }</style>" +
+            "<script type=\"text/javascript\">\nif (1 < 2) { go(); }\n</script>" +
+            "</head><body><!-- build "), id,
+          lit(" --><h1>D"), id, lit("</h1><p>"), col("text"),
+          lit("</p><br/>&quot;cited&quot; &amp;amp; x &lt;tag&gt;&nbsp;end" +
+            "</body></html>"))
+        val clean = TextOps.stripMarkup(html)
+        t("documents").select(col("doc_id"),
+          md5(clean).as("clean_md5"),
+          length(clean).cast("long").as("clean_len"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    '<html><head><title>D' || CAST(doc_id AS VARCHAR) ||
+             |    '</title><style>p { margin: 0; }</style><script type="text/javascript">' || chr(10) ||
+             |    'if (1 < 2) { go(); }' || chr(10) ||
+             |    '</script></head><body><!-- build ' || CAST(doc_id AS VARCHAR) ||
+             |    ' --><h1>D' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+             |    '</p><br/>&quot;cited&quot; &amp;amp; x &lt;tag&gt;&nbsp;end</body></html>' AS html
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, trim(regexp_replace(
+             |    replace(replace(replace(replace(replace(replace(
+             |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+             |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |        '(?s)<!--.*?-->', ' ', 'g'),
+             |        '<[^>]+>', ' ', 'g'),
+             |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             |    '\s+', ' ', 'g')) AS clean FROM h)
+             |SELECT doc_id, MD5(clean) AS clean_md5,
+             |  CAST(length(clean) AS BIGINT) AS clean_len FROM s""".stripMargin),
+      headline = true),
+
+    // Corpus-wide exact PARAGRAPH dedup (the Dolma/CCNet paragraph stage):
+    // docs are synthesized as lead-8-tokens \n shared-boilerplate \n full-text,
+    // so the shared paragraph survives only in doc 0 and every repeated
+    // lead/full paragraph drops at its non-first occurrences; docs rebuild
+    // from surviving paragraphs in order. Two hash shuffles, no windows over
+    // the corpus, no driver data — the 100 TB paragraph-dedup shape.
+    "q_paragraph_dedup" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents").select(col("doc_id"),
+          concat_ws("\n",
+            array_join(slice(split(col("text"), " "), 1, 8), " "),
+            lit("subscribe to our newsletter for updates"),
+            col("text")).as("text"))
+        TextOps.paragraphDedup(docs, "doc_id", "text")
+          .select(col("doc_id"), md5(col("text")).as("dedup_md5"),
+            col("n_paras_kept"), col("n_paras_dropped"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    array_to_string(str_split(text, ' ')[1:8], ' ') || chr(10) ||
+             |    'subscribe to our newsletter for updates' || chr(10) || text AS dtext
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id,
+             |    unnest(str_split(dtext, chr(10))) AS para,
+             |    unnest(range(1, len(str_split(dtext, chr(10))) + 1)) AS pos
+             |  FROM d),
+             |f AS (
+             |  SELECT doc_id, pos, para,
+             |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+             |  FROM p)
+             |SELECT doc_id,
+             |  MD5(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE rn = 1)) AS dedup_md5,
+             |  COUNT(*) FILTER (WHERE rn = 1) AS n_paras_kept,
+             |  COUNT(*) FILTER (WHERE rn > 1) AS n_paras_dropped
+             |FROM f GROUP BY doc_id
+             |HAVING COUNT(*) FILTER (WHERE rn = 1) > 0""".stripMargin),
+      headline = true),
+
+    // EXACT global quantiles of the doc-length distribution WITHOUT a global
+    // sort (Ranks.exactQuantiles: sampled boundaries → O(buckets) histogram →
+    // per-bucket window over only the straddling buckets). The oracle is the
+    // sorted order statistic itself — proof the three-pass distributed form
+    // is exact, not approximate, and the answer is an actual data value.
+    "q_exact_quantiles" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        Ranks.exactQuantiles(t("documents"), col("n_chars"),
+          Seq(0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
+      },
+      Some("""WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS val FROM documents
+             |           WHERE n_chars IS NOT NULL),
+             |r AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v),
+             |t AS (SELECT p, GREATEST(1, CAST(ceil(p * (SELECT COUNT(*) FROM v)) AS BIGINT)) AS k
+             |      FROM (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS DOUBLE) AS p))
+             |SELECT t.p AS p, t.k AS k, r.val AS value FROM t JOIN r ON r.rn = t.k""".stripMargin),
+      headline = true),
+
+    // Link-graph quality prior: integer-quantized PageRank over a
+    // deterministic link graph synthesized from events (the crawl-corpus
+    // "rank pages before admission" signal). Every update is Long
+    // arithmetic — floor-div contributions, ×85 DIV 100 damping — so three
+    // Pregel iterations hash-match the unrolled SQL recurrence exactly.
+    "q_pagerank" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val edges = t("events").select(
+          (col("user_id") % 211).as("src"),
+          ((col("user_id") * 7 + col("event_id")) % 211).as("dst")).distinct()
+        Graph.pageRank(edges, "src", "dst", iterations = 3)
+      },
+      Some(pageRankOracle(3)),
+      headline = true),
+
+    // ±1 random-projection (JL) reduction of the embedding corpus, 64→8
+    // dims, integer-exact: components quantize to micro-unit Longs once,
+    // each output dim is a signed Long sum — the cheap screening
+    // representation in front of exact cosine (16× less vector I/O). The
+    // seeded sign matrix is embedded as literals on BOTH engine sides.
+    "q_embedding_project" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val pr = Quantize.randomProject(col("embedding"), projSigns)
+        t("embeddings").select(col("vec_id"),
+          md5(concat_ws(",", transform(pr, _.cast("string")))).as("proj_md5"),
+          aggregate(transform(pr, x => abs(x)), lit(0L), _ + _).as("proj_l1"))
+      },
+      Some(projOracle)),
 
     // PII scrubbing before corpus admission: emails → <EMAIL>, IPv4 → <IP>,
     // phone-shaped digit runs → <PHONE>. Deterministic PII is synthesized
