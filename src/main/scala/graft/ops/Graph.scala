@@ -41,11 +41,14 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // materialize the loop invariants once: every iteration references all
+    // three, and without the checkpoint each reference re-runs the source
+    // scan + distinct/agg (the plan tree repeats the subtree per iteration)
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
     var scores = nodes.withColumn("score", lit(1000000000L))
     (1 to iterations).foreach { _ =>
       val inflow = e

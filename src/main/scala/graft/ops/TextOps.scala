@@ -210,8 +210,7 @@ object TextOps {
     // first occurrence per distinct paragraph = lexicographic min of
     // (doc id, position) — one agg, no window
     val keepers = paras.groupBy("__para")
-      .agg(min(struct(col("__id"), col("__pos"))).as("__keep"),
-        count(lit(1)).as("__occurrences"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__keep"))
     paras.join(keepers, Seq("__para"))
       .withColumn("__kept", struct(col("__id"), col("__pos")) === col("__keep"))
       .groupBy(col("__id").as(idCol))
