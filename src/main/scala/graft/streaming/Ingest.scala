@@ -411,6 +411,19 @@ object Ingest {
     intervalJoin(left, right, keyCol, leftTs, rightTs, withinSeconds,
       watermarkDelay, "left_outer")
 
+  /** FULL OUTER [[intervalJoin]] — reconciliation of two feeds where
+    * EITHER side's absence matters (orders vs shipments, sent vs acked:
+    * "what arrived on only one feed?"). Unmatched rows from both sides
+    * emit exactly once with the other side nulled, each only after the
+    * watermark proves its join window can no longer fill. Same bounded
+    * state as the inner form; same finality latency as the left-outer.
+    */
+  def intervalJoinFullOuter(left: DataFrame, right: DataFrame, keyCol: String,
+                            leftTs: String, rightTs: String, withinSeconds: Long,
+                            watermarkDelay: String = "1 minute"): DataFrame =
+    intervalJoin(left, right, keyCol, leftTs, rightTs, withinSeconds,
+      watermarkDelay, "full_outer")
+
   /** Stream-static dimension enrichment: join the CDC stream against a
     * batch dimension table. Planned per micro-batch as a broadcast hash
     * join (the dim re-reads each batch, so late dim updates are picked up

@@ -778,6 +778,45 @@ class IngestSpec extends SparkSpec {
     assert(!rows.contains((1L, "home", None)))
   }
 
+  test("full-outer interval join finalizes non-matches on BOTH sides") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+    val joined = Ingest.intervalJoinFullOuter(
+      clicks.toDF().withColumnRenamed("ts", "click_ts"),
+      buys.toDF().withColumnRenamed("ts", "buy_ts"),
+      "user", "click_ts", "buy_ts", withinSeconds = 30L,
+      watermarkDelay = "10 seconds")
+    val q = joined.select(col("l.user").as("l_user"), col("page"),
+        col("r.user").as("r_user"), col("amount"))
+      .writeStream.format("memory").queryName("recon_full")
+      .outputMode("append").start()
+    clicks.addData(Click(ts(0), 1L, "home"), Click(ts(5), 2L, "shop"))
+    buys.addData(Buy(ts(10), 1L, 9.99),  // matches user 1's click
+      Buy(ts(12), 7L, 3.50))             // user 7 bought with NO click at all
+    q.processAllAvailable()
+    // push both watermarks past every open window, then flush finals
+    clicks.addData(Click(ts(1000), 9L, "late"))
+    buys.addData(Buy(ts(1000), 9L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("recon_full").collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    // the match emitted with both sides present
+    assert(rows.contains((Some(1L), Some("home"), Some(1L), Some(9.99))))
+    // left-only: user 2's click finalized with a nulled right side
+    assert(rows.contains((Some(2L), Some("shop"), None, None)))
+    // right-only: user 7's purchase finalized with a nulled LEFT side —
+    // the half a left-outer join cannot produce
+    assert(rows.contains((None, None, Some(7L), Some(3.50))))
+    // no phantom half-rows for the matched pair
+    assert(!rows.contains((Some(1L), Some("home"), None, None)))
+    assert(!rows.contains((None, None, Some(1L), Some(9.99))))
+  }
+
   test("stream-static enrichment joins the dim via broadcast each micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("id", "tier")
