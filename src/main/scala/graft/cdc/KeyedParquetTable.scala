@@ -2507,6 +2507,57 @@ final class KeyedParquetTable(
     fs.map(p => (p.toString, Files.size(p))).toDF("file_path", "size_bytes")
   }
 
+  /** Current snapshot with per-row ORIGIN metadata: `_origin_version` — the
+    * earliest retained snapshot whose directory contains the row's data
+    * file — and `_origin_committed_at`, that snapshot's commit stamp. This
+    * is the file-granularity row lineage Iceberg readers derive from
+    * `_file` + snapshot manifests: "which commit introduced this row", the
+    * first question of an audit or a bad-batch forensic.
+    *
+    * Granularity contract (same as Iceberg's): lineage is per FILE, not
+    * per logical row — a bucket rewrite (merge, compaction, updateWhere)
+    * re-stamps every row it carries forward. And since expired snapshots
+    * are gone, origins coarsen to the earliest snapshot still retained,
+    * exactly as time travel does.
+    *
+    * Cost: one local metadata walk per retained version (driver-side fs
+    * ops, no Spark jobs — relative paths are stable across snapshots
+    * because [[linkInto]] mirrors them) + one broadcast join keyed on
+    * `input_file_name`, attached directly above the scan so every row's
+    * file is resolved before any exchange. The data reads once.
+    */
+  def readWithOrigin(): DataFrame = {
+    import spark.implicits._
+    val v = currentVersion
+    require(v >= 0, s"table $root has no snapshot")
+    val curDir = versionDir(v)
+    val retained = listEntries(rootPath)
+      .filter(p => p.getFileName.toString.matches("v\\d+"))
+      .map(_.getFileName.toString.drop(1).toLong).sorted
+    val origin = scala.collection.mutable.HashMap[String, Long]()
+    retained.foreach { ver =>
+      val vd = versionDir(ver)
+      walkParquet(vd).foreach { f =>
+        val rel = vd.relativize(f).toString
+        if (!origin.contains(rel)) origin(rel) = ver
+      }
+    }
+    val stamps = retained.map(ver => ver -> commitTimeMs(ver)).toMap
+    val originDf = broadcast(origin.toSeq.map { case (rel, ver) =>
+      (curDir.resolve(rel).toUri.toString, ver,
+        new java.sql.Timestamp(stamps(ver)))
+    }.toDF("__file", "_origin_version", "_origin_committed_at"))
+    val scanned = scanDeclared(snapshotSchema(curDir), None, Seq(curDir.toString))
+      .withColumn("__file", input_file_name())
+    val live = applyDeletes(scanned, curDir)
+    val base =
+      if (bucketCount > 0 && live.columns.contains("__bucket")) live.drop("__bucket")
+      else live
+    // left join: a miss (null origin) means a file outside every retained
+    // snapshot — impossible by construction, visible if it ever happens
+    base.join(originDf, Seq("__file"), "left").drop("__file")
+  }
+
   /** Files.list/Files.walk return OPEN directory streams; drain them under
     * try/finally — a long-lived driver doing one merge per micro-batch
     * would otherwise accumulate un-GC'd fds until "Too many open files".

@@ -1953,4 +1953,48 @@ class KeyedParquetTableSpec extends SparkSpec {
     e.createIfNotExists(schema)
     assert(e.countRows() === 0L)
   }
+
+  test("readWithOrigin stamps rows with the snapshot that introduced their file") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_origin"), Seq("id"), Nil, 4)
+    t.commit((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")) // v0
+    def origins(): Map[Long, Long] = t.readWithOrigin().collect()
+      .map(r => r.getLong(r.fieldIndex("id")) ->
+        r.getLong(r.fieldIndex("_origin_version"))).toMap
+    assert(origins().values.toSet === Set(0L))
+    // no origin may ever be null, and the stamp column rides along
+    assert(t.readWithOrigin().filter(col("_origin_version").isNull).count() === 0L)
+
+    // merge one key: its bucket rewrites (every row in it re-stamps — the
+    // documented file-granularity contract); other buckets keep v0
+    t.merge(Seq((1L, "v1b", "u")).toDF("id", "v", "operation")) // v1
+    val o1 = origins()
+    assert(o1(1L) === 1L)
+    val rewritten = o1.count(_._2 == 1L)
+    assert(rewritten >= 1 && rewritten < 40, s"one bucket, not the table: $rewritten")
+    assert(o1.values.toSet === Set(0L, 1L))
+
+    // append lands new files: appended rows stamp v2, existing keep theirs
+    t.append(Seq((100L, "new")).toDF("id", "v")) // v2
+    val o2 = origins()
+    assert(o2(100L) === 2L)
+    assert(o2(1L) === 1L)
+    assert(o2.filter(_._1 <= 40L).count(_._2 == 0L) === 40 - rewritten)
+
+    // origin survives the merge-on-read delete path (deleted row vanishes,
+    // survivors keep their stamps)
+    t.deleteKeys(Seq(Tuple1(2L)).toDF("id")) // v3
+    val o3 = origins()
+    assert(!o3.contains(2L))
+    assert(o3(100L) === 2L)
+
+    // compaction rewrites carried files — rewritten rows re-stamp, like
+    // Iceberg's rewrite_data_files
+    t.compact(minInputFiles = 1) // v4
+    val o4 = origins()
+    assert(o4.values.forall(_ === 4L), s"post-compact origins: ${o4.values.toSet}")
+    // commit stamps are monotone with version order
+    val stamps = t.readWithOrigin().select("_origin_version", "_origin_committed_at")
+      .distinct().collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(stamps.keySet === Set(4L))
+  }
 }
