@@ -120,4 +120,51 @@ object Multimodal {
     transform(sequence(lit(0), lit(n - 1)),
       i => bin.substr((i * chunk + 1).cast("int"), chunk))
   }
+
+  /** Fixed-window chunk fingerprints over an opaque binary column — the
+    * media analog of text shingle hashing: `window`-byte ALIGNED slices,
+    * md5 over the hex of each slice (hex first so the digest input is a
+    * deterministic string on every engine). Aligned windows catch the
+    * dominant media-dup cases — identical files, shared containers and
+    * headers, repeated segments — at scan speed with pure column ops;
+    * content-defined chunking would add shift-resistance at the cost of a
+    * per-byte rolling pass. Empty blobs yield an empty array (guarded:
+    * `sequence(0, -1)` would DESCEND, not return empty).
+    */
+  def chunkFingerprints(bin: org.apache.spark.sql.Column,
+                        window: Int): org.apache.spark.sql.Column = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    // hex FIRST, then slice the hex string (2 chars/byte): byte-exact
+    // windows, and string slicing is the one form every engine supports
+    // on binary-derived data (SQL substring over BLOB is not portable)
+    val h = hex(bin)
+    val w2 = window * 2
+    val nChunks = ceil(length(h).cast("double") / w2).cast("int")
+    val starts = when(length(h) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nChunks - 1))
+    transform(starts, i => md5(h.substr(i * w2 + 1, lit(w2))))
+  }
+
+  /** Per-item binary near-dup degree: for each row, how many OTHER items
+    * share at least one chunk fingerprint — the screening stat a media
+    * dedup pass thresholds on. One distinct-explode + one equi-self-join
+    * on the fingerprint (the exact-dedup shuffle shape, never a
+    * cartesian) + one count; items sharing nothing report 0 via the
+    * left join back.
+    */
+  def binaryDupDegree(df: DataFrame, idCol: String, binCol: String,
+                      window: Int): DataFrame = {
+    val fps = df.select(col(idCol).as("__id"),
+      explode(array_distinct(chunkFingerprints(col(binCol), window))).as("__fp"))
+    val other = fps.select(col("__id").as("__id2"), col("__fp"))
+    val degrees = fps.join(other, "__fp")
+      .where(col("__id") =!= col("__id2"))
+      .groupBy("__id")
+      .agg(countDistinct("__id2").as("dup_degree"))
+    df.select(col(idCol),
+        size(array_distinct(chunkFingerprints(col(binCol), window)))
+          .cast("long").as("n_chunks"))
+      .join(degrees.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn("dup_degree", coalesce(col("dup_degree"), lit(0L)))
+  }
 }

@@ -77,4 +77,39 @@ class MultimodalSpec extends SparkSpec {
     val joined = frames.flatMap(_.getAs[Array[Byte]](2))
     assert(new String(joined, "UTF-8") === "hello world")
   }
+
+  test("chunkFingerprints: window boundaries, short tail, empty blob") {
+    def fps(s: String, w: Int): Seq[String] =
+      Seq(Tuple1(s)).toDF("t")
+        .select(Multimodal.chunkFingerprints(encode(col("t"), "UTF-8"), w))
+        .head().getSeq[String](0)
+    // 10 bytes / window 4 -> 3 chunks (4+4+2); chunk identity is positional
+    assert(fps("abcdefghij", 4).length === 3)
+    assert(fps("abcdefghij", 4)(0) === fps("abcdXXXXXX", 4)(0))
+    assert(fps("abcdefghij", 4)(0) !== fps("Xbcdefghij", 4)(0))
+    // exact multiple: no phantom empty chunk
+    assert(fps("abcdefgh", 4).length === 2)
+    // the short tail fingerprints the remaining bytes only
+    assert(fps("abcdefghij", 4)(2) === fps("abcdefghij", 4).last)
+    // empty blob -> empty array, not a descending-sequence crash
+    assert(fps("", 4).isEmpty)
+  }
+
+  test("binaryDupDegree counts items sharing any aligned chunk") {
+    // ids 1,2 share an identical first window; 3 shares nothing; 4 is an
+    // exact copy of 1 (shares every chunk — still degree per ITEM, not
+    // per chunk)
+    val rows = Seq(
+      (1L, "HEADERAA" + "body-one"),
+      (2L, "HEADERAA" + "body-two"),
+      (3L, "DIFFERNT" + "body-thr"),
+      (4L, "HEADERAA" + "body-one")).toDF("doc_id", "t")
+      .select(col("doc_id"), encode(col("t"), "UTF-8").as("media"))
+    val got = Multimodal.binaryDupDegree(rows, "doc_id", "media", window = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((2L, 2L))) // shares with 2 (header) and 4 (all)
+    assert(got(2L) === ((2L, 2L)))
+    assert(got(3L) === ((2L, 0L)))
+    assert(got(4L) === ((2L, 2L)))
+  }
 }
