@@ -585,6 +585,29 @@ object Queries {
              |SELECT user_id + 1000000, event_id + 1, 'synth', value * 2
              |FROM base WHERE user_id % 10 = 5""".stripMargin)),
 
+    // Per-row ORIGIN lineage (readWithOrigin — Iceberg's _file+manifest
+    // "which commit introduced this row"): three snapshot generations land
+    // disjoint thirds of the corpus (initial commit + two appends, so no
+    // file ever rewrites and each row's origin IS its generation), then a
+    // merge-on-read key wipe removes a stripe WITHOUT rewriting files —
+    // survivors must keep their original stamps. Origins are then exactly
+    // doc_id % 3: fully SQL-expressible, hash-checked.
+    "q_row_origin" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents").select(col("doc_id"), col("source"))
+        val tmp = scratchDir("graft_origin_")
+        val table = new KeyedParquetTable(s, tmp, Seq("doc_id"))
+        table.commit(docs.filter(col("doc_id") % 3 === 0))  // v0
+        table.append(docs.filter(col("doc_id") % 3 === 1))  // v1
+        table.append(docs.filter(col("doc_id") % 3 === 2))  // v2
+        table.deleteKeys(docs.filter(col("doc_id") % 10 === 7).select("doc_id"))
+        table.readWithOrigin().select(col("doc_id"), col("source"),
+          col("_origin_version").as("origin_version"))
+      },
+      Some("""SELECT doc_id, source, CAST(doc_id % 3 AS BIGINT) AS origin_version
+             |FROM documents WHERE doc_id % 10 <> 7""".stripMargin)),
+
     // Zero-copy CLONE mid-fold: batch 1 merges into the source, the table
     // clones (hard links only), batch 2 merges into the SOURCE — the clone
     // must still read exactly the batch-1 state (snapshot isolation across
@@ -2524,6 +2547,28 @@ object Queries {
              |COUNT(*) FILTER (event_type = 'view') AS view
              |FROM events GROUP BY user_id""".stripMargin)),
 
+    // UNPIVOT (melt): the wide per-type count matrix back to long form —
+    // the inverse of q_pivot_event_counts, via the native Unpivot plan
+    // node (Spark 3.4+ Dataset.unpivot, a Generate — no join, no shuffle
+    // beyond the pivot's own agg). Zero cells survive the round-trip, so
+    // the pair proves pivot∘unpivot is lossless including absent
+    // combinations.
+    "q_unpivot_event_counts" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        t("events").groupBy("user_id")
+          .pivot("event_type", types).count().na.fill(0L)
+          .unpivot(Array(col("user_id")), types.map(col).toArray,
+            "event_type", "n")
+      },
+      Some("""SELECT u.user_id, tp.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+             |FROM (SELECT DISTINCT user_id FROM events) u
+             |CROSS JOIN (SELECT unnest(['click','error','purchase','signup','view']) AS event_type) tp
+             |LEFT JOIN (SELECT user_id, event_type, COUNT(*) AS n
+             |           FROM events GROUP BY user_id, event_type) c
+             |  ON c.user_id = u.user_id AND c.event_type = tp.event_type""".stripMargin)),
+
     // Grouped top-n (top-3 customers by balance per nation): rank filter
     // over a partitioned window — Spark 4 pushes the limit into the shuffle
     // as WindowGroupLimit, so each group materializes only n rows.
@@ -2960,6 +3005,39 @@ object Queries {
              |FROM f GROUP BY doc_id
              |HAVING COUNT(*) FILTER (WHERE rn = 1) > 0""".stripMargin),
       headline = true),
+
+    // Binary chunk-level dedup screening — the media analog of shingle
+    // dedup: blobs (synthesized as a 64-byte group banner + doc text, so
+    // group members share an aligned chunk) slice into 64-byte windows,
+    // md5 per window, and each item reports how many OTHER items share at
+    // least one chunk. Equi-self-join on the fingerprint (exact-dedup
+    // shuffle shape, no cartesian); hex-string chunking keeps the window
+    // bytes engine-portable.
+    "q_binary_chunk_dedup" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val banner = rpad(
+          concat(lit("banner-"), (col("doc_id") % 7).cast("string")), 64, "#")
+        val media = t("documents").select(col("doc_id"),
+          encode(concat(banner, col("text")), "UTF-8").as("media"))
+        Multimodal.binaryDupDegree(media, "doc_id", "media", window = 64)
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    hex(encode(rpad('banner-' || CAST(doc_id % 7 AS VARCHAR), 64, '#') || text)) AS h
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(range(0, CAST(ceil(length(h) / 128.0) AS INT)),
+             |      i -> md5(substring(h, CAST(i * 128 + 1 AS BIGINT), 128)))) AS fps
+             |  FROM m),
+             |e AS (SELECT doc_id, unnest(fps) AS fp FROM c),
+             |d AS (SELECT e.doc_id, COUNT(DISTINCT o.doc_id) AS dup_degree
+             |      FROM e JOIN e o ON o.fp = e.fp AND o.doc_id <> e.doc_id
+             |      GROUP BY e.doc_id)
+             |SELECT c.doc_id, CAST(len(c.fps) AS BIGINT) AS n_chunks,
+             |  CAST(COALESCE(d.dup_degree, 0) AS BIGINT) AS dup_degree
+             |FROM c LEFT JOIN d ON d.doc_id = c.doc_id""".stripMargin)),
 
     // EXACT global quantiles of the doc-length distribution WITHOUT a global
     // sort (Ranks.exactQuantiles: sampled boundaries → O(buckets) histogram →
