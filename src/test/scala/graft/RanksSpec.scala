@@ -129,6 +129,24 @@ class RanksSpec extends SparkSpec {
     assert(Ranks.exactQuantiles(empty, col("price"), Seq(0.5)).count() === 0L)
   }
 
+  test("exactQuantiles degenerates correctly on constant values") {
+    // all ties: the boundary sample collapses to one bucket — the result
+    // must still be exact (the one bucket IS the straddler)
+    val df = (1 to 300).map(i => (i.toLong, 7.5)).toDF("id", "price")
+    val got = Ranks.exactQuantiles(df, col("price"), Seq(0.5, 1.0), buckets = 8)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((0.5, 150L, 7.5), (1.0, 300L, 7.5)))
+  }
+
+  test("exactQuantiles survives extreme skew (one value dominates)") {
+    val vals = Seq.fill(990)(1.0) ++ (1 to 10).map(_.toDouble * 100)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "price")
+    val probs = Seq(0.5, 0.99, 0.995, 1.0)
+    val got = Ranks.exactQuantiles(df, col("price"), probs, buckets = 8)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    probs.foreach { p => assert(got(p) === sortedRef(vals, p)._2, s"p=$p") }
+  }
+
   test("exactQuantiles never plans a single-partition global sort") {
     val df = fixture
     val q = Ranks.exactQuantiles(df, col("price"), Seq(0.5, 0.9), buckets = 8)

@@ -84,6 +84,26 @@ class ReconcileSpec extends SparkSpec {
     assert(state(t) === asSet(snapDf))
   }
 
+  test("reconcile works after metadata-only schema evolution") {
+    val t = freshTable("kpt_reconcile_evo")
+    t.addColumn("tag", org.apache.spark.sql.types.StringType)
+    // snapshot carries the evolved column: nulls for old rows, values for
+    // the rows it updates — reconcile must converge the evolved shape
+    val snapDf = (1L to 200L).map { i =>
+      if (i % 50 == 0) (i, s"v$i", i * 1.0, "tagged")
+      else (i, s"v$i", i * 1.0, null.asInstanceOf[String])
+    }.toDF("id", "v", "score", "tag")
+    t.reconcile(snapDf)
+    val got = t.read().collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)))).toMap
+    assert(got(50L) === Some("tagged") && got(1L) === None)
+    assert(t.read().count() === 200L)
+    // converged: a second reconcile of the same image is a version no-op
+    val v = t.currentVersion
+    t.reconcile(snapDf)
+    assert(t.currentVersion === v)
+  }
+
   test("column mismatch raises") {
     val t = freshTable("kpt_reconcile_cols")
     intercept[IllegalArgumentException] {

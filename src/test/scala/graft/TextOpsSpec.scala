@@ -394,6 +394,20 @@ class TextOpsSpec extends SparkSpec {
     assert(res === Map(1L -> "same para\nunique tail"))
   }
 
+  test("paragraphDedup treats empty paragraphs as one more distinct paragraph") {
+    // trailing separator and blank lines: the empty paragraph is owned by
+    // its first occurrence like any other; no crash, exact reassembly
+    val docs = Seq(
+      (1L, "lead\n\ntail\n"),   // contains two empty paragraphs (middle + trailing)
+      (2L, "\nonly body")).toDF("doc_id", "text")
+    val res = TextOps.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 keeps lead, first empty, tail; its SECOND empty (trailing) drops
+    assert(res(1L) === (("lead\n\ntail", 3L, 1L)))
+    // doc 2's leading empty was already owned by doc 1
+    assert(res(2L) === (("only body", 1L, 1L)))
+  }
+
   test("paragraphDedup is partitioning-independent (deterministic)") {
     val docs = (1L to 50L).map(i =>
       (i, s"unique lead $i\ncommon boilerplate paragraph\nunique tail ${i % 7}"))
