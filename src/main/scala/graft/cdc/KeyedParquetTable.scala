@@ -565,6 +565,22 @@ final class KeyedParquetTable(
     val writer = out.write.mode("overwrite")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(versionDir(next).toString)
+    // a FILE-LESS snapshot (an empty frame under a partitioned layout
+    // writes zero parquet files — the createIfNotExists-on-a-bucketed-
+    // table case) leaves readers nothing to infer a schema from: pin the
+    // LAYOUT schema so read()/readVersion type the empty frame instead of
+    // failing schema inference. The pin must mirror what partition-
+    // discovery inference yields on a non-empty snapshot — data columns
+    // first, partition columns (__bucket et al.) LAST — or the carried
+    // declared schema would disagree with every later data-bearing
+    // snapshot's scans and appends.
+    if (declaredSchema(versionDir(next)).isEmpty &&
+        walkParquet(versionDir(next)).isEmpty) {
+      val partFields = parts.map(p => out.schema(p))
+      val dataFields = out.schema.fields.filterNot(f => parts.contains(f.name))
+      writeSchemaMeta(versionDir(next),
+        org.apache.spark.sql.types.StructType(dataFields ++ partFields))
+    }
     // full rewrite → full stats recompute (same O(table) as the commit)
     refreshStats(next - 1, next, versionDir(next), None, Nil)
     txn match {

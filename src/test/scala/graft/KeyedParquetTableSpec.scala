@@ -1954,6 +1954,19 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(e.countRows() === 0L)
   }
 
+  test("an empty bucketed table reads as an empty typed frame") {
+    // a bucketed createIfNotExists writes ZERO parquet files (empty frame
+    // under a partitioned layout) — the commit must pin the logical schema
+    // so read() types the empty frame instead of failing inference
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_empty_b"), Seq("id"), Nil, 8)
+    t.createIfNotExists(StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    assert(t.read().columns.toSeq === Seq("id", "v"))
+    assert(t.read().count() === 0L)
+    t.merge(Seq((1L, "a", "u")).toDF("id", "v", "operation"))
+    assert(t.read().count() === 1L)
+  }
+
   test("readWithOrigin stamps rows with the snapshot that introduced their file") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_origin"), Seq("id"), Nil, 4)
     t.commit((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")) // v0
