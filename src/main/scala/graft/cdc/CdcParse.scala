@@ -121,4 +121,39 @@ object CdcParse {
   def pipeline(raw: DataFrame, valueCol: String = "value",
                eventTime: Column = current_timestamp()): DataFrame =
     enrich(parseEnvelope(raw, valueCol), eventTime)
+
+  // ---- Upstream schema drift ------------------------------------------------
+
+  /** Distinct top-level payload field names across a batch of raw
+    * envelopes — the schema-DRIFT detector: an upstream ALTER TABLE shows
+    * up here as field names the declared envelope schema doesn't know,
+    * BEFORE `from_json` silently drops them. One distributed
+    * distinct over exploded `json_object_keys`; O(distinct field names)
+    * to the driver, rows without a parseable payload object contribute
+    * nothing (they are the dead-letter channel's business).
+    */
+  def payloadFieldNames(raw: DataFrame, valueCol: String = "value"): Seq[String] = {
+    val payloadJson = get_json_object(col(valueCol).cast("string"), "$.payload")
+    raw.select(explode(json_object_keys(payloadJson)).as("__f"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** The envelope schema extended with drifted payload fields, STRING-typed
+    * — the safe landing type for unknown upstream additions (a consumer
+    * can cast/promote once the semantics are known; guessing a numeric
+    * type here would turn one odd value into a silent null). Fields the
+    * payload already declares are left untouched.
+    */
+  def withPayloadFields(base: org.apache.spark.sql.types.StructType,
+                        extra: Seq[String]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val payload = base("payload").dataType.asInstanceOf[StructType]
+    val known = payload.fieldNames.toSet
+    val added = extra.distinct.filterNot(known).map(f => StructField(f, StringType))
+    StructType(base.map {
+      case f if f.name == "payload" =>
+        f.copy(dataType = StructType(payload.fields ++ added))
+      case f => f
+    })
+  }
 }

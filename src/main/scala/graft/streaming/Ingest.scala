@@ -203,6 +203,60 @@ object Ingest {
     RawBatchMetrics(applied = true, nRaw, nMalformed, nRaw - nMalformed)
   }
 
+  /** [[applyRawBatch]] with upstream schema-DRIFT tolerance — the consumer
+    * half of an upstream `ALTER TABLE ADD COLUMN` arriving mid-stream:
+    *
+    *  1. detect the batch's payload field names
+    *     ([[graft.cdc.CdcParse.payloadFieldNames]], one distinct job);
+    *  2. extend the envelope schema with the unknown ones, STRING-typed,
+    *     so `from_json` stops silently dropping them;
+    *  3. metadata-only `addColumn` on the target for each field it lacks
+    *     (zero data I/O; pre-drift rows read NULL) — replay-safe: a
+    *     redelivered batch finds the columns present and commits nothing;
+    *  4. null-fill fields the TABLE has but this batch doesn't carry
+    *     (earlier drift, calmer source) and delegate to [[applyRawBatch]]
+    *     for the usual dedup/merge/lineage/dead-letter path.
+    *
+    * Returns the batch metrics plus the field names evolved THIS call.
+    * Drifted fields land as strings by design — promote deliberately once
+    * semantics are known (a guessed numeric type would turn one odd value
+    * into a silent null). Internal `__`-prefixed envelope fields are never
+    * table columns.
+    */
+  def applyRawBatchEvolving(raw: DataFrame, batchId: Long,
+                            table: KeyedParquetTable, ordering: Seq[Column],
+                            lineage: Option[KeyedParquetTable] = None,
+                            deadLetter: Option[KeyedParquetTable] = None,
+                            valueCol: String = "value",
+                            schema: org.apache.spark.sql.types.StructType = graft.cdc.CdcModel.envelopeSchema,
+                            classify: DataFrame => DataFrame = null,
+                            opCol: String = "operation",
+                            mor: Boolean = false): (RawBatchMetrics, Seq[String]) = {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    require(table.exists, s"evolving ingest target ${table.root} must exist")
+    val basePayload = schema("payload").dataType.asInstanceOf[StructType]
+    val drifted = graft.cdc.CdcParse.payloadFieldNames(raw, valueCol)
+      .filterNot(f => basePayload.fieldNames.contains(f) || f.startsWith("__"))
+    val extended = graft.cdc.CdcParse.withPayloadFields(schema, drifted)
+    val newCols = drifted.filterNot(table.read().columns.contains)
+    newCols.foreach(f => table.addColumn(f, StringType))
+    val tableCols = table.read().schema
+    val classifyBase = Option(classify).getOrElse { (df: DataFrame) =>
+      df.withColumn(opCol, graft.cdc.CdcParse.classifyOperation(
+        col("__deleted"), col(table.keys.head))).drop("__deleted")
+    }
+    val classifyFilled: DataFrame => DataFrame = df => {
+      val c = classifyBase(df)
+      val have = c.columns.toSet
+      tableCols.fields.filterNot(f => have(f.name)).foldLeft(c) { (d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+    }
+    val metrics = applyRawBatch(raw, batchId, table, ordering, lineage,
+      deadLetter, valueCol, extended, classifyFilled, opCol, mor)
+    (metrics, newCols)
+  }
+
   /** Checkpointed drain-and-stop ingest of a RAW envelope stream through
     * [[applyRawBatch]]: parse + dead-letter quarantine + observed malformed
     * metrics + idempotent merge, per micro-batch. `onMetrics` receives each

@@ -884,6 +884,48 @@ class IngestSpec extends SparkSpec {
     assert(deadLetter.read().count() === 3L)
   }
 
+  test("applyRawBatchEvolving lands drifted payload fields via metadata-only evolution") {
+    def base(id: Int, name: String) =
+      s"""{"schema":"s","payload":{"id":$id,"name":"$name","description":"d","price":5,"on_offer":true,"__deleted":"false"}}"""
+    def drift(id: Int, name: String, ch: String) =
+      s"""{"schema":"s","payload":{"id":$id,"name":"$name","description":"d","price":7,"on_offer":true,"__deleted":"false","channel":"$ch","region":"eu"}}"""
+    val table = new KeyedParquetTable(spark, tmpDir("evolve_tbl"), Seq("id"))
+    table.createIfNotExists(StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("description", StringType), StructField("price", IntegerType),
+      StructField("on_offer", BooleanType))))
+
+    // batch 1: no drift — no evolution, plain merge
+    val (m1, ev1) = Ingest.applyRawBatchEvolving(
+      Seq(base(1, "a"), base(2, "b")).toDF("value"), 1L, table, Seq(col("price").desc))
+    assert(m1.applied && ev1.isEmpty)
+    assert(table.read().columns.toSeq ===
+      Seq("id", "name", "description", "price", "on_offer"))
+
+    // batch 2: upstream added channel+region — both land as string columns
+    // (metadata-only), pre-drift rows read NULL
+    val batch2 = Seq(drift(2, "b2", "web"), drift(3, "c", "app")).toDF("value")
+    val (m2, ev2) = Ingest.applyRawBatchEvolving(batch2, 2L, table, Seq(col("price").desc))
+    assert(m2.applied && ev2.toSet === Set("channel", "region"))
+    val got = table.read().collect()
+      .map(r => r.getInt(0) -> Option(r.getAs[String]("channel"))).toMap
+    assert(got === Map(1 -> None, 2 -> Some("web"), 3 -> Some("app")))
+
+    // replayed batch 2: columns already exist, merge txn-skips — no-op
+    val vNow = table.currentVersion
+    val (m2r, ev2r) = Ingest.applyRawBatchEvolving(batch2, 2L, table, Seq(col("price").desc))
+    assert(!m2r.applied && ev2r.isEmpty && table.currentVersion === vNow)
+
+    // batch 3: the source calmed down (no drifted fields) — the evolved
+    // columns null-fill instead of failing the merge
+    val (m3, ev3) = Ingest.applyRawBatchEvolving(
+      Seq(base(4, "d")).toDF("value"), 3L, table, Seq(col("price").desc))
+    assert(m3.applied && ev3.isEmpty)
+    val after = table.read().collect()
+      .map(r => r.getInt(0) -> Option(r.getAs[String]("channel"))).toMap
+    assert(after(4) === None && after(2) === Some("web"))
+  }
+
   test("drainAvailableRaw emits per-batch dead-letter metrics from the stream") {
     implicit val sqlCtx = spark.sqlContext
     val good =
