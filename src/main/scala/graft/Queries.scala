@@ -585,6 +585,51 @@ object Queries {
              |SELECT user_id + 1000000, event_id + 1, 'synth', value * 2
              |FROM base WHERE user_id % 10 = 5""".stripMargin)),
 
+    // Upstream SCHEMA DRIFT absorbed mid-stream (applyRawBatchEvolving):
+    // the second batch's payloads carry a field the declared envelope
+    // schema doesn't know ("channel" — an upstream ALTER TABLE landing
+    // mid-stream). The evolving ingest detects it from the DATA, extends
+    // the parse schema so from_json stops dropping it, evolves the table
+    // metadata-only, and merges. Keys whose final state predates the
+    // drift read NULL. Fully SQL-expressible, hash-checked.
+    "q_cdc_schema_drift" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val ev = t("events")
+        val maxId = ev.agg(max("event_id")).head().getLong(0)
+        val mid = (maxId + 1) / 2
+        val deleted = when(col("event_type") === "error", lit("true"))
+          .otherwise(lit("false")).as("__deleted")
+        val early = ev.filter(col("event_id") < mid).select(to_json(struct(
+          struct(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), deleted).as("payload"))).as("__raw"))
+        val late = ev.filter(col("event_id") >= mid).select(to_json(struct(
+          struct(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), deleted,
+            when(col("user_id") % 2 === 0, lit("web")).otherwise(lit("app"))
+              .as("channel")).as("payload"))).as("__raw"))
+        val tmp = scratchDir("graft_drift_")
+        val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8)
+        table.createIfNotExists(StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType))))
+        graft.streaming.Ingest.applyRawBatchEvolving(early, 1L, table,
+          Seq(col("event_id").desc), valueCol = "__raw", schema = eventsEnvelopeSchema)
+        graft.streaming.Ingest.applyRawBatchEvolving(late, 2L, table,
+          Seq(col("event_id").desc), valueCol = "__raw", schema = eventsEnvelopeSchema)
+        table.read().select("user_id", "event_id", "event_type", "value", "channel")
+      },
+      Some("""WITH fin AS (
+             |  SELECT user_id, event_id, event_type, value
+             |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |        FROM events) t
+             |  WHERE rn = 1 AND event_type <> 'error')
+             |SELECT user_id, event_id, event_type, value,
+             |  CASE WHEN event_id >= (SELECT (MAX(event_id) + 1) // 2 FROM events)
+             |       THEN CASE WHEN user_id % 2 = 0 THEN 'web' ELSE 'app' END
+             |       ELSE NULL END AS channel
+             |FROM fin""".stripMargin)),
+
     // Per-row ORIGIN lineage (readWithOrigin — Iceberg's _file+manifest
     // "which commit introduced this row"): three snapshot generations land
     // disjoint thirds of the corpus (initial commit + two appends, so no
@@ -2568,6 +2613,34 @@ object Queries {
              |LEFT JOIN (SELECT user_id, event_type, COUNT(*) AS n
              |           FROM events GROUP BY user_id, event_type) c
              |  ON c.user_id = u.user_id AND c.event_type = tp.event_type""".stripMargin)),
+
+    // Time-RANGE window frame (the "activity in the trailing hour" shape):
+    // per-user sliding aggregate over [ts − 1h, ts] — a RANGE frame, so
+    // ts-tied peers always co-frame deterministically, unlike ROWS. The
+    // frame sum rides integer micro-units (round(value·1e6) as BIGINT):
+    // windowed double sums are order-sensitive inside each engine's frame
+    // evaluator, integer sums are not. ts arithmetic is Long nanos on the
+    // engine side, INTERVAL on the raw-timestamp oracle side — identical
+    // frame membership either way.
+    "q_time_window_agg" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"))
+          .rangeBetween(-3600L * 1000000000L, 0L)
+        t("events").select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_window"),
+          sum(round(col("value") * 1e6).cast("long")).over(w).as("sum_q"))
+      },
+      Some("""SELECT user_id, event_id, CAST(n_window AS BIGINT) AS n_window,
+             |       CAST(sum_q AS BIGINT) AS sum_q
+             |FROM (
+             |  SELECT user_id, event_id,
+             |    COUNT(*) OVER w AS n_window,
+             |    SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w AS sum_q
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |               RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW))""".stripMargin)),
 
     // Grouped top-n (top-3 customers by balance per nation): rank filter
     // over a partitioned window — Spark 4 pushes the limit into the shuffle
