@@ -776,7 +776,7 @@ object Queries {
         val mid = (maxId + 1) / 2
         val tmp = scratchDir("graft_metacount_")
         val table = new KeyedParquetTable(s, tmp, Seq("user_id"), Nil, 8,
-          statsCols = Seq("event_id"))
+          statsCols = Seq("event_id"), sumCols = Seq("event_id"))
         table.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
         def half(cond: Column): DataFrame =
           Dedup.dedupLatest(parsed.filter(cond), Seq("user_id"), Seq(col("event_id").desc))
@@ -787,8 +787,12 @@ object Queries {
         table.merge(half(col("event_id") >= mid))
         table.deleteWhere(col("event_type") === "click") // fresh debt shards
         val n = table.countRows()
+        // sumOf: the metadata-SUM sibling (exact on the integral column),
+        // answered through the same debt-aware index hybrid
+        val sumId = table.sumOf("event_id").head().getLong(0)
         table.minMaxOf("event_id").withColumn("n_live", lit(n))
-          .select("n_live", "min_event_id", "max_event_id")
+          .withColumn("sum_event_id", lit(sumId))
+          .select("n_live", "min_event_id", "max_event_id", "sum_event_id")
       },
       Some("""WITH m AS (SELECT (MAX(event_id) + 1) // 2 AS mid FROM events),
              |l1 AS (SELECT user_id, event_id, event_type, value FROM (
@@ -808,7 +812,8 @@ object Queries {
              |                    WHERE l2.user_id IS NOT DISTINCT FROM l1.user_id))
              |SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
              |       MIN(event_id) AS min_event_id,
-             |       MAX(event_id) AS max_event_id
+             |       MAX(event_id) AS max_event_id,
+             |       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
              |FROM final WHERE event_type <> 'click'""".stripMargin)),
 
     // Copy-on-write UPDATE … SET scoped to the buckets holding matches:

@@ -40,7 +40,8 @@ final class KeyedParquetTable(
     val bucketCount: Int = 0,
     bucketBy: Seq[String] = Nil,
     val statsCols: Seq[String] = Nil,
-    val bloomKeyBits: Int = 0) {
+    val bloomKeyBits: Int = 0,
+    val sumCols: Seq[String] = Nil) {
 
   /** Columns the bucket hash is computed over — defaults to the full key.
     * A PREFIX/SUBSET of the key (like a lakehouse bucket spec distinct from
@@ -2243,6 +2244,49 @@ final class KeyedParquetTable(
     } else scanAgg(read())
   }
 
+  /** O(metadata) SUM(c): the live sum answered from the per-file `sm_<c>`
+    * sums in the transactional stats index — the metadata-agg member
+    * Iceberg does NOT have (manifests carry row counts and bounds, not
+    * sums, so SUM there is always a full scan). Opt in per column via
+    * `sumCols` (numeric only — the index build fails loudly otherwise).
+    *
+    * Exactness: integral columns are exact (sums of longs re-associate
+    * freely); floating columns can differ from a full-scan fold by IEEE
+    * reordering of the file partials — quantize to integral units first
+    * if bit-stability matters (the engine's standard trick).
+    *
+    * Merge-on-read debt handled like [[minMaxOf]]: clean buckets answer
+    * from the index, delete-carrying buckets scan their live rows; a
+    * legacy/flat delete set or an index predating `sumCols` falls back to
+    * the honest full scan.
+    */
+  def sumOf(c: String): DataFrame = {
+    val v = currentVersion
+    require(v >= 0, s"table $root has no snapshot")
+    require(sumCols.contains(c),
+      s"sumOf('$c') needs '$c' in sumCols (got $sumCols) — " +
+        "without index coverage use read().agg(sum)")
+    val curDir = versionDir(v)
+    def scanAgg(df: DataFrame): DataFrame = df.agg(sum(col(c)).as(s"sum_$c"))
+    val statsDir = statsDirOf(curDir)
+    if (walkParquet(curDir).isEmpty || !Files.exists(statsDir))
+      return scanAgg(read())
+    val statsDf = spark.read.parquet(statsDir.toString)
+    if (!statsDf.columns.contains(s"sm_$c")) return scanAgg(read())
+    if (!hasDeletes(curDir))
+      statsDf.agg(sum(col(s"sm_$c")).as(s"sum_$c"))
+    else if (isSharded(deletesDirOf(curDir)) && bucketCount > 0 &&
+             !hasForeignFlatFiles) {
+      val debt = deleteShardDirs(deletesDirOf(curDir)).flatMap(shardIdOf).toSet
+      val clean = statsDf.filter(!col("bucket").isin(debt.toSeq: _*))
+        .select(col(s"sm_$c").as("__s"))
+      val scanned =
+        if (debt.isEmpty) clean.limit(0)
+        else readBuckets(debt).select(col(c).as("__s"))
+      clean.unionByName(scanned).agg(sum(col("__s")).as(s"sum_$c"))
+    } else scanAgg(read())
+  }
+
   // ---- per-snapshot stats index lifecycle (opt-in via statsCols) ----------
   //
   // With statsCols set, every snapshot carries `_stats/` — a per-file
@@ -2278,7 +2322,8 @@ final class KeyedParquetTable(
     // snapshot — anchor inference at the snapshot root
     graft.ops.FileStats.collect(spark, paths, statsCols,
       basePath = Some(versionDir(next).toString),
-      bloom = if (bloomKeyBits > 0) Some((bucketKeys, bloomKeyBits)) else None)
+      bloom = if (bloomKeyBits > 0) Some((bucketKeys, bloomKeyBits)) else None,
+      sums = sumCols)
       .withColumn("file_path",
         element_at(split(decode(col("file_path")), sep), -1))
       .withColumn("bucket",
@@ -2305,13 +2350,14 @@ final class KeyedParquetTable(
   private def refreshStats(prev: Long, next: Long, nextDir: Path,
                            rewrittenBuckets: Option[Set[Int]],
                            newPaths: Seq[String]): Unit =
-    if (statsCols.nonEmpty || bloomKeyBits > 0) {
+    if (statsCols.nonEmpty || bloomKeyBits > 0 || sumCols.nonEmpty) {
     // carry only when the previous index covers the SAME stats columns —
     // a table re-opened with different statsCols would otherwise abort the
     // commit on a union mismatch; recompute fully instead (one-time cost,
     // after which incremental maintenance resumes on the new columns)
     val wanted = ("file_path" +: "n_rows" +: "bucket" +:
       (statsCols.flatMap(c => Seq(s"mn_$c", s"mx_$c")) ++
+        sumCols.map(c => s"sm_$c") ++
         (if (bloomKeyBits > 0) Seq(bloomColName) else Nil))).toSet
     val carried = rewrittenBuckets.flatMap(rw => prevStatsOf(prev).map(_ -> rw))
       .filter { case (ps, _) => ps.columns.toSet == wanted }

@@ -41,13 +41,18 @@ object FileStats {
     */
   def collect(spark: SparkSession, paths: Seq[String], cols: Seq[String],
               basePath: Option[String] = None,
-              bloom: Option[(Seq[String], Int)] = None): DataFrame = {
-    require(cols.nonEmpty || bloom.isDefined,
-      "need at least one stats column or a bloom spec")
+              bloom: Option[(Seq[String], Int)] = None,
+              sums: Seq[String] = Nil): DataFrame = {
+    require(cols.nonEmpty || bloom.isDefined || sums.nonEmpty,
+      "need at least one stats column, sum column, or a bloom spec")
     require(paths.nonEmpty, "need at least one path")
     require(bloom.forall(_._1.nonEmpty), "bloom needs at least one key column")
+    // sm_<c>: per-file SUM for numeric columns — the manifest stat Iceberg
+    // does not carry (counts and bounds only); lets a table answer SUM from
+    // metadata. Non-numeric sum columns fail loudly at analysis here.
     val aggs = count(lit(1)).as("n_rows") +:
       (cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))) ++
+        sums.map(c => sum(col(c)).as(s"sm_$c")) ++
         bloom.map { case (ks, bits) =>
           KeyBloom.agg(bits)(xxhash64(ks.map(col): _*))
             .as(s"bloom_${ks.mkString("_")}") })

@@ -1954,6 +1954,34 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(e.countRows() === 0L)
   }
 
+  test("sumOf answers from the stats index and stays delete-exact") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_sumof"), Seq("id"),
+      Nil, 4, Nil, statsCols = Seq("id"), bloomKeyBits = 0,
+      sumCols = Seq("score"))
+    def expected(): Long = t.read().agg(sum(col("score"))).head.getLong(0)
+    def got(): Long = t.sumOf("score").head.getLong(0)
+    t.commit((1L to 100L).map(i => (i, i * 3L)).toDF("id", "score"))
+    assert(got() === expected() && got() === 3L * 5050L)
+    // scoped merge: rewritten bucket re-collects, carried rows keep sums
+    t.merge(Seq((5L, 1000L, "u"), (200L, 7L, "u")).toDF("id", "score", "operation"))
+    assert(got() === expected())
+    t.append(Seq((300L, 11L)).toDF("id", "score"))
+    assert(got() === expected())
+    // merge-on-read delete: debt buckets scan, clean buckets use the index
+    t.deleteKeys(Seq(Tuple1(10L), Tuple1(11L)).toDF("id"))
+    assert(got() === expected())
+    // compaction materializes the deletes; index rebuilt for rewritten buckets
+    t.compact(minInputFiles = 1)
+    assert(got() === expected())
+    // uncovered column refuses loudly
+    intercept[IllegalArgumentException] { t.sumOf("id") }
+    // an index built WITHOUT sumCols falls back to the honest scan
+    val t2 = new KeyedParquetTable(spark, t.root, Seq("id"),
+      Nil, 4, Nil, statsCols = Seq("id"), bloomKeyBits = 0,
+      sumCols = Seq("score"))
+    assert(t2.sumOf("score").head.getLong(0) === expected())
+  }
+
   test("an empty bucketed table reads as an empty typed frame") {
     // a bucketed createIfNotExists writes ZERO parquet files (empty frame
     // under a partitioned layout) — the commit must pin the logical schema
