@@ -2597,6 +2597,26 @@ object Queries {
              |COUNT(*) FILTER (event_type = 'view') AS view
              |FROM events GROUP BY user_id""".stripMargin)),
 
+    // Explicit GROUPING SETS (the general form CUBE/ROLLUP specialize):
+    // detail + one partial + grand total in ONE pass via Spark 4's
+    // Dataset.groupingSets — a partial-aggregation Expand, not three
+    // scans. Money sums ride integer cents (round(×100) exact on 2-dp
+    // decimals) per the determinism contract.
+    "q_grouping_sets" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("orders").groupingSets(
+            Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+              Seq(col("o_orderpriority")), Seq()),
+            col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())""".stripMargin)),
+
     // UNPIVOT (melt): the wide per-type count matrix back to long form —
     // the inverse of q_pivot_event_counts, via the native Unpivot plan
     // node (Spark 3.4+ Dataset.unpivot, a Generate — no join, no shuffle

@@ -288,6 +288,28 @@ object Validation {
   def cdcEventTypeCounts(cdc: DataFrame, opCol: String = "operation"): DataFrame =
     cdc.groupBy(opCol).agg(count(lit(1)).as("n"))
 
+  /** Upstream schema-drift check over a raw envelope batch: payload field
+    * names the declared envelope schema doesn't know (an upstream ALTER
+    * TABLE surfacing mid-stream — the condition
+    * [[graft.streaming.Ingest.applyRawBatchEvolving]] absorbs and a
+    * non-evolving pipeline silently LOSES, because `from_json` drops
+    * unknown fields without a trace). Valid ⇔ no drift; details carry the
+    * drifted names so an operator can decide evolve-vs-alert. One
+    * distinct job over the batch ([[graft.cdc.CdcParse.payloadFieldNames]]),
+    * O(field names) driver data.
+    */
+  def schemaDriftCheck(raw: DataFrame,
+                       schema: org.apache.spark.sql.types.StructType,
+                       valueCol: String = "value"): CheckResult = {
+    val declared = schema("payload").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    val drifted = graft.cdc.CdcParse.payloadFieldNames(raw, valueCol)
+      .filterNot(f => declared(f) || f.startsWith("__"))
+    CheckResult("schema_drift", drifted.isEmpty,
+      Map("drifted_fields" -> drifted.mkString(","),
+        "n_drifted" -> drifted.size.toString))
+  }
+
   /** Distribution drift between two retained snapshots of a maintained
     * histogram table ([[graft.ops.LogHistogram]] buckets in the key column,
     * counts in `n_rows` — the shape `IncrementalAgg.applyBatch` keyed on

@@ -104,6 +104,33 @@ class ReconcileSpec extends SparkSpec {
     assert(t.currentVersion === v)
   }
 
+  test("property: repeated random drifted snapshots always converge (3 seeds)") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val t = new KeyedParquetTable(spark, tmpDir(s"kpt_reconcile_p$seed"),
+        Seq("id"), Nil, 4)
+      var model: Map[Long, (String, Double)] =
+        (1L to 120L).map(i => i -> ((s"v$i", i * 1.0))).toMap
+      t.commit(model.toSeq.map { case (k, (v, sc)) => (k, v, sc) }.toDF("id", "v", "score"))
+      // three successive drifts, each applied to the CURRENT model: random
+      // deletes, updates, inserts — reconcile must land exactly on each
+      (1 to 3).foreach { round =>
+        model = model.filterNot { case (k, _) => rnd.nextInt(10) == 0 }
+        model = model.map { case (k, (v, sc)) =>
+          if (rnd.nextInt(5) == 0) k -> ((v + s"-r$round", sc + 0.5)) else k -> ((v, sc))
+        }
+        val newKeys = Seq.fill(rnd.nextInt(8))(1000L * round + rnd.nextInt(100))
+        model = model ++ newKeys.map(k => k -> ((s"n$k", -1.0)))
+        val snapDf = model.toSeq.map { case (k, (v, sc)) => (k, v, sc) }
+          .toDF("id", "v", "score")
+        t.reconcile(snapDf)
+        val got = t.read().collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+        assert(got === model, s"seed=$seed round=$round")
+      }
+    }
+  }
+
   test("column mismatch raises") {
     val t = freshTable("kpt_reconcile_cols")
     intercept[IllegalArgumentException] {

@@ -199,4 +199,24 @@ class ValidationSpec extends SparkSpec {
     val after = Validation.retentionOverhead(t, maxRatio = 1.0)
     assert(after.valid && after.details("reclaimable_bytes") === "0")
   }
+
+  test("schemaDriftCheck flags unknown payload fields, ignores internals") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("schema", StringType),
+      StructField("payload", StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType),
+        StructField("__deleted", StringType))))))
+    val clean = Seq(
+      """{"schema":"s","payload":{"id":1,"v":"a","__deleted":"false"}}""").toDF("value")
+    val ok = Validation.schemaDriftCheck(clean, schema)
+    assert(ok.valid && ok.details("n_drifted") === "0")
+    val drifted = Seq(
+      """{"schema":"s","payload":{"id":2,"v":"b","__deleted":"false","channel":"web","score":"9"}}""",
+      """{"schema":"s","payload":{"id":3,"v":"c","__deleted":"false","channel":"app"}}""",
+      """not json at all""").toDF("value")
+    val bad = Validation.schemaDriftCheck(drifted, schema)
+    assert(!bad.valid)
+    assert(bad.details("drifted_fields") === "channel,score")
+  }
 }
