@@ -3137,6 +3137,48 @@ object Queries {
              |  CAST(COALESCE(d.dup_degree, 0) AS BIGINT) AS dup_degree
              |FROM c LEFT JOIN d ON d.doc_id = c.doc_id""".stripMargin)),
 
+    // Blocked edit-distance fuzzy matching (entity resolution): synthesized
+    // titles (2 words + a mod-97 tail) get a deterministic last-char typo
+    // on every third doc; editDistancePairs finds all pairs within
+    // distance 1 under head-OR-tail 3-char blocking + exact levenshtein
+    // verify. Both engines run identical blocking and the identical DP, so
+    // the pair set hash-matches. The shingle family can't express this —
+    // edit distance cares about character ORDER.
+    "q_edit_distance_pairs" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val nm = concat(
+          lower(array_join(slice(split(col("text"), " "), 1, 2), " ")),
+          lit(" "), (col("doc_id") % 97).cast("string"))
+        val base = t("documents").select(col("doc_id").as("id"), nm.as("nm"))
+          .select(col("id"),
+            when(col("id") % 3 === 0,
+              concat(col("nm").substr(lit(1), length(col("nm")) - 1), lit("q")))
+              .otherwise(col("nm")).as("tt"))
+        FuzzyDedup.editDistancePairs(base, "id", "tt", maxDist = 1, blockChars = 3)
+          .select("id_a", "id_b", "dist")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id AS id,
+             |    CASE WHEN doc_id % 3 = 0
+             |         THEN left(nm, length(nm) - 1) || 'q' ELSE nm END AS tt
+             |  FROM (SELECT doc_id,
+             |          lower(array_to_string((str_split(text, ' '))[1:2], ' ')) || ' ' ||
+             |          CAST(doc_id % 97 AS VARCHAR) AS nm
+             |        FROM documents)),
+             |c AS (
+             |  SELECT a.id AS id_a, b.id AS id_b, a.tt AS text_a, b.tt AS text_b
+             |  FROM t a JOIN t b ON substring(a.tt, 1, 3) = substring(b.tt, 1, 3) AND a.id < b.id
+             |  UNION
+             |  SELECT a.id, b.id, a.tt, b.tt
+             |  FROM t a JOIN t b
+             |    ON substring(a.tt, length(a.tt) - 2, 3) = substring(b.tt, length(b.tt) - 2, 3)
+             |   AND a.id < b.id)
+             |SELECT id_a, id_b, CAST(levenshtein(text_a, text_b) AS BIGINT) AS dist
+             |FROM c
+             |WHERE abs(length(text_a) - length(text_b)) <= 1
+             |  AND levenshtein(text_a, text_b) <= 1""".stripMargin)),
+
     // EXACT global quantiles of the doc-length distribution WITHOUT a global
     // sort (Ranks.exactQuantiles: sampled boundaries → O(buckets) histogram →
     // per-bucket window over only the straddling buckets). The oracle is the

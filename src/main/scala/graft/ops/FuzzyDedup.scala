@@ -324,4 +324,47 @@ object FuzzyDedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Blocked EDIT-DISTANCE pair matching — the entity-resolution fuzzy
+    * join (typo'd names, OCR'd titles) the shingle/minhash family can't
+    * express (edit distance cares about ORDER; Jaccard doesn't).
+    *
+    * Blocking contract, the standard ER trade: a candidate pair must
+    * agree on the first `blockChars` characters OR the last `blockChars`
+    * (two equi-join passes unioned — never a cartesian), and differ in
+    * length by ≤ `maxDist` (a true edit-distance bound). The DOCUMENTED
+    * miss class is pairs edited at BOTH ends; compose more blocking
+    * passes (middle-gram keys) when that recall matters — same
+    * linear-candidates shape. Exact `levenshtein` verifies candidates,
+    * so there are no false POSITIVES ever. Strings shorter than
+    * `blockChars` are excluded from matching (no block key carries them).
+    *
+    * Scale shape: two hash-join passes on the block key + per-candidate
+    * DP verify. Block sizes follow the key distribution — skewed prefixes
+    * (e.g. "the ") enlarge candidate sets quadratically per block, so
+    * pick `blockChars` past the common-prefix mass of the domain, exactly
+    * like choosing an ER blocking rule.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, blockChars: Int = 3): DataFrame = {
+    require(maxDist >= 0 && blockChars >= 1,
+      s"need maxDist >= 0 and blockChars >= 1 (got $maxDist, $blockChars)")
+    val t = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .where(length(col("__t")) >= blockChars)
+    def pass(key: Column => Column): DataFrame = {
+      val keyed = t.withColumn("__k", key(col("__t")))
+      keyed.select(col("__id").as("id_a"), col("__t").as("text_a"), col("__k"))
+        .join(keyed.select(col("__id").as("id_b"), col("__t").as("text_b"),
+          col("__k")), "__k")
+        .drop("__k")
+    }
+    val head = pass(tt => substring(tt, 1, blockChars))
+    val tail = pass(tt => tt.substr(length(tt) - (blockChars - 1), lit(blockChars)))
+    head.unionByName(tail)
+      .where(col("id_a") < col("id_b"))
+      .where(abs(length(col("text_a")) - length(col("text_b"))) <= maxDist)
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .where(col("dist") <= maxDist)
+  }
 }

@@ -276,6 +276,36 @@ object Ingest {
     runRaw(raw, table, ordering, checkpointDir, lineage, deadLetter, valueCol,
       schema, classify, opCol, onMetrics, Trigger.AvailableNow())
 
+  /** [[drainAvailableRaw]] through the DRIFT-TOLERANT batch apply
+    * ([[applyRawBatchEvolving]]): a checkpointed stream whose upstream may
+    * ALTER TABLE mid-flight — new payload fields land as string columns
+    * the moment the first batch carries them, with the same exactly-once
+    * txn semantics. `onEvolve` fires with the field names each time a
+    * batch actually evolves the table (alert/audit hook; pair with
+    * [[graft.validate.Validation.schemaDriftCheck]] when the policy is
+    * alert-and-hold instead).
+    */
+  def drainAvailableRawEvolving(raw: DataFrame, table: KeyedParquetTable,
+                                ordering: Seq[Column], checkpointDir: String,
+                                lineage: Option[KeyedParquetTable] = None,
+                                deadLetter: Option[KeyedParquetTable] = None,
+                                valueCol: String = "value",
+                                schema: org.apache.spark.sql.types.StructType = graft.cdc.CdcModel.envelopeSchema,
+                                classify: DataFrame => DataFrame = null,
+                                opCol: String = "operation",
+                                onMetrics: RawBatchMetrics => Unit = _ => (),
+                                onEvolve: Seq[String] => Unit = _ => ()): StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (m, evolved) = applyRawBatchEvolving(batch, batchId, table,
+          ordering, lineage, deadLetter, valueCol, schema, classify, opCol)
+        if (evolved.nonEmpty) onEvolve(evolved)
+        onMetrics(m)
+      }
+      .start()
+
   /** Continuous twin of [[drainAvailableRaw]] — the raw-envelope analog of
     * [[start]], firing every `triggerMs`.
     */

@@ -173,4 +173,29 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(fps(0L) === fps(1L))
     assert(fps(0L) !== fps(3L))
   }
+
+  test("editDistancePairs: blocked candidates, exact verify, documented misses") {
+    val names = Seq(
+      (1L, "jonathan smith"),
+      (2L, "jonathan smyth"),   // dist 1, shares head AND tail block
+      (3L, "ionathan smith"),   // dist 1 from 1, first char edited — tail block catches it
+      (4L, "jonathan smitz"),   // dist 1 from 1, last char edited — head block catches it
+      (5L, "xonathan smitx"),   // dist 2 from 1 AND edited at both ends
+      (6L, "totally different")).toDF("id", "name")
+    val got = FuzzyDedup.editDistancePairs(names, "id", "name", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    assert(got.contains((1L, 2L, 1L)))
+    assert(got.contains((1L, 3L, 1L))) // caught via the tail pass
+    assert(got.contains((1L, 4L, 1L))) // caught via the head pass
+    // dist > maxDist never reported (exact verify), regardless of blocking
+    assert(!got.exists { case (a, b, _) => Set(a, b).contains(5L) })
+    assert(!got.exists { case (a, b, _) => Set(a, b).contains(6L) })
+    // no duplicate pair from matching in both passes
+    val pairs = got.map { case (a, b, _) => (a, b) }
+    assert(pairs.size === got.size)
+    // plan sanity: equi-joins only, no cartesian product
+    val plan = FuzzyDedup.editDistancePairs(names, "id", "name", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
 }

@@ -926,6 +926,38 @@ class IngestSpec extends SparkSpec {
     assert(after(4) === None && after(2) === Some("web"))
   }
 
+  test("drainAvailableRawEvolving absorbs drift inside a checkpointed stream") {
+    implicit val sqlCtx = spark.sqlContext
+    def base(id: Int) =
+      s"""{"schema":"s","payload":{"id":$id,"name":"n$id","description":"d","price":5,"on_offer":true,"__deleted":"false"}}"""
+    def drift(id: Int, ch: String) =
+      s"""{"schema":"s","payload":{"id":$id,"name":"n$id","description":"d","price":7,"on_offer":true,"__deleted":"false","channel":"$ch"}}"""
+    val table = new KeyedParquetTable(spark, tmpDir("evostream_tbl"), Seq("id"))
+    table.createIfNotExists(StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("description", StringType), StructField("price", IntegerType),
+      StructField("on_offer", BooleanType))))
+    val ckpt = tmpDir("evostream_ckpt")
+    val stream = MemoryStream[String]
+    var evolved = Seq.empty[Seq[String]]
+    // first drain: pre-drift batch
+    stream.addData(base(1), base(2))
+    var q = Ingest.drainAvailableRawEvolving(
+      stream.toDF().withColumnRenamed("value", "value"), table,
+      Seq(col("price").desc), ckpt, onEvolve = f => evolved :+= f)
+    q.awaitTermination(); assert(evolved.isEmpty)
+    // second drain: the upstream altered — channel appears
+    stream.addData(drift(2, "web"), drift(3, "app"))
+    q = Ingest.drainAvailableRawEvolving(
+      stream.toDF(), table, Seq(col("price").desc), ckpt,
+      onEvolve = f => evolved :+= f)
+    q.awaitTermination()
+    assert(evolved === Seq(Seq("channel")))
+    val got = table.read().collect()
+      .map(r => r.getInt(0) -> Option(r.getAs[String]("channel"))).toMap
+    assert(got === Map(1 -> None, 2 -> Some("web"), 3 -> Some("app")))
+  }
+
   test("drainAvailableRaw emits per-batch dead-letter metrics from the stream") {
     implicit val sqlCtx = spark.sqlContext
     val good =
