@@ -3137,6 +3137,27 @@ object Queries {
              |  CAST(COALESCE(d.dup_degree, 0) AS BIGINT) AS dup_degree
              |FROM c LEFT JOIN d ON d.doc_id = c.doc_id""".stripMargin)),
 
+    // Weighted sample WITHOUT replacement (A-ES, seeded-hash randomness):
+    // 50 docs drawn with odds ∝ n_chars. Rows-only by design — the A-ES
+    // key needs pow(), and libm ulps can flip near-tied orders across
+    // engines — but the gate row is NON-vacuous: the query RAISES unless
+    // the draw's mean weight clearly exceeds the corpus mean (a weighted
+    // draw must skew heavy; deterministic for the fixed seed).
+    "q_weighted_sample" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents").select(col("doc_id"), col("n_chars"))
+        val sample = Sampling.weightedSampleWithoutReplacement(
+          docs, "doc_id", "n_chars", k = 50, seed = "graft-r10")
+        val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
+        val sampleMean = sample.agg(avg("n_chars")).head().getDouble(0)
+        if (sampleMean <= corpusMean) throw new IllegalStateException(
+          s"weighted draw failed to skew heavy: sample mean $sampleMean " +
+            s"<= corpus mean $corpusMean")
+        sample
+      },
+      None),
+
     // Blocked edit-distance fuzzy matching (entity resolution): synthesized
     // titles (2 words + a mod-97 tail) get a deterministic last-char typo
     // on every third doc; editDistancePairs finds all pairs within

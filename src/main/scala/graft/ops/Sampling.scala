@@ -229,4 +229,43 @@ object Sampling {
     df.filter(col(sourceCol).isInCollection(weights.keys.toSeq))
       .withColumn("mix_key", (pos.cast("double") - 0.5) / wExpr)
   }
+
+  /** WEIGHTED sample WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * draw `k` rows where each row's inclusion odds scale with its weight
+    * (quality-weighted corpus draws, importance-sampled eval sets),
+    * deterministically — the "randomness" is a content hash, so the same
+    * (seed, data) always draws the same sample and a different seed is a
+    * fresh draw. No RNG state, no driver data beyond the top-k machinery.
+    *
+    * Per row: u = hash(seed, id) mapped to (0, 1); key = u^(1/w); keep
+    * the k largest keys. That is exactly A-ES, whose keys realize a
+    * weighted permutation — P(row i drawn first) = w_i / Σw. One scan +
+    * a bounded-heap top-k (TakeOrderedAndProject — never a global sort).
+    *
+    * Cross-engine caveat (why this is spec-gated, not oracle-gated): the
+    * key needs `pow`, and libm ulp differences can flip the order of
+    * near-tied keys between engines — fine within one engine (bitwise
+    * reproducible), not a cross-engine hash contract like the integer
+    * samplers above. Weights must be > 0; NULL ids raise (a NULL would
+    * silently hash to a constant and always win or always lose).
+    */
+  def weightedSampleWithoutReplacement(df: DataFrame, idCol: String,
+                                       weightCol: String, k: Int,
+                                       seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val guardedId = when(col(idCol).isNull,
+      raise_error(lit(s"weightedSample: NULL $idCol"))).otherwise(col(idCol))
+    val w = col(weightCol).cast("double")
+    val guardedW = when(w.isNull || w <= 0.0,
+      raise_error(lit(s"weightedSample: non-positive weight"))).otherwise(w)
+    // 53 mantissa-safe bits of the hash → uniform in (0, 1); the +0.5
+    // offset keeps u strictly inside the open interval (u = 0 would make
+    // every key 0; u = 1 would erase the weight)
+    val u = (pmod(xxhash64(lit(seed), guardedId), lit(1L << 53)).cast("double") + 0.5) /
+      lit((1L << 53).toDouble)
+    df.withColumn("__aes_key", pow(u, lit(1.0) / guardedW))
+      .orderBy(col("__aes_key").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__aes_key")
+  }
 }

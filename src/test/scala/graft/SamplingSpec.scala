@@ -188,4 +188,36 @@ class SamplingSpec extends SparkSpec {
     // roughly a quarter (hash-uniform; loose bound)
     assert(kept.size > df.count() * 0.15 && kept.size < df.count() * 0.35)
   }
+
+  test("weightedSampleWithoutReplacement: deterministic, exact-k, weight-sensitive") {
+    import graft.ops.Sampling
+    // 10 heavy items (weight 50) among 190 light (weight 1)
+    val df = ((1L to 10L).map(i => (i, 50.0)) ++ (11L to 200L).map(i => (i, 1.0)))
+      .toDF("id", "w")
+    def draw(seed: String): Set[Long] =
+      Sampling.weightedSampleWithoutReplacement(df, "id", "w", k = 20, seed = seed)
+        .select("id").as[Long].collect().toSet
+    // exact k, deterministic per seed, different across seeds
+    val a = draw("s1")
+    assert(a.size === 20 && a === draw("s1"))
+    assert(a !== draw("s2"))
+    // weight sensitivity: heavy ids (5% of rows, ~72% of mass) dominate
+    // across seeds — count heavy inclusions over 10 fixed seeds
+    val heavyRate = (1 to 10).map(i => draw(s"seed$i").count(_ <= 10L)).sum / 10.0
+    assert(heavyRate >= 6.0, s"heavy items under-drawn: $heavyRate of 10 per draw")
+    // a uniform draw would take 20/200 = 10% heavy ≈ 1 of 10; weighted must beat it clearly
+    // guards: non-positive weight and NULL id raise
+    intercept[Exception] {
+      Sampling.weightedSampleWithoutReplacement(
+        Seq((1L, 0.0)).toDF("id", "w"), "id", "w", 1, "s").collect()
+    }
+    intercept[Exception] {
+      Sampling.weightedSampleWithoutReplacement(
+        Seq((Option.empty[Long], 1.0)).toDF("id", "w"), "id", "w", 1, "s").collect()
+    }
+    // plan: bounded-heap top-k, never a global sort
+    val plan = Sampling.weightedSampleWithoutReplacement(df, "id", "w", 5, "s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no bounded top-k in:\n$plan")
+  }
 }
