@@ -408,6 +408,28 @@ class TextOpsSpec extends SparkSpec {
     assert(res(2L) === (("only body", 1L, 1L)))
   }
 
+  test("paragraphDedup property: equals the naive sequential fold (3 seeds)") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "footer", "nav")
+      val docs = (1L to 40L).map { i =>
+        val paras = Seq.fill(1 + rnd.nextInt(4))(
+          Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+        (i, paras.mkString("\n"))
+      }
+      // naive reference: walk docs in id order, keep first occurrences
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = docs.flatMap { case (id, text) =>
+        val kept = text.split("\n", -1).filter(p => seen.add(p))
+        if (kept.isEmpty) None else Some(id -> kept.mkString("\n"))
+      }.toMap
+      val got = graft.ops.TextOps.paragraphDedup(
+          docs.toDF("doc_id", "text").repartition(7), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   test("paragraphDedup is partitioning-independent (deterministic)") {
     val docs = (1L to 50L).map(i =>
       (i, s"unique lead $i\ncommon boilerplate paragraph\nunique tail ${i % 7}"))
