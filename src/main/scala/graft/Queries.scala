@@ -3137,6 +3137,70 @@ object Queries {
              |  CAST(COALESCE(d.dup_degree, 0) AS BIGINT) AS dup_degree
              |FROM c LEFT JOIN d ON d.doc_id = c.doc_id""".stripMargin)),
 
+    // JSONL file source with quarantine: events round-trip through a
+    // newline-JSON dump with every 97th record corrupted in place; the
+    // single-pass text+from_json source (no _corrupt_record caching trap)
+    // must recover exactly the uncorrupted rows — aggregate hash-checked
+    // against the original table minus the corrupted stripe.
+    "q_jsonl_source" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val tmp = scratchDir("graft_jsonl_")
+        t("events").select(
+            when(col("event_id") % 97 === 0,
+              concat(lit("corrupt#"), col("event_id").cast("string")))
+              .otherwise(to_json(struct(col("event_id"), col("user_id"),
+                col("event_type"), col("value")))).as("value"))
+          .write.mode("overwrite").text(tmp)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType)))
+        val (good, bad) = graft.sources.Sources.jsonlWithDeadLetter(s, tmp, schema)
+        val nBad = bad.count()
+        good.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1e6).cast("long")).as("value_micros"))
+          .withColumn("n_quarantined", lit(nBad))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE event_id % 97 = 0) AS n_quarantined
+             |FROM events WHERE event_id % 97 <> 0
+             |GROUP BY event_type""".stripMargin)),
+
+    // CSV file source with quarantine: same round-trip through CSV lines
+    // (doubles survive via shortest-repr format → exact re-parse), every
+    // 89th line replaced with garbage; rejection is by required-field
+    // nullness (event_id fails the long cast).
+    "q_csv_source" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val tmp = scratchDir("graft_csv_")
+        t("events").select(
+            when(col("event_id") % 89 === 0, lit("garbage line no commas"))
+              .otherwise(concat(
+                col("event_id").cast("string"), lit(","),
+                col("user_id").cast("string"), lit(","),
+                col("event_type"), lit(","),
+                col("value").cast("string"))).as("value"))
+          .write.mode("overwrite").text(tmp)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType)))
+        val (good, bad) = graft.sources.Sources.csvWithDeadLetter(
+          s, tmp, schema, requiredCols = Seq("event_id"))
+        val nBad = bad.count()
+        good.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1e6).cast("long")).as("value_micros"))
+          .withColumn("n_quarantined", lit(nBad))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE event_id % 89 = 0) AS n_quarantined
+             |FROM events WHERE event_id % 89 <> 0
+             |GROUP BY event_type""".stripMargin)),
+
     // Weighted sample WITHOUT replacement (A-ES, seeded-hash randomness):
     // 50 docs drawn with odds ∝ n_chars. Rows-only by design — the A-ES
     // key needs pow(), and libm ulps can flip near-tied orders across

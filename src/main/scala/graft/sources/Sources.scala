@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Source factories — the engine's ingest surface (SURVEY §2.1).
   *
@@ -17,6 +19,58 @@ object Sources {
   /** S4: parquet table scan. */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** JSONL (newline-delimited JSON) batch source with a dead-letter
+    * quarantine: (parsed rows, rejected raw lines). Deliberately a TEXT
+    * scan + codegen'd `from_json`, NOT `spark.read.json` with
+    * `_corrupt_record` — Spark's corrupt-column machinery requires caching
+    * the frame before the corrupt column can be filtered (a documented
+    * trap that means materializing the whole source), while this pattern
+    * is a single streamed pass with the same quarantine semantics the CDC
+    * front door already proves ([[graft.cdc.CdcParse.parseWithDeadLetter]]).
+    * Lines that are not valid JSON objects for `schema` (or are
+    * blank/null) route to the quarantine with the raw text preserved.
+    */
+  def jsonlWithDeadLetter(spark: SparkSession, path: String,
+                          schema: StructType): (DataFrame, DataFrame) = {
+    val raw = spark.read.text(path)
+    val parsed = raw.withColumn("__rec",
+      when(trim(col("value")) === "", lit(null))
+        .otherwise(from_json(col("value"), schema)))
+    // a line whose every field is null is indistinguishable from garbage
+    // under PERMISSIVE from_json — treat all-null records as rejects too
+    val allNull = schema.fieldNames
+      .map(f => col(s"__rec.$f").isNull).reduce(_ && _)
+    val good = parsed.filter(col("__rec").isNotNull && !allNull)
+      .select(col("__rec.*"))
+    val bad = parsed.filter(col("__rec").isNull || allNull)
+      .select(col("value").as("raw_value"))
+    (good, bad)
+  }
+
+  /** CSV batch source with a dead-letter quarantine — same single-pass
+    * text + `from_csv` pattern as [[jsonlWithDeadLetter]] (and the same
+    * reason: the `_corrupt_record` route needs a full materialization).
+    * `from_csv` under PERMISSIVE turns untypeable fields into nulls, so
+    * rejection is by REQUIRED-FIELD nullness: a line whose `requiredCols`
+    * parse null (type garbage, too few fields, blank) quarantines with
+    * the raw text. Choose required columns that are never null in valid
+    * data (keys).
+    */
+  def csvWithDeadLetter(spark: SparkSession, path: String,
+                        schema: StructType, requiredCols: Seq[String],
+                        options: Map[String, String] = Map.empty): (DataFrame, DataFrame) = {
+    require(requiredCols.nonEmpty && requiredCols.forall(schema.fieldNames.contains),
+      s"requiredCols $requiredCols must be schema fields ${schema.fieldNames.toSeq}")
+    val raw = spark.read.text(path)
+    val parsed = raw.withColumn("__rec",
+      from_csv(col("value"), schema, options))
+    val invalid = requiredCols.map(f => col(s"__rec.$f").isNull).reduce(_ || _)
+    val good = parsed.filter(col("__rec").isNotNull && !invalid).select(col("__rec.*"))
+    val bad = parsed.filter(col("__rec").isNull || invalid)
+      .select(col("value").as("raw_value"))
+    (good, bad)
+  }
 
   /** S1: streaming Kafka source (checkpoint owns offsets — replaces the
     * reference's hand-rolled poll loop, spark_batch.py:304-406).

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Sources
+
+/** File-source quarantine splits: single-pass text + from_json/from_csv,
+  * the pattern that avoids Spark's _corrupt_record cache-before-filter trap.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  test("jsonlWithDeadLetter splits parsed rows from garbage lines") {
+    val dir = tmpDir("src_jsonl")
+    Seq(
+      """{"id":1,"name":"a","score":1.5}""",
+      """{"id":2,"name":"b","score":2.5}""",
+      """not json at all""",
+      """{"wrong":"fields"}""", // parses to all-null record → reject
+      """   """,
+      """{"id":3,"name":null,"score":null}""" // id present → valid
+    ).toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val (good, bad) = Sources.jsonlWithDeadLetter(spark, dir, schema)
+    val ids = good.select("id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+    val rejects = bad.select("raw_value").as[String].collect().map(_.trim).toSet
+    assert(rejects === Set("not json at all", """{"wrong":"fields"}""", ""))
+  }
+
+  test("csvWithDeadLetter rejects by required-field nullness") {
+    val dir = tmpDir("src_csv")
+    Seq(
+      "1,a,1.5",
+      "2,b,2.5",
+      "garbage-no-commas",
+      "x,y,z",       // id untypeable → reject
+      "3,c,"         // empty score is a NULL, id fine → valid
+    ).toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val (good, bad) = Sources.csvWithDeadLetter(spark, dir, schema, Seq("id"))
+    val rows = good.collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(rows === Set((1L, "a", Some(1.5)), (2L, "b", Some(2.5)), (3L, "c", None)))
+    assert(bad.count() === 2L)
+    // misdeclared required column refuses loudly
+    intercept[IllegalArgumentException] {
+      Sources.csvWithDeadLetter(spark, dir, schema, Seq("nope"))
+    }
+  }
+}
