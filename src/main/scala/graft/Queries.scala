@@ -3137,6 +3137,35 @@ object Queries {
              |  CAST(COALESCE(d.dup_degree, 0) AS BIGINT) AS dup_degree
              |FROM c LEFT JOIN d ON d.doc_id = c.doc_id""".stripMargin)),
 
+    // END-TO-END STREAMING ingest over a real Structured Streaming file
+    // source (the streaming channel this environment can actually run —
+    // no Kafka jar ships here): events dumped as envelope JSONL, consumed
+    // by readStream.text → the full raw path (parse → classify → dedup →
+    // bucket-scoped merge, checkpoint tracking consumed files like
+    // offsets), final table state hash-checked against the global fold.
+    "q_file_stream_ingest" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val base = scratchDir("graft_fstream_")
+        val dataDir = s"$base/in"
+        eventsAsEnvelopes(t("events")).select(col("__raw").as("value"))
+          .write.mode("overwrite").text(dataDir)
+        val table = new KeyedParquetTable(s, s"$base/tbl", Seq("user_id"), Nil, 8)
+        table.createIfNotExists(StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType))))
+        // rename the text column: the payload carries its own "value"
+        // field, and parseEnvelope refuses a valueCol the payload shadows
+        val raw = graft.sources.Sources.textFileStream(s, dataDir)
+          .select(col("value").as("__raw"))
+        val q = graft.streaming.Ingest.drainAvailableRaw(raw, table,
+          Seq(col("event_id").desc), s"$base/ckpt",
+          valueCol = "__raw", schema = eventsEnvelopeSchema)
+        q.awaitTermination()
+        table.read().select("user_id", "event_id", "event_type", "value")
+      },
+      Some(finalStateOracle)),
+
     // JSONL file source with quarantine: events round-trip through a
     // newline-JSON dump with every 97th record corrupted in place; the
     // single-pass text+from_json source (no _corrupt_record caching trap)

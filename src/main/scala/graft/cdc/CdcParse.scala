@@ -29,6 +29,7 @@ object CdcParse {
     */
   def parseEnvelope(raw: DataFrame, valueCol: String = "value",
                     schema: org.apache.spark.sql.types.StructType = CdcModel.envelopeSchema): DataFrame = {
+    requireNoShadow(valueCol, schema)
     val asString = col(valueCol).cast("string")
     raw
       .withColumn("__envelope",
@@ -37,6 +38,22 @@ object CdcParse {
       .filter(col("__envelope").isNotNull && col("__envelope.payload").isNotNull)
       .select(col("*"), col("__envelope.payload.*"))
       .drop("__envelope", valueCol)
+  }
+
+  /** The parse paths end with `.drop(valueCol)`, and Spark's drop-by-name
+    * removes EVERY column with that name — so a payload field named like
+    * the raw column would be silently destroyed after the `payload.*`
+    * expansion (a text-file source's default "value" column against a CDC
+    * payload carrying a "value" field is the live case). Refuse loudly;
+    * the caller renames the raw column (the `__raw` convention).
+    */
+  private def requireNoShadow(valueCol: String,
+                              schema: org.apache.spark.sql.types.StructType): Unit = {
+    val payloadFields = schema("payload").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    require(!payloadFields.contains(valueCol),
+      s"payload field '$valueCol' shadows the raw value column — rename the " +
+        s"raw column (e.g. to __raw) before parsing")
   }
 
   /** Parse with a dead-letter channel: returns (valid, rejected). The
@@ -48,6 +65,7 @@ object CdcParse {
   def parseWithDeadLetter(raw: DataFrame, valueCol: String = "value",
                           schema: org.apache.spark.sql.types.StructType = CdcModel.envelopeSchema)
       : (DataFrame, DataFrame) = {
+    requireNoShadow(valueCol, schema)
     val asString = col(valueCol).cast("string")
     val withEnv = raw.withColumn("__envelope",
       when(asString.isNull || asString === "" || asString === "empty", lit(null))
@@ -74,6 +92,7 @@ object CdcParse {
   def parseWithDeadLetterObserved(raw: DataFrame, valueCol: String = "value",
                                   schema: org.apache.spark.sql.types.StructType = CdcModel.envelopeSchema)
       : (DataFrame, DataFrame, org.apache.spark.sql.Observation) = {
+    requireNoShadow(valueCol, schema)
     val asString = col(valueCol).cast("string")
     val obs = org.apache.spark.sql.Observation()
     val isMalformed = col("__envelope").isNull || col("__envelope.payload").isNull

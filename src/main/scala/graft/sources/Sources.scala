@@ -72,6 +72,28 @@ object Sources {
     (good, bad)
   }
 
+  /** S1-alternative: STREAMING text-file source — the "drop envelope
+    * dumps in a directory" ingest channel, and the one streaming source
+    * this environment can run END-TO-END (no Kafka jar ships here; the
+    * Kafka builders below stay compile-checked). Each line is a raw
+    * envelope exactly like a Kafka `value`, so the stream plugs straight
+    * into [[graft.streaming.Ingest.drainAvailableRaw]] /
+    * [[graft.streaming.Ingest.applyRawBatchEvolving]] — checkpoint tracks
+    * WHICH FILES are consumed (the file-source analog of offsets), so a
+    * restart resumes with only new files.
+    *
+    * `maxFilesPerTrigger` bounds each micro-batch; note the file ORDER
+    * across triggers follows source listing, so only order-insensitive
+    * downstreams (idempotent merges keyed on a total order, appends)
+    * should rely on multi-trigger splits.
+    */
+  def textFileStream(spark: SparkSession, dir: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.text(dir)
+  }
+
   /** S1: streaming Kafka source (checkpoint owns offsets — replaces the
     * reference's hand-rolled poll loop, spark_batch.py:304-406).
     */

@@ -51,4 +51,35 @@ class SourcesSpec extends SparkSpec {
       Sources.csvWithDeadLetter(spark, dir, schema, Seq("nope"))
     }
   }
+
+  test("textFileStream: checkpoint resumes with only NEW files") {
+    import graft.cdc.KeyedParquetTable
+    import graft.streaming.Ingest
+    val base = tmpDir("src_fstream")
+    val dataDir = s"$base/in"; val ckpt = s"$base/ckpt"
+    def env(id: Int, name: String, price: Int) =
+      s"""{"schema":"s","payload":{"id":$id,"name":"$name","description":"d","price":$price,"on_offer":true,"__deleted":"false"}}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dataDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dataDir/a.jsonl"), env(1, "a", 5) + "\n" + env(2, "b", 5))
+    val table = new KeyedParquetTable(spark, s"$base/tbl", Seq("id"))
+    table.createIfNotExists(StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("description", StringType), StructField("price", IntegerType),
+      StructField("on_offer", BooleanType))))
+    val q1 = Ingest.drainAvailableRaw(Sources.textFileStream(spark, dataDir),
+      table, Seq(col("price").desc), ckpt)
+    q1.awaitTermination()
+    assert(table.read().select("id").as[Int].collect().sorted.toSeq === Seq(1, 2))
+    // a new file arrives; the resumed stream must consume ONLY it — the
+    // old file replaying would overwrite id 2's update below
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dataDir/b.jsonl"), env(2, "b2", 9) + "\n" + env(3, "c", 5))
+    val q2 = Ingest.drainAvailableRaw(Sources.textFileStream(spark, dataDir),
+      table, Seq(col("price").desc), ckpt)
+    q2.awaitTermination()
+    val got = table.read().collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got === Map(1 -> "a", 2 -> "b2", 3 -> "c"))
+  }
 }
