@@ -3137,6 +3137,27 @@ object Queries {
              |  CAST(COALESCE(d.dup_degree, 0) AS BIGINT) AS dup_degree
              |FROM c LEFT JOIN d ON d.doc_id = c.doc_id""".stripMargin)),
 
+    // Multimodal FILE ingest (binaryFile source): one file per doc (the
+    // shape a media corpus actually arrives in), read back as whole-blob
+    // rows; identity recovered from the partition path, content verified
+    // byte-exact via md5 (the text writer appends one newline per line —
+    // both engines account for it).
+    "q_binary_file_source" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val tmp = scratchDir("graft_binfiles_")
+        t("documents").select(col("doc_id"), col("text").as("value"))
+          .write.mode("overwrite").partitionBy("doc_id").text(tmp)
+        graft.sources.Sources.binaryFiles(s, tmp, glob = Some("*.txt"))
+          .select(
+            regexp_extract(col("path"), "doc_id=(\\d+)", 1).cast("long").as("doc_id"),
+            md5(col("content")).as("content_md5"),
+            col("length").cast("long").as("n_bytes"))
+      },
+      Some("""SELECT doc_id, MD5(text || chr(10)) AS content_md5,
+             |  CAST(length(text) + 1 AS BIGINT) AS n_bytes
+             |FROM documents""".stripMargin)),
+
     // END-TO-END STREAMING ingest over a real Structured Streaming file
     // source (the streaming channel this environment can actually run —
     // no Kafka jar ships here): events dumped as envelope JSONL, consumed

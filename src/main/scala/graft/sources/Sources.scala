@@ -94,6 +94,23 @@ object Sources {
     r.text(dir)
   }
 
+  /** Multimodal FILE ingest: whole files as rows — (path, modificationTime,
+    * length, content binary) via Spark's `binaryFile` source. This is how
+    * image/audio corpora actually arrive (a directory of media files, not
+    * rows in a table); the loaded frame feeds
+    * [[graft.ops.Multimodal]] directly (metadata without deserializing
+    * blobs, chunk fingerprints, stub decode). Column pruning applies: a
+    * metadata-only query never reads `content` bytes. Use `glob` to scope
+    * (e.g. `*.jpg`); files over `spark.sql.files.maxPartitionBytes` stay
+    * one-row-per-file (the source never splits a blob).
+    */
+  def binaryFiles(spark: SparkSession, dir: String,
+                  glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.foreach(g => r.option("pathGlobFilter", g))
+    r.load(dir)
+  }
+
   /** S1: streaming Kafka source (checkpoint owns offsets — replaces the
     * reference's hand-rolled poll loop, spark_batch.py:304-406).
     */
