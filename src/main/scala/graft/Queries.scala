@@ -3137,6 +3137,56 @@ object Queries {
              |  CAST(COALESCE(d.dup_degree, 0) AS BIGINT) AS dup_degree
              |FROM c LEFT JOIN d ON d.doc_id = c.doc_id""".stripMargin)),
 
+    // MAINTAINED corpus token frequencies: the CCNet-style frequency table
+    // kept fresh by IncrementalAgg as doc batches arrive (counts merge by
+    // addition, so the maintained table is bit-identical to the one-shot
+    // aggregation over all docs — the oracle). With this, corpus-statistics
+    // quality scoring (q_token_rarity) can run against a LIVE frequency
+    // table instead of rescanning the corpus per scoring pass.
+    "q_token_freq_incremental" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents").select("doc_id", "text").localCheckpoint(true)
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val tmp = scratchDir("graft_tokfreq_")
+        val table = new KeyedParquetTable(s, tmp, Seq("token"), Nil, 8)
+        (0L until 3L).foreach { b =>
+          val lo = b * (maxId + 1) / 3; val hi = (b + 1) * (maxId + 1) / 3
+          val batch = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .select(explode(split(col("text"), " ")).as("token"))
+            .withColumn("one", lit(1L))
+          IncrementalAgg.applyBatch(table, batch, "token", "one", Some(s"tf$b"))
+        }
+        table.read().select(col("token"), col("n_rows").as("n"))
+      },
+      Some("""SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+             |GROUP BY token""".stripMargin)),
+
+    // Quantile-driven corpus trimming (winsorization): the curation rule
+    // "drop the shortest 10% and the outlier top 1%" with thresholds from
+    // the EXACT distributed quantiles — the oracle recomputes the same
+    // order statistics, so the kept set matches exactly (no approximate-
+    // percentile drift deciding which boundary docs live).
+    "q_corpus_trim" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents")
+        val qs = Ranks.exactQuantiles(docs, col("n_chars"), Seq(0.1, 0.99))
+          .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+        docs.filter(col("n_chars") >= qs(0.1) && col("n_chars") <= qs(0.99))
+          .select("doc_id", "n_chars")
+      },
+      Some("""WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS val FROM documents
+             |           WHERE n_chars IS NOT NULL),
+             |r AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v),
+             |n AS (SELECT COUNT(*) AS n FROM v),
+             |lo AS (SELECT val FROM r, n WHERE rn = GREATEST(1, CAST(ceil(0.1 * n.n) AS BIGINT))),
+             |hi AS (SELECT val FROM r, n WHERE rn = GREATEST(1, CAST(ceil(0.99 * n.n) AS BIGINT)))
+             |SELECT doc_id, n_chars FROM documents
+             |WHERE n_chars >= (SELECT val FROM lo)
+             |  AND n_chars <= (SELECT val FROM hi)""".stripMargin)),
+
     // Multimodal FILE ingest (binaryFile source): one file per doc (the
     // shape a media corpus actually arrives in), read back as whole-blob
     // rows; identity recovered from the partition path, content verified
