@@ -43,6 +43,14 @@ object ValidateCli {
         val t = new graft.cdc.KeyedParquetTable(spark, srcPath, keys)
         Seq(Validation.tableHealth(t), Validation.morDeleteDebt(t),
           Validation.retentionOverhead(t))
+      case "maintenance_plan" =>
+        // advisor mode: print the ordered action plan (one JSON line per
+        // action, like the checks) and exit 0 — advice is not a failure
+        val t = new graft.cdc.KeyedParquetTable(spark, srcPath, keys)
+        Validation.maintenancePlan(t).map { case (action, urg, reason) =>
+          Validation.CheckResult(s"maintenance:$action", valid = true,
+            Map("urgency" -> urg, "reason" -> reason))
+        }
       case other => sys.error(s"unknown check: $other")
     }
 

@@ -268,6 +268,55 @@ object Validation {
         "level" -> level))
   }
 
+  /** MAINTENANCE ADVISOR: turn the storage-health trio into an ordered
+    * action plan — the policy layer an auto-OPTIMIZE scheduler consumes
+    * ("what should maintenance do NEXT on this table, and how urgently").
+    * Pure composition of the existing metrics (each already scale-safe:
+    * metadata walks and O(set) reads, no data scans), so advising is as
+    * cheap as checking. Emitted actions map 1:1 onto the table's own
+    * maintenance surface:
+    *
+    *   compact           ← file-count fragmentation (tableHealth)
+    *   compact           ← merge-on-read delete debt (morDeleteDebt —
+    *                        compaction materializes delete-carrying buckets)
+    *   expire_snapshots  ← reclaimable retention bytes (retentionOverhead)
+    *   remove_orphans    ← always-safe sweep, advised last
+    *
+    * Ordering: Poor before Warning before routine; a healthy table yields
+    * only the routine orphan sweep. Returns (action, urgency, reason)
+    * rows — urgency ∈ {now, soon, routine}.
+    */
+  def maintenancePlan(table: KeyedParquetTable,
+                      maxFiles: Long = 100L,
+                      maxDeleteKeys: Long = 100000L,
+                      maxRetentionRatio: Double = 2.0): Seq[(String, String, String)] = {
+    def urgency(level: String): Option[String] = level match {
+      case "Poor" => Some("now")
+      case "Warning" => Some("soon")
+      case _ => None
+    }
+    val plan = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    val nFiles = table.files().count()
+    val fileLevel =
+      if (nFiles > maxFiles * 2) "Poor"
+      else if (nFiles > maxFiles) "Warning" else "Good"
+    urgency(fileLevel).foreach(u => plan += (("compact", u,
+      s"$nFiles data files (bound $maxFiles): scan planning and open cost " +
+        "grow with file count")))
+    val debt = morDeleteDebt(table, maxDeleteKeys)
+    urgency(debt.details("level")).foreach(u => plan += (("compact", u,
+      s"${debt.details("n_delete_keys")} pending merge-on-read delete keys " +
+        "tax every read with the anti-join probe until compaction " +
+        "materializes them")))
+    val ret = retentionOverhead(table, maxRetentionRatio)
+    urgency(ret.details("level")).foreach(u => plan += (("expire_snapshots", u,
+      s"${ret.details("reclaimable_bytes")} bytes held only by history " +
+        s"(${ret.details("ratio")}× the live snapshot)")))
+    val ordered = plan.sortBy { case (_, u, _) => if (u == "now") 0 else 1 }
+    (ordered += (("remove_orphans", "routine",
+      "always-safe sweep of files no retained snapshot references"))).toSeq
+  }
+
   // --- the three checks the reference declares but never defines -------------
 
   /** Data freshness: newest event in `tsCol` no older than maxAgeSec

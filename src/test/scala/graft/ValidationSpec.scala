@@ -200,6 +200,33 @@ class ValidationSpec extends SparkSpec {
     assert(after.valid && after.details("reclaimable_bytes") === "0")
   }
 
+  test("maintenancePlan orders actions by urgency from the health trio") {
+    import graft.cdc.KeyedParquetTable
+    // healthy young table: only the routine orphan sweep
+    val t = new KeyedParquetTable(spark, tmpDir("plan_ok"), Seq("id"), Nil, 4)
+    t.commit((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    assert(Validation.maintenancePlan(t).map(_._1) === Seq("remove_orphans"))
+
+    // fragmented + delete debt: compaction advised before routine work
+    val frag = new KeyedParquetTable(spark, tmpDir("plan_frag"), Seq("id"), Nil, 4)
+    frag.commit((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"))
+    (1 to 6).foreach(k => frag.append(Seq((100L + k, "a")).toDF("id", "v")))
+    frag.deleteKeys(Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L)).toDF("id"))
+    val plan = Validation.maintenancePlan(frag, maxFiles = 5, maxDeleteKeys = 4)
+    val actions = plan.map(_._1)
+    assert(actions.count(_ == "compact") === 2) // fragmentation AND MoR debt
+    assert(actions.last === "remove_orphans")
+    // urgencies ordered: every "now" precedes every "soon"/"routine"
+    val urg = plan.map(_._2)
+    assert(urg.zip(urg.tail).forall { case (a, b) =>
+      !(a != "now" && b == "now") }, s"unordered: $plan")
+    // acting on the advice clears it
+    frag.compact(minInputFiles = 1)
+    frag.expireSnapshots(0L, retainLast = 1)
+    assert(Validation.maintenancePlan(frag, maxFiles = 5, maxDeleteKeys = 4)
+      .map(_._1) === Seq("remove_orphans"))
+  }
+
   test("schemaDriftCheck flags unknown payload fields, ignores internals") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
