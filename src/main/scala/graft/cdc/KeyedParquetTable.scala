@@ -2031,6 +2031,16 @@ final class KeyedParquetTable(
     // and (via the union) the merge — same single-evaluation rule as
     // mergeMor (a non-deterministic source must not diff against itself)
     val snap = snapshot.select(cols.map(col): _*).localCheckpoint(true)
+    // enforce the cardinality contract instead of just documenting it: a
+    // duplicate-key snapshot would otherwise converge to an ARBITRARY one
+    // of the duplicates (except() dedups full rows, then the merge picks
+    // by ordering) — silent wrong state. One O(|snapshot|) aggregate.
+    val dups = snap.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(keys.map(col): _*).limit(5).collect()
+    require(dups.isEmpty,
+      s"reconcile snapshot violates one-row-per-key: duplicate keys " +
+        s"${dups.map(_.toString).mkString(", ")} (first 5 shown)")
     val changed = snap.except(cur).withColumn("operation", lit("u"))
     val nonKey = cur.schema.fields.filterNot(f => keys.contains(f.name))
     val missing = nonKey.foldLeft(
@@ -2605,19 +2615,35 @@ final class KeyedParquetTable(
       }
     }
     val stamps = retained.map(ver => ver -> commitTimeMs(ver)).toMap
+    // join on the VERSION-DIR-RELATIVE path, never the full URI:
+    // input_file_name() yields a URL-encoded URI whose scheme spelling
+    // (file:/ vs file:///) and percent-escapes are filesystem-dependent,
+    // so exact full-string equality would silently null every row's
+    // origin on a mismatch. url_decode + substring after the last
+    // "/v{N}/" normalizes the scan side to exactly the `rel` the
+    // metadata walk produced (layout subdirs are only __bucket=N /
+    // col=value, which cannot themselves contain "/v{N}/").
     val originDf = broadcast(origin.toSeq.map { case (rel, ver) =>
-      (curDir.resolve(rel).toUri.toString, ver,
-        new java.sql.Timestamp(stamps(ver)))
-    }.toDF("__file", "_origin_version", "_origin_committed_at"))
+      (rel, ver, new java.sql.Timestamp(stamps(ver)))
+    }.toDF("__rel", "_origin_version", "_origin_committed_at"))
     val scanned = scanDeclared(snapshotSchema(curDir), None, Seq(curDir.toString))
-      .withColumn("__file", input_file_name())
+      .withColumn("__rel",
+        substring_index(url_decode(input_file_name()), s"/v$v/", -1))
     val live = applyDeletes(scanned, curDir)
     val base =
       if (bucketCount > 0 && live.columns.contains("__bucket")) live.drop("__bucket")
       else live
-    // left join: a miss (null origin) means a file outside every retained
-    // snapshot — impossible by construction, visible if it ever happens
-    base.join(originDf, Seq("__file"), "left").drop("__file")
+    // inner-join-with-audit rather than a silently nullable left join: a
+    // miss means a file outside every retained snapshot (impossible by
+    // construction) OR a normalization regression — raise, don't emit
+    // null lineage. assert_true rides in a filter column every row
+    // evaluates, so a miss fails the query loudly.
+    base.join(originDf, Seq("__rel"), "left")
+      .withColumn("__origin_ok", assert_true(col("_origin_version").isNotNull,
+        concat(lit("readWithOrigin: no retained snapshot claims file "),
+          col("__rel"))))
+      .filter(col("__origin_ok").isNull)
+      .drop("__rel", "__origin_ok")
   }
 
   /** Files.list/Files.walk return OPEN directory streams; drain them under

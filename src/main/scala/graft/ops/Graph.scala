@@ -32,15 +32,19 @@ object Graph {
     * mass leaks, the standard simplification). No driver-side data at any
     * point; at cluster scale pre-partition `edges` by src so the
     * score/degree joins co-locate, and let AQE handle hub-node skew on the
-    * dst aggregation. Lineage grows linearly with iterations — checkpoint
-    * every ~10 rounds if you run deep.
+    * dst aggregation. Lineage hygiene is the loop's own job: `scores` is
+    * localCheckpointed every `checkpointEvery` iterations, so plan depth
+    * (and task-serialization cost) stays bounded no matter how deep the
+    * run — a 50-iteration power run carries at most `checkpointEvery`
+    * iterations of plan, not 50.
     *
     * `edges` rows are (src, dst) pairs; multi-edges count multiply (dedup
     * first if unwanted). Returns (node, score) with score in nano-units.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int): DataFrame = {
+               iterations: Int, checkpointEvery: Int = 10): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     // materialize the loop invariants once: every iteration references all
     // three, and without the checkpoint each reference re-runs the source
     // scan + distinct/agg (the plan tree repeats the subtree per iteration)
@@ -50,7 +54,7 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
     var scores = nodes.withColumn("score", lit(1000000000L))
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
       val inflow = e
         .join(scores.withColumnRenamed("node", "src"), "src")
         .join(deg, "src")
@@ -62,6 +66,11 @@ object Graph {
           (lit(150000000L) +
             expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) DIV 100"))
             .as("score"))
+      // truncate lineage in-loop (eager, replicated) so plan depth stays
+      // O(checkpointEvery) — not on the last iteration, where the caller's
+      // downstream action materializes the result anyway
+      if (i % checkpointEvery == 0 && i < iterations)
+        scores = scores.localCheckpoint(true)
     }
     scores
   }

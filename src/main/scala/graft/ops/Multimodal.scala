@@ -150,20 +150,26 @@ object Multimodal {
     * dedup pass thresholds on. One distinct-explode + one equi-self-join
     * on the fingerprint (the exact-dedup shuffle shape, never a
     * cartesian) + one count; items sharing nothing report 0 via the
-    * left join back.
+    * left join back. The fingerprint array — hex of the whole blob +
+    * per-window md5, the dominant CPU cost on large media — is computed
+    * ONCE per row and materialized (Catalyst does no cross-branch CSE, so
+    * the three plan references — both self-join sides and `n_chunks` —
+    * would each re-decode the blobs otherwise); the materialized frame
+    * holds only (id, md5 array), a tiny fraction of the blob bytes.
     */
   def binaryDupDegree(df: DataFrame, idCol: String, binCol: String,
                       window: Int): DataFrame = {
-    val fps = df.select(col(idCol).as("__id"),
-      explode(array_distinct(chunkFingerprints(col(binCol), window))).as("__fp"))
+    val withFps = df.select(col(idCol),
+      array_distinct(chunkFingerprints(col(binCol), window)).as("__fps"))
+      .localCheckpoint(true)
+    val fps = withFps.select(col(idCol).as("__id"),
+      explode(col("__fps")).as("__fp"))
     val other = fps.select(col("__id").as("__id2"), col("__fp"))
     val degrees = fps.join(other, "__fp")
       .where(col("__id") =!= col("__id2"))
       .groupBy("__id")
       .agg(countDistinct("__id2").as("dup_degree"))
-    df.select(col(idCol),
-        size(array_distinct(chunkFingerprints(col(binCol), window)))
-          .cast("long").as("n_chunks"))
+    withFps.select(col(idCol), size(col("__fps")).cast("long").as("n_chunks"))
       .join(degrees.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .withColumn("dup_degree", coalesce(col("dup_degree"), lit(0L)))
   }

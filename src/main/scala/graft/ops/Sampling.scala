@@ -268,4 +268,33 @@ object Sampling {
       .limit(k)
       .drop("__aes_key")
   }
+
+  /** In-query invariant gate for a deterministic draw (the sampler analog
+    * of [[graft.ops.Similarity.withRecallGate]]): RAISE unless the sample
+    * (a) has exactly `k` rows, (b) only contains ids that exist in
+    * `source`, and (c) is identical to `redraw` — a SECOND evaluation of
+    * the same draw, so a lost determinism property (an RNG sneaking in, a
+    * partition-order dependence) fails the correctness row loudly instead
+    * of passing rows-only. All three audits are O(k) semi-joins/counts
+    * broadcast onto the k output rows; `assert_true` rides in a filter
+    * column every output row evaluates, so Catalyst cannot prune it.
+    */
+  def withDrawGate(sample: DataFrame, redraw: DataFrame, source: DataFrame,
+                   idCol: String, k: Int): DataFrame = {
+    val audit = sample
+      .join(broadcast(source.select(idCol).distinct()
+        .withColumn("__in_src", lit(1))), Seq(idCol), "left")
+      .join(broadcast(redraw.select(col(idCol), lit(1).as("__in_redraw"))),
+        Seq(idCol), "left")
+      .agg(count(lit(1)).as("__n"), count(col("__in_src")).as("__known"),
+        count(col("__in_redraw")).as("__stable"))
+    sample.crossJoin(broadcast(audit))
+      .withColumn("__draw_ok", assert_true(
+        col("__n") === k && col("__known") === k && col("__stable") === k,
+        concat(lit(s"draw gate (k=$k): n="), col("__n").cast("string"),
+          lit(" in-source="), col("__known").cast("string"),
+          lit(" redraw-stable="), col("__stable").cast("string"))))
+      .filter(col("__draw_ok").isNull)
+      .drop("__draw_ok", "__n", "__known", "__stable")
+  }
 }

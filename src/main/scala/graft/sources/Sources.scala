@@ -28,11 +28,20 @@ object Sources {
     * trap that means materializing the whole source), while this pattern
     * is a single streamed pass with the same quarantine semantics the CDC
     * front door already proves ([[graft.cdc.CdcParse.parseWithDeadLetter]]).
-    * Lines that are not valid JSON objects for `schema` (or are
-    * blank/null) route to the quarantine with the raw text preserved.
+    * Lines that are not valid JSON (or are blank/null, or parse all-null)
+    * route to the quarantine with the raw text preserved. NOTE the
+    * PERMISSIVE `from_json` granularity: a syntactically valid JSON line
+    * whose ONE field carries type garbage (`"event_id": "oops"`) parses as
+    * a good row with that field silently null — per-field type garbage is
+    * NOT quarantined unless you name the fields that must type-check via
+    * `requiredCols` (the same required-field rejection the CSV twin uses):
+    * any line where a required field parses null then quarantines instead.
     */
   def jsonlWithDeadLetter(spark: SparkSession, path: String,
-                          schema: StructType): (DataFrame, DataFrame) = {
+                          schema: StructType,
+                          requiredCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    require(requiredCols.forall(schema.fieldNames.contains),
+      s"requiredCols $requiredCols must be schema fields ${schema.fieldNames.toSeq}")
     val raw = spark.read.text(path)
     val parsed = raw.withColumn("__rec",
       when(trim(col("value")) === "", lit(null))
@@ -41,9 +50,12 @@ object Sources {
     // under PERMISSIVE from_json — treat all-null records as rejects too
     val allNull = schema.fieldNames
       .map(f => col(s"__rec.$f").isNull).reduce(_ && _)
-    val good = parsed.filter(col("__rec").isNotNull && !allNull)
+    val requiredNull = requiredCols
+      .map(f => col(s"__rec.$f").isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val good = parsed.filter(col("__rec").isNotNull && !allNull && !requiredNull)
       .select(col("__rec.*"))
-    val bad = parsed.filter(col("__rec").isNull || allNull)
+    val bad = parsed.filter(col("__rec").isNull || allNull || requiredNull)
       .select(col("value").as("raw_value"))
     (good, bad)
   }

@@ -60,4 +60,32 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === refPageRank(edges, 1))
   }
+
+  test("deep runs self-checkpoint: 50 iterations keep plan depth bounded") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(800)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)).distinct
+    val df = edges.toDF("src", "dst")
+
+    def planNodes(iters: Int, every: Int): Int = {
+      val scores = Graph.pageRank(df, "src", "dst", iters, checkpointEvery = every)
+      scores.queryExecution.optimizedPlan.collect { case p => p }.size
+    }
+
+    // with in-loop checkpoints, a 50-iteration run's plan is no deeper than
+    // the tail since the last checkpoint (50 % 10 = 0 -> <= 10 iterations of
+    // plan + the checkpoint scan), i.e. the same size class as a 10-iter run
+    val deep = planNodes(50, 10)
+    val shallow = planNodes(10, 10)
+    assert(deep <= shallow,
+      s"50-iter plan has $deep nodes vs 10-iter $shallow — lineage not truncated")
+    // and WITHOUT checkpointing the plan really does grow (guards the assert
+    // above against ever becoming vacuous)
+    val unchecked = planNodes(12, 100)
+    assert(unchecked > shallow)
+
+    // checkpoint cadence must not change the answer
+    val a = Graph.pageRank(df, "src", "dst", 13, checkpointEvery = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === refPageRank(edges, 13))
+  }
 }

@@ -220,4 +220,27 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"no bounded top-k in:\n$plan")
   }
+
+  test("withDrawGate passes a clean draw and raises on each violated invariant") {
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "w")
+    def draw() = Sampling.weightedSampleWithoutReplacement(df, "id", "w", 10, "g")
+    // clean draw: gate is transparent (same rows through)
+    val gated = Sampling.withDrawGate(draw(), draw(), df, "id", 10)
+      .select("id").as[Long].collect().toSet
+    assert(gated === draw().select("id").as[Long].collect().toSet)
+    assert(gated.size === 10)
+    // size violation: claim k=11 for a 10-row draw
+    intercept[Exception] {
+      Sampling.withDrawGate(draw(), draw(), df, "id", 11).collect()
+    }
+    // membership violation: source contains none of the drawn ids
+    intercept[Exception] {
+      Sampling.withDrawGate(draw(), draw(), df.filter($"id" > 1000), "id", 10).collect()
+    }
+    // determinism violation: "redraw" under a different seed diverges
+    val other = Sampling.weightedSampleWithoutReplacement(df, "id", "w", 10, "other")
+    intercept[Exception] {
+      Sampling.withDrawGate(draw(), other, df, "id", 10).collect()
+    }
+  }
 }

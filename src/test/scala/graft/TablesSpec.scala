@@ -98,4 +98,35 @@ class TablesSpec extends SparkSpec {
     val second = entries()
     assert(second.length == 1 && second != first)
   }
+
+  test("normalization is spec-driven: a synthetic second table normalizes too") {
+    // the contract generalizes beyond the hardcoded events/ts pair
+    // (VERDICT r10 ask #8): declare a rule for another table and the same
+    // cache/normalize machinery applies — no code change on the next
+    // driver regeneration that flips a different table's physical type
+    Tables.clearMemo()
+    val dir = tmpDir("graft_tables_spec2_")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("seen_at", TimestampNTZType)))
+    val rows = Seq(0L, 2500000L).zipWithIndex.map { case (us, i) =>
+      Row(i.toLong, java.time.LocalDateTime.ofEpochSecond(
+        us / 1000000, ((us % 1000000) * 1000).toInt, java.time.ZoneOffset.UTC))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/sightings.parquet")
+    val spec = Map("sightings" -> Seq(Tables.longNanos("seen_at")))
+    val df = Tables.loadWithSpec(spark, dir, "sightings", spec)
+    assert(df.schema("seen_at").dataType == LongType)
+    assert(df.orderBy("id").select("seen_at").collect().map(_.getLong(0)).toSeq
+      == Seq(0L, 2500000000L))
+    // cached once, keyed with the table name
+    val sfName = Paths.get(dir).getFileName.toString
+    val entries = Files.list(Paths.get(cacheDir)).toArray.map(_.toString)
+      .filter(_.contains(sfName))
+    assert(entries.length == 1 && entries.head.contains("sightings"))
+    // a table with no spec entry is a plain scan
+    val plain = Tables.loadWithSpec(spark, dir, "sightings", Map.empty)
+    assert(plain.schema("seen_at").dataType == TimestampNTZType)
+  }
 }
