@@ -4315,7 +4315,96 @@ object Queries {
           .agg(count(lit(1)).as("n_docs"))
       },
       Some("""SELECT CAST(64 AS BIGINT) AS n_bytes, COUNT(*) AS n_docs
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ---- SQL-addressable catalog (graft.catalog.GraftCatalog) --------------
+    // The reference's entire query interface is spark.sql(...) strings
+    // resolved through a catalog (MERGE INTO spark_batch.py:273-280, DDL
+    // :71-96); these queries drive the engine through LITERAL SQL text —
+    // CREATE/INSERT/SELECT/time-travel against graft.<ns>.<table> — and
+    // hash-check the results against DuckDB recomputing from the fixture.
+    // Each run drops and recreates its table, so snapshot version numbers
+    // in the SQL are deterministic (v0 = empty create, v1 = first insert).
+
+    // DDL + INSERT INTO + read-back: per-user aggregate persisted into a
+    // bucketed catalog table, then selected back by SQL.
+    "q_sql_insert" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("events").createOrReplaceTempView("events_v")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.vsql")
+        s.sql("DROP TABLE IF EXISTS graft.vsql.user_stats")
+        s.sql("""CREATE TABLE graft.vsql.user_stats
+                 (user_id BIGINT, n BIGINT, value_micros BIGINT)
+                 PARTITIONED BY (bucket(8, user_id))
+                 TBLPROPERTIES ('graft.keys'='user_id')""")
+        s.sql("""INSERT INTO graft.vsql.user_stats
+                 SELECT user_id, COUNT(*),
+                        CAST(SUM(ROUND(value * 1000000)) AS BIGINT)
+                 FROM events_v GROUP BY user_id""")
+        s.sql("SELECT user_id, n, value_micros FROM graft.vsql.user_stats")
+      },
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // Catalog SELECT with a bucket-key predicate: the pushed equality
+    // reaches the engine's bucket pruner (GraftCatalogSpec asserts the
+    // file-level pruning; this gate asserts the ANSWER through SQL).
+    "q_sql_select" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("events").createOrReplaceTempView("events_v")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.vsql")
+        s.sql("DROP TABLE IF EXISTS graft.vsql.events_t")
+        s.sql("""CREATE TABLE graft.vsql.events_t
+                 (event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)
+                 PARTITIONED BY (bucket(8, user_id))
+                 TBLPROPERTIES ('graft.keys'='user_id,event_id')""")
+        s.sql("""INSERT INTO graft.vsql.events_t
+                 SELECT event_id, user_id, event_type, value FROM events_v""")
+        s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(ROUND(value * 1000000)) AS BIGINT) AS value_micros
+                 FROM graft.vsql.events_t
+                 WHERE user_id = 7
+                 GROUP BY event_type""")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
+             |FROM events WHERE user_id = 7 GROUP BY event_type""".stripMargin)),
+
+    // SQL time travel: INSERT OVERWRITE commits v1 (even event_ids),
+    // INSERT INTO appends v2 (odd event_ids); VERSION AS OF 1 must see
+    // only the overwrite, the current read both.
+    "q_sql_time_travel" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("events").createOrReplaceTempView("events_v")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.vsql")
+        s.sql("DROP TABLE IF EXISTS graft.vsql.tt_events")
+        s.sql("""CREATE TABLE graft.vsql.tt_events
+                 (event_id BIGINT, user_id BIGINT, value DOUBLE)
+                 PARTITIONED BY (bucket(8, event_id))
+                 TBLPROPERTIES ('graft.keys'='event_id')""")
+        s.sql("""INSERT OVERWRITE graft.vsql.tt_events
+                 SELECT event_id, user_id, value FROM events_v WHERE event_id % 2 = 0""")
+        s.sql("""INSERT INTO graft.vsql.tt_events
+                 SELECT event_id, user_id, value FROM events_v WHERE event_id % 2 = 1""")
+        s.sql("""SELECT 'v1' AS snap, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(ROUND(value * 1000000)) AS BIGINT) AS value_micros
+                 FROM graft.vsql.tt_events VERSION AS OF 1
+                 UNION ALL
+                 SELECT 'current', CAST(COUNT(*) AS BIGINT),
+                        CAST(SUM(ROUND(value * 1000000)) AS BIGINT)
+                 FROM graft.vsql.tt_events""")
+      },
+      Some("""SELECT 'v1' AS snap, CAST(COUNT(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
+             |FROM events WHERE event_id % 2 = 0
+             |UNION ALL
+             |SELECT 'current', CAST(COUNT(*) AS BIGINT),
+             |CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             |FROM events""".stripMargin))
   )
 
   /** Headline queries for Bench. */

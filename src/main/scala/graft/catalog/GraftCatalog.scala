@@ -1,0 +1,343 @@
+package graft.catalog
+
+import java.io.{FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths}
+import java.util.Properties
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Literal, Transform}
+import org.apache.spark.sql.connector.catalog.{NamespaceChange, TableChange}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.cdc.KeyedParquetTable
+
+/** DSv2 `TableCatalog` over [[graft.cdc.KeyedParquetTable]] roots — the
+  * SQL-addressable surface the reference exposes through its Iceberg REST
+  * catalog (`/root/reference/src/processor/spark_session.py:97-199`): with
+  * `spark.sql.catalog.graft=graft.catalog.GraftCatalog` registered
+  * ([[graft.core.Session.tuned]]), literal SQL strings drive the engine —
+  *
+  *   CREATE NAMESPACE graft.cdc
+  *   CREATE TABLE graft.cdc.items (id BIGINT, v DOUBLE)
+  *     PARTITIONED BY (bucket(8, id)) TBLPROPERTIES ('graft.keys'='id')
+  *   INSERT INTO graft.cdc.items SELECT ...
+  *   SELECT * FROM graft.cdc.items WHERE id = 42
+  *   SELECT * FROM graft.cdc.items VERSION AS OF 3       -- or a tag name
+  *   SELECT * FROM graft.cdc.items TIMESTAMP AS OF '...'
+  *   ALTER TABLE graft.cdc.items ADD COLUMN note STRING
+  *   INSERT OVERWRITE graft.cdc.items SELECT ...
+  *   DROP TABLE graft.cdc.items
+  *
+  * — the DDL/scan/write shapes of the reference's `spark_batch.py:71-96` /
+  * `273-280` mapped onto the engine's snapshot-versioned tables. Layout:
+  * one filesystem tree, `<warehouse>/<namespace...>/<table>`, each table
+  * dir a KeyedParquetTable root plus a `_meta.properties` holding the
+  * engine layout (keys, partition, bucketing, stats/bloom/sum index
+  * columns) — the catalog-side analog of Iceberg table metadata, written
+  * once at CREATE and immutable afterwards (layout pinning: the scoped
+  * commit protocol assumes it; [[KeyedParquetTable.rebucketTo]] is the
+  * sanctioned migration).
+  *
+  * Table semantics reachable from SQL: snapshot reads with bucket/stats
+  * pruning driven by pushed predicates, VERSION AS OF (numeric snapshot or
+  * tag), TIMESTAMP AS OF, append/overwrite commits, metadata-only column
+  * add/drop/rename (rename-history reads), TBLPROPERTIES. The engine's
+  * richer verbs (MERGE, WAP, branches, deleteKeys, maintenance) stay on
+  * the Scala surface — load the same root with [[tableFor]] and both
+  * interfaces see identical state, because the catalog stores nothing the
+  * table root doesn't.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Paths.get(Option(options.get("warehouse")).getOrElse(
+      sys.props.getOrElse("graft.catalog.warehouse",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")))
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  // path-safe identifier segments only: these become directory names
+  private def validSegment(s: String): Boolean =
+    s.nonEmpty && s.forall(c => c.isLetterOrDigit || c == '_' || c == '-')
+
+  private def nsPath(ns: Array[String]): Path = {
+    require(ns.forall(validSegment), s"invalid namespace ${ns.mkString(".")}")
+    ns.foldLeft(warehouse)(_.resolve(_))
+  }
+
+  private def tablePath(ident: Identifier): Path = {
+    require(validSegment(ident.name), s"invalid table name ${ident.name}")
+    nsPath(ident.namespace).resolve(ident.name)
+  }
+
+  private def metaFile(dir: Path): Path = dir.resolve("_meta.properties")
+
+  // ---- table metadata ------------------------------------------------------
+
+  private def writeMeta(dir: Path, meta: Map[String, String]): Unit = {
+    val p = new Properties()
+    meta.foreach { case (k, v) => p.setProperty(k, v) }
+    val out = new FileOutputStream(metaFile(dir).toFile)
+    try p.store(out, null) finally out.close()
+  }
+
+  private def readMeta(dir: Path): Map[String, String] = {
+    val p = new Properties()
+    val in = new FileInputStream(metaFile(dir).toFile)
+    try p.load(in) finally in.close()
+    p.stringPropertyNames().asScala.map(k => k -> p.getProperty(k)).toMap
+  }
+
+  private def split(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Open the engine table for an identifier — the bridge both directions:
+    * SQL-created tables driven from Scala, Scala-created roots... are
+    * elsewhere; this catalog only claims roots under its warehouse.
+    */
+  def tableFor(ident: Identifier): KeyedParquetTable = {
+    val dir = tablePath(ident)
+    if (!Files.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+    val m = readMeta(dir)
+    new KeyedParquetTable(spark, dir.toString,
+      keys = split(m.getOrElse("keys", "")),
+      partitionBy = split(m.getOrElse("partitionBy", "")),
+      bucketCount = m.getOrElse("bucketCount", "0").toInt,
+      bucketBy = split(m.getOrElse("bucketBy", "")),
+      statsCols = split(m.getOrElse("statsCols", "")),
+      bloomKeyBits = m.getOrElse("bloomKeyBits", "0").toInt,
+      sumCols = split(m.getOrElse("sumCols", "")))
+  }
+
+  // ---- TableCatalog --------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => Files.exists(metaFile(p)))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    new GraftTable(tableFor(ident), fullName(ident), Pin.Current)
+
+  /** SQL `VERSION AS OF x`: numeric snapshot id, or a snapshot TAG name
+    * (the engine's tagSnapshot — Iceberg's tag-addressed read).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val kpt = tableFor(ident)
+    val pin = version.toLongOption match {
+      case Some(v) => Pin.Version(v)
+      case None =>
+        require(kpt.tags.contains(version),
+          s"${fullName(ident)} has no snapshot tag '$version' " +
+            s"(tags: ${kpt.tags.keys.toSeq.sorted.mkString(", ")})")
+        Pin.Tag(version)
+    }
+    new GraftTable(kpt, fullName(ident), pin)
+  }
+
+  /** SQL `TIMESTAMP AS OF t` (micros since epoch from Spark). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    new GraftTable(tableFor(ident), fullName(ident),
+      Pin.AsOf(timestampMicros / 1000L))
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace :+ ident.name).mkString(".")
+
+  /** CREATE TABLE: identity transforms become partition columns, a bucket
+    * transform becomes the engine's hash-bucket layout (its columns must
+    * be — or default to — the declared keys). Engine-layout knobs ride
+    * TBLPROPERTIES under `graft.*`: `graft.keys` (MERGE key columns),
+    * `graft.statsCols`, `graft.bloomKeyBits`, `graft.sumCols`. Everything
+    * else is a user property stored on the table.
+    */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val dir = tablePath(ident)
+    if (Files.exists(metaFile(dir))) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala.toMap
+
+    // the concrete transform case classes are private[sql]; the public
+    // Transform interface (name/references/arguments) identifies them
+    val partitionCols = partitions.collect {
+      case t if t.name == "identity" => t.references()(0).fieldNames.mkString(".")
+    }.toSeq
+    val bucketSpec = partitions.collectFirst {
+      case t if t.name == "bucket" =>
+        val n = t.arguments().collectFirst { case l: Literal[_] =>
+          l.value().asInstanceOf[Number].intValue() }.getOrElse(
+          throw new IllegalArgumentException(s"bucket transform without a count: $t"))
+        (n, t.references().map(_.fieldNames.mkString(".")).toSeq)
+    }
+    partitions.foreach { t =>
+      if (t.name != "identity" && t.name != "bucket")
+        throw new UnsupportedOperationException(
+          s"unsupported partition transform $t — use identity columns and/or bucket(n, cols)")
+    }
+
+    val declaredKeys = split(props.getOrElse(GraftCatalog.KeysProp, ""))
+    val keys =
+      if (declaredKeys.nonEmpty) declaredKeys
+      else bucketSpec.map(_._2).getOrElse(Nil) // bucket cols double as keys
+    bucketSpec.foreach { case (_, cols) =>
+      require(cols.forall(keys.contains),
+        s"bucket columns $cols must be graft.keys ($keys) or a subset") }
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"graft.keys column '$k' is not in the table schema"))
+
+    val meta = Map(
+      "keys" -> keys.mkString(","),
+      "partitionBy" -> partitionCols.mkString(","),
+      "bucketCount" -> bucketSpec.map(_._1).getOrElse(0).toString,
+      "bucketBy" -> bucketSpec.map(_._2.mkString(",")).getOrElse(""),
+      "statsCols" -> props.getOrElse("graft.statsCols", ""),
+      "bloomKeyBits" -> props.getOrElse("graft.bloomKeyBits", "0"),
+      "sumCols" -> props.getOrElse("graft.sumCols", ""))
+
+    Files.createDirectories(dir)
+    writeMeta(dir, meta)
+    val kpt = tableFor(ident)
+    kpt.createIfNotExists(schema)
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_IS_MANAGED_LOCATION,
+      TableCatalog.PROP_TABLE_TYPE)
+    val user = props.filterNot { case (k, _) =>
+      reserved(k) || k.startsWith("option.") || k.startsWith("graft.") }
+    if (user.nonEmpty) kpt.setProperties(user)
+    new GraftTable(kpt, fullName(ident), Pin.Current)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val kpt = tableFor(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"nested column add not supported: ${add.fieldNames.mkString(".")}")
+        kpt.addColumn(add.fieldNames.head, add.dataType)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"nested column drop not supported: ${del.fieldNames.mkString(".")}")
+        kpt.dropColumn(del.fieldNames.head)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          s"nested column rename not supported: ${ren.fieldNames.mkString(".")}")
+        kpt.renameColumn(ren.fieldNames.head, ren.newName)
+      case set: TableChange.SetProperty =>
+        kpt.setProperties(Map(set.property -> set.value))
+      case rm: TableChange.RemoveProperty =>
+        kpt.removeProperty(rm.property)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tablePath(ident)
+    if (!Files.exists(metaFile(dir))) false
+    else {
+      tableFor(ident).drop() // purges the KPT root (snapshots, indexes)
+      deleteRecursively(dir)
+      true
+    }
+  }
+
+  override def purgeTable(ident: Identifier): Boolean = dropTable(ident)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tablePath(oldIdent)
+    if (!Files.exists(metaFile(from))) throw new NoSuchTableException(oldIdent)
+    val to = tablePath(newIdent)
+    if (Files.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Files.exists(metaFile(tablePath(ident)))
+
+  // ---- SupportsNamespaces --------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val s = Files.list(warehouse)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !Files.exists(metaFile(p)))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsPath(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !Files.exists(metaFile(p)))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+    finally s.close()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.isDirectory(nsPath(namespace)) &&
+      !Files.exists(metaFile(nsPath(namespace)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    val dir = nsPath(namespace)
+    if (Files.exists(dir)) throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace properties are not stored")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsPath(namespace)
+    if (!Files.isDirectory(dir)) false
+    else {
+      val empty = { val s = Files.list(dir); try !s.iterator().hasNext finally s.close() }
+      if (!empty && !cascade) throw new NonEmptyNamespaceException(namespace)
+      deleteRecursively(dir)
+      true
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(Files.deleteIfExists(_))
+    }
+}
+
+object GraftCatalog {
+  /** TBLPROPERTIES key declaring the engine's MERGE key columns. */
+  val KeysProp = "graft.keys"
+}

@@ -1,0 +1,277 @@
+package graft.catalog
+
+import java.util.{Set => JSet}
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.cdc.KeyedParquetTable
+
+/** How a catalog-resolved read is pinned in time: the SQL time-travel
+  * clauses (`VERSION AS OF` / `TIMESTAMP AS OF`) map onto the engine's own
+  * snapshot/tag/as-of reads.
+  */
+private[catalog] sealed trait Pin
+private[catalog] object Pin {
+  case object Current extends Pin
+  final case class Version(v: Long) extends Pin
+  final case class Tag(name: String) extends Pin
+  final case class AsOf(epochMs: Long) extends Pin
+}
+
+/** DSv2 face of a [[graft.cdc.KeyedParquetTable]] — what makes the engine
+  * SQL-addressable the way the reference is (its whole query interface is
+  * `spark.sql(...)` strings resolved through a catalog: MERGE INTO at
+  * `/root/reference/src/processor/spark_batch.py:273-280`, DDL at
+  * `spark_batch.py:71-96`, metadata at `validation.py:731-740`).
+  *
+  * Read path: [[V1Scan]] over the table's OWN read plan. This is a
+  * deliberate architectural choice, not a shortcut — `KeyedParquetTable`
+  * reads are already full DataFrame plans carrying semantics a raw
+  * file-scan delegate would silently drop (merge-on-read delete
+  * anti-joins, rename-history coalesce resolution, declared-schema
+  * evolution, file-less snapshots), so the scan re-USES that plan and the
+  * V1 bridge hands Spark its RDD. Pushdown still reaches the engine's
+  * physical pruning BEFORE any row materializes: bucket-key equalities
+  * select bucket directories ([[KeyedParquetTable.readForKeys]] — the
+  * two-level bucket × file-stats prune), stats-column ranges select files
+  * ([[KeyedParquetTable.readRangePruned]]), and every pushed predicate is
+  * also applied INSIDE the inner plan, where Catalyst forwards it to the
+  * vectorized parquet scan. The Row boundary therefore costs one
+  * InternalRow→Row→InternalRow hop ONLY for rows that survive pruning and
+  * filtering — the same rows a native DSv2 Batch would have emitted.
+  *
+  * Write path: [[V1Write]] → the table's transactional surface:
+  * INSERT INTO appends a snapshot-incremental commit
+  * ([[KeyedParquetTable.append]]), INSERT OVERWRITE (truncate) commits a
+  * full replacement — both atomic pointer-swing commits with CHECK
+  * constraints enforced inside the write plan.
+  */
+final class GraftTable(val kpt: KeyedParquetTable, ident: String, pin: Pin)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = ident
+
+  /** The pinned read — every scan and the schema derive from this one
+    * definition, so SQL time travel cannot diverge from the engine's.
+    */
+  private[catalog] def pinnedRead(): DataFrame = pin match {
+    case Pin.Current    => kpt.read()
+    case Pin.Version(v) => kpt.readVersion(v)
+    case Pin.Tag(t)     => kpt.readTag(t)
+    case Pin.AsOf(ms)   => kpt.readAsOf(ms)
+  }
+
+  private[catalog] def isCurrent: Boolean = pin == Pin.Current
+
+  override lazy val schema: StructType = pinnedRead().schema
+
+  /** Deliberately NOT self-reported: the engine's hash buckets (and even
+    * its directory-encoded partition columns) are physical LAYOUT, not
+    * Hive-style partitions with per-partition overwrite semantics — a
+    * "dynamic partition overwrite" that replaced only touched hash buckets
+    * would be wrong-by-design (INSERT OVERWRITE must replace table state).
+    * An empty partitioning routes INSERT OVERWRITE to the static
+    * truncate-then-replace plan, which maps exactly onto the engine's
+    * atomic full-snapshot commit. The layout itself is still visible in
+    * [[properties]] and enforced by the catalog's CREATE.
+    */
+  override def partitioning(): Array[Transform] = Array.empty
+
+  override def properties(): java.util.Map[String, String] =
+    (kpt.properties ++ Map(
+      GraftCatalog.KeysProp -> kpt.keys.mkString(","),
+      "graft.partitionBy" -> kpt.partitionBy.mkString(","),
+      "graft.bucketCount" -> kpt.bucketCount.toString,
+      "graft.bucketBy" -> kpt.bucketKeys.mkString(","),
+      "graft.currentVersion" -> kpt.currentVersion.toString)).asJava
+
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pin == Pin.Current, s"cannot write to time-travel read of $ident")
+    new GraftWriteBuilder(kpt, schema)
+  }
+}
+
+/** Pushdown planner for a catalog read. Spark hands the conjunctive
+  * top-level predicates here; the builder (a) picks the engine's best
+  * physical prune for them — bucket-directory pruning when every bucket
+  * key has an equality (or IN, single-key), else file-stats range pruning
+  * on a stats column — and (b) re-applies every translatable predicate
+  * inside the inner plan so the nested parquet scan gets row-group
+  * pushdown too. All filters are returned as residuals (Spark re-evaluates
+  * them above the scan): pruning must only ever widen, never decide
+  * membership, so a translation gap degrades to a wider scan instead of a
+  * wrong answer.
+  */
+final class GraftScanBuilder(table: GraftTable)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val kpt = table.kpt
+  private var pushed: Array[Filter] = Array.empty
+  private var required: Option[StructType] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // keep the ones we can act on (prune by or translate); everything is
+    // still evaluated by Spark above the scan
+    pushed = filters.filter(f => GraftScanBuilder.translate(f).isDefined ||
+      bucketEqualities(Array(f)).nonEmpty)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  /** Bucket-key → literal value(s) from top-level conjuncts. */
+  private def bucketEqualities(filters: Array[Filter]): Map[String, Seq[Any]] =
+    filters.collect {
+      case EqualTo(a, v) if kpt.bucketKeys.contains(a) => a -> Seq(v)
+      case In(a, vs) if kpt.bucketKeys.contains(a) && vs.nonEmpty => a -> vs.toSeq
+    }.toMap
+
+  /** [lo, hi] bounds for a stats column from top-level conjuncts. Strict
+    * bounds are widened to inclusive — the prune returns a superset, the
+    * residual filters restore exactness.
+    */
+  private def rangeBounds(c: String, filters: Array[Filter]): (Option[Any], Option[Any]) =
+    filters.foldLeft((Option.empty[Any], Option.empty[Any])) {
+      case ((lo, hi), EqualTo(a, v)) if a == c            => (Some(v), Some(v))
+      case ((lo, hi), GreaterThan(a, v)) if a == c        => (Some(v), hi)
+      case ((lo, hi), GreaterThanOrEqual(a, v)) if a == c => (Some(v), hi)
+      case ((lo, hi), LessThan(a, v)) if a == c           => (lo, Some(v))
+      case ((lo, hi), LessThanOrEqual(a, v)) if a == c    => (lo, Some(v))
+      case (acc, _)                                       => acc
+    }
+
+  /** The pruned base frame, the prune decision, and a label for explain. */
+  private[catalog] def prunedBase(): (DataFrame, String) = {
+    val current = table.pinnedRead()
+    def fallback = (current, "full")
+    if (!table.isCurrent) fallback
+    else {
+      val eqs = bucketEqualities(pushed)
+      if (kpt.bucketCount > 0 && kpt.bucketKeys.forall(eqs.contains)) {
+        // one probe row per combination of IN values across the bucket keys
+        val keyFields = StructType(kpt.bucketKeys.map(k => table.schema(k)))
+        val combos = kpt.bucketKeys.foldLeft(Seq(Seq.empty[Any])) {
+          (acc, k) => acc.flatMap(row => eqs(k).map(v => row :+ v))
+        }
+        Try {
+          val probe = kpt.spark.createDataFrame(
+            combos.map(Row.fromSeq).asJava, keyFields)
+          (kpt.readForKeys(probe), s"buckets[${kpt.bucketKeys.mkString(",")}]")
+        }.getOrElse(fallback)
+      } else {
+        kpt.statsCols.iterator.map(c => c -> rangeBounds(c, pushed)).collectFirst {
+          case (c, (Some(lo), Some(hi))) =>
+            Try((kpt.readRangePruned(c, lo, hi), s"stats[$c]")).getOrElse(fallback)
+        }.getOrElse(fallback)
+      }
+    }
+  }
+
+  override def build(): Scan = {
+    val (base, pruneMode) = prunedBase()
+    // re-apply translatable predicates inside the inner plan: Catalyst
+    // pushes them to the nested vectorized parquet scan, so rows are
+    // filtered before the V1 Row boundary
+    val filtered = pushed.flatMap(GraftScanBuilder.translate)
+      .foldLeft(base)((df, c) => df.filter(c))
+    val projected = required match {
+      case Some(s) if s.fieldNames.nonEmpty =>
+        filtered.select(s.fieldNames.map(col).toIndexedSeq: _*)
+      case Some(_) => // empty projection (COUNT(*)) still needs row cardinality
+        filtered.select(col(filtered.columns.head))
+      case None => filtered
+    }
+    new GraftScan(projected, pruneMode, pushed)
+  }
+}
+
+private[catalog] object GraftScanBuilder {
+  /** sources.Filter → Column for the common predicate shapes; None = not
+    * translatable (residual-only). Used for INNER-plan filtering, so it
+    * must be EXACT when defined.
+    */
+  def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === v)
+    case EqualNullSafe(a, v)      => Some(col(a) <=> v)
+    case GreaterThan(a, v)        => Some(col(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case LessThan(a, v)           => Some(col(a) < v)
+    case LessThanOrEqual(a, v)    => Some(col(a) <= v)
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case And(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc && rc
+    case Or(l, r)  => for { lc <- translate(l); rc <- translate(r) } yield lc || rc
+    case Not(c)    => translate(c).map(!_)
+    case _         => None
+  }
+}
+
+/** The built scan: a V1 bridge handing Spark the inner plan's RDD. The
+  * inner DataFrame is the fully pruned + filtered + projected engine read.
+  */
+final class GraftScan(val inner: DataFrame,
+                      val pruneMode: String, pushed: Array[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = inner.schema
+
+  override def description(): String =
+    s"graft prune=$pruneMode pushed=[${pushed.mkString(", ")}]"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = inner.schema
+      override def buildScan(): RDD[Row] = inner.rdd
+    }.asInstanceOf[T]
+}
+
+/** INSERT INTO → append commit; INSERT OVERWRITE TABLE → truncate → full
+  * replacement commit. Both ride the engine's atomic pointer-swing with
+  * CHECK constraints enforced in-plan.
+  */
+final class GraftWriteBuilder(kpt: KeyedParquetTable, tableSchema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var replace = false
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: Dataset[Row], overwrite: Boolean): Unit = {
+        // align by NAME in table order (Spark has already resolved and cast
+        // the query's columns to the table schema)
+        val aligned = data.select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
+        if (replace || overwrite) kpt.commit(aligned)
+        else kpt.append(aligned)
+      }
+    }
+  }
+}

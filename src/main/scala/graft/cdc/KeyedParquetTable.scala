@@ -2999,6 +2999,10 @@ final class KeyedParquetTable(
   def setProperties(props: Map[String, String]): Unit =
     writeProperties(properties ++ props)
 
+  /** UNSET TBLPROPERTIES: remove a property key (no-op if absent). */
+  def removeProperty(key: String): Unit =
+    writeProperties(properties - key)
+
   private def writeProperties(all: Map[String, String]): Unit = {
     Files.createDirectories(rootPath)
     val tmp = rootPath.resolve("_properties.tmp")

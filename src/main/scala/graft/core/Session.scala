@@ -29,6 +29,12 @@ object Session {
   def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.extensions", "graft.core.GraftExtensions")
+      // the SQL-addressable catalog (the reference's entire query interface
+      // is spark.sql strings resolved through a catalog, spark_session.py:
+      // 97-199): SELECT/INSERT/DDL/time-travel against graft.ns.table run
+      // over KeyedParquetTable roots under the warehouse dir (override via
+      // -Dgraft.catalog.warehouse or spark.sql.catalog.graft.warehouse)
+      .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -39,9 +45,15 @@ object Session {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")
-      // dynamic partition overwrite: parity with the reference's
-      // spark.sql.sources.partitionOverwriteMode=dynamic (spark_session.py:168)
-      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // STATIC partition overwrite: the reference sets dynamic
+      // (spark_session.py:168) because its Iceberg writer implements
+      // per-partition dynamic replacement; this engine's own writes always
+      // land in fresh snapshot directories (the mode is irrelevant to them),
+      // and for the SQL catalog INSERT OVERWRITE must mean "replace table
+      // state as one atomic commit" — under dynamic mode Spark 4 plans
+      // OverwritePartitionsDynamic, a semantics the engine's hash-bucket
+      // layout deliberately refuses (see GraftTable.partitioning)
+      .config("spark.sql.sources.partitionOverwriteMode", "static")
       // harness testdata stores event timestamps as parquet TIMESTAMP(NANOS),
       // which Spark only reads as raw Long nanos-since-epoch; queries convert
       // explicitly where instant semantics are needed

@@ -317,6 +317,55 @@ object Validation {
       "always-safe sweep of files no retained snapshot references"))).toSeq
   }
 
+  /** AUTO-OPTIMIZE: consume [[maintenancePlan]] and ACT on it — the
+    * execution half the advisor was missing (the reference schedules its
+    * `optimize_iceberg_table` instead of leaving it dead,
+    * `spark_batch.py:408-432`; this is that scheduler's single tick).
+    * Executes the plan's distinct actions in its order (now → soon →
+    * routine) through the table's own maintenance surface:
+    *
+    *   compact           → [[KeyedParquetTable.compact]] (minInputFiles=2:
+    *                        auto mode exists to clear the advice, and the
+    *                        debt-driven compact must run even on a
+    *                        lightly-fragmented table — compaction is where
+    *                        merge-on-read deletes become physical)
+    *   expire_snapshots  → [[KeyedParquetTable.expireSnapshots]](0,
+    *                        retainLast) — tag-pinned snapshots survive, so
+    *                        "aggressive" still honors every reproducibility
+    *                        promise; default retainLast=1 matches Iceberg's
+    *                        expire_snapshots floor
+    *   remove_orphans    → [[KeyedParquetTable.removeOrphanFiles]]
+    *
+    * The plan's urgency order is scheduling PRIORITY (what to do first if
+    * you can only afford one action); a single tick executing everything
+    * runs the fixed physical order compact → expire → orphans instead —
+    * compact COMMITS a new snapshot, so expiring before compacting would
+    * leave the pre-compact state retained and the retention advice
+    * un-cleared; orphan sweep last collects anything the first two strand.
+    *
+    * Convergence contract: after one pass on a table whose problems are
+    * fixable by these actions, re-advising yields an all-routine plan
+    * (ValidationSpec asserts it on a fragmented+debt+retention table).
+    * Returns the executed (action, urgency, reason) rows.
+    */
+  def autoMaintain(table: KeyedParquetTable,
+                   maxFiles: Long = 100L,
+                   maxDeleteKeys: Long = 100000L,
+                   maxRetentionRatio: Double = 2.0,
+                   retainLast: Int = 1): Seq[(String, String, String)] = {
+    val plan = maintenancePlan(table, maxFiles, maxDeleteKeys, maxRetentionRatio)
+    val advised = plan.map(_._1).toSet
+    advised.foreach {
+      case "compact" | "expire_snapshots" | "remove_orphans" => ()
+      case other => throw new IllegalStateException(
+        s"maintenancePlan advised unknown action '$other'")
+    }
+    if (advised("compact")) table.compact(minInputFiles = 2)
+    if (advised("expire_snapshots")) table.expireSnapshots(0L, retainLast = retainLast)
+    if (advised("remove_orphans")) table.removeOrphanFiles()
+    plan
+  }
+
   // --- the three checks the reference declares but never defines -------------
 
   /** Data freshness: newest event in `tsCol` no older than maxAgeSec

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, In, LessThanOrEqual}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.{GraftCatalog, GraftScan, GraftScanBuilder, GraftTable}
+
+/** The SQL-addressable catalog (VERDICT r10 ask #1): literal spark.sql
+  * strings drive CREATE/INSERT/SELECT/ALTER/time-travel over
+  * KeyedParquetTable roots, and pushed predicates reach the engine's own
+  * bucket/stats file pruning.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def graftCatalog: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+  }
+
+  test("CREATE / INSERT INTO / SELECT round-trips through literal SQL") {
+    sql("DROP TABLE IF EXISTS graft.spec.kv")
+    sql("""CREATE TABLE graft.spec.kv (id BIGINT, v DOUBLE)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.kv VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    val got = sql("SELECT id, v FROM graft.spec.kv ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+    // append is a second snapshot, not a rewrite
+    sql("INSERT INTO graft.spec.kv VALUES (4, 4.5)")
+    assert(sql("SELECT COUNT(*) FROM graft.spec.kv").head().getLong(0) === 4L)
+    // COUNT(*) drives an empty required projection through the scan
+    assert(sql("SELECT COUNT(*) FROM graft.spec.kv WHERE id >= 3").head().getLong(0) === 2L)
+    assert(sql("SHOW TABLES IN graft.spec").collect().map(_.getString(1)).contains("kv"))
+    sql("DROP TABLE graft.spec.kv")
+    assert(!graftCatalog.tableExists(Identifier.of(Array("spec"), "kv")))
+  }
+
+  test("SQL time travel: VERSION AS OF (numeric + tag) and TIMESTAMP AS OF") {
+    sql("DROP TABLE IF EXISTS graft.spec.tt")
+    sql("""CREATE TABLE graft.spec.tt (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.tt VALUES (1, 10), (2, 20)") // v1
+    sql("INSERT INTO graft.spec.tt VALUES (3, 30)")          // v2
+    assert(sql("SELECT COUNT(*) FROM graft.spec.tt VERSION AS OF 1").head().getLong(0) === 2L)
+    assert(sql("SELECT COUNT(*) FROM graft.spec.tt").head().getLong(0) === 3L)
+    // a tag set through the Scala surface resolves in SQL — one state, two interfaces
+    graftCatalog.tableFor(Identifier.of(Array("spec"), "tt")).tagSnapshot("audited", 1)
+    assert(sql("SELECT COUNT(*) FROM graft.spec.tt VERSION AS OF 'audited'")
+      .head().getLong(0) === 2L)
+    // far-future timestamp resolves to the current snapshot
+    assert(sql("SELECT COUNT(*) FROM graft.spec.tt TIMESTAMP AS OF '2099-01-01'")
+      .head().getLong(0) === 3L)
+    intercept[Exception] { sql("SELECT * FROM graft.spec.tt VERSION AS OF 'nope'").collect() }
+  }
+
+  test("pushed bucket-key equality reaches the engine's bucket pruner") {
+    sql("DROP TABLE IF EXISTS graft.spec.pruned")
+    sql("""CREATE TABLE graft.spec.pruned (id BIGINT, payload STRING)
+           PARTITIONED BY (bucket(8, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    spark.range(0, 400).selectExpr("id", "CAST(id AS STRING) AS payload")
+      .createOrReplaceTempView("src400")
+    sql("INSERT INTO graft.spec.pruned SELECT id, payload FROM src400")
+
+    val table = graftCatalog.loadTable(Identifier.of(Array("spec"), "pruned"))
+      .asInstanceOf[GraftTable]
+    def scanWith(filters: org.apache.spark.sql.sources.Filter*): GraftScan = {
+      val b = table.newScanBuilder(CaseInsensitiveStringMap.empty())
+        .asInstanceOf[GraftScanBuilder]
+      b.pushFilters(filters.toArray)
+      b.build().asInstanceOf[GraftScan]
+    }
+    val full = scanWith()
+    val eq = scanWith(EqualTo("id", 7L))
+    assert(full.pruneMode === "full" && eq.pruneMode.startsWith("buckets"))
+    assert(eq.inner.inputFiles.length < full.inner.inputFiles.length,
+      s"equality did not prune: ${eq.inner.inputFiles.length} of ${full.inner.inputFiles.length} files")
+    // IN on the bucket key prunes to the union of probed buckets
+    val in = scanWith(In("id", Array(7L, 8L)))
+    assert(in.pruneMode.startsWith("buckets"))
+    assert(in.inner.inputFiles.length < full.inner.inputFiles.length)
+    // and the SQL answers stay exact on the pruned plan
+    assert(sql("SELECT payload FROM graft.spec.pruned WHERE id = 7").head().getString(0) === "7")
+    assert(sql("SELECT COUNT(*) FROM graft.spec.pruned WHERE id IN (7, 8)").head().getLong(0) === 2L)
+  }
+
+  test("pushed range on a stats column reaches file-stats pruning") {
+    sql("DROP TABLE IF EXISTS graft.spec.ranged")
+    sql("""CREATE TABLE graft.spec.ranged (id BIGINT, ts BIGINT)
+           PARTITIONED BY (bucket(4, id))
+           TBLPROPERTIES ('graft.keys'='id', 'graft.statsCols'='ts')""")
+    // two inserts with disjoint ts ranges -> per-file min/max separate them
+    spark.range(0, 100).selectExpr("id", "id AS ts").createOrReplaceTempView("lo_rows")
+    spark.range(100, 200).selectExpr("id", "id * 10 AS ts").createOrReplaceTempView("hi_rows")
+    sql("INSERT INTO graft.spec.ranged SELECT id, ts FROM lo_rows")
+    sql("INSERT INTO graft.spec.ranged SELECT id, ts FROM hi_rows")
+
+    val table = graftCatalog.loadTable(Identifier.of(Array("spec"), "ranged"))
+      .asInstanceOf[GraftTable]
+    val b = table.newScanBuilder(CaseInsensitiveStringMap.empty())
+      .asInstanceOf[GraftScanBuilder]
+    b.pushFilters(Array(GreaterThanOrEqual("ts", 1000L), LessThanOrEqual("ts", 1990L)))
+    val scan = b.build().asInstanceOf[GraftScan]
+    assert(scan.pruneMode === "stats[ts]")
+    val bFull = table.newScanBuilder(CaseInsensitiveStringMap.empty())
+      .asInstanceOf[GraftScanBuilder]
+    val fullFiles = bFull.build().asInstanceOf[GraftScan].inner.inputFiles.length
+    assert(scan.inner.inputFiles.length < fullFiles)
+    assert(sql("SELECT COUNT(*) FROM graft.spec.ranged WHERE ts BETWEEN 1000 AND 1990")
+      .head().getLong(0) === 100L)
+  }
+
+  test("ALTER TABLE: add / rename / drop column and TBLPROPERTIES via SQL") {
+    sql("DROP TABLE IF EXISTS graft.spec.alt")
+    sql("""CREATE TABLE graft.spec.alt (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.alt VALUES (1, 10)")
+    sql("ALTER TABLE graft.spec.alt ADD COLUMN note STRING")
+    sql("INSERT INTO graft.spec.alt VALUES (2, 20, 'two')")
+    val rows = sql("SELECT id, note FROM graft.spec.alt ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, null), (2L, "two"))) // pre-evolution rows read NULL
+    sql("ALTER TABLE graft.spec.alt RENAME COLUMN note TO remark")
+    assert(sql("SELECT remark FROM graft.spec.alt WHERE id = 2").head().getString(0) === "two")
+    sql("ALTER TABLE graft.spec.alt DROP COLUMN remark")
+    assert(!sql("SELECT * FROM graft.spec.alt").columns.contains("remark"))
+    sql("ALTER TABLE graft.spec.alt SET TBLPROPERTIES ('owner.team'='curation')")
+    val kpt = graftCatalog.tableFor(Identifier.of(Array("spec"), "alt"))
+    assert(kpt.properties.get("owner.team").contains("curation"))
+    sql("ALTER TABLE graft.spec.alt UNSET TBLPROPERTIES ('owner.team')")
+    assert(!graftCatalog.tableFor(Identifier.of(Array("spec"), "alt"))
+      .properties.contains("owner.team"))
+  }
+
+  test("INSERT OVERWRITE replaces the table state as a new snapshot") {
+    sql("DROP TABLE IF EXISTS graft.spec.ow")
+    sql("""CREATE TABLE graft.spec.ow (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.ow VALUES (1, 10), (2, 20)")
+    sql("INSERT OVERWRITE graft.spec.ow VALUES (9, 90)")
+    assert(sql("SELECT id, v FROM graft.spec.ow").as[(Long, Long)].collect().toSeq
+      === Seq((9L, 90L)))
+    // the overwritten state is still time-travelable
+    assert(sql("SELECT COUNT(*) FROM graft.spec.ow VERSION AS OF 1").head().getLong(0) === 2L)
+  }
+
+  test("Scala surface and SQL surface see one table state (MERGE then SELECT)") {
+    sql("DROP TABLE IF EXISTS graft.spec.merged")
+    sql("""CREATE TABLE graft.spec.merged (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.merged VALUES (1, 10), (2, 20)")
+    // the engine's MERGE (not yet SQL text) through the same root
+    val kpt = graftCatalog.tableFor(Identifier.of(Array("spec"), "merged"))
+    kpt.merge(Seq((2L, 200L, "u"), (3L, 30L, "u"), (1L, 0L, "d"))
+      .toDF("id", "v", "operation"))
+    assert(sql("SELECT id, v FROM graft.spec.merged ORDER BY id")
+      .as[(Long, Long)].collect().toSeq === Seq((2L, 200L), (3L, 30L)))
+  }
+}

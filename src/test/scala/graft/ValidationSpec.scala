@@ -227,6 +227,34 @@ class ValidationSpec extends SparkSpec {
       .map(_._1) === Seq("remove_orphans"))
   }
 
+  test("autoMaintain: one pass converges a fragmented+debt+retention table") {
+    import graft.cdc.KeyedParquetTable
+    val t = new KeyedParquetTable(spark, tmpDir("auto_maint"), Seq("id"), Nil, 4)
+    t.commit((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // retention overhead needs HISTORY-ONLY bytes: a full rewrite replaces
+    // every file, so v1's files are held only by the old snapshot
+    // (appends alone hard-link — shared files reclaim nothing)
+    t.commit(t.read().localCheckpoint(true))
+    // fragmentation: many tiny appends (files > maxFiles)
+    (1 to 8).foreach(k => t.append(Seq((100L + k, "a")).toDF("id", "v")))
+    // merge-on-read delete debt above the bound
+    t.deleteKeys(Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L), Tuple1(4L), Tuple1(5L)).toDF("id"))
+    // retention overhead: the append/delete history above retains every
+    // intermediate snapshot — reclaimable bytes dwarf the live state
+    val before = Validation.autoMaintain(t,
+      maxFiles = 5, maxDeleteKeys = 4, maxRetentionRatio = 0.5)
+    // the pass was advised real work, not just the routine sweep
+    assert(before.exists(p => p._1 == "compact" && p._2 != "routine"))
+    assert(before.exists(p => p._1 == "expire_snapshots" && p._2 != "routine"))
+    // and ONE pass cleared it: re-advising yields an all-routine plan
+    val after = Validation.maintenancePlan(t,
+      maxFiles = 5, maxDeleteKeys = 4, maxRetentionRatio = 0.5)
+    assert(after.map(_._1) === Seq("remove_orphans"),
+      s"advice did not clear in one auto pass: $after")
+    // the data survived maintenance intact (40 base − 5 deleted + 8 appended)
+    assert(t.read().count() === 43L)
+  }
+
   test("schemaDriftCheck flags unknown payload fields, ignores internals") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
