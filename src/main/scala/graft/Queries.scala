@@ -316,12 +316,10 @@ object Queries {
     "cdc_merge_final_state" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
-        // checkpoint: the serialize→from_json fixture would otherwise
-        // re-run once per batch filter (a real CDC source delivers each
-        // batch once)
+        // parsedEventsCached is already a shared checkpoint: per-batch
+        // filters re-evaluate only the cheap projection, never the parse
         val parsed = parsedEventsCached(s, dir)
           .select("user_id", "event_id", "event_type", "value", "operation")
-          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val nBatches = 4L
         val tmp = scratchDir("graft_merge_")
@@ -355,7 +353,6 @@ object Queries {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val parsed = parsedEventsCached(s, dir)
           .select("user_id", "event_id", "event_type", "value", "operation")
-          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val mid = (maxId + 1) / 2
         val tmp = scratchDir("graft_schevo_")
@@ -397,7 +394,6 @@ object Queries {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val parsed = parsedEventsCached(s, dir)
           .select("user_id", "event_id", "event_type", "value", "operation")
-          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val mid = (maxId + 1) / 2
         val tmp = scratchDir("graft_branch_")
@@ -427,7 +423,6 @@ object Queries {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val parsed = parsedEventsCached(s, dir)
           .select("user_id", "event_id", "event_type", "value", "operation")
-          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val mid = (maxId + 1) / 2
         val tmp = scratchDir("graft_sortc_")
@@ -458,7 +453,6 @@ object Queries {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val parsed = parsedEventsCached(s, dir)
           .select("user_id", "event_id", "event_type", "value", "operation")
-          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val mid = (maxId + 1) / 2
         val tmp = scratchDir("graft_rename_")
@@ -492,7 +486,6 @@ object Queries {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val parsed = parsedEventsCached(s, dir)
           .select("user_id", "event_id", "event_type", "value", "operation")
-          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val mid = (maxId + 1) / 2
         val tmp = scratchDir("graft_renfil_")
@@ -527,7 +520,6 @@ object Queries {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val parsed = parsedEventsCached(s, dir)
           .select("user_id", "event_id", "event_type", "value", "operation")
-          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val mid = (maxId + 1) / 2
         val tmp = scratchDir("graft_reapp_")
@@ -576,7 +568,6 @@ object Queries {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val parsed = parsedEventsCached(s, dir)
           .select("user_id", "event_id", "event_type", "value", "operation")
-          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val nBatches = 4L
         val tmp = scratchDir("graft_mormerge_")
@@ -606,7 +597,6 @@ object Queries {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val parsed = parsedEventsCached(s, dir)
           .select("user_id", "event_id", "event_type", "value", "operation")
-          .localCheckpoint(true)
         val base = Merge.foldFinalState(parsed, Seq("user_id"),
             Seq(col("event_id").desc))
           .select("user_id", "event_id", "event_type", "value")
@@ -722,7 +712,6 @@ object Queries {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val parsed = parsedEventsCached(s, dir)
           .select("user_id", "event_id", "event_type", "value", "operation")
-          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val mid = (maxId + 1) / 2
         val base = scratchDir("graft_clone_")
@@ -756,7 +745,6 @@ object Queries {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val parsed = parsedEventsCached(s, dir)
           .select("user_id", "event_id", "event_type", "value", "operation")
-          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val mid = (maxId + 1) / 2
         val tmp = scratchDir("graft_mor_")
@@ -801,7 +789,6 @@ object Queries {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val parsed = parsedEventsCached(s, dir)
           .select("user_id", "event_id", "event_type", "value", "operation")
-          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val mid = (maxId + 1) / 2
         val tmp = scratchDir("graft_rebkt_")
@@ -831,7 +818,6 @@ object Queries {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val parsed = parsedEventsCached(s, dir)
           .select("user_id", "event_id", "event_type", "value", "operation")
-          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val mid = (maxId + 1) / 2
         val tmp = scratchDir("graft_metacount_")
@@ -1136,12 +1122,10 @@ object Queries {
     "q_snapshot_changes" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
-        // checkpoint: the serialize→from_json fixture would otherwise
-        // re-run once per batch filter (a real CDC source delivers each
-        // batch once)
+        // parsedEventsCached is already a shared checkpoint: per-batch
+        // filters re-evaluate only the cheap projection, never the parse
         val parsed = parsedEventsCached(s, dir)
           .select("user_id", "event_id", "event_type", "value", "operation")
-          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val mid = (maxId + 1) / 2
         val tmp = scratchDir("graft_changes_")
@@ -1209,12 +1193,10 @@ object Queries {
     "q_incremental_agg_cdc" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
-        // checkpoint: the serialize→from_json fixture would otherwise
-        // re-run once per batch filter (a real CDC source delivers each
-        // batch once)
+        // parsedEventsCached is already a shared checkpoint: per-batch
+        // filters re-evaluate only the cheap projection, never the parse
         val parsed = parsedEventsCached(s, dir)
           .select("user_id", "event_id", "event_type", "value", "operation")
-          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val nBatches = 4L
         val base = scratchDir("graft_cdcview_")
@@ -1253,7 +1235,6 @@ object Queries {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val parsed = parsedEventsCached(s, dir)
           .select("user_id", "event_id", "event_type", "value", "operation")
-          .localCheckpoint(true)
         val maxId = parsed.agg(max("event_id")).head().getLong(0)
         val base = scratchDir("graft_cdcmulti_")
         val entity = new KeyedParquetTable(s, s"$base/entity", Seq("user_id"), Nil, 8)
@@ -4372,6 +4353,54 @@ object Queries {
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              |CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
              |FROM events WHERE user_id = 7 GROUP BY event_type""".stripMargin)),
+
+    // MERGE INTO as literal SQL — the reference's core CDC statement
+    // (spark_batch.py:273-280) driven through the injected merge rule +
+    // strategy (GraftMergeInto) into the engine's bucket-scoped merge.
+    // Seed = latest-per-user over EVEN event_ids; the merge applies the
+    // ODD half's final states (error → DELETE, else UPDATE/INSERT *), so
+    // all three verbs execute. Oracle recomputes the converged state.
+    "q_sql_merge" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("events").createOrReplaceTempView("events_v")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.vsql")
+        s.sql("DROP TABLE IF EXISTS graft.vsql.user_state")
+        s.sql("""CREATE TABLE graft.vsql.user_state
+                 (user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE)
+                 PARTITIONED BY (bucket(8, user_id))
+                 TBLPROPERTIES ('graft.keys'='user_id')""")
+        s.sql("""INSERT INTO graft.vsql.user_state
+                 SELECT user_id, event_id, event_type, value
+                 FROM (SELECT *, ROW_NUMBER() OVER
+                         (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                       FROM events_v WHERE event_id % 2 = 0)
+                 WHERE rn = 1""")
+        s.sql("""MERGE INTO graft.vsql.user_state target
+                 USING (SELECT user_id, event_id, event_type, value,
+                               CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS operation
+                        FROM (SELECT *, ROW_NUMBER() OVER
+                                (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                              FROM events_v WHERE event_id % 2 = 1)
+                        WHERE rn = 1) source
+                 ON target.user_id = source.user_id
+                 WHEN MATCHED AND source.operation = 'd' THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+        s.sql("SELECT user_id, event_id, event_type, value FROM graft.vsql.user_state")
+      },
+      Some("""WITH even AS (
+             |  SELECT user_id, event_id, event_type, value FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |    FROM events WHERE event_id % 2 = 0) t WHERE rn = 1),
+             |odd AS (
+             |  SELECT user_id, event_id, event_type, value FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |    FROM events WHERE event_id % 2 = 1) t WHERE rn = 1)
+             |SELECT user_id, event_id, event_type, value FROM odd WHERE event_type <> 'error'
+             |UNION ALL
+             |SELECT e.user_id, e.event_id, e.event_type, e.value FROM even e
+             |WHERE NOT EXISTS (SELECT 1 FROM odd o WHERE o.user_id = e.user_id)""".stripMargin)),
 
     // SQL time travel: INSERT OVERWRITE commits v1 (even event_ids),
     // INSERT INTO appends v2 (odd event_ids); VERSION AS OF 1 must see

@@ -77,5 +77,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // tier (d): physical planning — ORDER BY <vec_dot score> LIMIT k becomes
     // a bounded-heap two-phase top-k for ANY k (never a global sort)
     ext.injectPlannerStrategy(_ => graft.plans.ScoreTopKStrategy)
+    // MERGE INTO text over graft catalog tables: the resolved statement is
+    // claimed post-resolution and executed through the engine's own
+    // bucket-scoped merge (Spark itself has no MERGE execution for tables
+    // without SupportsRowLevelOperations — see GraftMergeInto)
+    ext.injectPostHocResolutionRule(s => graft.catalog.MergeIntoGraftTableRule(s))
+    ext.injectPlannerStrategy(_ => graft.catalog.GraftMergeStrategy)
   }
 }

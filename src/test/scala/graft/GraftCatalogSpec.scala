@@ -150,6 +150,56 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT COUNT(*) FROM graft.spec.ow VERSION AS OF 1").head().getLong(0) === 2L)
   }
 
+  test("MERGE INTO text executes the reference's CDC shape through the engine merge") {
+    sql("DROP TABLE IF EXISTS graft.spec.cdc")
+    sql("""CREATE TABLE graft.spec.cdc (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.cdc VALUES (1, 10), (2, 20)")
+    Seq((2L, 0L, "d"), (3L, 30L, "u"), (1L, 11L, "u"))
+      .toDF("id", "v", "operation").createOrReplaceTempView("cdc_src")
+    // the reference's exact statement shape (spark_batch.py:273-280) —
+    // and NO action on the returned frame: MERGE must execute eagerly
+    sql("""MERGE INTO graft.spec.cdc target
+           USING cdc_src source
+           ON target.id = source.id
+           WHEN MATCHED AND source.operation = 'd' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    assert(sql("SELECT id, v FROM graft.spec.cdc ORDER BY id")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 11L), (3L, 30L)))
+  }
+
+  test("MERGE INTO: ANSI cardinality guard and canonical-shape refusals") {
+    sql("DROP TABLE IF EXISTS graft.spec.cdc2")
+    sql("""CREATE TABLE graft.spec.cdc2 (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.cdc2 VALUES (1, 10)")
+    // duplicate source keys must fail the statement, not corrupt the table
+    Seq((1L, 1L, "u"), (1L, 2L, "u")).toDF("id", "v", "operation")
+      .createOrReplaceTempView("dup_src")
+    val e = intercept[Exception] {
+      sql("""MERGE INTO graft.spec.cdc2 t USING dup_src s ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(e.getMessage.contains("cardinality") ||
+      Option(e.getCause).exists(_.getMessage.contains("cardinality")), e.getMessage)
+    assert(sql("SELECT v FROM graft.spec.cdc2").as[Long].collect().toSeq === Seq(10L))
+    // unsupported shapes refuse with an actionable message
+    Seq((1L, 5L, "u")).toDF("id", "v", "operation").createOrReplaceTempView("one_src")
+    val r1 = intercept[Exception] {
+      sql("""MERGE INTO graft.spec.cdc2 t USING one_src s ON t.id = s.id
+             WHEN MATCHED AND t.v < s.v THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(r1.getMessage.contains("canonical"), r1.getMessage)
+    // ON not covering the key
+    val r2 = intercept[Exception] {
+      sql("""MERGE INTO graft.spec.cdc2 t USING one_src s ON t.v = s.v
+             WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(r2.getMessage.contains("keys"), r2.getMessage)
+  }
+
   test("Scala surface and SQL surface see one table state (MERGE then SELECT)") {
     sql("DROP TABLE IF EXISTS graft.spec.merged")
     sql("""CREATE TABLE graft.spec.merged (id BIGINT, v BIGINT)
