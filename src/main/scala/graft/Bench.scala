@@ -206,6 +206,14 @@ object Bench {
       val t4 = System.nanoTime()
       val orphans = entity.removeOrphanFiles().size + lineage.removeOrphanFiles().size
       val orphanSec = (System.nanoTime() - t4) / 1e9
+      // phase 4: the AUTO-OPTIMIZE tick (advise → act → re-advise) on the
+      // entity table, which still carries the MoR delete debt phase 2b
+      // left — one call converges it; auto_cleared records convergence
+      val t5 = System.nanoTime()
+      val autoPlan = graft.validate.Validation.autoMaintain(entity)
+      val autoCleared = graft.validate.Validation.maintenancePlan(entity)
+        .forall(_._2 == "routine")
+      val autoSec = (System.nanoTime() - t5) / 1e9
       s"""{"rows":$nRows,"merge_sec":$mergeSec,""" +
         s""""merge_rows_per_sec":${nRows / mergeSec},""" +
         s""""append_sec":$appendSec,""" +
@@ -213,7 +221,9 @@ object Bench {
         s""""compact_sec":$compactSec,""" +
         s""""files_before_compact":$filesBefore,"files_after_compact":$filesAfter,""" +
         s""""expired_snapshots":$expired,"expire_sec":$expireSec,""" +
-        s""""orphans_removed":$orphans,"orphan_sec":$orphanSec}"""
+        s""""orphans_removed":$orphans,"orphan_sec":$orphanSec,""" +
+        s""""auto_maintain_sec":$autoSec,"auto_actions":${autoPlan.size},""" +
+        s""""auto_cleared":$autoCleared}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] table_maintenance failed: ${e.getMessage}")
       """{"rows":-1}"""

@@ -136,7 +136,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table =
-    new GraftTable(tableFor(ident), fullName(ident), Pin.Current)
+    if (tableExists(ident))
+      new GraftTable(tableFor(ident), fullName(ident), Pin.Current)
+    else metaTableFor(ident).getOrElse(throw new NoSuchTableException(ident))
+
+  /** Iceberg-style metadata tables: `graft.ns.t.history` (snapshot log),
+    * `.files` (current data-file inventory — the `.manifests` analog),
+    * `.snapshots` (per-snapshot storage footprint, hard-link-aware
+    * reclaimable bytes), `.tags`, `.properties`. All driver-side metadata
+    * walks, never data scans — the shape the reference's health checks
+    * read (`validation.py:731-740`).
+    */
+  private def metaTableFor(ident: Identifier): Option[Table] = {
+    if (ident.namespace.isEmpty) return None
+    val base = Identifier.of(ident.namespace.init, ident.namespace.last)
+    if (!tableExists(base)) return None
+    def kpt = tableFor(base)
+    val frame: Option[() => org.apache.spark.sql.DataFrame] = ident.name match {
+      case "history"   => Some(() => kpt.history())
+      case "files"     => Some(() => kpt.files())
+      case "snapshots" => Some(() => kpt.storageFootprint())
+      case "tags"      => Some(() => {
+        val t = kpt
+        val sp = t.spark; import sp.implicits._
+        t.tags.toSeq.sortBy(_._2).toDF("tag", "snapshot_id")
+      })
+      case "properties" => Some(() => {
+        val t = kpt
+        val sp = t.spark; import sp.implicits._
+        t.properties.toSeq.sorted.toDF("key", "value")
+      })
+      case _ => None
+    }
+    frame.map(f => new GraftMetaTable(s"${fullName(base)}.${ident.name}", f))
+  }
 
   /** SQL `VERSION AS OF x`: numeric snapshot id, or a snapshot TAG name
     * (the engine's tagSnapshot — Iceberg's tag-addressed read).

@@ -49,6 +49,11 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * per SOURCE row before target rows are read; a target-referencing
   * condition would need per-row pre-images inside the decision, which is
   * [[graft.streaming.IncrementalAgg]]'s retraction machinery, not MERGE.
+  * The reference's exactly-once variant adds the theta conjunct
+  * `AND target.batch_id <> source.batch_id` for replay protection
+  * (`spark_exactly_once.py:494`) — that concern maps to this engine's txn
+  * markers (`merge(source, opCol, txn)`: a replayed batch no-ops on its
+  * marker), so the theta form is refused rather than emulated.
   *
   * ANSI cardinality: SQL MERGE must fail when two source rows match one
   * target row. The engine's Scala merge documents a deduped-source

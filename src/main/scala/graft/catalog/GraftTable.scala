@@ -252,6 +252,40 @@ final class GraftScan(val inner: DataFrame,
     }.asInstanceOf[T]
 }
 
+/** Read-only METADATA table (`SELECT * FROM graft.ns.t.history` etc.) —
+  * the Iceberg metadata-table surface the reference's validation reads
+  * (`validation.py:731-740` loads `<table>.history` / `.manifests` /
+  * `.metadata`). Resolved by the catalog when a multipart identifier's
+  * last segment names a metadata view of an existing table. The frames
+  * are driver-side metadata walks (O(files)/O(snapshots), never data
+  * scans), so the scan is a plain V1 bridge with column pruning only.
+  */
+final class GraftMetaTable(ident: String, frame: () => DataFrame)
+    extends Table with SupportsRead {
+
+  override def name(): String = ident
+  override lazy val schema: StructType = frame().schema
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: Option[StructType] = None
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = Some(requiredSchema)
+      override def build(): Scan = {
+        val df = frame()
+        val projected = required match {
+          case Some(s) if s.fieldNames.nonEmpty =>
+            df.select(s.fieldNames.map(col).toIndexedSeq: _*)
+          case Some(_) => df.select(col(df.columns.head))
+          case None => df
+        }
+        new GraftScan(projected, "metadata", Array.empty)
+      }
+    }
+}
+
 /** INSERT INTO → append commit; INSERT OVERWRITE TABLE → truncate → full
   * replacement commit. Both ride the engine's atomic pointer-swing with
   * CHECK constraints enforced in-plan.

@@ -200,6 +200,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(r2.getMessage.contains("keys"), r2.getMessage)
   }
 
+  test("metadata tables: history / files / snapshots / tags / properties via SQL") {
+    sql("DROP TABLE IF EXISTS graft.spec.meta")
+    sql("""CREATE TABLE graft.spec.meta (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id))
+           TBLPROPERTIES ('graft.keys'='id', 'team'='curation')""")
+    sql("INSERT INTO graft.spec.meta VALUES (1, 10)") // v1
+    sql("INSERT INTO graft.spec.meta VALUES (2, 20)") // v2
+    // history: one row per retained snapshot, current flagged
+    val hist = sql("SELECT snapshot_id, is_current FROM graft.spec.meta.history ORDER BY snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(hist === Seq((0L, false), (1L, false), (2L, true)))
+    // files: current snapshot's data-file inventory (no data scan needed)
+    assert(sql("SELECT COUNT(*) FROM graft.spec.meta.files").head().getLong(0) >= 2L)
+    // snapshots: per-snapshot storage footprint rows
+    assert(sql("SELECT COUNT(*) FROM graft.spec.meta.snapshots").head().getLong(0) === 3L)
+    // tags round-trip both surfaces
+    graftCatalog.tableFor(Identifier.of(Array("spec"), "meta")).tagSnapshot("rel", 1)
+    assert(sql("SELECT tag, snapshot_id FROM graft.spec.meta.tags")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("rel", 1L)))
+    // properties carries the CREATE's TBLPROPERTIES
+    assert(sql("SELECT value FROM graft.spec.meta.properties WHERE key = 'team'")
+      .head().getString(0) === "curation")
+    // a bogus metadata view is a missing table, not a silent empty frame
+    intercept[Exception] { sql("SELECT * FROM graft.spec.meta.nonsense").collect() }
+  }
+
   test("Scala surface and SQL surface see one table state (MERGE then SELECT)") {
     sql("DROP TABLE IF EXISTS graft.spec.merged")
     sql("""CREATE TABLE graft.spec.merged (id BIGINT, v BIGINT)
