@@ -52,7 +52,7 @@ import graft.cdc.KeyedParquetTable
   * interfaces see identical state, because the catalog stores nothing the
   * table root doesn't.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -308,6 +308,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean =
     Files.exists(metaFile(tablePath(ident)))
+
+  // ---- ProcedureCatalog ----------------------------------------------------
+  // CALL graft.system.<proc>(...) — see GraftProcedures for the inventory
+  // (the reference's optimize_iceberg_table drives maintenance through
+  // exactly these statements, spark_batch.py:421-427)
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace.sameElements(Array("system")))
+      throw new RuntimeException(
+        s"procedures live in the 'system' namespace: CALL $catalogName.system.<name>(...)")
+    GraftProcedures.load(this, ident.name).getOrElse(
+      throw new RuntimeException(s"unknown procedure $catalogName.system.${ident.name} " +
+        s"(available: ${GraftProcedures.list.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.list.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   // ---- SupportsNamespaces --------------------------------------------------
 

@@ -1,0 +1,117 @@
+package graft.catalog
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataTypes, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.cdc.KeyedParquetTable
+
+/** SQL `CALL` maintenance procedures — the reference's scheduled
+  * `optimize_iceberg_table` drives maintenance entirely through CALL text
+  * (`/root/reference/src/processor/spark_batch.py:421-427`):
+  *
+  *   CALL graft.system.rewrite_data_files(table => 'ns.t', min_input_files => 5)
+  *   CALL graft.system.expire_snapshots(table => 'ns.t', older_than_ms => 0, retain_last => 5)
+  *   CALL graft.system.remove_orphan_files(table => 'ns.t')
+  *   CALL graft.system.auto_maintain(table => 'ns.t')
+  *
+  * Spark 4 parses CALL natively and resolves it through
+  * [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]], which
+  * [[GraftCatalog]] implements — no custom parser needed. Each procedure
+  * maps 1:1 onto the table's own maintenance surface and returns its
+  * outcome as (action, detail) rows, so the caller sees what happened
+  * (file counts, expired snapshot ids, the executed auto plan) the way
+  * Iceberg's procedures report rewritten-file counts.
+  */
+private[catalog] object GraftProcedures {
+
+  private val resultSchema = StructType(Seq(
+    StructField("action", DataTypes.StringType, nullable = false),
+    StructField("detail", DataTypes.StringType, nullable = false)))
+
+  private def tableParam =
+    ProcedureParameter.in("table", DataTypes.StringType)
+      .comment("catalog-relative table name, e.g. 'ns.t'").build()
+
+  def list: Seq[String] =
+    Seq("rewrite_data_files", "expire_snapshots", "remove_orphan_files", "auto_maintain")
+
+  def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] = {
+    def resolve(input: InternalRow): KeyedParquetTable = {
+      val raw = input.getUTF8String(0).toString
+      val parts = raw.split('.')
+      require(parts.length >= 1 && parts.forall(_.nonEmpty),
+        s"table must be a catalog-relative name like 'ns.t', got '$raw'")
+      cat.tableFor(Identifier.of(parts.init, parts.last))
+    }
+    name match {
+      case "rewrite_data_files" => Some(proc(name,
+        Array(tableParam,
+          ProcedureParameter.in("min_input_files", DataTypes.IntegerType)
+            .defaultValue("5").build()),
+        { in =>
+          val t = resolve(in)
+          val minFiles = if (in.isNullAt(1)) 5 else in.getInt(1)
+          val before = t.files().count()
+          val committed = t.compact(minInputFiles = minFiles)
+          val after = t.files().count()
+          Seq(("rewrite_data_files",
+            s"files $before -> $after" +
+              committed.map(v => s", committed v$v").getOrElse(" (below min-input-files, no-op)")))
+        }))
+      case "expire_snapshots" => Some(proc(name,
+        Array(tableParam,
+          ProcedureParameter.in("older_than_ms", DataTypes.LongType)
+            .defaultValue("0").build(),
+          ProcedureParameter.in("retain_last", DataTypes.IntegerType)
+            .defaultValue("5").build()),
+        { in =>
+          val t = resolve(in)
+          val olderThan = if (in.isNullAt(1)) 0L else in.getLong(1)
+          val retain = if (in.isNullAt(2)) 5 else in.getInt(2)
+          val expired = t.expireSnapshots(olderThan, retainLast = retain)
+          Seq(("expire_snapshots",
+            if (expired.isEmpty) "nothing to expire"
+            else s"expired ${expired.map(v => s"v$v").mkString(",")}"))
+        }))
+      case "remove_orphan_files" => Some(proc(name, Array(tableParam),
+        { in =>
+          val removed = resolve(in).removeOrphanFiles()
+          Seq(("remove_orphan_files", s"removed ${removed.size} orphan path(s)"))
+        }))
+      case "auto_maintain" => Some(proc(name, Array(tableParam),
+        { in =>
+          val executed = graft.validate.Validation.autoMaintain(resolve(in))
+          executed.map { case (action, urgency, reason) =>
+            (action, s"[$urgency] $reason")
+          }
+        }))
+      case _ => None
+    }
+  }
+
+  private def proc(pname: String, params: Array[ProcedureParameter],
+                   run: InternalRow => Seq[(String, String)]): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = pname
+      override def description(): String = s"graft maintenance procedure $pname"
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = params
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val out = run(input).map { case (a, d) =>
+          InternalRow(UTF8String.fromString(a), UTF8String.fromString(d))
+        }.toArray
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = out
+          override def readSchema(): StructType = resultSchema
+          override def description(): String = s"graft $pname result"
+        }).iterator()
+      }
+    }
+}

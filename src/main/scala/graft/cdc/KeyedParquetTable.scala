@@ -2986,9 +2986,19 @@ final class KeyedParquetTable(
       n.matches("v\\d+") && (n.drop(1).toLong <= cur ||
         withinLease(rootPath.resolve(s"_commit.$n")))
     }
-    val liveAux = Set("_latest", "_properties", "_tags", "_branches")
+    // every `_`-prefixed root entry is METADATA, never an orphan candidate
+    // — the table's own (_latest, _properties, _tags, _branches) and any a
+    // layer above stores beside them (the SQL catalog's _meta.properties):
+    // sweeping an unknown metadata file would silently un-register the
+    // table from whoever wrote it. The one exception is `_commit.vN`
+    // claims, whose liveness IS the lease — an expired claim must sweep or
+    // a crashed writer would fence the table forever.
+    def liveAux(p: Path): Boolean = {
+      val n = p.getFileName.toString
+      n.startsWith("_") && !n.matches("_commit\\.v\\d+")
+    }
     val orphans = entries.filterNot(p =>
-      liveAux(p.getFileName.toString) || liveVersionDir(p) || liveClaim(p))
+      liveAux(p) || liveVersionDir(p) || liveClaim(p))
     orphans.foreach(deleteRecursively)
     orphans.map(_.toString)
   }

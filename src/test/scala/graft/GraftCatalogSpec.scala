@@ -226,6 +226,45 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { sql("SELECT * FROM graft.spec.meta.nonsense").collect() }
   }
 
+  test("CALL procedures: rewrite_data_files / expire / orphans / auto_maintain") {
+    sql("DROP TABLE IF EXISTS graft.spec.proc")
+    sql("""CREATE TABLE graft.spec.proc (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    // fragment it: several tiny appends
+    (1 to 6).foreach(k => sql(s"INSERT INTO graft.spec.proc VALUES ($k, ${k * 10})"))
+    val kpt = graftCatalog.tableFor(Identifier.of(Array("spec"), "proc"))
+    val filesBefore = kpt.files().count()
+
+    val rewrite = sql(
+      "CALL graft.system.rewrite_data_files(table => 'spec.proc', min_input_files => 2)")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rewrite.head._1 === "rewrite_data_files", rewrite.mkString(";"))
+    assert(kpt.files().count() < filesBefore)
+
+    val expired = sql(
+      "CALL graft.system.expire_snapshots(table => 'spec.proc', older_than_ms => 0, retain_last => 1)")
+      .collect().map(_.getString(1)).head
+    assert(expired.startsWith("expired v"), expired)
+
+    val orphans = sql("CALL graft.system.remove_orphan_files(table => 'spec.proc')")
+      .collect().map(_.getString(1)).head
+    assert(orphans.contains("orphan"), orphans)
+
+    // auto_maintain reports the executed plan; the routine sweep is always advised
+    val auto = sql("CALL graft.system.auto_maintain(table => 'spec.proc')")
+      .collect().map(_.getString(0))
+    assert(auto.contains("remove_orphans"), auto.mkString(","))
+    // data intact through the whole maintenance pass
+    assert(sql("SELECT COUNT(*) FROM graft.spec.proc").head().getLong(0) === 6L)
+    // unknown procedure refuses (Spark wraps it as FAILED_TO_LOAD_ROUTINE;
+    // our inventory message rides the cause chain)
+    val e = intercept[Exception] { sql("CALL graft.system.nope(table => 'spec.proc')") }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(messages.contains("FAILED_TO_LOAD_ROUTINE") || messages.contains("available"),
+      messages)
+  }
+
   test("Scala surface and SQL surface see one table state (MERGE then SELECT)") {
     sql("DROP TABLE IF EXISTS graft.spec.merged")
     sql("""CREATE TABLE graft.spec.merged (id BIGINT, v BIGINT)
