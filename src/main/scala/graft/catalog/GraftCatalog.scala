@@ -7,7 +7,7 @@ import java.util.Properties
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Literal, Transform}
 import org.apache.spark.sql.connector.catalog.{NamespaceChange, TableChange}
@@ -52,17 +52,31 @@ import graft.cdc.KeyedParquetTable
   * interfaces see identical state, because the catalog stores nothing the
   * table root doesn't.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+    with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    warehouse = Paths.get(Option(options.get("warehouse")).getOrElse(
-      sys.props.getOrElse("graft.catalog.warehouse",
-        s"${sys.props("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")))
+    val explicit = Option(options.get("warehouse"))
+      .orElse(sys.props.get("graft.catalog.warehouse"))
+    warehouse = Paths.get(explicit.getOrElse(
+      s"${sys.props("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}"))
     Files.createDirectories(warehouse)
+    // the pid-scoped DEFAULT warehouse is scratch by definition (nobody can
+    // address it after this JVM dies) — sweep it at exit so Verify/Bench/
+    // test runs don't leak table trees into /tmp; an explicitly configured
+    // warehouse is durable state and is never touched
+    if (explicit.isEmpty) {
+      val w = warehouse
+      sys.addShutdownHook {
+        try Files.walk(w).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(Files.deleteIfExists(_))
+        catch { case _: Throwable => () }
+      }
+    }
   }
 
   override def name(): String = catalogName
@@ -327,6 +341,101 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (namespace.sameElements(Array("system")))
       GraftProcedures.list.map(Identifier.of(Array("system"), _)).toArray
     else Array.empty
+
+  // ---- ViewCatalog -----------------------------------------------------------
+  // CREATE/DROP/SHOW VIEW: a view is its SQL text plus the resolution
+  // context Spark captured at CREATE (catalog, namespace, schema, column
+  // aliases), persisted as one `<name>.view.properties` FILE beside the
+  // table dirs (a file cannot collide with a table's directory). Spark
+  // itself re-parses and re-resolves the stored text on every read — the
+  // catalog stores, never executes.
+
+  private def viewFile(ident: Identifier): Path = {
+    require(validSegment(ident.name), s"invalid view name ${ident.name}")
+    nsPath(ident.namespace).resolve(s"${ident.name}.view.properties")
+  }
+
+  private def storeArray(p: Properties, key: String, xs: Array[String]): Unit = {
+    p.setProperty(s"$key.n", xs.length.toString)
+    xs.zipWithIndex.foreach { case (x, i) =>
+      if (x != null) p.setProperty(s"$key.$i", x) }
+  }
+
+  private def loadArray(p: Properties, key: String): Array[String] = {
+    val n = Option(p.getProperty(s"$key.n")).map(_.toInt).getOrElse(0)
+    Array.tabulate(n)(i => p.getProperty(s"$key.$i")) // absent -> null
+  }
+
+  override def viewExists(ident: Identifier): Boolean = Files.exists(viewFile(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val dir = nsPath(namespace.toArray)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace.toArray)
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".view.properties"))
+      .map(n => Identifier.of(namespace.toArray, n.stripSuffix(".view.properties")))
+      .toArray
+    finally s.close()
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val f = viewFile(info.ident)
+    if (Files.exists(f)) throw new ViewAlreadyExistsException(info.ident)
+    Files.createDirectories(f.getParent)
+    val p = new Properties()
+    p.setProperty("sql", info.sql)
+    p.setProperty("currentCatalog", info.currentCatalog)
+    storeArray(p, "currentNamespace", info.currentNamespace)
+    p.setProperty("schema", info.schema.json)
+    storeArray(p, "queryColumnNames", info.queryColumnNames)
+    storeArray(p, "columnAliases", info.columnAliases)
+    storeArray(p, "columnComments", info.columnComments)
+    info.properties.asScala.foreach { case (k, v) => p.setProperty(s"p.$k", v) }
+    val out = new FileOutputStream(f.toFile)
+    try p.store(out, null) finally out.close()
+    loadView(info.ident)
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val f = viewFile(ident)
+    if (!Files.exists(f)) throw new NoSuchViewException(ident)
+    val p = new Properties()
+    val in = new FileInputStream(f.toFile)
+    try p.load(in) finally in.close()
+    val viewName = fullName(ident)
+    new View {
+      override def name(): String = viewName
+      override def query(): String = p.getProperty("sql")
+      override def currentCatalog(): String = p.getProperty("currentCatalog")
+      override def currentNamespace(): Array[String] = loadArray(p, "currentNamespace")
+      override def schema(): StructType =
+        org.apache.spark.sql.types.DataType.fromJson(p.getProperty("schema"))
+          .asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] = loadArray(p, "queryColumnNames")
+      override def columnAliases(): Array[String] = loadArray(p, "columnAliases")
+      override def columnComments(): Array[String] = loadArray(p, "columnComments")
+      override def properties(): java.util.Map[String, String] =
+        p.stringPropertyNames().asScala.collect {
+          case k if k.startsWith("p.") => k.stripPrefix("p.") -> p.getProperty(k)
+        }.toMap.asJava
+    }
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    throw new UnsupportedOperationException(
+      "ALTER VIEW properties are not stored — CREATE OR REPLACE the view")
+
+  override def dropView(ident: Identifier): Boolean =
+    Files.deleteIfExists(viewFile(ident))
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent)) throw new NoSuchViewException(oldIdent)
+    if (viewExists(newIdent) || tableExists(newIdent))
+      throw new ViewAlreadyExistsException(newIdent)
+    Files.createDirectories(viewFile(newIdent).getParent)
+    Files.move(viewFile(oldIdent), viewFile(newIdent))
+  }
 
   // ---- SupportsNamespaces --------------------------------------------------
 

@@ -265,6 +265,30 @@ class GraftCatalogSpec extends SparkSpec {
       messages)
   }
 
+  test("CREATE VIEW / SELECT / SHOW VIEWS / DROP VIEW round-trip") {
+    sql("DROP TABLE IF EXISTS graft.spec.vbase")
+    sql("""CREATE TABLE graft.spec.vbase (id BIGINT, grp STRING, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.vbase VALUES (1,'a',10), (2,'a',20), (3,'b',30)")
+    sql("DROP VIEW IF EXISTS graft.spec.by_grp")
+    sql("""CREATE VIEW graft.spec.by_grp AS
+           SELECT grp, SUM(v) AS total FROM graft.spec.vbase GROUP BY grp""")
+    val got = sql("SELECT grp, total FROM graft.spec.by_grp ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a", 30L), ("b", 60L)))
+    // views re-resolve their text: new data is visible without recreation
+    sql("INSERT INTO graft.spec.vbase VALUES (4,'b',40)")
+    assert(sql("SELECT total FROM graft.spec.by_grp WHERE grp = 'b'")
+      .head().getLong(0) === 70L)
+    assert(sql("SHOW VIEWS IN graft.spec").collect()
+      .map(_.getString(1)).contains("by_grp"))
+    // a view is not a table and vice versa
+    assert(!sql("SHOW TABLES IN graft.spec").collect()
+      .map(_.getString(1)).contains("by_grp"))
+    sql("DROP VIEW graft.spec.by_grp")
+    intercept[Exception] { sql("SELECT * FROM graft.spec.by_grp").collect() }
+  }
+
   test("Scala surface and SQL surface see one table state (MERGE then SELECT)") {
     sql("DROP TABLE IF EXISTS graft.spec.merged")
     sql("""CREATE TABLE graft.spec.merged (id BIGINT, v BIGINT)
