@@ -221,6 +221,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
                            properties: java.util.Map[String, String]): Table = {
     val dir = tablePath(ident)
     if (Files.exists(metaFile(dir))) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
     val props = properties.asScala.toMap
 
     // the concrete transform case classes are private[sql]; the public
@@ -316,6 +317,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (!Files.exists(metaFile(from))) throw new NoSuchTableException(oldIdent)
     val to = tablePath(newIdent)
     if (Files.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    if (viewExists(newIdent)) throw new ViewAlreadyExistsException(newIdent)
     Files.createDirectories(to.getParent)
     Files.move(from, to)
   }
@@ -382,6 +384,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def createView(info: ViewInfo): View = {
     val f = viewFile(info.ident)
     if (Files.exists(f)) throw new ViewAlreadyExistsException(info.ident)
+    // symmetric with createTable's viewExists check: an identifier names a
+    // table XOR a view, or loadTable/loadView resolution turns ambiguous
+    if (tableExists(info.ident))
+      throw new TableAlreadyExistsException(
+        (catalogName +: info.ident.namespace() :+ info.ident.name()).toSeq)
     Files.createDirectories(f.getParent)
     val p = new Properties()
     p.setProperty("sql", info.sql)

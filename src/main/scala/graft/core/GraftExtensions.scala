@@ -83,5 +83,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // without SupportsRowLevelOperations — see GraftMergeInto)
     ext.injectPostHocResolutionRule(s => graft.catalog.MergeIntoGraftTableRule(s))
     ext.injectPlannerStrategy(_ => graft.catalog.GraftMergeStrategy)
+    // SQL-text views over graft catalogs: Spark 4.1 routes CREATE/DROP/SHOW
+    // VIEW to the session catalog only (ResolveSessionCatalog refuses v2
+    // catalogs), so the DDL is claimed in the Hints batch — which runs
+    // BEFORE that refusal — and view reads expand during resolution after
+    // Spark's own relation rules have had precedence (see GraftViews)
+    ext.injectHintResolutionRule(s => graft.catalog.GraftViewDdlRule(s))
+    ext.injectResolutionRule(s => graft.catalog.GraftViewReadRule(s))
   }
 }

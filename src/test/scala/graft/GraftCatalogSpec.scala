@@ -275,7 +275,7 @@ class GraftCatalogSpec extends SparkSpec {
            SELECT grp, SUM(v) AS total FROM graft.spec.vbase GROUP BY grp""")
     val got = sql("SELECT grp, total FROM graft.spec.by_grp ORDER BY grp")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(got === Seq(("a", 30L), ("b", 60L)))
+    assert(got === Seq(("a", 30L), ("b", 30L)))
     // views re-resolve their text: new data is visible without recreation
     sql("INSERT INTO graft.spec.vbase VALUES (4,'b',40)")
     assert(sql("SELECT total FROM graft.spec.by_grp WHERE grp = 'b'")
@@ -287,6 +287,47 @@ class GraftCatalogSpec extends SparkSpec {
       .map(_.getString(1)).contains("by_grp"))
     sql("DROP VIEW graft.spec.by_grp")
     intercept[Exception] { sql("SELECT * FROM graft.spec.by_grp").collect() }
+  }
+
+  test("view semantics: capture context, OR REPLACE, IF NOT EXISTS, collisions") {
+    sql("DROP TABLE IF EXISTS graft.spec.vbase2")
+    sql("""CREATE TABLE graft.spec.vbase2 (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.vbase2 VALUES (1, 10), (2, 20)")
+    // capture context: the view text names the base UNQUALIFIED; created
+    // under USE graft.spec, it must resolve in that captured namespace even
+    // when read from a different current catalog/namespace
+    val (cat0, ns0) = (sql("SELECT current_catalog()").head().getString(0),
+      sql("SELECT current_schema()").head().getString(0))
+    sql("USE graft.spec")
+    sql("DROP VIEW IF EXISTS vsum2")
+    sql("CREATE VIEW vsum2 AS SELECT SUM(v) AS total FROM vbase2")
+    sql(s"USE $cat0.$ns0")
+    assert(sql("SELECT total FROM graft.spec.vsum2").head().getLong(0) === 30L)
+    // OR REPLACE swaps the text; IF NOT EXISTS is a no-op on an existing view
+    sql("CREATE OR REPLACE VIEW graft.spec.vsum2 AS SELECT COUNT(*) AS total FROM graft.spec.vbase2")
+    assert(sql("SELECT total FROM graft.spec.vsum2").head().getLong(0) === 2L)
+    sql("CREATE VIEW IF NOT EXISTS graft.spec.vsum2 AS SELECT 99 AS total")
+    assert(sql("SELECT total FROM graft.spec.vsum2").head().getLong(0) === 2L)
+    // column aliases in the CREATE column list rename the query output
+    sql("DROP VIEW IF EXISTS graft.spec.vcols")
+    sql("CREATE VIEW graft.spec.vcols (k, total) AS SELECT id, v FROM graft.spec.vbase2")
+    assert(sql("SELECT k, total FROM graft.spec.vcols WHERE k = 2").head().getLong(1) === 20L)
+    // collisions refuse both ways: a view cannot shadow a table and vice versa
+    intercept[Exception] {
+      sql("CREATE VIEW graft.spec.vbase2 AS SELECT 1 AS x") }
+    intercept[Exception] {
+      sql("CREATE TABLE graft.spec.vsum2 (x BIGINT) TBLPROPERTIES ('graft.keys'='x')") }
+    // direct self-reference refuses loudly instead of looping the analyzer
+    sql("DROP VIEW IF EXISTS graft.spec.vself")
+    sql("CREATE OR REPLACE VIEW graft.spec.vself AS SELECT * FROM graft.spec.vbase2")
+    sql("CREATE OR REPLACE VIEW graft.spec.vself AS SELECT * FROM graft.spec.vself")
+    val e = intercept[Exception] { sql("SELECT * FROM graft.spec.vself").collect() }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("recursive"))), e.getMessage)
+    sql("DROP VIEW graft.spec.vself")
+    sql("DROP VIEW graft.spec.vcols")
+    sql("DROP VIEW graft.spec.vsum2")
   }
 
   test("Scala surface and SQL surface see one table state (MERGE then SELECT)") {
