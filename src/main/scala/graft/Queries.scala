@@ -4359,7 +4359,10 @@ object Queries {
     // strategy (GraftMergeInto) into the engine's bucket-scoped merge.
     // Seed = latest-per-user over EVEN event_ids; the merge applies the
     // ODD half's final states (error → DELETE, else UPDATE/INSERT *), so
-    // all three verbs execute. Oracle recomputes the converged state.
+    // all three verbs execute — including the ANSI corner: an 'error' row
+    // whose user has no even-seed match is NOT MATCHED and must INSERT,
+    // not vanish (a matched-DELETE condition never applies to unmatched
+    // rows). Oracle recomputes the converged state including that branch.
     "q_sql_merge" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
@@ -4398,6 +4401,10 @@ object Queries {
              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
              |    FROM events WHERE event_id % 2 = 1) t WHERE rn = 1)
              |SELECT user_id, event_id, event_type, value FROM odd WHERE event_type <> 'error'
+             |UNION ALL
+             |SELECT o.user_id, o.event_id, o.event_type, o.value FROM odd o
+             |WHERE o.event_type = 'error'
+             |  AND NOT EXISTS (SELECT 1 FROM even e WHERE e.user_id = o.user_id)
              |UNION ALL
              |SELECT e.user_id, e.event_id, e.event_type, e.value FROM even e
              |WHERE NOT EXISTS (SELECT 1 FROM odd o WHERE o.user_id = e.user_id)""".stripMargin)),

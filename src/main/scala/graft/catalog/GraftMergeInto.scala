@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{assert_true, col, count, lit}
+import org.apache.spark.sql.functions.{assert_true, col, count, lit, when}
 import org.apache.spark.sql.types.{StructField, StructType}
 
 /** `MERGE INTO` SQL text over catalog tables — the reference's core CDC
@@ -171,7 +171,7 @@ object GraftMergeInto {
       case Some(c) => If(c, Literal("d"), Literal("u"))
       case None => Literal("u")
     }
-    GraftMergeCommand(table,
+    GraftMergeCommand(table, hasDelete = deleteCond.isDefined,
       Project(cols :+ Alias(opExpr, OpCol)(), m.sourceTable))
   }
 }
@@ -179,7 +179,8 @@ object GraftMergeInto {
 /** The rewritten MERGE as an eagerly-executed command (Command nodes run on
   * `spark.sql(...)` itself — the semantics SQL users expect of MERGE).
   */
-final case class GraftMergeCommand(table: GraftTable, child: LogicalPlan)
+final case class GraftMergeCommand(table: GraftTable, hasDelete: Boolean,
+                                   child: LogicalPlan)
     extends UnaryCommand {
   override def output: Seq[Attribute] = Nil
   override protected def withNewChildInternal(newChild: LogicalPlan): GraftMergeCommand =
@@ -203,7 +204,7 @@ final case class MergeIntoGraftTableRule(spark: SparkSession) extends Rule[Logic
 object GraftMergeStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GraftMergeCommand =>
-      GraftMergeExec(g.table, planLater(g.child)) :: Nil
+      GraftMergeExec(g.table, g.hasDelete, planLater(g.child)) :: Nil
     case _ => Nil
   }
 }
@@ -213,8 +214,29 @@ object GraftMergeStrategy extends SparkStrategy {
   * costs one pass over the BATCH (bounded by the CDC batch contract), not
   * the table; the merge itself then runs the engine's normal scoped-commit
   * plan. The one-row-per-key guard rides the same evaluation.
+  *
+  * Two SQL-surface obligations the Scala surface documents away:
+  *
+  *  - single evaluation: the engine merge evaluates its source plan more
+  *    than once (bucket probe, then the merge itself), under a documented
+  *    deterministic-source contract; SQL text can carry `rand()` or an
+  *    unordered LIMIT, so the guarded batch is `localCheckpoint`ed once
+  *    (the same O(batch) materialization `mergeMor` pays, and it also
+  *    forces the cardinality guard exactly once);
+  *
+  *  - ANSI unmatched-delete semantics: `WHEN MATCHED AND c THEN DELETE`
+  *    applies only to MATCHED rows — a source row satisfying `c` whose key
+  *    is NOT in the target must still take the unconditional
+  *    `WHEN NOT MATCHED THEN INSERT *`. The engine's CDC op protocol would
+  *    drop it (a tombstone for an absent key is a no-op by design), so
+  *    delete-marked rows are probed against the target with the
+  *    bucket+stats-pruned key read ([[graft.cdc.KeyedParquetTable.readForKeys]])
+  *    and unmatched ones are re-marked as upserts. The probe scans only
+  *    the buckets the delete keys hash into — O(delete subset), not
+  *    O(table).
   */
-final case class GraftMergeExec(table: GraftTable, child: SparkPlan)
+final case class GraftMergeExec(table: GraftTable, hasDelete: Boolean,
+                                child: SparkPlan)
     extends UnaryExecNode {
 
   override def output: Seq[Attribute] = Nil
@@ -246,7 +268,23 @@ final case class GraftMergeExec(table: GraftTable, child: SparkPlan)
           s"(${keys.mkString(",")})")))
       .filter(col("__graft_card_ok").isNull)
       .drop("__graft_n", "__graft_card_ok")
-    table.kpt.merge(guarded, GraftMergeInto.OpCol)
+      .localCheckpoint(true) // single evaluation + guard fires exactly once
+    val op = GraftMergeInto.OpCol
+    val batch = if (!hasDelete) guarded else {
+      // ANSI: only MATCHED rows delete — re-mark unmatched tombstones as
+      // inserts. Probe = pruned read of the buckets the delete keys hit.
+      val dRows = guarded.filter(col(op) === "d")
+      val keyCols = keys.map(col)
+      val tgtKeys = table.kpt.readForKeys(dRows.select(keyCols: _*))
+        .select(keyCols: _*).distinct()
+        .withColumn("__graft_exists", lit(true))
+      val dFixed = dRows.join(tgtKeys, keys, "left_outer")
+        .withColumn(op, when(col("__graft_exists").isNotNull, lit("d"))
+          .otherwise(lit("u")))
+        .drop("__graft_exists")
+      guarded.filter(col(op) =!= "d").unionByName(dFixed)
+    }
+    table.kpt.merge(batch, op)
   }
 
   override def executeCollect(): Array[InternalRow] = { run(); Array.empty }

@@ -200,6 +200,42 @@ class GraftCatalogSpec extends SparkSpec {
     assert(r2.getMessage.contains("keys"), r2.getMessage)
   }
 
+  test("MERGE INTO: ANSI unmatched-delete rows INSERT; source evaluates once") {
+    sql("DROP TABLE IF EXISTS graft.spec.cdc3")
+    sql("""CREATE TABLE graft.spec.cdc3 (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.cdc3 VALUES (1, 10), (2, 20)")
+    // id=2 matched 'd' → deleted; id=9 'd' but NOT matched → the
+    // unconditional WHEN NOT MATCHED THEN INSERT * must land it (ANSI);
+    // the engine's own CDC no-op-tombstone protocol must not leak here
+    Seq((2L, 0L, "d"), (9L, 90L, "d"), (3L, 30L, "u"))
+      .toDF("id", "v", "operation").createOrReplaceTempView("ansi_src")
+    sql("""MERGE INTO graft.spec.cdc3 target USING ansi_src source
+           ON target.id = source.id
+           WHEN MATCHED AND source.operation = 'd' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    assert(sql("SELECT id, v FROM graft.spec.cdc3 ORDER BY id")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 10L), (3L, 30L), (9L, 90L)))
+    // a non-deterministic source is materialized ONCE before the engine's
+    // multi-evaluation merge path (bucket probe + merge + exists probe):
+    // whatever ids the scramble drew, the table must hold exactly the
+    // drawn set with no duplicated or phantom rows
+    sql("""MERGE INTO graft.spec.cdc3 target
+           USING (SELECT CAST(seq * 1000000 + FLOOR(RAND() * 1000) AS BIGINT) AS id,
+                         seq AS v, 'u' AS operation
+                  FROM (SELECT explode(sequence(1, 5)) AS seq)) source
+           ON target.id = source.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    // per-seq disjoint ranges keep keys unique; a re-evaluated (different)
+    // draw between the bucket probe and the merge would duplicate or lose
+    // rows — exactly 5 must land
+    assert(sql("SELECT COUNT(*) FROM graft.spec.cdc3 WHERE id >= 1000000")
+      .head().getLong(0) === 5L)
+    assert(sql("SELECT COUNT(*) FROM graft.spec.cdc3 WHERE id < 1000000").head().getLong(0) === 3L)
+  }
+
   test("metadata tables: history / files / snapshots / tags / properties via SQL") {
     sql("DROP TABLE IF EXISTS graft.spec.meta")
     sql("""CREATE TABLE graft.spec.meta (id BIGINT, v BIGINT)
