@@ -120,11 +120,13 @@ object Tables {
         this.synchronized {
           if (!Files.exists(outDir.resolve("_SUCCESS"))) {
             Files.createDirectories(cacheRoot)
-            // sweep stale entries from prior testdata generations of this
-            // (sf, table) — including pre-r11 entries keyed without the name
+            // sweep stale entries from prior testdata generations of THIS
+            // (sf, table) only — a bare sf-prefix sweep would delete table
+            // A's live entry while building table B's (and race a reader
+            // in another JVM mid-scan on the deleted directory)
             Files.list(cacheRoot).forEach { p =>
               val n = p.getFileName.toString
-              if (n.startsWith(s"$sfName-") && n != key) deleteRecursively(p)
+              if (n.startsWith(s"$sfName-$name-") && n != key) deleteRecursively(p)
             }
             val tmp = cacheRoot.resolve(
               s"$key.tmp-${ProcessHandle.current().pid()}")

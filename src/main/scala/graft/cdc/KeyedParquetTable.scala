@@ -2619,16 +2619,23 @@ final class KeyedParquetTable(
     // input_file_name() yields a URL-encoded URI whose scheme spelling
     // (file:/ vs file:///) and percent-escapes are filesystem-dependent,
     // so exact full-string equality would silently null every row's
-    // origin on a mismatch. url_decode + substring after the last
+    // origin on a mismatch. Percent-decode + substring after the last
     // "/v{N}/" normalizes the scan side to exactly the `rel` the
     // metadata walk produced (layout subdirs are only __bucket=N /
-    // col=value, which cannot themselves contain "/v{N}/").
+    // col=value, which cannot themselves contain "/v{N}/"). url_decode
+    // alone would be WRONG here: it speaks x-www-form-urlencoded, turning
+    // literal '+' into ' ' — but a URI path leaves '+' unescaped, so a
+    // partition value like col=a+b would normalize to "a b", miss the
+    // origin map, and the assert below would fail the whole query.
+    // Escaping '+' to %2B first makes url_decode a pure %XX decoder.
     val originDf = broadcast(origin.toSeq.map { case (rel, ver) =>
       (rel, ver, new java.sql.Timestamp(stamps(ver)))
     }.toDF("__rel", "_origin_version", "_origin_committed_at"))
     val scanned = scanDeclared(snapshotSchema(curDir), None, Seq(curDir.toString))
       .withColumn("__rel",
-        substring_index(url_decode(input_file_name()), s"/v$v/", -1))
+        substring_index(
+          url_decode(regexp_replace(input_file_name(), "\\+", "%2B")),
+          s"/v$v/", -1))
     val live = applyDeletes(scanned, curDir)
     val base =
       if (bucketCount > 0 && live.columns.contains("__bucket")) live.drop("__bucket")

@@ -2038,4 +2038,17 @@ class KeyedParquetTableSpec extends SparkSpec {
       .distinct().collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
     assert(stamps.keySet === Set(4L))
   }
+
+  test("readWithOrigin survives '+' and spaces in partition values (percent-only decode)") {
+    // input_file_name() leaves literal '+' unescaped in the URI while
+    // spaces arrive as %20 — a form-urlencoded decode would turn the '+'
+    // into ' ', miss the origin map, and fail the lineage assert
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_origin_plus"), Seq("id"),
+      Seq("grp"), 2)
+    t.commit(Seq((1L, "a+b"), (2L, "a b"), (3L, "c%2Bd"))
+      .toDF("id", "grp")) // v0: one partition dir per tricky value
+    val rows = t.readWithOrigin().select("id", "grp", "_origin_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set((1L, "a+b", 0L), (2L, "a b", 0L), (3L, "c%2Bd", 0L)))
+  }
 }
