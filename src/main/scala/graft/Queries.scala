@@ -4440,7 +4440,59 @@ object Queries {
              |UNION ALL
              |SELECT 'current', CAST(COUNT(*) AS BIGINT),
              |CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // UPDATE ... SET ... WHERE as literal SQL (GraftDml): self-referencing
+    // assignments over a predicate-selected slice, bucket-scoped
+    // copy-on-write commit. Oracle recomputes the post-update state.
+    "q_sql_update" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("events").createOrReplaceTempView("events_v")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.vsql")
+        s.sql("DROP TABLE IF EXISTS graft.vsql.upd_stats")
+        s.sql("""CREATE TABLE graft.vsql.upd_stats
+                 (user_id BIGINT, n BIGINT, value_micros BIGINT)
+                 PARTITIONED BY (bucket(8, user_id))
+                 TBLPROPERTIES ('graft.keys'='user_id')""")
+        s.sql("""INSERT INTO graft.vsql.upd_stats
+                 SELECT user_id, COUNT(*),
+                        CAST(SUM(ROUND(value * 1000000)) AS BIGINT)
+                 FROM events_v GROUP BY user_id""")
+        s.sql("""UPDATE graft.vsql.upd_stats
+                 SET value_micros = value_micros * 2, n = n + 1000
+                 WHERE user_id % 10 = 3""")
+        s.sql("SELECT user_id, n, value_micros FROM graft.vsql.upd_stats")
+      },
+      Some("""SELECT user_id,
+             |CAST(COUNT(*) + CASE WHEN user_id % 10 = 3 THEN 1000 ELSE 0 END AS BIGINT) AS n,
+             |CAST(SUM(CAST(round(value * 1000000) AS BIGINT))
+             |  * CASE WHEN user_id % 10 = 3 THEN 2 ELSE 1 END AS BIGINT) AS value_micros
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // DELETE FROM ... WHERE as literal SQL (GraftDml): merge-on-read
+    // delete-set commit — matched keys land in the delete shards, zero
+    // data-file rewrites. Oracle recomputes the surviving aggregate.
+    "q_sql_delete" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("events").createOrReplaceTempView("events_v")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.vsql")
+        s.sql("DROP TABLE IF EXISTS graft.vsql.del_events")
+        s.sql("""CREATE TABLE graft.vsql.del_events
+                 (event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)
+                 PARTITIONED BY (bucket(8, event_id))
+                 TBLPROPERTIES ('graft.keys'='event_id')""")
+        s.sql("""INSERT INTO graft.vsql.del_events
+                 SELECT event_id, user_id, event_type, value FROM events_v""")
+        s.sql("DELETE FROM graft.vsql.del_events WHERE event_type = 'error'")
+        s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(ROUND(value * 1000000)) AS BIGINT) AS value_micros
+                 FROM graft.vsql.del_events GROUP BY event_type""")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
+             |FROM events WHERE event_type <> 'error' GROUP BY event_type""".stripMargin))
   )
 
   /** Headline queries for Bench. */

@@ -90,5 +90,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Spark's own relation rules have had precedence (see GraftViews)
     ext.injectHintResolutionRule(s => graft.catalog.GraftViewDdlRule(s))
     ext.injectResolutionRule(s => graft.catalog.GraftViewReadRule(s))
+    // UPDATE ... WHERE / DELETE FROM ... WHERE text → the engine's own
+    // predicate-DML verbs (same claim pattern as MERGE; see GraftDml)
+    ext.injectPostHocResolutionRule(s => graft.catalog.GraftDmlRule(s))
   }
 }

@@ -200,6 +200,34 @@ class GraftCatalogSpec extends SparkSpec {
     assert(r2.getMessage.contains("keys"), r2.getMessage)
   }
 
+  test("UPDATE ... WHERE / DELETE FROM ... WHERE as literal SQL; refusals") {
+    sql("DROP TABLE IF EXISTS graft.spec.dml")
+    sql("""CREATE TABLE graft.spec.dml (id BIGINT, grp STRING, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.dml VALUES (1,'a',10), (2,'a',20), (3,'b',30), (4,'b',40)")
+    // UPDATE with a self-referencing assignment and a predicate
+    sql("UPDATE graft.spec.dml SET v = v + 100 WHERE grp = 'a'")
+    assert(sql("SELECT id, v FROM graft.spec.dml ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 110L), (2L, 120L), (3L, 30L), (4L, 40L)))
+    // DELETE by predicate (merge-on-read delete set, no rewrite)
+    sql("DELETE FROM graft.spec.dml WHERE v >= 120")
+    assert(sql("SELECT id FROM graft.spec.dml ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 3L, 4L))
+    // both DML verbs are snapshots: the pre-DML state time-travels
+    assert(sql("SELECT COUNT(*) FROM graft.spec.dml VERSION AS OF 1").head().getLong(0) === 4L)
+    // refusals: key assignment, subquery predicate
+    val r1 = intercept[Exception] { sql("UPDATE graft.spec.dml SET id = id + 1") }
+    assert(r1.getMessage.contains("key"), r1.getMessage)
+    val r2 = intercept[Exception] {
+      sql("""DELETE FROM graft.spec.dml
+             WHERE v IN (SELECT v FROM graft.spec.dml WHERE grp = 'b')""") }
+    assert(r2.getMessage.contains("subquery"), r2.getMessage)
+    // refused statements left the table untouched
+    assert(sql("SELECT COUNT(*) FROM graft.spec.dml").head().getLong(0) === 3L)
+    sql("DROP TABLE graft.spec.dml")
+  }
+
   test("MERGE INTO: ANSI unmatched-delete rows INSERT; source evaluates once") {
     sql("DROP TABLE IF EXISTS graft.spec.cdc3")
     sql("""CREATE TABLE graft.spec.cdc3 (id BIGINT, v BIGINT)
