@@ -4492,7 +4492,47 @@ object Queries {
       },
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              |CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
-             |FROM events WHERE event_type <> 'error' GROUP BY event_type""".stripMargin))
+             |FROM events WHERE event_type <> 'error' GROUP BY event_type""".stripMargin)),
+
+    // Registration bridge (GraftCatalog.register / 'graft.location'): a
+    // root built ENTIRELY on the Scala surface — two snapshot commits —
+    // becomes SQL-addressable by registering the existing path, including
+    // its history (VERSION AS OF 0 sees the first commit). The data never
+    // moves; the warehouse holds only a pointer.
+    "q_sql_register" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("events").createOrReplaceTempView("events_v")
+        val root = scratchDir("graft_reg_")
+        val kpt = new KeyedParquetTable(s, root, Seq("user_id"), Nil, 8)
+        kpt.commit(s.sql(
+          """SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(ROUND(value * 1000000)) AS BIGINT) AS value_micros
+             FROM events_v WHERE event_id % 2 = 0 GROUP BY user_id"""))   // v0
+        kpt.commit(s.sql(
+          """SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(ROUND(value * 1000000)) AS BIGINT) AS value_micros
+             FROM events_v GROUP BY user_id"""))                          // v1
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.vsql")
+        s.sql("DROP TABLE IF EXISTS graft.vsql.reg_stats")
+        s.sql(s"""CREATE TABLE graft.vsql.reg_stats
+                  (user_id BIGINT, n BIGINT, value_micros BIGINT)
+                  PARTITIONED BY (bucket(8, user_id))
+                  TBLPROPERTIES ('graft.keys'='user_id',
+                                 'graft.location'='$root')""")
+        s.sql("""SELECT 'v0' AS snap, user_id, n, value_micros
+                 FROM graft.vsql.reg_stats VERSION AS OF 0
+                 UNION ALL
+                 SELECT 'current', user_id, n, value_micros
+                 FROM graft.vsql.reg_stats""")
+      },
+      Some("""SELECT 'v0' AS snap, user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
+             |FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+             |UNION ALL
+             |SELECT 'current', user_id, CAST(COUNT(*) AS BIGINT),
+             |CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             |FROM events GROUP BY user_id""".stripMargin))
   )
 
   /** Headline queries for Bench. */

@@ -81,6 +81,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def name(): String = catalogName
 
+  /** The warehouse root this catalog serves (for tooling and for pointing
+    * a second catalog instance at the same tree — the two-session shape).
+    */
+  def warehouseDir: Path = warehouse
+
   private def spark: SparkSession = SparkSession.active
 
   // path-safe identifier segments only: these become directory names
@@ -126,7 +131,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val dir = tablePath(ident)
     if (!Files.exists(metaFile(dir))) throw new NoSuchTableException(ident)
     val m = readMeta(dir)
-    new KeyedParquetTable(spark, dir.toString,
+    // an externally-registered root (register / graft.location) lives
+    // outside the warehouse; the warehouse dir holds only the pointer
+    new KeyedParquetTable(spark, m.getOrElse("location", dir.toString),
       keys = split(m.getOrElse("keys", "")),
       partitionBy = split(m.getOrElse("partitionBy", "")),
       bucketCount = m.getOrElse("bucketCount", "0").toInt,
@@ -134,6 +141,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       statsCols = split(m.getOrElse("statsCols", "")),
       bloomKeyBits = m.getOrElse("bloomKeyBits", "0").toInt,
       sumCols = split(m.getOrElse("sumCols", "")))
+  }
+
+  /** Register an EXISTING engine root under a catalog identifier — the
+    * bridge for Scala-created tables (the whole Verify corpus) that were
+    * invisible to SQL because [[tableFor]] only claims warehouse roots.
+    * The warehouse gains a pointer dir (`_meta.properties` with a
+    * `location` key); the data never moves, and both surfaces keep seeing
+    * one state because the catalog still stores nothing the root doesn't.
+    *
+    * Layout is read from what the root PINNED at its first commit
+    * (`graft.layout.*` table properties); a declared layout (from the SQL
+    * face's PARTITIONED BY / graft.keys) must agree or the registration
+    * refuses — a mismatched open would corrupt the bucket-scoped commit
+    * protocol on first write. DROP TABLE on a registered ident removes
+    * the pointer only (Iceberg external-table semantics), never the root.
+    */
+  def register(ident: Identifier, location: String,
+               declaredKeys: Seq[String] = Nil,
+               declaredBuckets: Option[(Int, Seq[String])] = None,
+               partitionBy: Seq[String] = Nil,
+               statsCols: Seq[String] = Nil,
+               bloomKeyBits: Int = 0,
+               sumCols: Seq[String] = Nil): Table = {
+    val dir = tablePath(ident)
+    if (Files.exists(metaFile(dir))) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    val probe = new KeyedParquetTable(spark, location, declaredKeys,
+      partitionBy, declaredBuckets.map(_._1).getOrElse(0))
+    require(probe.exists,
+      s"register: $location is not an engine table root (no snapshot)")
+    val rp = probe.properties
+    def agree(what: String, pinnedV: Option[String], declaredV: Option[String]): String =
+      (pinnedV, declaredV) match {
+        case (Some(p), Some(d)) =>
+          require(p == d, s"register ${fullName(ident)}: declared $what '$d' " +
+            s"conflicts with the root's pinned $what '$p'")
+          p
+        case (Some(p), None) => p
+        case (None, Some(d)) => d // legacy unpinned root: trust the caller
+        case (None, None) => ""
+      }
+    val keys = agree("keys", rp.get("graft.layout.keys"),
+      Option(declaredKeys.mkString(",")).filter(_.nonEmpty))
+    val bucketCount = agree("bucket count", rp.get("graft.layout.bucket-count"),
+      declaredBuckets.map(_._1.toString))
+    val bucketBy = agree("bucket keys", rp.get("graft.layout.bucket-keys"),
+      declaredBuckets.map(_._2.mkString(",")))
+    Files.createDirectories(dir)
+    writeMeta(dir, Map(
+      "location" -> Paths.get(location).toAbsolutePath.normalize.toString,
+      "keys" -> keys,
+      "partitionBy" -> partitionBy.mkString(","),
+      "bucketCount" -> (if (bucketCount.isEmpty) "0" else bucketCount),
+      "bucketBy" -> bucketBy,
+      "statsCols" -> statsCols.mkString(","),
+      "bloomKeyBits" -> bloomKeyBits.toString,
+      "sumCols" -> sumCols.mkString(",")))
+    new GraftTable(tableFor(ident), fullName(ident), Pin.Current)
   }
 
   // ---- TableCatalog --------------------------------------------------------
@@ -243,6 +308,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
 
     val declaredKeys = split(props.getOrElse(GraftCatalog.KeysProp, ""))
+
+    // CREATE TABLE ... TBLPROPERTIES ('graft.location'='/path') registers
+    // an EXISTING engine root (the Scala-created corpus) instead of laying
+    // out a new one — the SQL face of [[register]]; declared layout, if
+    // any, must agree with what the root pinned
+    props.get(GraftCatalog.LocationProp).foreach { loc =>
+      return register(ident, loc,
+        declaredKeys = declaredKeys,
+        declaredBuckets = bucketSpec,
+        partitionBy = partitionCols,
+        statsCols = split(props.getOrElse("graft.statsCols", "")),
+        bloomKeyBits = props.getOrElse("graft.bloomKeyBits", "0").toInt,
+        sumCols = split(props.getOrElse("graft.sumCols", "")))
+    }
+
     val keys =
       if (declaredKeys.nonEmpty) declaredKeys
       else bucketSpec.map(_._2).getOrElse(Nil) // bucket cols double as keys
@@ -304,7 +384,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val dir = tablePath(ident)
     if (!Files.exists(metaFile(dir))) false
     else {
-      tableFor(ident).drop() // purges the KPT root (snapshots, indexes)
+      // registered external root: DROP removes the pointer, never the data
+      // (Iceberg external-table semantics); a warehouse-owned root purges
+      if (!readMeta(dir).contains("location")) tableFor(ident).drop()
       deleteRecursively(dir)
       true
     }
@@ -508,4 +590,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 object GraftCatalog {
   /** TBLPROPERTIES key declaring the engine's MERGE key columns. */
   val KeysProp = "graft.keys"
+  /** TBLPROPERTIES key registering an existing engine root by path. */
+  val LocationProp = "graft.location"
 }

@@ -303,8 +303,33 @@ final class GraftWriteBuilder(kpt: KeyedParquetTable, tableSchema: StructType)
         // align by NAME in table order (Spark has already resolved and cast
         // the query's columns to the table schema)
         val aligned = data.select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
-        if (replace || overwrite) kpt.commit(aligned)
-        else kpt.append(aligned)
+        // Two SQL writers racing the same table serialize on the engine's
+        // CAS pointer swing; the loser raises ConcurrentModificationException.
+        // The Scala surface exposes that raise (callers coordinate), but a
+        // SQL INSERT is a self-contained statement with commutative append
+        // semantics — so, like Iceberg's commit.retry.num-retries, the lost
+        // race re-reads the new base and retries, bounded. The statement's
+        // data job re-runs per attempt (the claimed version dir changed);
+        // commits, not writes, are what the bound protects. The backoff
+        // must outlast a competing COMMIT (seconds — the claim is held for
+        // the winner's whole write), not just a pointer flip, so it grows
+        // to 1s per attempt with a generous attempt budget; a wedged
+        // claim (dead writer, unexpired lease) still surfaces as the
+        // engine's ConcurrentModificationException after ~15s.
+        val maxRetries = 20
+        var attempt = 0
+        var committed = false
+        while (!committed) {
+          try {
+            if (replace || overwrite) kpt.commit(aligned) else kpt.append(aligned)
+            committed = true
+          } catch {
+            case e: java.util.ConcurrentModificationException =>
+              attempt += 1
+              if (attempt > maxRetries) throw e
+              Thread.sleep(math.min(100L * attempt, 1000L))
+          }
+        }
       }
     }
   }

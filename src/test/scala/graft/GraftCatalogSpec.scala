@@ -200,6 +200,88 @@ class GraftCatalogSpec extends SparkSpec {
     assert(r2.getMessage.contains("keys"), r2.getMessage)
   }
 
+  test("concurrent INSERT INTO: racing commits serialize on the CAS swing") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    sql("DROP TABLE IF EXISTS graft.spec.race")
+    sql("""CREATE TABLE graft.spec.race (id BIGINT, src BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    val writers = 4
+    val latch = new CountDownLatch(writers)
+    val pool = Executors.newFixedThreadPool(writers)
+    val futures = (0 until writers).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        override def call(): Option[Throwable] = {
+          latch.countDown(); latch.await(10, TimeUnit.SECONDS)
+          try { // all four fire together; each appends a disjoint id range
+            sql(s"""INSERT INTO graft.spec.race
+                    SELECT id, CAST($w AS BIGINT) FROM range(${w * 100}, ${w * 100 + 50})""")
+            None
+          } catch { case t: Throwable => Some(t) }
+        }
+      })
+    }
+    val errs = futures.flatMap(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(errs.isEmpty, s"racing INSERTs failed: ${errs.map(_.getMessage)}")
+    // every append landed exactly once...
+    assert(sql("SELECT COUNT(*) FROM graft.spec.race").head().getLong(0) === writers * 50L)
+    assert(sql("SELECT COUNT(DISTINCT src) FROM graft.spec.race").head().getLong(0)
+      === writers.toLong)
+    // ...and the snapshot history is LINEAR: one version per commit, each
+    // adding exactly its own 50 rows
+    val kpt = graftCatalog.tableFor(Identifier.of(Array("spec"), "race"))
+    assert(kpt.currentVersion === writers.toLong) // v0 create + 4 appends
+    (1 to writers).foreach { v =>
+      assert(kpt.readVersion(v).count() === v * 50L, s"version $v")
+    }
+    // a SECOND catalog instance over the SAME warehouse (the two-session
+    // shape) sees the converged state through its own pointer read
+    val cat2 = new GraftCatalog()
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("warehouse", graftCatalog.warehouseDir.toString)
+    cat2.initialize("graft2", new CaseInsensitiveStringMap(opts))
+    assert(cat2.tableFor(Identifier.of(Array("spec"), "race")).read().count()
+      === writers * 50L)
+    sql("DROP TABLE graft.spec.race")
+  }
+
+  test("register: a Scala-created root becomes SQL-addressable; DROP keeps data") {
+    import graft.cdc.KeyedParquetTable
+    val root = java.nio.file.Files.createTempDirectory("kpt_reg").toString
+    val kpt = new KeyedParquetTable(spark, root, Seq("id"), Nil, 4)
+    kpt.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))            // v0
+    kpt.merge(Seq((3L, 30L, "u")).toDF("id", "v", "operation"))      // v1
+    val ident = Identifier.of(Array("spec"), "registered")
+    sql("DROP TABLE IF EXISTS graft.spec.registered")
+    graftCatalog.register(ident, root)
+    // current read and VERSION AS OF resolve through literal SQL
+    assert(sql("SELECT id, v FROM graft.spec.registered ORDER BY id")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(sql("SELECT COUNT(*) FROM graft.spec.registered VERSION AS OF 0")
+      .head().getLong(0) === 2L)
+    // both surfaces still see ONE state: a Scala merge is visible to SQL
+    kpt.merge(Seq((1L, 0L, "d")).toDF("id", "v", "operation"))       // v2
+    assert(sql("SELECT id FROM graft.spec.registered ORDER BY id")
+      .as[Long].collect().toSeq === Seq(2L, 3L))
+    // and SQL DML drives the same root back the other way
+    sql("INSERT INTO graft.spec.registered VALUES (9, 90)")
+    assert(kpt.read().count() === 3L)
+    // declared layout conflicting with the pinned one refuses
+    intercept[Exception] {
+      sql(s"""CREATE TABLE graft.spec.reg2 (id BIGINT, v BIGINT)
+              PARTITIONED BY (bucket(8, id))
+              TBLPROPERTIES ('graft.keys'='id', 'graft.location'='$root')""") }
+    // the SQL registration face with an AGREEING layout works
+    sql(s"""CREATE TABLE graft.spec.reg2 (id BIGINT, v BIGINT)
+            PARTITIONED BY (bucket(4, id))
+            TBLPROPERTIES ('graft.keys'='id', 'graft.location'='$root')""")
+    assert(sql("SELECT COUNT(*) FROM graft.spec.reg2").head().getLong(0) === 3L)
+    // DROP unregisters the pointer; the external root is untouched
+    sql("DROP TABLE graft.spec.reg2")
+    sql("DROP TABLE graft.spec.registered")
+    assert(kpt.read().count() === 3L)
+  }
+
   test("UPDATE ... WHERE / DELETE FROM ... WHERE as literal SQL; refusals") {
     sql("DROP TABLE IF EXISTS graft.spec.dml")
     sql("""CREATE TABLE graft.spec.dml (id BIGINT, grp STRING, v BIGINT)
