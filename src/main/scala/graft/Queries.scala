@@ -1528,25 +1528,35 @@ object Queries {
     // returned ('R') line in a finished order was the ONLY returned line
     // while other suppliers shipped in the same order. (The testdata carries
     // no commit/receipt dates, so returnflag='R' plays Q21's "late" role.)
-    // The correlated EXISTS / NOT EXISTS decorrelate to one semi- and one
-    // anti-join on l_orderkey — no correlated per-row subquery execution.
+    // Instead of decorrelating to a semi- plus an anti-join (three
+    // lineitem shuffles: l1 ⋉ l2 ▷ l3), ONE grouped pass computes the
+    // per-order facts both subqueries asked about: EXISTS(other supplier
+    // shipped) ⇔ the order has ≥2 distinct suppliers, and NOT EXISTS
+    // (another supplier returned) ⇔ exactly one supplier owns every 'R'
+    // line — in which case every 'R' row in the order waits, attributed to
+    // that single supplier. Two cascading aggregations (orderkey+suppkey,
+    // then orderkey — the second consumes already-collapsed rows), a
+    // broadcast semi against the filtered orders keys, and a broadcast
+    // supplier join. Scale: shuffles once on (orderkey, suppkey) with full
+    // map-side combine; no lineitem-vs-lineitem join survives.
     "q21_waiting_supplier" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val li = t("lineitem")
-        val l1 = li.filter(col("l_returnflag") === "R")
-          .join(t("orders").filter(col("o_orderstatus") === "F").select("o_orderkey"),
-            col("l_orderkey") === col("o_orderkey"))
-          .select("l_orderkey", "l_suppkey")
-        val l2 = li.select(col("l_orderkey").as("__ok2"), col("l_suppkey").as("__sk2"))
-        val l3 = li.filter(col("l_returnflag") === "R")
-          .select(col("l_orderkey").as("__ok3"), col("l_suppkey").as("__sk3"))
-        l1.join(l2, col("l_orderkey") === col("__ok2") &&
-            col("l_suppkey") =!= col("__sk2"), "left_semi")
-          .join(l3, col("l_orderkey") === col("__ok3") &&
-            col("l_suppkey") =!= col("__sk3"), "left_anti")
-          .join(broadcast(t("supplier")), col("l_suppkey") === col("s_suppkey"))
-          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(count(when(col("l_returnflag") === "R", 1)).as("__r_rows_s"))
+        val perOrder = perSupp.groupBy(col("l_orderkey")).agg(
+          count(lit(1)).as("__n_supp"),
+          sum(when(col("__r_rows_s") > 0, 1).otherwise(0)).as("__r_supp"),
+          sum(col("__r_rows_s")).as("__r_rows"),
+          max(when(col("__r_rows_s") > 0, col("l_suppkey"))).as("__r_suppkey"))
+        perOrder
+          .filter(col("__n_supp") >= 2 && col("__r_supp") === 1)
+          .join(broadcast(t("orders").filter(col("o_orderstatus") === "F")
+            .select("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .join(broadcast(t("supplier")), col("__r_suppkey") === col("s_suppkey"))
+          .groupBy("s_name").agg(sum(col("__r_rows")).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name").asc)
           .limit(100)
       },
