@@ -19,13 +19,20 @@ object BenchOne {
     // constant an incremental maintainer pays, so surface it next to the time
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val t0 = System.nanoTime()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
         if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE"))
-          System.err.println("TRACEJOB " +
-            j.stageInfos.map(_.name.takeWhile(_ != '\n').take(60)).mkString(" | "))
+          jobStart.put(j.jobId, (System.nanoTime(),
+            j.stageInfos.map(_.name.takeWhile(_ != '\n').take(50)).mkString(" | ")))
       }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        Option(jobStart.remove(j.jobId)).foreach { case (start, name) =>
+          System.err.println(f"TRACEJOB id=${j.jobId} at=${(start - t0) / 1e9}%.2f " +
+            f"dur=${(System.nanoTime() - start) / 1e9}%.3f $name")
+        }
       override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
     })

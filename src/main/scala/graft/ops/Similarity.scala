@@ -348,8 +348,25 @@ object Similarity {
     */
   def ivfQuery(spark: SparkSession, indexDir: String, query: DataFrame,
                idCol: String, vecCol: String, k: Int,
-               nProbe: Int = 4): DataFrame = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+               nProbe: Int = 4): DataFrame =
+    ivfQuery(spark.read.parquet(s"$indexDir/centroids"),
+      spark.read.parquet(s"$indexDir/vectors"),
+      query, idCol, vecCol, k, nProbe)
+
+  /** [[ivfQuery]] over pre-loaded index frames. A caller querying the same
+    * immutable index repeatedly should load `centroids`/`vectors` once and
+    * reuse them: a fresh `spark.read.parquet` per query re-lists the
+    * centroid-partitioned vectors tree (one directory per cell) inside the
+    * query's timed path, and that listing — not the pruned scan — was the
+    * residual cost of the hot ANN path. The cell filter still partition-
+    * prunes per plan; only the file INDEX is reused, never stale data (the
+    * frames see exactly the files listed at load — callers that append to
+    * the index must reload, as [[ivfAppend]] documents).
+    */
+  def ivfQuery(centroids: DataFrame, vectors: DataFrame, query: DataFrame,
+               idCol: String, vecCol: String, k: Int,
+               nProbe: Int): DataFrame = {
+    val cents = centroids
     val probed = query.select(col(vecCol).as("__qvec"))
       .crossJoin(broadcast(cents))
       .withColumn("__qsim", cosine(col("__qvec"), col("centroid")))
@@ -358,7 +375,7 @@ object Similarity {
       .select("centroid_id")
       .collect().map(_.getLong(0)).toIndexedSeq // O(nProbe): driver-safe
     val q = query.select(col(vecCol).as("__qvec"))
-    ivfProbeScan(spark, indexDir, probed)
+    vectors.filter(col("centroid_id").cast("long").isInCollection(probed))
       .crossJoin(broadcast(q))
       .withColumn("sim", cosine(col(vecCol), col("__qvec")))
       .select(col(idCol), col("sim"))
@@ -382,9 +399,19 @@ object Similarity {
     */
   def ivfQueryAll(spark: SparkSession, indexDir: String, queries: DataFrame,
                   qidCol: String, idCol: String, vecCol: String, k: Int,
-                  nProbe: Int = 4): DataFrame = {
+                  nProbe: Int = 4): DataFrame =
+    ivfQueryAll(spark.read.parquet(s"$indexDir/centroids"),
+      spark.read.parquet(s"$indexDir/vectors"),
+      queries, qidCol, idCol, vecCol, k, nProbe)
+
+  /** [[ivfQueryAll]] over pre-loaded index frames (see the [[ivfQuery]]
+    * frame overload for why reuse matters on a hot immutable index).
+    */
+  def ivfQueryAll(centroids: DataFrame, vectors: DataFrame, queries: DataFrame,
+                  qidCol: String, idCol: String, vecCol: String, k: Int,
+                  nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cents = centroids
     val probes = queries
       .select(col(qidCol).as("query_id"), col(vecCol).as("__qvec"))
       .crossJoin(broadcast(cents))
@@ -399,7 +426,7 @@ object Similarity {
       .localCheckpoint(true)
     val probedCells = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq // ≤ nCells: driver-safe
-    ivfProbeScan(spark, indexDir, probedCells)
+    vectors.filter(col("centroid_id").cast("long").isInCollection(probedCells))
       .withColumn("centroid_id", col("centroid_id").cast("long"))
       .join(probes, "centroid_id")
       .withColumn("sim", cosine(col(vecCol), col("__qvec")))

@@ -303,13 +303,16 @@ object IncrementalAgg {
   /** Fold a SEQUENCE of CDC batches with cross-batch pipelining: batch
     * k+1's [[prepareCdcBatch]] (the dedup window + checkpoint + probes —
     * a pure read of the batch, touching no table state) runs concurrently
-    * with batch k's commits, so the per-batch critical path drops from
-    * (dedup + pre-read + commit) to (pre-read + commit) for every batch
-    * after the first. Commit order — and therefore the replay protocol,
-    * retraction math and txn markers — is IDENTICAL to calling
-    * [[applyCdcBatchN]] in a loop: prepares are speculative reads, and
-    * each batch's two table commits still happen strictly before the next
-    * batch's. `txnIds(i)` (when provided) is batch i's replay marker.
+    * with batch k's commits, and batch k's AGG commit stays in flight
+    * while batch k+1 reads its pre-images (the entity commit it depends on
+    * is always awaited first), so the per-batch critical path drops from
+    * (dedup + pre-read + entity∥agg) to (pre-read + entity commit).
+    * Commit ORDER — and therefore the replay protocol, retraction math and
+    * txn markers — is IDENTICAL to calling [[applyCdcBatchN]] in a loop:
+    * prepares and pre-reads are speculative reads, and every commit of
+    * batch k still lands strictly before any commit of batch k+1
+    * ([[applyPreparedCdcDeferred]] awaits the deferred agg before
+    * committing). `txnIds(i)` (when provided) is batch i's replay marker.
     */
   def applyCdcBatchesN(entityTable: KeyedParquetTable, aggTable: KeyedParquetTable,
                        batches: Seq[DataFrame], groupCol: String,
@@ -322,14 +325,19 @@ object IncrementalAgg {
     import scala.concurrent.ExecutionContext.Implicits.global
     var pending: Future[PreparedCdcBatch] = Future(
       prepareCdcBatch(entityTable, aggTable, batches.head, groupCol, ordering, opCol))
+    // batch i's AGG commit stays in flight while batch i+1 runs its
+    // pre-image read (applyPreparedCdcDeferred awaits it before i+1
+    // commits anything — reads overlap commits, commit order never changes)
+    var pendingAgg: Option[Future[Unit]] = None
     batches.indices.foreach { i =>
       val prepared = Await.result(pending, Duration.Inf)
       if (i + 1 < batches.size)
         pending = Future(prepareCdcBatch(entityTable, aggTable,
           batches(i + 1), groupCol, ordering, opCol))
-      applyPreparedCdc(entityTable, aggTable, prepared, groupCol, valueCols,
-        opCol, txnIds.lift(i))
+      pendingAgg = applyPreparedCdcDeferred(entityTable, aggTable, prepared,
+        groupCol, valueCols, opCol, txnIds.lift(i), pendingAgg)
     }
+    pendingAgg.foreach(Await.result(_, Duration.Inf))
   }
 
   /** Single-measure [[applyCdcBatchesN]]. */
@@ -345,6 +353,32 @@ object IncrementalAgg {
                                prepared: PreparedCdcBatch, groupCol: String,
                                valueCols: Seq[String], opCol: String,
                                txnId: Option[String]): Unit = {
+    import scala.concurrent.Await
+    import scala.concurrent.duration.Duration
+    applyPreparedCdcDeferred(entityTable, aggTable, prepared, groupCol,
+      valueCols, opCol, txnId, prevAgg = None)
+      .foreach(Await.result(_, Duration.Inf))
+  }
+
+  /** [[applyPreparedCdc]] with the AGG half handed back as a still-running
+    * future instead of awaited — the batched loop overlaps it with the
+    * NEXT batch's pre-image read (a speculative READ of the entity table,
+    * which this call's awaited entity commit has already advanced).
+    * Commit ORDER is identical to the serial form: `prevAgg` (the previous
+    * batch's agg commit) is awaited before ANY of this batch's commits
+    * launch, so per-table commit sequences — and therefore the txn-marker
+    * replay protocol — are unchanged; only reads overlap commits, the same
+    * argument [[applyCdcBatchesN]] makes for the dedup-window prefetch.
+    * Returns the pending agg future (or `prevAgg` untouched on the
+    * early-out paths, which commit nothing).
+    */
+  private def applyPreparedCdcDeferred(entityTable: KeyedParquetTable,
+                                       aggTable: KeyedParquetTable,
+                                       prepared: PreparedCdcBatch, groupCol: String,
+                                       valueCols: Seq[String], opCol: String,
+                                       txnId: Option[String],
+                                       prevAgg: Option[scala.concurrent.Future[Unit]])
+      : Option[scala.concurrent.Future[Unit]] = {
     require(valueCols.nonEmpty, "need at least one value column")
     val keys = entityTable.keys
     require(aggTable.keys == Seq(groupCol),
@@ -354,12 +388,15 @@ object IncrementalAgg {
     // between the two merges the replay applies exactly the missing half —
     // the delta is never folded twice (without a txnId, a replay between
     // the merges WOULD double-apply; pass one from foreachBatch's batchId).
-    val aggDone = txnId.isDefined && aggTable.exists && aggTable.lastTxn == txnId
+    // The entity probe is safe here (entity commits are always awaited
+    // before this call); the AGG probe waits until prevAgg resolves below,
+    // or it could read a marker mid-commit.
     val entityDone = txnId.isDefined && entityTable.exists && entityTable.lastTxn == txnId
     val latest = prepared.latest
-    if (aggDone && entityDone) { latest.unpersist(false); return }
     val entityBuckets = prepared.entityBuckets
-    if (entityBuckets.fold(latest.isEmpty)(_.isEmpty)) { latest.unpersist(false); return }
+    if (entityBuckets.fold(latest.isEmpty)(_.isEmpty)) {
+      latest.unpersist(false); return prevAgg
+    }
     // FUSED entity read (hot path, bucketed entity table in the engine's
     // own layout): the touched buckets' complete state is scanned ONCE and
     // cached; it then serves BOTH the retraction pre-images and the entity
@@ -423,6 +460,31 @@ object IncrementalAgg {
           org.apache.spark.sql.types.StructType(latest.drop(opCol).schema.fields))
         entityTable.merge(latest, opCol, txnId, entityBuckets)
     }
+    // the pre-image read above was the batch's last SPECULATIVE step — it
+    // overlapped the previous batch's still-running agg commit. What the
+    // still-pending `prevAgg` may gate depends on whether txn markers are
+    // in play:
+    //  - WITH markers (`strict`): the lastTxn replay protocol reasons over
+    //    "every commit of batch k lands before any commit of batch k+1" —
+    //    a crash must leave each table at most ONE batch apart. So the
+    //    previous agg is awaited before ANY of this batch's commits, and
+    //    only then is the agg txn probe race-free.
+    //  - WITHOUT markers: there is no replay protocol to protect, and the
+    //    retraction math never needed the cross-TABLE barrier — it depends
+    //    only on this batch's version-pinned pre-image checkpoint (already
+    //    read) and on each table's own serial commit order (entity: the
+    //    awaited entityFut below; agg: the deferred future chains on
+    //    prevAgg before folding). So the entity commit launches without
+    //    waiting for the previous agg, and the two tables' commit chains
+    //    run in parallel across batches — wall-clock max(Σentity, Σagg)
+    //    instead of Σ(entity + agg).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val strict = txnId.isDefined
+    if (strict) prevAgg.foreach(Await.result(_, Duration.Inf))
+    val aggDone = strict && aggTable.exists && aggTable.lastTxn == txnId
+    if (aggDone && entityDone) { latest.unpersist(false); return None }
     // the entity commit depends only on (preState, latest) — both already
     // checkpointed and IMMUTABLE — so on the fused path it launches NOW and
     // overlaps the whole agg half (delta aggregation + fold + commit): the
@@ -431,12 +493,10 @@ object IncrementalAgg {
     // marker identifies its half, and the preV read above recovers
     // pre-images even when the entity half won the race. (The unfused path
     // keeps agg-then-entity ordering, whose recovery depends on it.)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val entityFut: Option[Future[Unit]] =
       if (fused && !entityDone) Some(Future(entityHalf())) else None
-    // ---- agg half, on the main thread.
+    // ---- agg half, in its own future on the fused path (returned to the
+    // batched loop, which overlaps it with the next pre-read).
     // post-images add (+1, +v) to their (new) group; touched pre-images
     // retract (−1, −old) from their old group. NULL-SAFE key match in the
     // retraction (the entity merge stores null keys via <=>; a usingColumns
@@ -569,13 +629,24 @@ object IncrementalAgg {
             .otherwise(lit("u"))), "operation", txnId)
       }
     }
-    if (!aggDone) aggHalf()
-    entityFut match {
-      case Some(f) => Await.result(f, Duration.Inf)
-      case None =>
-        // unfused: advance the entity state only AFTER the delta read its
-        // pre-images (the readForKeys retraction path reads the LIVE table)
-        if (!entityDone) entityHalf()
+    if (fused) {
+      val aggFut: Option[Future[Unit]] =
+        if (!aggDone) Some(Future {
+          // markerless: the agg chain serializes on ITSELF here (the fold
+          // read must see the previous agg commit), not on the entity chain
+          if (!strict) prevAgg.foreach(Await.result(_, Duration.Inf))
+          aggHalf()
+        }) else None
+      entityFut.foreach(Await.result(_, Duration.Inf))
+      aggFut
+    } else {
+      // unfused: agg first (its readForKeys retraction path reads the LIVE
+      // entity table), then advance the entity state — strictly serial, so
+      // nothing defers
+      if (!strict) prevAgg.foreach(Await.result(_, Duration.Inf))
+      if (!aggDone) aggHalf()
+      if (!entityDone) entityHalf()
+      None
     }
   }
 
