@@ -74,7 +74,7 @@ object Tables {
   // per-JVM memo: source path -> resolved read path (original or cached)
   private val resolved = new ConcurrentHashMap[String, String]()
 
-  private[graft] def clearMemo(): Unit = resolved.clear()
+  private[graft] def clearMemo(): Unit = { resolved.clear(); loaded.clear() }
 
   private def fingerprint(src: Path): String = {
     val entries = scala.collection.mutable.ArrayBuffer[String]()
@@ -151,14 +151,18 @@ object Tables {
   // file-listing job (InMemoryFileIndex parallel listing) inside every
   // timed region — three fixed jobs per TPC-H-shaped query before any
   // real work. Reusing the DataFrame reuses its cached file index. Keyed
-  // by session identity so a stopped-and-restarted session (tests) never
-  // serves plans bound to a dead context. Bounded: #sessions × #tables.
+  // by session identity (a stopped-and-restarted session never serves
+  // plans bound to a dead context) AND the source fingerprint (driver-side
+  // stat walk, no job), so an in-session fixture regeneration gets a fresh
+  // listing instead of the stale index. Bounded: #sessions × #tables.
   private val loaded = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private[graft] def loadWithSpec(spark: SparkSession, dir: String, name: String,
                                   spec: Map[String, Seq[ColumnNorm]]): DataFrame = {
     val rules = spec.getOrElse(name, Nil)
-    val memoKey = s"${System.identityHashCode(spark)}|$dir|$name|" +
+    val src = Paths.get(s"$dir/$name.parquet")
+    val fp = if (Files.exists(src)) fingerprint(src) else "absent"
+    val memoKey = s"${System.identityHashCode(spark)}|$dir|$name|$fp|" +
       rules.map(_.column).mkString(",")
     loaded.computeIfAbsent(memoKey, _ =>
       if (rules.isEmpty) spark.read.parquet(s"$dir/$name.parquet")
