@@ -400,7 +400,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val to = tablePath(newIdent)
     if (Files.exists(to)) throw new TableAlreadyExistsException(newIdent)
     if (viewExists(newIdent)) throw new ViewAlreadyExistsException(newIdent)
-    Files.createDirectories(to.getParent)
+    // refuse rather than implicitly create the target namespace — the
+    // common mistake is catalog-qualifying the RENAME TO target (Spark
+    // passes it verbatim, so 'graft.ns.t' would silently become namespace
+    // [graft, ns] under THIS catalog)
+    if (!namespaceExists(newIdent.namespace))
+      throw new NoSuchNamespaceException(newIdent.namespace)
     Files.move(from, to)
   }
 

@@ -109,7 +109,9 @@ final case class GraftUpdateCommand(table: GraftTable, set: Seq[(String, Column)
   extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.lit
-    table.kpt.updateWhere(cond.getOrElse(lit(true)), set.toMap)
+    CommitRetry.retrying("UPDATE") {
+      table.kpt.updateWhere(cond.getOrElse(lit(true)), set.toMap)
+    }
     Nil
   }
 }
@@ -121,7 +123,7 @@ final case class GraftUpdateCommand(table: GraftTable, set: Seq[(String, Column)
 final case class GraftDeleteCommand(table: GraftTable, cond: Column)
   extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    table.kpt.deleteWhere(cond)
+    CommitRetry.retrying("DELETE") { table.kpt.deleteWhere(cond) }
     Nil
   }
 }

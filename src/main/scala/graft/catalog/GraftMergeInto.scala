@@ -284,7 +284,11 @@ final case class GraftMergeExec(table: GraftTable, hasDelete: Boolean,
         .drop("__graft_exists")
       guarded.filter(col(op) =!= "d").unionByName(dFixed)
     }
-    table.kpt.merge(batch, op)
+    // lost-race retry (CommitRetry): the engine merge re-reads current
+    // state inside its evaluation, so a retry IS the statement's ANSI
+    // semantics over whatever state won the race; the checkpointed batch
+    // keeps the source single-evaluation across attempts
+    CommitRetry.retrying("MERGE INTO") { table.kpt.merge(batch, op) }
   }
 
   override def executeCollect(): Array[InternalRow] = { run(); Array.empty }

@@ -7,7 +7,7 @@ import scala.util.Try
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SQLContext}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TruncatableTable}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -59,9 +59,20 @@ private[catalog] object Pin {
   * constraints enforced inside the write plan.
   */
 final class GraftTable(val kpt: KeyedParquetTable, ident: String, pin: Pin)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with TruncatableTable {
 
   override def name(): String = ident
+
+  /** `TRUNCATE TABLE` SQL: one atomic empty-snapshot commit — the prior
+    * state stays time-travelable (truncate is a version, not an erasure).
+    */
+  override def truncateTable(): Boolean = {
+    require(pin == Pin.Current, s"cannot TRUNCATE a time-travel read of $ident")
+    CommitRetry.retrying(s"TRUNCATE $ident") {
+      kpt.commit(pinnedRead().limit(0))
+    }
+    true
+  }
 
   /** The pinned read — every scan and the schema derive from this one
     * definition, so SQL time travel cannot diverge from the engine's.
@@ -286,6 +297,35 @@ final class GraftMetaTable(ident: String, frame: () => DataFrame)
     }
 }
 
+/** Statement-level commit retry for the SQL surface. Two writers racing
+  * one table serialize on the engine's CAS pointer swing; the Scala
+  * surface exposes the loser's ConcurrentModificationException (callers
+  * coordinate), but a SQL statement is self-contained, so — like Iceberg's
+  * commit.retry.num-retries — the lost race RE-EXECUTES the statement
+  * against the new base: appends are commutative, and MERGE/UPDATE/DELETE/
+  * TRUNCATE re-read current state inside their own evaluation, so a retry
+  * is exactly the statement's semantics over the table state that beat it.
+  * The backoff must outlast a competing COMMIT (the claim is held for the
+  * winner's whole write — seconds, not a pointer flip), so it grows to 1 s
+  * per attempt with a generous budget; a wedged claim (dead writer,
+  * unexpired lease) still surfaces as the engine's exception after ~20s.
+  */
+private[catalog] object CommitRetry {
+  def retrying[T](what: String, maxRetries: Int = 20)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(math.min(100L * attempt, 1000L))
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $what")
+  }
+}
+
 /** INSERT INTO → append commit; INSERT OVERWRITE TABLE → truncate → full
   * replacement commit. Both ride the engine's atomic pointer-swing with
   * CHECK constraints enforced in-plan.
@@ -303,32 +343,11 @@ final class GraftWriteBuilder(kpt: KeyedParquetTable, tableSchema: StructType)
         // align by NAME in table order (Spark has already resolved and cast
         // the query's columns to the table schema)
         val aligned = data.select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
-        // Two SQL writers racing the same table serialize on the engine's
-        // CAS pointer swing; the loser raises ConcurrentModificationException.
-        // The Scala surface exposes that raise (callers coordinate), but a
-        // SQL INSERT is a self-contained statement with commutative append
-        // semantics — so, like Iceberg's commit.retry.num-retries, the lost
-        // race re-reads the new base and retries, bounded. The statement's
-        // data job re-runs per attempt (the claimed version dir changed);
-        // commits, not writes, are what the bound protects. The backoff
-        // must outlast a competing COMMIT (seconds — the claim is held for
-        // the winner's whole write), not just a pointer flip, so it grows
-        // to 1s per attempt with a generous attempt budget; a wedged
-        // claim (dead writer, unexpired lease) still surfaces as the
-        // engine's ConcurrentModificationException after ~15s.
-        val maxRetries = 20
-        var attempt = 0
-        var committed = false
-        while (!committed) {
-          try {
-            if (replace || overwrite) kpt.commit(aligned) else kpt.append(aligned)
-            committed = true
-          } catch {
-            case e: java.util.ConcurrentModificationException =>
-              attempt += 1
-              if (attempt > maxRetries) throw e
-              Thread.sleep(math.min(100L * attempt, 1000L))
-          }
+        // lost-race retry: see CommitRetry — the statement's data job
+        // re-runs per attempt (the claimed version dir changed); commits,
+        // not writes, are what the bound protects
+        CommitRetry.retrying("INSERT") {
+          if (replace || overwrite) kpt.commit(aligned) else kpt.append(aligned)
         }
       }
     }

@@ -200,6 +200,44 @@ class GraftCatalogSpec extends SparkSpec {
     assert(r2.getMessage.contains("keys"), r2.getMessage)
   }
 
+  test("CTAS / TRUNCATE / RENAME / DESCRIBE round out the DDL surface") {
+    sql("DROP TABLE IF EXISTS graft.spec.ctas")
+    sql("DROP TABLE IF EXISTS graft.spec.ctas2")
+    // CTAS with engine layout carried through TBLPROPERTIES + PARTITIONED BY
+    sql("""CREATE TABLE graft.spec.ctas
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')
+           AS SELECT CAST(id AS BIGINT) AS id, id * 10 AS v FROM range(5)""")
+    assert(sql("SELECT COUNT(*), CAST(SUM(v) AS BIGINT) FROM graft.spec.ctas")
+      .as[(Long, Long)].head() === ((5L, 100L)))
+    // the CTAS table is a full engine table: MERGE works against it
+    Seq((9L, 90L, "u")).toDF("id", "v", "operation").createOrReplaceTempView("ctas_src")
+    sql("""MERGE INTO graft.spec.ctas t USING ctas_src s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(sql("SELECT COUNT(*) FROM graft.spec.ctas").head().getLong(0) === 6L)
+    // DESCRIBE sees the declared schema
+    val cols = sql("DESCRIBE TABLE graft.spec.ctas").collect().map(_.getString(0)).toSeq
+    assert(cols.contains("id") && cols.contains("v"), cols.mkString(","))
+    // RENAME keeps data and history (target is catalog-relative — Spark
+    // passes it verbatim, and a catalog-qualified target refuses loudly
+    // instead of silently creating namespace [graft, spec])
+    intercept[Exception] {
+      sql("ALTER TABLE graft.spec.ctas RENAME TO graft.spec.ctas2") }
+    sql("ALTER TABLE graft.spec.ctas RENAME TO spec.ctas2")
+    assert(sql("SELECT COUNT(*) FROM graft.spec.ctas2").head().getLong(0) === 6L)
+    intercept[Exception] { sql("SELECT * FROM graft.spec.ctas").collect() }
+    // TRUNCATE is an atomic empty-snapshot commit; prior state time-travels
+    val preVersion = graftCatalog.tableFor(Identifier.of(Array("spec"), "ctas2"))
+      .currentVersion
+    sql("TRUNCATE TABLE graft.spec.ctas2")
+    assert(sql("SELECT COUNT(*) FROM graft.spec.ctas2").head().getLong(0) === 0L)
+    assert(sql(s"SELECT COUNT(*) FROM graft.spec.ctas2 VERSION AS OF $preVersion")
+      .head().getLong(0) === 6L)
+    // and the truncated table accepts new writes
+    sql("INSERT INTO graft.spec.ctas2 VALUES (1, 1)")
+    assert(sql("SELECT COUNT(*) FROM graft.spec.ctas2").head().getLong(0) === 1L)
+    sql("DROP TABLE graft.spec.ctas2")
+  }
+
   test("concurrent INSERT INTO: racing commits serialize on the CAS swing") {
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     sql("DROP TABLE IF EXISTS graft.spec.race")
