@@ -97,9 +97,39 @@ object Tables {
     rules.filter(r => df.columns.contains(r.column))
       .foldLeft(df)((d, r) => r.normalize(d, r.column))
 
+  /** A single-FILE fixture with one giant row group cannot parallelize in
+    * Spark's split model: splits are byte ranges, but a row group is
+    * decoded by exactly one task (DuckDB parallelizes WITHIN a row group;
+    * Spark does not), so every scan of the 11 MB / 600 k-row lineitem
+    * fixture was ONE task doing all decode + partial aggregation — the
+    * single largest component of the "Spark floor" on data-proportional
+    * sf0.1 queries. Cluster-scale layouts (and everything the engine
+    * itself writes) always carry many files; this is a fixture pathology,
+    * fixed by materializing a multi-file copy once per generation through
+    * the same content-keyed cache the type normalization uses. ~512 KB per
+    * output file, capped at the session's parallelism.
+    */
+  private val parallelizeBytes = 1L * 1024 * 1024
+
+  private def sourceBytes(src: Path): Long =
+    if (!Files.exists(src)) 0L
+    else if (Files.isRegularFile(src)) Files.size(src)
+    else {
+      val s = Files.walk(src)
+      try {
+        var total = 0L
+        s.forEach(p => if (Files.isRegularFile(p)) total += Files.size(p))
+        total
+      } finally s.close()
+    }
+
+  private def needsParallelize(src: Path): Boolean =
+    Files.isRegularFile(src) && Files.size(src) >= parallelizeBytes
+
   /** Resolve the path to read a spec'd table from: the source itself when
-    * every declared column is already canonical, else the normalized cache
-    * entry (building it on first use). Never writes outside [[cacheRoot]].
+    * every declared column is already canonical AND the layout is already
+    * parallelizable, else the materialized cache entry (building it on
+    * first use). Never writes outside [[cacheRoot]].
     */
   private def normalizedPath(spark: SparkSession, srcPath: String,
                              name: String, rules: Seq[ColumnNorm]): String =
@@ -110,7 +140,7 @@ object Tables {
       val raw = spark.read.parquet(srcPath)
       val pending = rules.filter(r => raw.columns.contains(r.column) &&
         !r.isCanonical(raw.schema(r.column).dataType))
-      if (pending.isEmpty) srcPath
+      if (pending.isEmpty && !needsParallelize(src)) srcPath
       else {
         // key carries the sf dir + table name so stale generations of the
         // SAME fixture are identifiable and sweepable
@@ -131,7 +161,10 @@ object Tables {
             val tmp = cacheRoot.resolve(
               s"$key.tmp-${ProcessHandle.current().pid()}")
             deleteRecursively(tmp)
-            applyRules(raw, pending).write.mode("overwrite").parquet(tmp.toString)
+            val parts = math.min(spark.sparkContext.defaultParallelism,
+              math.max(2, (sourceBytes(src) / (512L * 1024)).toInt))
+            applyRules(raw, pending).repartition(parts)
+              .write.mode("overwrite").parquet(tmp.toString)
             try Files.move(tmp, outDir, StandardCopyOption.ATOMIC_MOVE)
             catch { case _: java.nio.file.FileAlreadyExistsException |
                          _: java.nio.file.DirectoryNotEmptyException =>
@@ -164,14 +197,15 @@ object Tables {
     val fp = if (Files.exists(src)) fingerprint(src) else "absent"
     val memoKey = s"${System.identityHashCode(spark)}|$dir|$name|$fp|" +
       rules.map(_.column).mkString(",")
-    loaded.computeIfAbsent(memoKey, _ =>
-      if (rules.isEmpty) spark.read.parquet(s"$dir/$name.parquet")
-      else {
-        val srcPath = s"$dir/$name.parquet"
-        val df = spark.read.parquet(normalizedPath(spark, srcPath, name, rules))
-        // cache must yield canonical columns; a foreign/corrupt entry falls
-        // back to the per-read projection rather than serving wrong data
-        applyRules(df, rules)
-      })
+    loaded.computeIfAbsent(memoKey, _ => {
+      val srcPath = s"$dir/$name.parquet"
+      // every table routes through the cache resolution: spec'd tables for
+      // type normalization, single-file tables for the parallel layout;
+      // a table needing neither resolves to its own path
+      val df = spark.read.parquet(normalizedPath(spark, srcPath, name, rules))
+      // cache must yield canonical columns; a foreign/corrupt entry falls
+      // back to the per-read projection rather than serving wrong data
+      applyRules(df, rules)
+    })
   }
 }
