@@ -106,10 +106,13 @@ object Tables {
     * sf0.1 queries. Cluster-scale layouts (and everything the engine
     * itself writes) always carry many files; this is a fixture pathology,
     * fixed by materializing a multi-file copy once per generation through
-    * the same content-keyed cache the type normalization uses. ~512 KB per
-    * output file, capped at the session's parallelism.
+    * the same content-keyed cache the type normalization uses. At least 8
+    * output files (whole-stage codegen fuses scan→kernel→partial-agg into
+    * one stage, so task count bounds the parallelism of CPU-heavy text /
+    * vector kernels too, not just decode), ~256 KB per file beyond that,
+    * capped at the session's parallelism.
     */
-  private val parallelizeBytes = 1L * 1024 * 1024
+  private val parallelizeBytes = 128L * 1024
 
   private def sourceBytes(src: Path): Long =
     if (!Files.exists(src)) 0L
@@ -162,7 +165,7 @@ object Tables {
               s"$key.tmp-${ProcessHandle.current().pid()}")
             deleteRecursively(tmp)
             val parts = math.min(spark.sparkContext.defaultParallelism,
-              math.max(2, (sourceBytes(src) / (512L * 1024)).toInt))
+              math.max(8, (sourceBytes(src) / (256L * 1024)).toInt))
             applyRules(raw, pending).repartition(parts)
               .write.mode("overwrite").parquet(tmp.toString)
             try Files.move(tmp, outDir, StandardCopyOption.ATOMIC_MOVE)

@@ -190,10 +190,18 @@ final case class GraftViewReadRule(spark: SparkSession) extends Rule[LogicalPlan
     else if (spark.sessionState.catalogManager.isCatalogRegistered(p.head)) p
     else ctxCat +: p
 
+  /** Existence probes must never throw during resolution: an identifier
+    * the catalog considers malformed (non-path-safe segment) is simply not
+    * a stored view — the analyzer's own table-not-found handling applies.
+    */
+  private def probes(b: => Boolean): Boolean =
+    try b catch { case _: IllegalArgumentException => false }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case u @ UnresolvedRelation(parts, _, false) =>
       GraftViews.resolveIdent(spark, parts) match {
-        case Some((cat, ident)) if !cat.tableExists(ident) && cat.viewExists(ident) =>
+        case Some((cat, ident))
+          if probes(!cat.tableExists(ident) && cat.viewExists(ident)) =>
           val view = cat.loadView(ident)
           val parsed = spark.sessionState.sqlParser.parsePlan(view.query)
           val ctxCat = view.currentCatalog
