@@ -1569,7 +1569,14 @@ object Queries {
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val li = t("lineitem")
-        val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+        // one explicit hash(l_orderkey) exchange serves BOTH aggregations:
+        // HashPartitioning(orderkey) satisfies the (orderkey, suppkey)
+        // clustering too, so the cascade runs in a single post-shuffle
+        // stage (the map-side combine it forgoes collapses ~1 row per
+        // (order, supp) pair — nothing)
+        val perSupp = li.select("l_orderkey", "l_suppkey", "l_returnflag")
+          .repartition(col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
           .agg(count(when(col("l_returnflag") === "R", 1)).as("__r_rows_s"))
         val perOrder = perSupp.groupBy(col("l_orderkey")).agg(
           count(lit(1)).as("__n_supp"),
