@@ -307,11 +307,13 @@ final class GraftMetaTable(ident: String, frame: () => DataFrame)
   * is exactly the statement's semantics over the table state that beat it.
   * The backoff must outlast a competing COMMIT (the claim is held for the
   * winner's whole write — seconds, not a pointer flip), so it grows to 1 s
-  * per attempt with a generous budget; a wedged claim (dead writer,
-  * unexpired lease) still surfaces as the engine's exception after ~20s.
+  * per attempt with a generous budget (a loaded machine can hold a claim
+  * for several seconds per commit, and the budget must cover several
+  * queued writers); a wedged claim (dead writer, unexpired lease) still
+  * surfaces as the engine's exception within ~40s.
   */
 private[catalog] object CommitRetry {
-  def retrying[T](what: String, maxRetries: Int = 20)(body: => T): T = {
+  def retrying[T](what: String, maxRetries: Int = 40)(body: => T): T = {
     var attempt = 0
     while (true) {
       try return body

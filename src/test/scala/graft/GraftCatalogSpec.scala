@@ -512,6 +512,14 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP VIEW graft.spec.vself")
     sql("DROP VIEW graft.spec.vcols")
     sql("DROP VIEW graft.spec.vsum2")
+    // views over views: each resolution pass expands one layer
+    sql("DROP VIEW IF EXISTS graft.spec.v_l2")
+    sql("DROP VIEW IF EXISTS graft.spec.v_l1")
+    sql("CREATE VIEW graft.spec.v_l1 AS SELECT id, v * 2 AS v2 FROM graft.spec.vbase2")
+    sql("CREATE VIEW graft.spec.v_l2 AS SELECT SUM(v2) AS total FROM graft.spec.v_l1")
+    assert(sql("SELECT total FROM graft.spec.v_l2").head().getLong(0) === 60L)
+    sql("DROP VIEW graft.spec.v_l2")
+    sql("DROP VIEW graft.spec.v_l1")
   }
 
   test("Scala surface and SQL surface see one table state (MERGE then SELECT)") {
