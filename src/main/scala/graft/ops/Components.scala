@@ -76,8 +76,12 @@ object Components {
         .union(joined.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-      val next = small.localCheckpoint(true)
-      val nextCount = next.count()
+      // the convergence count rides the checkpoint materialization as an
+      // observed metric — the separate per-round count() job it replaces
+      // was pure scheduling overhead on an already-materialized frame
+      val obs = org.apache.spark.sql.Observation()
+      val next = small.observe(obs, count(lit(1)).as("__n")).localCheckpoint(true)
+      val nextCount = obs.get("__n").asInstanceOf[Long]
       // exact fixpoint: both sides distinct, so equal counts + empty EXCEPT
       // means equal sets
       converged = nextCount == eCount && next.except(e).isEmpty
