@@ -2361,7 +2361,13 @@ object Queries {
         // AQE reuse the exchange instead of re-running the explode per
         // branch — the pass count that matters when `text` is the 100 TB
         // column
+        // materialize the compressed term counts ONCE: four consumers
+        // (doc length, corpus stats, document frequency, postings join)
+        // each embedded their own copy of the explode + (doc, token)
+        // exchange, and AQE's runtime exchange reuse is best-effort —
+        // the checkpoint makes single evaluation a guarantee
         val dtf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true)
         val dl = dtf.groupBy("doc_id").agg(sum("tf").as("dl"))
         val stats = dl.agg(count(lit(1)).as("n_docs"),
           (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
