@@ -3542,7 +3542,10 @@ object Queries {
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val docs = t("documents")
-        val freq = TextOps.tokenFrequencies(docs, "text")
+        // checkpoint the vocabulary (O(vocab), small): without it the
+        // scorer's plan embeds a second full tokenize pass just to rebuild
+        // the frequency side of its own join
+        val freq = TextOps.tokenFrequencies(docs, "text").localCheckpoint(true)
         TextOps.tokenRarityScores(docs, "doc_id", "text", freq, rareMax = 2L)
       },
       Some("""WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token
