@@ -314,10 +314,22 @@ class GraftCatalogSpec extends SparkSpec {
             PARTITIONED BY (bucket(4, id))
             TBLPROPERTIES ('graft.keys'='id', 'graft.location'='$root')""")
     assert(sql("SELECT COUNT(*) FROM graft.spec.reg2").head().getLong(0) === 3L)
+    // the full SQL DML surface drives the registered root: MERGE text,
+    // UPDATE ... WHERE, DELETE FROM ... WHERE — one state, two interfaces
+    Seq((2L, 200L, "u"), (9L, 0L, "d")).toDF("id", "v", "operation")
+      .createOrReplaceTempView("reg_src")
+    sql("""MERGE INTO graft.spec.registered t USING reg_src s ON t.id = s.id
+           WHEN MATCHED AND s.operation = 'd' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    sql("UPDATE graft.spec.registered SET v = v + 1 WHERE id = 3")
+    sql("DELETE FROM graft.spec.registered WHERE v >= 200")
+    assert(kpt.read().orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((3L, 31L)))
     // DROP unregisters the pointer; the external root is untouched
     sql("DROP TABLE graft.spec.reg2")
     sql("DROP TABLE graft.spec.registered")
-    assert(kpt.read().count() === 3L)
+    assert(kpt.read().count() === 1L)
   }
 
   test("UPDATE ... WHERE / DELETE FROM ... WHERE as literal SQL; refusals") {
