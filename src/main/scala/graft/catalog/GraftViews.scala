@@ -106,6 +106,16 @@ final case class GraftViewDdlRule(spark: SparkSession) extends Rule[LogicalPlan]
         case Some((cat, ns)) => GraftShowViewsCommand(cat, ns, pattern, output)
         case None => s
       }
+    // bare `SHOW VIEWS` (no IN clause) parses with a CurrentNamespace
+    // child — claim it when the CURRENT catalog is a graft catalog
+    case s @ ShowViews(org.apache.spark.sql.catalyst.analysis.CurrentNamespace,
+                       pattern, output) =>
+      spark.sessionState.catalogManager.currentCatalog match {
+        case g: GraftCatalog =>
+          GraftShowViewsCommand(g,
+            spark.sessionState.catalogManager.currentNamespace, pattern, output)
+        case _ => s
+      }
   }
 }
 

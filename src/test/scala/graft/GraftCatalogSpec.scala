@@ -498,6 +498,8 @@ class GraftCatalogSpec extends SparkSpec {
     sql("USE graft.spec")
     sql("DROP VIEW IF EXISTS vsum2")
     sql("CREATE VIEW vsum2 AS SELECT SUM(v) AS total FROM vbase2")
+    // bare SHOW VIEWS resolves against the CURRENT (graft) namespace
+    assert(sql("SHOW VIEWS").collect().map(_.getString(1)).contains("vsum2"))
     sql(s"USE $cat0.$ns0")
     assert(sql("SELECT total FROM graft.spec.vsum2").head().getLong(0) === 30L)
     // OR REPLACE swaps the text; IF NOT EXISTS is a no-op on an existing view
