@@ -1,9 +1,9 @@
 package graft.catalog
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, TableAlreadyExistsException, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, ViewAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, TableAlreadyExistsException, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedView, ViewAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, Project, ShowViews, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DropView, LogicalPlan, Project, ShowViews, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.StringUtils
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
@@ -101,6 +101,14 @@ final case class GraftViewDdlRule(spark: SparkSession) extends Rule[LogicalPlan]
         case Some((cat, ident)) => GraftDropViewCommand(cat, ident, ifExists)
         case None => d
       }
+    // ALTER VIEW v AS <query> = redefine in place (view must exist; the
+    // new text analyzes against the OLD definition like OR REPLACE)
+    case a @ AlterViewAs(UnresolvedView(parts, _, _, _), text, _) =>
+      GraftViews.resolveIdent(spark, parts) match {
+        case Some((cat, ident)) =>
+          GraftAlterViewAsCommand(cat, ident, text)
+        case None => a
+      }
     case s @ ShowViews(UnresolvedNamespace(parts, _), pattern, output) =>
       GraftViews.resolveNamespace(spark, parts) match {
         case Some((cat, ns)) => GraftShowViewsCommand(cat, ns, pattern, output)
@@ -166,6 +174,19 @@ final case class GraftDropViewCommand(catalog: GraftCatalog, ident: Identifier,
   override def run(session: SparkSession): Seq[Row] = {
     if (!catalog.dropView(ident) && !ifExists) throw new NoSuchViewException(ident)
     Nil
+  }
+}
+
+/** ALTER VIEW ... AS: redefinition of an EXISTING view — OR REPLACE
+  * semantics minus the create-if-absent half.
+  */
+final case class GraftAlterViewAsCommand(catalog: GraftCatalog, ident: Identifier,
+                                         text: String)
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (!catalog.viewExists(ident)) throw new NoSuchViewException(ident)
+    GraftCreateViewCommand(catalog, ident, text, Nil, None, Map.empty,
+      allowExisting = false, replace = true).run(session)
   }
 }
 

@@ -526,6 +526,12 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP VIEW graft.spec.vself")
     sql("DROP VIEW graft.spec.vcols")
     sql("DROP VIEW graft.spec.vsum2")
+    // ALTER VIEW ... AS redefines in place (and refuses a missing view)
+    sql("CREATE OR REPLACE VIEW graft.spec.valter AS SELECT 1 AS x")
+    sql("ALTER VIEW graft.spec.valter AS SELECT 2 AS x")
+    assert(sql("SELECT x FROM graft.spec.valter").head().getInt(0) === 2)
+    sql("DROP VIEW graft.spec.valter")
+    intercept[Exception] { sql("ALTER VIEW graft.spec.valter AS SELECT 3 AS x") }
     // views over views: each resolution pass expands one layer
     sql("DROP VIEW IF EXISTS graft.spec.v_l2")
     sql("DROP VIEW IF EXISTS graft.spec.v_l1")
