@@ -54,13 +54,20 @@ object GraftViews {
     */
   def resolveIdent(spark: SparkSession, parts: Seq[String]): Option[(GraftCatalog, Identifier)] = {
     val cm = spark.sessionState.catalogManager
-    val (plugin, rest) =
+    val (plugin, rest, explicitCat) =
       if (parts.length > 1 && cm.isCatalogRegistered(parts.head))
-        (cm.catalog(parts.head), parts.tail)
-      else (cm.currentCatalog, parts)
+        (cm.catalog(parts.head), parts.tail, true)
+      else (cm.currentCatalog, parts, false)
     plugin match {
       case g: GraftCatalog if rest.nonEmpty =>
-        val ns = if (rest.length == 1) cm.currentNamespace else rest.init.toArray
+        // mirror Spark's CatalogAndIdentifier: a bare name under the
+        // CURRENT catalog binds to the current namespace; a name that
+        // spelled its catalog explicitly carries exactly the namespace it
+        // wrote (possibly none)
+        val ns =
+          if (rest.length > 1) rest.init.toArray
+          else if (explicitCat) Array.empty[String]
+          else cm.currentNamespace
         Some((g, Identifier.of(ns, rest.last)))
       case _ => None
     }
