@@ -188,6 +188,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       declaredBuckets.map(_._1.toString))
     val bucketBy = agree("bucket keys", rp.get("graft.layout.bucket-keys"),
       declaredBuckets.map(_._2.mkString(",")))
+    // identity-partition columns are NOT pinned in the root's layout props
+    // (only keys/bucketing are), so a partitioned root registered without
+    // declaring its partitionBy would take later writes in a MIXED layout;
+    // detect the physical dirs and refuse rather than corrupt
+    if (partitionBy.isEmpty && probe.currentVersion >= 0) {
+      val vd = Paths.get(location).resolve(s"v${probe.currentVersion}")
+      def hasValueDirs(p: Path): Boolean = Files.isDirectory(p) && {
+        val s = Files.list(p)
+        try s.iterator().asScala.exists { c =>
+          val n = c.getFileName.toString
+          if (n.startsWith("__bucket=")) hasValueDirs(c)
+          else Files.isDirectory(c) && n.contains("=")
+        } finally s.close()
+      }
+      require(!hasValueDirs(vd),
+        s"register ${fullName(ident)}: $location carries identity-partition " +
+          "directories — declare the same PARTITIONED BY columns (identity " +
+          "transforms) at registration or later writes would mix layouts")
+    }
     Files.createDirectories(dir)
     writeMeta(dir, Map(
       "location" -> Paths.get(location).toAbsolutePath.normalize.toString,

@@ -330,6 +330,19 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE graft.spec.reg2")
     sql("DROP TABLE graft.spec.registered")
     assert(kpt.read().count() === 1L)
+    // a root with identity-partition dirs refuses registration unless the
+    // partition columns are declared (mixed-layout write hazard)
+    import graft.cdc.KeyedParquetTable
+    val proot = java.nio.file.Files.createTempDirectory("kpt_regp").toString
+    val pkpt = new KeyedParquetTable(spark, proot, Seq("id"), Seq("grp"), 2)
+    pkpt.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "grp"))
+    val e = intercept[IllegalArgumentException] {
+      graftCatalog.register(Identifier.of(Array("spec"), "regp"), proot) }
+    assert(e.getMessage.contains("PARTITIONED BY"), e.getMessage)
+    graftCatalog.register(Identifier.of(Array("spec"), "regp"), proot,
+      partitionBy = Seq("grp"))
+    assert(sql("SELECT COUNT(*) FROM graft.spec.regp").head().getLong(0) === 2L)
+    sql("DROP TABLE graft.spec.regp")
   }
 
   test("UPDATE ... WHERE / DELETE FROM ... WHERE as literal SQL; refusals") {
