@@ -4586,6 +4586,70 @@ object Queries {
              |UNION ALL
              |SELECT 'current', user_id, CAST(COUNT(*) AS BIGINT),
              |CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // SQL-text VIEWs over the catalog (GraftViews): a view is stored SQL
+    // text that re-resolves per read, so data committed AFTER the CREATE
+    // is visible through it — the statement shape the reference's users
+    // layer on the catalog. The query creates the view BEFORE the second
+    // insert and reads through it after; the oracle recomputes the view
+    // text's semantics over the full fixture.
+    "q_sql_view" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("events").createOrReplaceTempView("events_v")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.vsql")
+        s.sql("DROP VIEW IF EXISTS graft.vsql.type_stats")
+        s.sql("DROP TABLE IF EXISTS graft.vsql.view_base")
+        s.sql("""CREATE TABLE graft.vsql.view_base
+                 (event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)
+                 PARTITIONED BY (bucket(8, event_id))
+                 TBLPROPERTIES ('graft.keys'='event_id')""")
+        s.sql("""INSERT INTO graft.vsql.view_base
+                 SELECT event_id, user_id, event_type, value
+                 FROM events_v WHERE event_id % 2 = 0""")
+        s.sql("""CREATE VIEW graft.vsql.type_stats AS
+                 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(ROUND(value * 1000000)) AS BIGINT) AS value_micros
+                 FROM graft.vsql.view_base GROUP BY event_type""")
+        // data landing after CREATE VIEW must be visible through the view
+        s.sql("""INSERT INTO graft.vsql.view_base
+                 SELECT event_id, user_id, event_type, value
+                 FROM events_v WHERE event_id % 2 = 1""")
+        s.sql("SELECT event_type, n, value_micros FROM graft.vsql.type_stats")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // CREATE TABLE AS SELECT through the catalog: the CTAS result is a
+    // full engine table (bucketed layout + keys from TBLPROPERTIES), here
+    // proven by MERGE-ing a correction batch into it and reading back.
+    "q_sql_ctas" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("events").createOrReplaceTempView("events_v")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.vsql")
+        s.sql("DROP TABLE IF EXISTS graft.vsql.ctas_stats")
+        s.sql("""CREATE TABLE graft.vsql.ctas_stats
+                 PARTITIONED BY (bucket(8, user_id))
+                 TBLPROPERTIES ('graft.keys'='user_id')
+                 AS SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(ROUND(value * 1000000)) AS BIGINT) AS value_micros
+                    FROM events_v GROUP BY user_id""")
+        s.sql("""MERGE INTO graft.vsql.ctas_stats t
+                 USING (SELECT user_id, CAST(-1 AS BIGINT) AS n,
+                               CAST(0 AS BIGINT) AS value_micros, 'u' AS operation
+                        FROM events_v WHERE user_id % 25 = 0 GROUP BY user_id) s
+                 ON t.user_id = s.user_id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+        s.sql("SELECT user_id, n, value_micros FROM graft.vsql.ctas_stats")
+      },
+      Some("""SELECT user_id,
+             |CAST(CASE WHEN user_id % 25 = 0 THEN -1 ELSE COUNT(*) END AS BIGINT) AS n,
+             |CAST(CASE WHEN user_id % 25 = 0 THEN 0
+             |     ELSE SUM(CAST(round(value * 1000000) AS BIGINT)) END AS BIGINT) AS value_micros
              |FROM events GROUP BY user_id""".stripMargin))
   )
 
