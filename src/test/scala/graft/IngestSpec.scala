@@ -253,6 +253,34 @@ class IngestSpec extends SparkSpec {
     assert(snap(aggP) === snap(aggSeq))
   }
 
+  test("applyCdcBatchesN markerless: free-running entity/agg chains still fold exactly") {
+    // without txn markers the two tables' commit chains overlap across
+    // batches (each chain stays serial); the retraction math must be
+    // byte-identical to the strictly ordered fold
+    import graft.streaming.IncrementalAgg
+    def b(rows: (Long, String, Double, String, Long)*) =
+      rows.toDF("id", "g", "v", "operation", "seq")
+    val batches = Seq(
+      b((1L, "a", 10.0, "u", 1L), (2L, "a", 5.0, "u", 2L), (3L, "b", 7.5, "u", 3L)),
+      b((1L, "b", 20.0, "u", 4L), (2L, "a", 0.0, "d", 5L)),
+      b((4L, "c", 1.0, "u", 6L), (2L, "b", 2.0, "u", 7L), (1L, "a", 3.0, "u", 8L)),
+      b((3L, "b", 0.0, "d", 9L), (5L, "a", 4.0, "u", 10L)))
+    val entSeq = new KeyedParquetTable(spark, tmpDir("free_ent_seq"), Seq("id"), Nil, 4)
+    val aggSeq = new KeyedParquetTable(spark, tmpDir("free_agg_seq"), Seq("g"), Nil, 2)
+    batches.foreach(IncrementalAgg.applyCdcBatch(entSeq, aggSeq, _,
+      "g", "v", Seq(col("seq").desc)))
+    val entF = new KeyedParquetTable(spark, tmpDir("free_ent_f"), Seq("id"), Nil, 4)
+    val aggF = new KeyedParquetTable(spark, tmpDir("free_agg_f"), Seq("g"), Nil, 2)
+    IncrementalAgg.applyCdcBatches(entF, aggF, batches, "g", "v",
+      Seq(col("seq").desc)) // no txnIds: the free-running path
+    def snap(t: KeyedParquetTable): Map[String, (Long, Double)] =
+      IncrementalAgg.snapshot(t, "v").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(snap(aggF) === snap(aggSeq))
+    assert(entF.read().drop("operation").collect().toSet ===
+      entSeq.read().drop("operation").collect().toSet)
+  }
+
   test("applyBatch raises loudly on values beyond the decimal fold range") {
     import graft.streaming.IncrementalAgg
     val table = new KeyedParquetTable(spark, tmpDir("incr_overflow"), Seq("k"))
