@@ -735,10 +735,26 @@ final class KeyedParquetTable(
     }
 
   /** Apply the table's physical layout (bucket column + partition spec). */
+  /** Bucketed writes hash-distribute on the layout columns first —
+    * Iceberg's `write.distribution-mode=hash` default. Without it every
+    * write task emits a file into EVERY (bucket, partition) dir it holds
+    * rows for, multiplying per-commit file count by the task count (a
+    * 32-task commit into 8 buckets landed 256 files for one snapshot);
+    * with it a commit lands ~one file per touched layout cell, which is
+    * what keeps manifests, stats indexes, and downstream scans O(cells)
+    * instead of O(cells × cluster width). The documented cost (same as
+    * Iceberg's): write parallelism for a FULL rewrite caps at the cell
+    * count — size `bucketCount` for the table's data, and
+    * `spark.sql.files.maxRecordsPerFile` still splits an outsized cell
+    * into multiple files within its task. Compaction manages its own
+    * distribution (it may sort within partitions) and bypasses this.
+    */
   private def withLayout(df: DataFrame): (DataFrame, Seq[String]) =
-    if (bucketCount > 0 && df.columns.nonEmpty)
-      (df.withColumn("__bucket", bucketExpr), Seq("__bucket") ++ partitionBy)
-    else (df, partitionBy)
+    if (bucketCount > 0 && df.columns.nonEmpty) {
+      val parts = Seq("__bucket") ++ partitionBy
+      (df.withColumn("__bucket", bucketExpr)
+        .repartition(parts.map(col): _*), parts)
+    } else (df, partitionBy)
 
   /** Atomically make `next` the current snapshot. */
   private def swingPointer(next: Long): Long = {
@@ -1160,8 +1176,13 @@ final class KeyedParquetTable(
     if (touchedSeq.nonEmpty) {
       // layout parity with commit()/withLayout: bucket dir FIRST, then the
       // table's partition spec — dropping partitionBy here would mix
-      // directory depths across buckets and break partition discovery
-      enforceConstraints(content).write.mode("append")
+      // directory depths across buckets and break partition discovery.
+      // Hash-distribute on the layout cells first (see withLayout): a
+      // micro-batch commit otherwise lands one file per (cell × task),
+      // and per-batch fragmentation compounds fastest exactly here
+      enforceConstraints(content)
+        .repartition(("__bucket" +: partitionBy).map(col): _*)
+        .write.mode("append")
         .partitionBy(("__bucket" +: partitionBy): _*)
         .parquet(nextDir.toString)
     }
