@@ -62,11 +62,15 @@ object Components {
       val lmins = sym.groupBy("u").agg(min("v").as("__nmin"))
         .select(col("u"), least(col("u"), col("__nmin")).as("m"))
       // localCheckpoint: the round's heaviest subtree feeds BOTH small-star
-      // branches — materialize once rather than trusting exchange reuse
+      // branches — materialize once rather than trusting exchange reuse.
+      // Deliberately NOT distinct()ed: groupBy-min is multiset-insensitive
+      // and the round-final distinct below restores set semantics, so the
+      // intermediate dedup was one whole exchange per round spent bounding
+      // a multiplicity that is already ≤ degree (sym holds each neighbor
+      // once; duplicates arise only when two centers agree on (v, m))
       val large = sym.join(lmins, "u")
         .filter(col("v") > col("u") && col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
         .localCheckpoint(true)
       // SMALL-STAR: edges already oriented (u > v); m = min neighbor of u;
       // connect u and each of its smaller neighbors to m.
