@@ -839,12 +839,24 @@ final class KeyedParquetTable(
         throw new java.util.ConcurrentModificationException(
           s"$root: v$next was already committed by another writer after this " +
             "commit read its base snapshot — lost the commit race")
+      // lease clock: the stamp INSIDE the claim, falling back to the
+      // file's mtime when the content is unreadable or unparsable. The
+      // fallback must lean FRESH, never expired: claims are created
+      // atomically below precisely so no reader sees a half-written one,
+      // but a filesystem that ever surfaced empty content here used to
+      // parse as ts=0 → "expired" → this writer DELETED the live claim
+      // and wiped the owner's in-flight version dir (found by the
+      // racing-MERGE chaos spec).
       val (tok, ts) =
         try {
           val parts = Files.readString(claim).trim.split(' ')
           (parts.headOption.getOrElse(""),
-            parts.lift(1).flatMap(_.toLongOption).getOrElse(0L))
-        } catch { case _: java.io.IOException => ("", 0L) }
+            parts.lift(1).flatMap(_.toLongOption).getOrElse(
+              Files.getLastModifiedTime(claim).toMillis))
+        } catch { case _: java.io.IOException =>
+          ("", try Files.getLastModifiedTime(claim).toMillis
+               catch { case _: java.io.IOException => System.currentTimeMillis() })
+        }
       if (tok != writerToken && System.currentTimeMillis() - ts < commitLeaseMs)
         throw new java.util.ConcurrentModificationException(
           s"$root: another writer holds an in-flight commit claim on v$next " +
@@ -852,13 +864,33 @@ final class KeyedParquetTable(
             "retry after it finishes, or after the lease expires if it died")
       Files.deleteIfExists(claim) // our own prior attempt / an expired lease
     }
-    try Files.write(claim,
-      s"$writerToken ${System.currentTimeMillis()}".getBytes(
-        java.nio.charset.StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // atomic claim CREATION WITH CONTENT: write a private tmp, then
+    // hard-link it to the claim name — link(2) fails with EEXIST
+    // atomically (the lockfile primitive), so either the FULL claim
+    // appears or this writer lost. A bare CREATE_NEW write is not enough
+    // (the file exists before its bytes land — the empty window above),
+    // and a rename is not enough either (POSIX rename silently replaces
+    // an existing target, so two movers could both "win").
+    val tmp = rootPath.resolve(s"_commit.v$next.tmp-$writerToken")
+    Files.writeString(tmp, s"$writerToken ${System.currentTimeMillis()}")
+    try Files.createLink(claim, tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       throw new java.util.ConcurrentModificationException(
         s"$root: lost the claim race for v$next to a concurrent writer")
+    } finally Files.deleteIfExists(tmp)
+    // post-acquire fence: v$next may have been committed AND its claim
+    // released while this writer was still preparing (it computed `next`
+    // from a stale base) — without this check the stale writer would
+    // proceed to wipe-and-rewrite the COMMITTED v$next dir (the lost
+    // update the racing-MERGE chaos spec caught). Race-free because a
+    // swing to v$next strictly precedes that claim's release: holding the
+    // claim with the pointer still below `next` proves nobody committed
+    // it, and now nobody can.
+    if (currentVersion >= next) {
+      Files.deleteIfExists(claim)
+      throw new java.util.ConcurrentModificationException(
+        s"$root: v$next was committed by another writer while this commit " +
+          "prepared — lost the race (retry re-reads the new base)")
     }
   }
 

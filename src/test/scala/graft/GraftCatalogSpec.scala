@@ -283,6 +283,43 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE graft.spec.race")
   }
 
+  test("concurrent MERGE INTO: losers re-execute against the winner's state") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    sql("DROP TABLE IF EXISTS graft.spec.mrace")
+    sql("""CREATE TABLE graft.spec.mrace (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.mrace SELECT id, CAST(0 AS BIGINT) FROM range(0, 40)")
+    // two writers, DISJOINT key slices, racing the same table: the MERGE
+    // statement retry must re-execute the loser against the winner's
+    // committed state — both updates land, neither is lost or duplicated
+    val writers = 2
+    val latch = new CountDownLatch(writers)
+    val pool = Executors.newFixedThreadPool(writers)
+    val futures = (0 until writers).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        override def call(): Option[Throwable] = {
+          latch.countDown(); latch.await(10, TimeUnit.SECONDS)
+          try {
+            sql(s"""MERGE INTO graft.spec.mrace t
+                    USING (SELECT id, CAST(${w + 1} AS BIGINT) AS v, 'u' AS operation
+                           FROM range(${w * 20}, ${w * 20 + 20})) s
+                    ON t.id = s.id
+                    WHEN MATCHED THEN UPDATE SET *
+                    WHEN NOT MATCHED THEN INSERT *""")
+            None
+          } catch { case t: Throwable => Some(t) }
+        }
+      })
+    }
+    val errs = futures.flatMap(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(errs.isEmpty, s"racing MERGEs failed: ${errs.map(_.getMessage)}")
+    assert(sql("SELECT COUNT(*) FROM graft.spec.mrace").head().getLong(0) === 40L)
+    assert(sql("SELECT CAST(SUM(v) AS BIGINT) FROM graft.spec.mrace").head().getLong(0)
+      === 20L * 1 + 20L * 2) // writer 1's slice all 1s, writer 2's all 2s
+    sql("DROP TABLE graft.spec.mrace")
+  }
+
   test("register: a Scala-created root becomes SQL-addressable; DROP keeps data") {
     import graft.cdc.KeyedParquetTable
     val root = java.nio.file.Files.createTempDirectory("kpt_reg").toString
