@@ -270,7 +270,12 @@ final case class GraftMergeExec(table: GraftTable, hasDelete: Boolean,
       .drop("__graft_n", "__graft_card_ok")
       .localCheckpoint(true) // single evaluation + guard fires exactly once
     val op = GraftMergeInto.OpCol
-    val batch = if (!hasDelete) guarded else {
+    // def, not val: readForKeys pins the target version at CONSTRUCTION, so
+    // the matched/unmatched classification must be rebuilt per commit
+    // attempt — after a lost race, a key the winner just inserted must flip
+    // from 'u' (insert) back to 'd' (real delete) on the retry, or the
+    // tombstone row's projected values would be upserted instead.
+    def batch(): org.apache.spark.sql.DataFrame = if (!hasDelete) guarded else {
       // ANSI: only MATCHED rows delete — re-mark unmatched tombstones as
       // inserts. Probe = pruned read of the buckets the delete keys hit.
       val dRows = guarded.filter(col(op) === "d")
@@ -285,10 +290,11 @@ final case class GraftMergeExec(table: GraftTable, hasDelete: Boolean,
       guarded.filter(col(op) =!= "d").unionByName(dFixed)
     }
     // lost-race retry (CommitRetry): the engine merge re-reads current
-    // state inside its evaluation, so a retry IS the statement's ANSI
-    // semantics over whatever state won the race; the checkpointed batch
-    // keeps the source single-evaluation across attempts
-    CommitRetry.retrying("MERGE INTO") { table.kpt.merge(batch, op) }
+    // state inside its evaluation AND the delete probe above re-reads the
+    // current snapshot, so a retry IS the statement's ANSI semantics over
+    // whatever state won the race; the checkpointed `guarded` keeps the
+    // source single-evaluation across attempts
+    CommitRetry.retrying("MERGE INTO") { table.kpt.merge(batch(), op) }
   }
 
   override def executeCollect(): Array[InternalRow] = { run(); Array.empty }

@@ -73,6 +73,22 @@ object GraftViews {
     }
   }
 
+  /** Names of temporary views an ANALYZED plan resolved through — the
+    * session catalog resolves a temp view to `View(desc, isTempView=true,
+    * child)`, so collecting those nodes (including inside subquery
+    * expressions) is exactly Spark's own `ViewHelper` temp-object walk.
+    */
+  def collectTempViewRefs(plan: LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.View
+    plan.collect {
+      case v: View if v.isTempView => Seq(v.desc.identifier.unquotedString)
+      case node => node.expressions.flatMap(_.collect {
+        case sq: SubqueryExpression => collectTempViewRefs(sq.plan)
+      }.flatten)
+    }.flatten
+  }
+
   def resolveNamespace(spark: SparkSession, parts: Seq[String]): Option[(GraftCatalog, Array[String])] = {
     val cm = spark.sessionState.catalogManager
     val (plugin, rest) =
@@ -155,6 +171,19 @@ final case class GraftCreateViewCommand(
     // analyze BEFORE any drop: OR REPLACE text referencing the view itself
     // must resolve against the OLD definition (standard redefinition)
     val analyzed = session.sql(text) // analysis only; nothing executes
+    // Refuse text that resolved through a TEMPORARY view (Spark's own rule
+    // for persistent views): CREATE analyzes in the creating session where
+    // temp views shadow, but reads re-resolve in the CAPTURED catalog +
+    // namespace — the temp relation won't exist there, and a same-named
+    // graft table would silently bind the read to a DIFFERENT relation
+    // than the one CREATE validated.
+    val tempRefs = GraftViews.collectTempViewRefs(
+      analyzed.queryExecution.analyzed).distinct
+    if (tempRefs.nonEmpty) throw new UnsupportedOperationException(
+      s"CREATE VIEW ${ident.name()}: the view text references temporary " +
+        s"view(s) ${tempRefs.mkString(", ")} — a persistent graft view " +
+        "cannot capture session-scoped relations (they resolve differently " +
+        "or not at all on read)")
     val qNames = analyzed.schema.fieldNames
     if (userCols.nonEmpty) require(userCols.length == qNames.length,
       s"CREATE VIEW column list has ${userCols.length} names for ${qNames.length} query columns")

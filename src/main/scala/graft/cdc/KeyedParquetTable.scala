@@ -872,11 +872,26 @@ final class KeyedParquetTable(
     // and a rename is not enough either (POSIX rename silently replaces
     // an existing target, so two movers could both "win").
     val tmp = rootPath.resolve(s"_commit.v$next.tmp-$writerToken")
-    Files.writeString(tmp, s"$writerToken ${System.currentTimeMillis()}")
+    val payload = s"$writerToken ${System.currentTimeMillis()}"
+    Files.writeString(tmp, payload)
     try Files.createLink(claim, tmp)
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
-      throw new java.util.ConcurrentModificationException(
-        s"$root: lost the claim race for v$next to a concurrent writer")
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"$root: lost the claim race for v$next to a concurrent writer")
+      case _: UnsupportedOperationException =>
+        // filesystem without hard links (some NFS/FUSE/overlay mounts):
+        // fall back to CREATE_NEW — atomic on existence, and the single
+        // small write makes the empty-content window negligible (the lease
+        // parser above also leans fresh on unreadable content, so a racer
+        // glimpsing the window cannot expire-and-wipe this claim)
+        try Files.write(claim, payload.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"$root: lost the claim race for v$next to a concurrent writer")
+        }
     } finally Files.deleteIfExists(tmp)
     // post-acquire fence: v$next may have been committed AND its claim
     // released while this writer was still preparing (it computed `next`

@@ -515,7 +515,6 @@ object IncrementalAgg {
         .select(col(groupCol).as("__g") +: lit(-1L).as("__dn") +:
           valueCols.map(c => (-guarded(col(c), c)).as(s"__ds_$c")): _*)
     }
-    val aggFirstUse = !aggTable.exists
     def negGuard(folded: DataFrame): DataFrame = folded
       .withColumn("n_rows",
         when(col("n_rows") < 0, raise_error(lit(
@@ -532,7 +531,18 @@ object IncrementalAgg {
             coalesce(sum(col(s"sum_$c")), lit(BigDecimal(0)))
               .cast("decimal(38,6)").as(s"sum_$c")): _*))
 
-    def aggHalf(): Unit = if (fused && aggTable.bucketCount > 0) {
+    def aggHalf(): Unit = {
+      // First-use is decided HERE, not on the main thread: every call path
+      // reaches this point only after the previous batch's deferred agg
+      // commit has been awaited (strict: line ~485; markerless fused: the
+      // prevAgg await inside aggFut; markerless unfused: the await just
+      // before the serial aggHalf call). Probing `exists` earlier races the
+      // previous batch's table-creating commit — a later batch could see
+      // exists=false, take the first-use `limit(0)` branch, and
+      // replaceBuckets would silently discard the prior batches' folded
+      // state for the touched buckets.
+      val aggFirstUse = !aggTable.exists
+      if (fused && aggTable.bucketCount > 0) {
       // FUSED bucketed fold (the per-micro-batch hot path): the touched
       // buckets' complete new state is (current bucket rows ∪ RAW ±delta
       // rows) aggregated in ONE hash aggregation — the per-group delta
@@ -628,6 +638,7 @@ object IncrementalAgg {
             .when(col("n_rows") === 0, lit("d"))
             .otherwise(lit("u"))), "operation", txnId)
       }
+    }
     }
     if (fused) {
       val aggFut: Option[Future[Unit]] =

@@ -592,6 +592,84 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP VIEW graft.spec.v_l1")
   }
 
+  test("CREATE VIEW refuses text that resolved through a temporary view") {
+    // Spark's own rule for persistent views: CREATE analyzes where temp
+    // views shadow, reads re-resolve in the captured context — the temp
+    // relation is gone there (or worse, a same-named graft table binds a
+    // DIFFERENT relation than the one CREATE validated).
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").createOrReplaceTempView("spec_tmp_rel")
+    try {
+      val e = intercept[Exception] {
+        sql("CREATE VIEW graft.spec.v_over_tmp AS SELECT id FROM spec_tmp_rel")
+      }
+      assert(e.getMessage.contains("temporary"), e.getMessage)
+      assert(sql("SHOW VIEWS IN graft.spec").collect()
+        .map(_.getString(1)).forall(_ != "v_over_tmp"))
+      // subquery position is caught too, not just FROM
+      sql("DROP TABLE IF EXISTS graft.spec.vtbase")
+      sql("CREATE TABLE graft.spec.vtbase (id BIGINT) TBLPROPERTIES ('graft.keys'='id')")
+      sql("INSERT INTO graft.spec.vtbase VALUES (1)")
+      val e2 = intercept[Exception] {
+        sql("""CREATE VIEW graft.spec.v_over_tmp AS
+               SELECT id FROM graft.spec.vtbase
+               WHERE id IN (SELECT id FROM spec_tmp_rel)""")
+      }
+      assert(e2.getMessage.contains("temporary"), e2.getMessage)
+      sql("DROP TABLE graft.spec.vtbase")
+    } finally spark.catalog.dropTempView("spec_tmp_rel")
+  }
+
+  test("concurrent MERGE with deletes: retry reclassifies against the winner's state") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    // Writer A delete-marks keys that are ABSENT at its probe time; writer
+    // B concurrently INSERTS those keys. Valid serializations: (A,B) → B's
+    // values survive (A's unmatched deletes INSERT, B then updates), or
+    // (B,A) → the keys are deleted. The one INVALID outcome is A's
+    // tombstone values surviving — that happens exactly when a lost-race
+    // retry reuses the STALE matched/unmatched classification instead of
+    // re-probing the winner's snapshot. v=999 marks A's tombstones.
+    (1 to 3).foreach { round =>
+      sql("DROP TABLE IF EXISTS graft.spec.drace")
+      sql("""CREATE TABLE graft.spec.drace (id BIGINT, v BIGINT)
+             PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+      sql("INSERT INTO graft.spec.drace SELECT id, CAST(0 AS BIGINT) FROM range(0, 10)")
+      val latch = new CountDownLatch(2)
+      val pool = Executors.newFixedThreadPool(2)
+      val stmts = Seq(
+        """MERGE INTO graft.spec.drace t
+           USING (SELECT id, CAST(999 AS BIGINT) AS v, 'd' AS operation
+                  FROM range(50, 60)) s
+           ON t.id = s.id
+           WHEN MATCHED AND s.operation = 'd' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        """MERGE INTO graft.spec.drace t
+           USING (SELECT id, CAST(7 AS BIGINT) AS v, 'u' AS operation
+                  FROM range(50, 60)) s
+           ON t.id = s.id
+           WHEN MATCHED AND s.operation = 'd' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+      val futures = stmts.map { s =>
+        pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+          override def call(): Option[Throwable] = {
+            latch.countDown(); latch.await(10, TimeUnit.SECONDS)
+            try { sql(s); None } catch { case t: Throwable => Some(t) }
+          }
+        })
+      }
+      val errs = futures.flatMap(_.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(errs.isEmpty, s"round $round racing MERGEs failed: ${errs.map(_.getMessage)}")
+      val vs = sql("SELECT v FROM graft.spec.drace WHERE id >= 50")
+        .as[Long].collect().toSeq
+      assert(vs.forall(_ == 7L),
+        s"round $round: tombstone values leaked into the table: $vs")
+      assert(vs.isEmpty || vs.length == 10, s"round $round: partial slice: $vs")
+      sql("DROP TABLE graft.spec.drace")
+    }
+  }
+
   test("Scala surface and SQL surface see one table state (MERGE then SELECT)") {
     sql("DROP TABLE IF EXISTS graft.spec.merged")
     sql("""CREATE TABLE graft.spec.merged (id BIGINT, v BIGINT)

@@ -281,6 +281,31 @@ class IngestSpec extends SparkSpec {
       entSeq.read().drop("operation").collect().toSet)
   }
 
+  test("applyCdcBatchesN markerless: pipelined FIRST USE never drops the creating batch") {
+    // the race this pins down: batch 1's deferred agg commit CREATES the
+    // agg table while batch 2 is already preparing — if first-use were
+    // probed on the main thread (before awaiting the previous agg commit),
+    // batch 2 could observe exists=false, take the limit(0) branch, and
+    // replaceBuckets would silently discard batch 1's folded state.
+    // First-use must be decided inside the agg half, after the await.
+    import graft.streaming.IncrementalAgg
+    def b(rows: (Long, String, Double, String, Long)*) =
+      rows.toDF("id", "g", "v", "operation", "seq")
+    (1 to 3).foreach { i =>
+      val batches = Seq(
+        b((1L, "a", 10.0, "u", 1L), (2L, "b", 5.0, "u", 2L)),
+        b((3L, "a", 1.0, "u", 3L)), // touches batch 1's "a" bucket
+        b((4L, "b", 2.0, "u", 4L)))
+      val ent = new KeyedParquetTable(spark, tmpDir(s"fu_ent_$i"), Seq("id"), Nil, 4)
+      val agg = new KeyedParquetTable(spark, tmpDir(s"fu_agg_$i"), Seq("g"), Nil, 2)
+      IncrementalAgg.applyCdcBatches(ent, agg, batches, "g", "v",
+        Seq(col("seq").desc)) // markerless: agg commits defer across batches
+      val got = IncrementalAgg.snapshot(agg, "v").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got === Map("a" -> ((2L, 11.0)), "b" -> ((2L, 7.0))), s"iteration $i")
+    }
+  }
+
   test("applyBatch raises loudly on values beyond the decimal fold range") {
     import graft.streaming.IncrementalAgg
     val table = new KeyedParquetTable(spark, tmpDir("incr_overflow"), Seq("k"))
