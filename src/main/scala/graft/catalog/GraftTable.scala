@@ -9,7 +9,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TruncatableTable}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
@@ -245,14 +245,35 @@ private[catalog] object GraftScanBuilder {
 
 /** The built scan: a V1 bridge handing Spark the inner plan's RDD. The
   * inner DataFrame is the fully pruned + filtered + projected engine read.
+  *
+  * Reports [[SupportsReportStatistics]] from the PRUNED scan's actual
+  * input-file bytes (a driver-side fs stat per surviving file — no job).
+  * Without this, a V2 relation plans with `defaultSizeInBytes` (max), so
+  * SQL joins against engine tables would NEVER auto-broadcast a small
+  * side — at scale that turns every dim join into a shuffle. With it, the
+  * size shrinks with bucket/stats pruning too, so a pruned probe join
+  * broadcasts even when the full table wouldn't.
   */
 final class GraftScan(val inner: DataFrame,
-                      val pruneMode: String, pushed: Array[Filter]) extends V1Scan {
+                      val pruneMode: String, pushed: Array[Filter])
+    extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = inner.schema
 
   override def description(): String =
     s"graft prune=$pruneMode pushed=[${pushed.mkString(", ")}]"
+
+  private[catalog] lazy val inputBytesCached: Long = GraftScan.inputBytes(inner)
+
+  override def estimateStatistics(): Statistics = {
+    val bytes = inputBytesCached
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty() // exact rows need the _stats job; size drives join planning
+    }
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
@@ -260,7 +281,30 @@ final class GraftScan(val inner: DataFrame,
       override def sqlContext: SQLContext = context
       override def schema: StructType = inner.schema
       override def buildScan(): RDD[Row] = inner.rdd
+      override def sizeInBytes: Long = GraftScan.inputBytes(inner)
     }.asInstanceOf[T]
+}
+
+private[catalog] object GraftScan {
+  /** Total bytes of the plan's surviving input files. `inputFiles` is a
+    * driver-side walk of the plan's file indexes (already listed — no
+    * job); a frame with no file inputs (metadata tables, empty snapshots)
+    * reports its local-relation estimate instead of zero so tiny frames
+    * stay broadcastable without lying about true file-backed size.
+    */
+  def inputBytes(inner: DataFrame): Long = {
+    val files = inner.inputFiles
+    if (files.isEmpty)
+      inner.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
+    else files.iterator.map { f =>
+      try java.nio.file.Files.size(java.nio.file.Paths.get(new java.net.URI(f)))
+      catch { case _: Exception =>
+        try java.nio.file.Files.size(java.nio.file.Paths.get(f))
+        catch { case _: Exception => 0L }
+      }
+    }.sum
+  }
 }
 
 /** Read-only METADATA table (`SELECT * FROM graft.ns.t.history` etc.) —

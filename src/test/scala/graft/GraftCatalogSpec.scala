@@ -90,6 +90,50 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT COUNT(*) FROM graft.spec.pruned WHERE id IN (7, 8)").head().getLong(0) === 2L)
   }
 
+  test("scan statistics: real file bytes, shrinking under pruning; dims auto-broadcast") {
+    sql("DROP TABLE IF EXISTS graft.spec.stat_big")
+    sql("DROP TABLE IF EXISTS graft.spec.stat_dim")
+    sql("""CREATE TABLE graft.spec.stat_big (id BIGINT, grp BIGINT, v DOUBLE)
+           PARTITIONED BY (bucket(8, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("""CREATE TABLE graft.spec.stat_dim (grp BIGINT, name STRING)
+           TBLPROPERTIES ('graft.keys'='grp')""")
+    spark.range(0, 5000)
+      .selectExpr("id", "id % 10 AS grp", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("stat_src")
+    sql("INSERT INTO graft.spec.stat_big SELECT id, grp, v FROM stat_src")
+    sql("""INSERT INTO graft.spec.stat_dim
+           SELECT id AS grp, CAST(id AS STRING) AS name FROM range(0, 10)""")
+
+    // the logical stats a join planner sees = the pruned scan's file bytes,
+    // not defaultSizeInBytes (Long.Max = never broadcast)
+    val table = graftCatalog.loadTable(Identifier.of(Array("spec"), "stat_big"))
+      .asInstanceOf[GraftTable]
+    def scanBytes(filters: org.apache.spark.sql.sources.Filter*): Long = {
+      val b = table.newScanBuilder(CaseInsensitiveStringMap.empty())
+        .asInstanceOf[GraftScanBuilder]
+      b.pushFilters(filters.toArray)
+      b.build().asInstanceOf[GraftScan].estimateStatistics()
+        .sizeInBytes().getAsLong
+    }
+    val fullBytes = scanBytes()
+    val prunedBytes = scanBytes(EqualTo("id", 7L))
+    assert(fullBytes > 0L && fullBytes < Long.MaxValue)
+    assert(prunedBytes > 0L && prunedBytes < fullBytes,
+      s"pruned scan must report fewer bytes: $prunedBytes vs $fullBytes")
+    // and the planner actually uses them: the small dim side of a SQL join
+    // broadcasts WITHOUT a hint
+    val joined = sql("""SELECT d.name, SUM(b.v) AS sv
+                        FROM graft.spec.stat_big b
+                        JOIN graft.spec.stat_dim d ON b.grp = d.grp
+                        GROUP BY d.name""")
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      s"dim join did not broadcast:\n$physical")
+    assert(joined.collect().length === 10)
+    sql("DROP TABLE graft.spec.stat_big")
+    sql("DROP TABLE graft.spec.stat_dim")
+  }
+
   test("pushed range on a stats column reaches file-stats pruning") {
     sql("DROP TABLE IF EXISTS graft.spec.ranged")
     sql("""CREATE TABLE graft.spec.ranged (id BIGINT, ts BIGINT)
