@@ -4463,6 +4463,44 @@ object Queries {
              |SELECT e.user_id, e.event_id, e.event_type, e.value FROM even e
              |WHERE NOT EXISTS (SELECT 1 FROM odd o WHERE o.user_id = e.user_id)""".stripMargin)),
 
+    // ANSI MERGE with NOT MATCHED BY SOURCE DELETE: the source declares the
+    // COMPLETE desired state (matched update, unmatched insert, absent
+    // delete) — the engine executes it as one atomic snapshot reconcile,
+    // so the final table state IS the source query (which is the oracle).
+    "q_sql_merge_reconcile" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("events").createOrReplaceTempView("events_v")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.vsql")
+        s.sql("DROP TABLE IF EXISTS graft.vsql.rec_state")
+        s.sql("""CREATE TABLE graft.vsql.rec_state
+                 (user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE)
+                 PARTITIONED BY (bucket(8, user_id))
+                 TBLPROPERTIES ('graft.keys'='user_id')""")
+        s.sql("""INSERT INTO graft.vsql.rec_state
+                 SELECT user_id, event_id, event_type, value
+                 FROM (SELECT *, ROW_NUMBER() OVER
+                         (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                       FROM events_v WHERE event_id % 2 = 0)
+                 WHERE rn = 1""")
+        s.sql("""MERGE INTO graft.vsql.rec_state target
+                 USING (SELECT user_id, event_id, event_type, value
+                        FROM (SELECT *, ROW_NUMBER() OVER
+                                (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                              FROM events_v WHERE event_id % 2 = 1)
+                        WHERE rn = 1 AND user_id % 3 <> 0) source
+                 ON target.user_id = source.user_id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *
+                 WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+        s.sql("SELECT user_id, event_id, event_type, value FROM graft.vsql.rec_state")
+      },
+      Some("""SELECT user_id, event_id, event_type, value
+             |FROM (SELECT *, ROW_NUMBER() OVER
+             |        (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |      FROM events WHERE event_id % 2 = 1) t
+             |WHERE rn = 1 AND user_id % 3 <> 0""".stripMargin)),
+
     // SQL time travel: INSERT OVERWRITE commits v1 (even event_ids),
     // INSERT INTO appends v2 (odd event_ids); VERSION AS OF 1 must see
     // only the overwrite, the current read both.

@@ -41,8 +41,12 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *     every column from source-only expressions)
   *   - WHEN NOT MATCHED: unconditional `INSERT *` (or explicit assignments
   *     identical to the update's — one projected row serves both verbs)
-  *   - no NOT MATCHED BY SOURCE clauses (that verb is snapshot
-  *     reconciliation — [[graft.cdc.KeyedParquetTable.reconcile]])
+  *   - WHEN NOT MATCHED BY SOURCE: either absent, or exactly one
+  *     unconditional DELETE — the statement then declares the source the
+  *     COMPLETE desired state and executes as the engine's atomic snapshot
+  *     reconcile ([[graft.cdc.KeyedParquetTable.reconcile]]); conditional
+  *     and UPDATE by-source variants refuse (they need per-row target
+  *     pre-images inside the decision)
   *
   * Why conditions must reference only the source: the engine's MERGE
   * replaces a matched row wholesale from the projected source row, decided
@@ -101,9 +105,21 @@ object GraftMergeInto {
   private[catalog] def translate(m: MergeIntoTable): LogicalPlan = {
     val (rel, table) = graftTarget(m.targetTable).get
     if (!table.isCurrent) refuse("MERGE into a time-travel read")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      refuse("NOT MATCHED BY SOURCE clauses (use KeyedParquetTable.reconcile " +
-        "for full-snapshot convergence)")
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE declares the source to be the
+    // COMPLETE desired state — exactly the engine's snapshot reconcile
+    // ([[graft.cdc.KeyedParquetTable.reconcile]]): matched rows update,
+    // unmatched insert, target keys absent from the source delete, one
+    // atomic commit. Conditional/UPDATE by-source variants need per-row
+    // target pre-images inside the decision and refuse.
+    val reconcileBySource = m.notMatchedBySourceActions match {
+      case Seq() => false
+      case Seq(DeleteAction(None)) => true
+      case Seq(DeleteAction(Some(c))) =>
+        refuse(s"conditional NOT MATCHED BY SOURCE DELETE ('${c.sql}') — the " +
+          "reconcile contract is unconditional full-snapshot convergence")
+      case other => refuse(s"NOT MATCHED BY SOURCE shape " +
+        s"${other.map(_.getClass.getSimpleName)} (exactly one unconditional DELETE)")
+    }
     if (m.withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION")
     val sourceRefs = m.sourceTable.outputSet
     val targetRefs = AttributeSet(rel.output)
@@ -164,6 +180,11 @@ object GraftMergeInto {
         "(exactly one unconditional INSERT required)")
     }
 
+    if (reconcileBySource && deleteCond.isDefined)
+      refuse("combining WHEN MATCHED ... THEN DELETE (tombstone protocol) " +
+        "with NOT MATCHED BY SOURCE DELETE (full-state reconcile) — a source " +
+        "carrying delete markers is not a complete desired state")
+
     // ---- projected source: (target columns..., op) ----
     val cols: Seq[NamedExpression] = rel.output.map(a =>
       Alias(assignMap(a.name), a.name)())
@@ -172,6 +193,7 @@ object GraftMergeInto {
       case None => Literal("u")
     }
     GraftMergeCommand(table, hasDelete = deleteCond.isDefined,
+      reconcile = reconcileBySource,
       Project(cols :+ Alias(opExpr, OpCol)(), m.sourceTable))
   }
 }
@@ -180,7 +202,7 @@ object GraftMergeInto {
   * `spark.sql(...)` itself — the semantics SQL users expect of MERGE).
   */
 final case class GraftMergeCommand(table: GraftTable, hasDelete: Boolean,
-                                   child: LogicalPlan)
+                                   reconcile: Boolean, child: LogicalPlan)
     extends UnaryCommand {
   override def output: Seq[Attribute] = Nil
   override protected def withNewChildInternal(newChild: LogicalPlan): GraftMergeCommand =
@@ -204,7 +226,7 @@ final case class MergeIntoGraftTableRule(spark: SparkSession) extends Rule[Logic
 object GraftMergeStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GraftMergeCommand =>
-      GraftMergeExec(g.table, g.hasDelete, planLater(g.child)) :: Nil
+      GraftMergeExec(g.table, g.hasDelete, g.reconcile, planLater(g.child)) :: Nil
     case _ => Nil
   }
 }
@@ -236,6 +258,7 @@ object GraftMergeStrategy extends SparkStrategy {
   *    O(table).
   */
 final case class GraftMergeExec(table: GraftTable, hasDelete: Boolean,
+                                reconcileBySource: Boolean,
                                 child: SparkPlan)
     extends UnaryExecNode {
 
@@ -289,12 +312,32 @@ final case class GraftMergeExec(table: GraftTable, hasDelete: Boolean,
         .drop("__graft_exists")
       guarded.filter(col(op) =!= "d").unionByName(dFixed)
     }
-    // lost-race retry (CommitRetry): the engine merge re-reads current
-    // state inside its evaluation AND the delete probe above re-reads the
-    // current snapshot, so a retry IS the statement's ANSI semantics over
-    // whatever state won the race; the checkpointed `guarded` keeps the
-    // source single-evaluation across attempts
-    CommitRetry.retrying("MERGE INTO") { table.kpt.merge(batch(), op) }
+    // lost-race retry (CommitRetry): each attempt (a) pins the base
+    // version, (b) rebuilds the matched/unmatched classification, and
+    // (c) merges with expectedBase = that pin — so a racer committing
+    // ANYWHERE between the probe and the commit surfaces as a lost race
+    // (merge entry check or the commit claim's post-acquire fence) and the
+    // retry re-probes the winner's state. Without the pin, a commit landing
+    // between probe and merge left no conflict to detect: the merge simply
+    // re-read the NEWER state as its base and applied the STALE
+    // classification over it (a delete-marked key the racer just inserted
+    // stayed 'u' and upserted the tombstone's projected values — caught by
+    // the racing-deletes chaos spec). The checkpointed `guarded` keeps the
+    // source single-evaluation across attempts.
+    if (reconcileBySource)
+      // NOT MATCHED BY SOURCE DELETE: the source is the complete desired
+      // state — reconcile converges the table to it in one atomic commit
+      // (it pins its own base for diff+merge, and its one-row-per-key
+      // contract check subsumes the window guard; `guarded` already fired
+      // the ANSI cardinality assert on evaluation)
+      CommitRetry.retrying("MERGE INTO (reconcile)") {
+        table.kpt.reconcile(guarded.drop(op))
+      }
+    else
+      CommitRetry.retrying("MERGE INTO") {
+        val base = table.kpt.currentVersion
+        table.kpt.merge(batch(), op, None, None, expectedBase = base)
+      }
   }
 
   override def executeCollect(): Array[InternalRow] = { run(); Array.empty }

@@ -557,9 +557,11 @@ final class KeyedParquetTable(
     * include a batch's effects should pass that batch's txn explicitly.
     */
   private def commitInternal(df: DataFrame, txn: Option[String],
-                             carry: Boolean): Long = {
+                             carry: Boolean, base: Long = -1L): Long = {
     schemaCache = None // a full rewrite may evolve the schema
-    val next = currentVersion + 1
+    // base: see commitScoped — claim against the snapshot the content was
+    // computed on, so an interleaved commit surfaces as a lost race
+    val next = (if (base >= 0L) base else currentVersion) + 1
     claimCommit(next)
     Files.createDirectories(rootPath)
     val (out, parts) = withLayout(enforceConstraints(df))
@@ -629,9 +631,9 @@ final class KeyedParquetTable(
     * claim from [[claimCommit]] stays held as the audit-window fence).
     */
   private def stageInternal(df: DataFrame, txn: Option[String],
-                            carry: Boolean): Long = {
+                            carry: Boolean, base: Long = -1L): Long = {
     schemaCache = None
-    val cur = currentVersion
+    val cur = if (base >= 0L) base else currentVersion
     val next = cur + 1
     claimCommit(next)
     Files.createDirectories(rootPath)
@@ -997,11 +999,31 @@ final class KeyedParquetTable(
     * (extra buckets are re-merged unchanged).
     */
   def merge(source: DataFrame, opCol: String, txn: Option[String],
-            sourceBuckets: Option[Set[Int]]): Long = {
+            sourceBuckets: Option[Set[Int]]): Long =
+    merge(source, opCol, txn, sourceBuckets, expectedBase = -1L)
+
+  /** [[merge]] that FAILS (ConcurrentModificationException) unless the
+    * current snapshot is still `expectedBase` at evaluation — for callers
+    * whose source was classified against a snapshot they read separately
+    * (the SQL MERGE unmatched-delete probe): a moved base means the
+    * classification is stale, and committing it anyway silently applies
+    * the wrong verbs over the winner's state. The check plus the commit
+    * claim's post-acquire fence make probe→merge→commit one atomic unit.
+    */
+  def merge(source: DataFrame, opCol: String, txn: Option[String],
+            sourceBuckets: Option[Set[Int]], expectedBase: Long): Long = {
     require(exists, s"merge target $root does not exist")
-    if (bucketCount > 0) mergeScoped(source, opCol, txn, sourceBuckets)
-    else commitInternal(Merge.mergeUpsert(read(), source, keys, opCol), txn,
-      carry = true)
+    if (bucketCount > 0)
+      mergeScoped(source, opCol, txn, sourceBuckets, expectedBase = expectedBase)
+    else {
+      val cur = currentVersion
+      if (expectedBase >= 0L && cur != expectedBase)
+        throw new java.util.ConcurrentModificationException(
+          s"$root: base snapshot moved v$expectedBase -> v$cur between the " +
+            "caller's probe and this merge — retry re-probes the new base")
+      commitInternal(Merge.mergeUpsert(read(), source, keys, opCol), txn,
+        carry = true, base = cur)
+    }
   }
 
   /** MERGE with MERGE-ON-READ deletes: upserts rewrite their touched
@@ -1020,11 +1042,15 @@ final class KeyedParquetTable(
     * Bucketed engine-layout tables only.
     */
   def mergeMor(source: DataFrame, opCol: String = "operation",
-               txn: Option[String] = None): Long = {
+               txn: Option[String] = None, expectedBase: Long = -1L): Long = {
     require(exists, s"mergeMor target $root does not exist")
     require(bucketCount > 0 && !hasForeignFlatFiles,
       "mergeMor requires a bucketed engine-layout table — use merge()")
     val cur = currentVersion
+    if (expectedBase >= 0L && cur != expectedBase)
+      throw new java.util.ConcurrentModificationException(
+        s"$root: base snapshot moved v$expectedBase -> v$cur between the " +
+          "caller's probe and this merge — retry re-probes the new base")
     val curDir = versionDir(cur)
     // checkpoint ONCE: the bucket/op probe, the delete-set write, and the
     // merge content below would otherwise evaluate the source plan three
@@ -1062,7 +1088,8 @@ final class KeyedParquetTable(
       extraDeletes =
         if (delBucketsOutside.isEmpty) None
         else Some(dels.filter(
-          col("__bucket").isin(delBucketsOutside.toSeq: _*))))
+          col("__bucket").isin(delBucketsOutside.toSeq: _*))),
+      base = cur)
   }
 
   /** True when snapshot `v` holds at least one parquet data file. An empty
@@ -1148,8 +1175,17 @@ final class KeyedParquetTable(
   private def mergeScoped(source: DataFrame, opCol: String,
                           txn: Option[String],
                           sourceBuckets: Option[Set[Int]] = None,
-                          swing: Boolean = true): Long = {
+                          swing: Boolean = true,
+                          expectedBase: Long = -1L): Long = {
     val cur = currentVersion
+    // expectedBase: the caller classified/derived its source against that
+    // snapshot (e.g. the SQL MERGE unmatched-delete probe); a base that
+    // moved means the classification is stale — fail as a lost race so the
+    // statement-level retry rebuilds it against the winner's state.
+    if (expectedBase >= 0L && cur != expectedBase)
+      throw new java.util.ConcurrentModificationException(
+        s"$root: base snapshot moved v$expectedBase -> v$cur between the " +
+          "caller's probe and this merge — retry re-probes the new base")
     val curDir = versionDir(cur)
     // flat (non-bucket-partitioned) layout from a foreign writer → full merge
     val hasFlatFiles = Files.exists(curDir) &&
@@ -1157,8 +1193,8 @@ final class KeyedParquetTable(
         Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
     if (hasFlatFiles) {
       val full = Merge.mergeUpsert(read(), source, keys, opCol)
-      return if (swing) commitInternal(full, txn, carry = true)
-      else stageInternal(full, txn, carry = true)
+      return if (swing) commitInternal(full, txn, carry = true, base = cur)
+      else stageInternal(full, txn, carry = true, base = cur)
     }
     val src = source.withColumn("__bucket", bucketExpr)
     // bounded by bucketCount — driver-safe; a caller-precomputed set skips
@@ -1175,7 +1211,7 @@ final class KeyedParquetTable(
               .filter(col("__bucket").isin(touched.toSeq: _*)), curDir)
         Merge.mergeUpsert(targetTouched, src, keys, opCol)
       }
-    commitScoped(merged, touched, txn, swing)
+    commitScoped(merged, touched, txn, swing, base = cur)
   }
 
   /** Commit a snapshot whose `buckets` contain EXACTLY `content` — the other
@@ -1194,11 +1230,13 @@ final class KeyedParquetTable(
                      txn: Option[String] = None): Long = {
     require(exists, s"replaceBuckets target $root does not exist")
     require(bucketCount > 0, "replaceBuckets requires a bucketed table")
-    val curDir = versionDir(currentVersion)
+    val cur = currentVersion
+    val curDir = versionDir(cur)
     require(!Files.exists(curDir) || !listEntries(curDir).exists(p =>
       Files.isRegularFile(p) && p.toString.endsWith(".parquet")),
       s"replaceBuckets: $root holds flat (unbucketed) files — merge instead")
-    commitScoped(content.withColumn("__bucket", bucketExpr), buckets, txn)
+    commitScoped(content.withColumn("__bucket", bucketExpr), buckets, txn,
+      base = cur)
   }
 
   /** Commit kernel under [[mergeScoped]]/[[replaceBuckets]]: write `content`
@@ -1208,8 +1246,15 @@ final class KeyedParquetTable(
     */
   private def commitScoped(content: DataFrame, touched: Set[Int],
                            txn: Option[String], swing: Boolean = true,
-                           extraDeletes: Option[DataFrame] = None): Long = {
-    val cur = currentVersion
+                           extraDeletes: Option[DataFrame] = None,
+                           base: Long = -1L): Long = {
+    // `base` = the snapshot the caller computed `content` AGAINST. Claiming
+    // base+1 (not currentVersion+1 re-read here) makes an interleaved
+    // commit fail the claim's post-acquire fence instead of silently
+    // becoming the link-source for content computed on an older snapshot —
+    // the lost-update window the racing-MERGE chaos spec caught when the
+    // two reads straddled another writer's commit.
+    val cur = if (base >= 0L) base else currentVersion
     val curDir = versionDir(cur)
     val next = cur + 1
     val nextDir = versionDir(next)
@@ -2088,6 +2133,12 @@ final class KeyedParquetTable(
     */
   def reconcile(snapshot: DataFrame, txn: Option[String] = None): Long = {
     require(exists, s"reconcile target $root does not exist")
+    // pin the base FOR THE WHOLE statement: the except-diff, the anti-join
+    // and the final merge must all see one snapshot, and the merge must
+    // refuse if another writer committed in between — otherwise a racer's
+    // insert after the diff was computed would survive "converge to
+    // source" (never deleted) and its update could be silently kept.
+    val base = currentVersion
     val cur = read()
     require(snapshot.columns.toSet == cur.columns.toSet,
       s"reconcile snapshot columns ${snapshot.columns.toSeq} must equal " +
@@ -2120,10 +2171,17 @@ final class KeyedParquetTable(
       .withColumn("operation", lit("d"))
     // materialize the diff once; an equal snapshot must NOT bump the version
     val delta = changed.unionByName(missing).localCheckpoint(true)
-    if (delta.isEmpty) { currentVersion }
+    // the no-op probe must also verify the base hasn't moved: "equal to
+    // the source" was established against `base`, not the current state
+    if (delta.isEmpty) {
+      val v = currentVersion
+      if (v != base) throw new java.util.ConcurrentModificationException(
+        s"$root: base snapshot moved v$base -> v$v during reconcile — retry")
+      v
+    }
     else if (bucketCount > 0 && !hasForeignFlatFiles)
-      mergeMor(delta, "operation", txn)
-    else merge(delta, "operation", txn)
+      mergeMor(delta, "operation", txn, expectedBase = base)
+    else merge(delta, "operation", txn, None, expectedBase = base)
   }
 
   /** Bucket-layout evolution — the answer to "my bucket count stopped

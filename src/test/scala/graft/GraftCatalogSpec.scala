@@ -636,6 +636,51 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP VIEW graft.spec.v_l1")
   }
 
+  test("MERGE NOT MATCHED BY SOURCE DELETE converges the table to the source") {
+    sql("DROP TABLE IF EXISTS graft.spec.recm")
+    sql("""CREATE TABLE graft.spec.recm (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.recm VALUES (1, 10), (2, 20), (3, 30)")
+    // source: update 1, keep 2 identical, insert 4 — 3 is absent → deleted
+    sql("""MERGE INTO graft.spec.recm t
+           USING (SELECT * FROM VALUES (1L, 11L), (2L, 20L), (4L, 40L) AS s(id, v)) s
+           ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(sql("SELECT id, v FROM graft.spec.recm ORDER BY id")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 11L), (2L, 20L), (4L, 40L)))
+    // an IDENTICAL source must not bump the version (reconcile's no-op path)
+    val kpt = graftCatalog.tableFor(Identifier.of(Array("spec"), "recm"))
+    val vBefore = kpt.currentVersion
+    sql("""MERGE INTO graft.spec.recm t
+           USING (SELECT * FROM VALUES (1L, 11L), (2L, 20L), (4L, 40L) AS s(id, v)) s
+           ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(kpt.currentVersion === vBefore)
+    // refusals: conditional by-source delete; mixing with tombstone DELETE
+    val e1 = intercept[Exception] {
+      sql("""MERGE INTO graft.spec.recm t
+             USING (SELECT 1L AS id, 1L AS v) s ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *
+             WHEN NOT MATCHED BY SOURCE AND t.v > 100 THEN DELETE""")
+    }
+    assert(e1.getMessage.contains("conditional NOT MATCHED BY SOURCE"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      sql("""MERGE INTO graft.spec.recm t
+             USING (SELECT 1L AS id, 1L AS v, 'd' AS operation) s ON t.id = s.id
+             WHEN MATCHED AND s.operation = 'd' THEN DELETE
+             WHEN MATCHED THEN UPDATE SET id = s.id, v = s.v
+             WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+             WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    }
+    assert(e2.getMessage.contains("tombstone protocol"), e2.getMessage)
+    sql("DROP TABLE graft.spec.recm")
+  }
+
   test("CREATE VIEW refuses text that resolved through a temporary view") {
     // Spark's own rule for persistent views: CREATE analyzes where temp
     // views shadow, reads re-resolve in the captured context — the temp
