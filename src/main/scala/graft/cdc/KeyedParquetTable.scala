@@ -1227,10 +1227,15 @@ final class KeyedParquetTable(
     * files.
     */
   def replaceBuckets(content: DataFrame, buckets: Set[Int],
-                     txn: Option[String] = None): Long = {
+                     txn: Option[String] = None,
+                     expectedBase: Long = -1L): Long = {
     require(exists, s"replaceBuckets target $root does not exist")
     require(bucketCount > 0, "replaceBuckets requires a bucketed table")
     val cur = currentVersion
+    if (expectedBase >= 0L && cur != expectedBase)
+      throw new java.util.ConcurrentModificationException(
+        s"$root: base snapshot moved v$expectedBase -> v$cur between the " +
+          "caller's read and this replace — retry re-reads the new base")
     val curDir = versionDir(cur)
     require(!Files.exists(curDir) || !listEntries(curDir).exists(p =>
       Files.isRegularFile(p) && p.toString.endsWith(".parquet")),
@@ -1698,9 +1703,13 @@ final class KeyedParquetTable(
                   txn: Option[String] = None): Long = {
     require(exists, s"updateWhere target $root does not exist")
     require(set.nonEmpty, "updateWhere needs at least one SET assignment")
+    // pin the base for the whole statement: probe, bucket read and commit
+    // must see ONE snapshot, and the commit claim refuses if it moved
+    // (the commit-base race class — see commitScoped)
+    val base = currentVersion
     // logical row schema: the layout column is re-derived at commit
     val schema = org.apache.spark.sql.types.StructType(
-      snapshotSchema(versionDir(currentVersion)).fields.filterNot(_.name == "__bucket"))
+      snapshotSchema(versionDir(base)).fields.filterNot(_.name == "__bucket"))
     set.keys.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"updateWhere: no column '$c' in ${schema.fieldNames.mkString(", ")}")
@@ -1725,14 +1734,15 @@ final class KeyedParquetTable(
       // it — matching commit()'s full-recompute semantics
       // carry=true: an in-place update preserves every previously marked
       // batch's effects (unlike commit()'s state replacement)
-      commitInternal(applySet(read()), txn, carry = true)
+      commitInternal(applySet(read()), txn, carry = true, base = base)
     } else {
       // probe: which buckets hold a match (post-delete state — a deleted
       // row must not resurrect by matching the update predicate)
       val touched = distinctInts(
         read().filter(cond).select(bucketExpr.cast("int").as("__b")))
       if (touched.isEmpty) currentVersion
-      else replaceBuckets(applySet(readBuckets(touched)), touched, txn)
+      else replaceBuckets(applySet(readBuckets(touched, base)), touched, txn,
+        expectedBase = base)
     }
   }
 
@@ -1762,8 +1772,9 @@ final class KeyedParquetTable(
   def overwriteWhere(cond: org.apache.spark.sql.Column, replacement: DataFrame,
                      txn: Option[String] = None): Long = {
     require(exists, s"overwriteWhere target $root does not exist")
+    val base = currentVersion // one snapshot for probe, read and commit
     val schema = org.apache.spark.sql.types.StructType(
-      snapshotSchema(versionDir(currentVersion)).fields.filterNot(_.name == "__bucket"))
+      snapshotSchema(versionDir(base)).fields.filterNot(_.name == "__bucket"))
     schema.fieldNames.foreach(c => require(replacement.columns.contains(c),
       s"overwriteWhere replacement is missing declared column '$c'"))
     val matches = coalesce(cond, lit(false))
@@ -1776,7 +1787,8 @@ final class KeyedParquetTable(
         lit(s"overwriteWhere: replacement row violates the predicate: "),
         to_json(struct(keys.map(col): _*))))))
     if (bucketCount <= 0) {
-      commitInternal(read().filter(!matches).unionByName(guarded), txn, carry = true)
+      commitInternal(read().filter(!matches).unionByName(guarded), txn,
+        carry = true, base = base)
     } else {
       // single evaluation of the replacement source (the mergeMor
       // re-evaluation class of bug): one eager checkpoint materializes it,
@@ -1795,7 +1807,8 @@ final class KeyedParquetTable(
         bucketSet(probeObs.get("__bk"))
       if (touched.isEmpty) currentVersion
       else replaceBuckets(
-        readBuckets(touched).filter(!matches).unionByName(g), touched, txn)
+        readBuckets(touched, base).filter(!matches).unionByName(g), touched,
+        txn, expectedBase = base)
     }
   }
 
@@ -1820,9 +1833,10 @@ final class KeyedParquetTable(
   def deleteWhere(cond: org.apache.spark.sql.Column,
                   txn: Option[String] = None): Long = {
     require(exists, s"deleteWhere target $root does not exist")
+    val base = currentVersion // keys matched against THIS snapshot commit over it
     // read() already applies the carried set, so the matched keys are only
     // still-live ones; the commit unions + dedups against the carried set
-    commitDeleteSet(read().filter(cond).select(keys.map(col): _*), txn)
+    commitDeleteSet(read().filter(cond).select(keys.map(col): _*), txn, base)
   }
 
   /** [[deleteWhere]] for a KNOWN key set — the zero-scan form: where the
@@ -1840,7 +1854,7 @@ final class KeyedParquetTable(
     require(exists, s"deleteKeys target $root does not exist")
     keys.foreach(k => require(keysDf.columns.contains(k),
       s"deleteKeys frame must carry key column '$k'"))
-    commitDeleteSet(keysDf.select(keys.map(col): _*), txn)
+    commitDeleteSet(keysDf.select(keys.map(col): _*), txn, currentVersion)
   }
 
   /** Shared delete-set commit: hard-link every current file (data +
@@ -1853,8 +1867,9 @@ final class KeyedParquetTable(
     * tombstone rate needs. A legacy flat carried set converts to shards
     * on its first delete commit.
     */
-  private def commitDeleteSet(incoming: DataFrame, txn: Option[String]): Long = {
-    val cur = currentVersion
+  private def commitDeleteSet(incoming: DataFrame, txn: Option[String],
+                              base: Long = -1L): Long = {
+    val cur = if (base >= 0L) base else currentVersion
     val curDir = versionDir(cur)
     val next = cur + 1
     val nextDir = versionDir(next)

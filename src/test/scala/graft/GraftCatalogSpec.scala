@@ -681,6 +681,34 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE graft.spec.recm")
   }
 
+  test("concurrent UPDATEs: no lost increment (commit base pinned to the probe snapshot)") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    // the classic increment race: both writers read-modify-write the same
+    // rows. Any serialization gives +1+10 = +11 on every row; a commit
+    // whose base drifted from its read snapshot silently drops one side.
+    sql("DROP TABLE IF EXISTS graft.spec.urace")
+    sql("""CREATE TABLE graft.spec.urace (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.urace SELECT id, CAST(0 AS BIGINT) FROM range(0, 20)")
+    val latch = new CountDownLatch(2)
+    val pool = Executors.newFixedThreadPool(2)
+    val futures = Seq(1L, 10L).map { inc =>
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        override def call(): Option[Throwable] = {
+          latch.countDown(); latch.await(10, TimeUnit.SECONDS)
+          try { sql(s"UPDATE graft.spec.urace SET v = v + $inc"); None }
+          catch { case t: Throwable => Some(t) }
+        }
+      })
+    }
+    val errs = futures.flatMap(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(errs.isEmpty, s"racing UPDATEs failed: ${errs.map(_.getMessage)}")
+    val vs = sql("SELECT DISTINCT v FROM graft.spec.urace").as[Long].collect().toSeq
+    assert(vs === Seq(11L), s"lost update: distinct v = $vs (want exactly 11)")
+    sql("DROP TABLE graft.spec.urace")
+  }
+
   test("CREATE VIEW refuses text that resolved through a temporary view") {
     // Spark's own rule for persistent views: CREATE analyzes where temp
     // views shadow, reads re-resolve in the captured context — the temp
