@@ -2846,10 +2846,13 @@ final class KeyedParquetTable(
       if (bucketCount > 0 && bucketDirsOf(versionDir(currentVersion)).nonEmpty)
         compactScoped(targetPartitions, sortBy)
       else {
+        // pin the base: a compaction racing an ingest commit must lose the
+        // claim, not silently rewrite the table without the ingest's batch
+        val baseV = currentVersion
         val base = read().repartition(targetPartitions)
         val out = if (sortBy.isEmpty) base
           else base.sortWithinPartitions(sortBy.map(col): _*)
-        Some(commitInternal(out, None, carry = true))
+        Some(commitInternal(out, None, carry = true, base = baseV))
       }
     }
   }
@@ -2868,7 +2871,7 @@ final class KeyedParquetTable(
     if (listEntries(curDir).exists(p =>
         Files.isRegularFile(p) && p.toString.endsWith(".parquet")))
       return Some(commitInternal(read().repartition(targetPartitions), None,
-        carry = true))
+        carry = true, base = cur))
     // fragmentation is judged per LEAF directory: a partitioned bucket with
     // one file per partition dir is already compact (a per-bucket file
     // count would flag it forever and churn-rewrite it on every call).
