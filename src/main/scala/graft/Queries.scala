@@ -4290,6 +4290,38 @@ object Queries {
       },
       None),
 
+    // SemDeDup (cluster → within-cell pairwise → keep one per group).
+    // Rows-only (k-means seeds don't cross engines) with an in-query gate:
+    // every planted 1.001-scaled copy (cosine ≈ 1 to its source) must be
+    // DROPPED in favour of a non-planted representative — a regression in
+    // clustering, pairing or component resolution fails the row loudly.
+    "q_semdedup" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val emb = t("embeddings")
+        val planted = emb.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+        val all = emb.select("vec_id", "embedding").unionByName(planted)
+          .localCheckpoint(true)
+        val groups = Similarity.semanticDedup(all, "vec_id", "embedding",
+          threshold = 0.95)
+        val gated = groups.filter(col("doc_id") >= 10000000L)
+          .withColumn("__gate", when(col("keep_id") < 10000000L, lit(true))
+            .otherwise(raise_error(concat(
+              lit("semdedup gate: planted copy kept or grouped without its "),
+              lit("source: doc_id="), col("doc_id").cast("string"),
+              lit(" keep_id="), col("keep_id").cast("string")))))
+          .filter(col("__gate")).drop("__gate")
+        val nPlanted = planted.count()
+        val nGated = gated.count()
+        if (nGated != nPlanted) throw new IllegalStateException(
+          s"semdedup gate: only $nGated of $nPlanted planted copies were " +
+            "resolved into a dup group")
+        gated.orderBy("doc_id")
+      },
+      None),
+
     // ---- Multimodal plumbing ----------------------------------------------
 
     // Decode/feature-extract path (mapPartitions; deterministic stub codec)

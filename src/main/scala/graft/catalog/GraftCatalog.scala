@@ -319,16 +319,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val props = properties.asScala.toMap
 
     // the concrete transform case classes are private[sql]; the public
-    // Transform interface (name/references/arguments) identifies them
-    val partitionCols = partitions.collect {
-      case t if t.name == "identity" => t.references()(0).fieldNames.mkString(".")
-    }.toSeq
+    // Transform interface (name/references/arguments) identifies them.
+    // Layout also round-trips through TBLPROPERTIES ('graft.layout.*' /
+    // 'graft.partitionBy') when no transform is spelled — the form SHOW
+    // CREATE TABLE emits (GraftTable.partitioning() is deliberately empty,
+    // so the rendered DDL carries layout as properties; honoring them here
+    // makes that DDL re-runnable verbatim).
+    val partitionCols = {
+      val fromTransforms = partitions.collect {
+        case t if t.name == "identity" => t.references()(0).fieldNames.mkString(".")
+      }.toSeq
+      if (fromTransforms.nonEmpty) fromTransforms
+      else split(props.getOrElse("graft.partitionBy", ""))
+    }
     val bucketSpec = partitions.collectFirst {
       case t if t.name == "bucket" =>
         val n = t.arguments().collectFirst { case l: Literal[_] =>
           l.value().asInstanceOf[Number].intValue() }.getOrElse(
           throw new IllegalArgumentException(s"bucket transform without a count: $t"))
         (n, t.references().map(_.fieldNames.mkString(".")).toSeq)
+    }.orElse {
+      for {
+        n <- props.get("graft.layout.bucket-count").flatMap(_.toIntOption)
+        if n > 0
+        ks = split(props.getOrElse("graft.layout.bucket-keys", ""))
+        if ks.nonEmpty
+      } yield (n, ks)
     }
     partitions.foreach { t =>
       if (t.name != "identity" && t.name != "bucket")

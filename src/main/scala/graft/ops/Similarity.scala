@@ -142,6 +142,53 @@ object Similarity {
       .distinct()
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): semantic
+    * deduplication at corpus scale. Cluster the embeddings (the IVF
+    * k-means, [[ivfTrain]]), pairwise-compare ONLY within cells, connect
+    * pairs above `threshold` and keep one document per semantic group
+    * ([[graft.ops.Components.dedupKeepers]] — representative = component
+    * min id, deterministic).
+    *
+    * Scale shape: never all-pairs. The quadratic term is Σ|cell|² — the
+    * paper's point is that clustering makes that sum tractable — and a
+    * DEGENERATE clustering (one giant cell) must refuse loudly rather
+    * than silently run the N² this exists to avoid: `maxCellSize` bounds
+    * the largest cell, checked with one ≤nCells-row aggregate before any
+    * pairing happens. Cross-cell near-dups are missed by construction
+    * (the paper's recall trade-off); raise nPlanes for smaller cells,
+    * lower it for higher recall.
+    *
+    * Returns (doc_id, keep_id) for every document that appeared in a
+    * ≥threshold pair; docs in no pair are implicitly their own keeper and
+    * absent (same contract as dedupKeepers). A doc is DROPPED iff
+    * `doc_id != keep_id`.
+    */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nPlanes: Int = 4, dim: Int = 64,
+                    maxCellSize: Long = 1000000L): DataFrame = {
+    val cents = ivfTrain(embeddings, idCol, vecCol, nPlanes, dim)
+    val assigned = assignNearestCentroid(embeddings, cents, idCol, vecCol,
+      "centroid_id", "centroid", byCosine = true)
+    val cells = embeddings.select(col(idCol), col(vecCol))
+      .join(assigned, Seq(idCol))
+    val worst = cells.groupBy("centroid_id").agg(count(lit(1)).as("__n"))
+      .agg(coalesce(max("__n"), lit(0L))).head.getLong(0)
+    require(worst <= maxCellSize,
+      s"semanticDedup: largest cell holds $worst vectors (> maxCellSize " +
+        s"$maxCellSize) — within-cell pairing would be quadratic in that; " +
+        "raise nPlanes (more, smaller cells) or maxCellSize if intended")
+    val a = cells.select(col("centroid_id"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"))
+    val b = cells.select(col("centroid_id"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"))
+    val pairs = a.join(b, "centroid_id")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+    graft.ops.Components.dedupKeepers(pairs)
+  }
+
   /** Brute-force all-pairs top-k per vector against a SMALL probe set
     * (e.g. centroids) — the IVF assignment step: each vector gets its
     * nearest centroid id via a broadcast nested loop, no N² shuffle.

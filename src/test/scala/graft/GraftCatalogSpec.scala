@@ -787,6 +787,26 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SHOW CREATE TABLE renders re-runnable DDL (layout via graft.layout.* props)") {
+    sql("DROP TABLE IF EXISTS graft.spec.sct")
+    sql("DROP TABLE IF EXISTS graft.spec.sct2")
+    sql("""CREATE TABLE graft.spec.sct (id BIGINT, v DOUBLE)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    val ddl = sql("SHOW CREATE TABLE graft.spec.sct").head().getString(0)
+    assert(ddl.contains("graft.spec.sct"), ddl)
+    assert(ddl.contains("'graft.keys' = 'id'"), ddl)
+    assert(ddl.contains("'graft.layout.bucket-count' = '4'"), ddl)
+    // the rendered DDL is RE-RUNNABLE: running it (renamed) reproduces the
+    // bucketed layout from the graft.layout.* properties
+    sql(ddl.replace("graft.spec.sct", "graft.spec.sct2"))
+    val kpt2 = graftCatalog.tableFor(Identifier.of(Array("spec"), "sct2"))
+    assert(kpt2.bucketCount === 4 && kpt2.keys === Seq("id"))
+    sql("INSERT INTO graft.spec.sct2 VALUES (1, 1.0)")
+    assert(sql("SELECT COUNT(*) FROM graft.spec.sct2").head().getLong(0) === 1L)
+    sql("DROP TABLE graft.spec.sct")
+    sql("DROP TABLE graft.spec.sct2")
+  }
+
   test("Scala surface and SQL surface see one table state (MERGE then SELECT)") {
     sql("DROP TABLE IF EXISTS graft.spec.merged")
     sql("""CREATE TABLE graft.spec.merged (id BIGINT, v BIGINT)

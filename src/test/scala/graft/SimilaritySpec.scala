@@ -133,6 +133,37 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.size <= 3, s"too many spurious pairs: $pairs")
   }
 
+  test("semanticDedup keeps one doc per planted dup group; clean docs untouched") {
+    val rnd = new scala.util.Random(11)
+    // three dup groups (near-identical copies) + 50 clean docs
+    def grp(baseId: Long, n: Int) = {
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      Seq.tabulate(n)(j => (baseId + j,
+        base.map(x => x + rnd.nextGaussian().toFloat * 0.005f).toSeq))
+    }
+    val dups = grp(0L, 3) ++ grp(100L, 2) ++ grp(200L, 4)
+    val clean = Seq.tabulate(50)(i =>
+      (1000L + i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val df = (dups ++ clean).toDF("vec_id", "embedding")
+    val groups = Similarity.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.97, nPlanes = 6, dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every planted copy resolves to its group's min id
+    Seq(0L -> Seq(0L, 1L, 2L), 100L -> Seq(100L, 101L),
+        200L -> Seq(200L, 201L, 202L, 203L)).foreach { case (rep, members) =>
+      members.foreach(m => assert(groups.get(m).contains(rep),
+        s"doc $m: expected keeper $rep, got ${groups.get(m)} in $groups"))
+    }
+    // clean docs appear in no pair (gaussian dim-16 cos ≥ 0.97 ~ never)
+    assert(groups.keys.forall(_ < 1000L), s"clean docs paired: $groups")
+    // the scale guard refuses a degenerate clustering loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.97, nPlanes = 6, dim = dim, maxCellSize = 1L)
+    }
+    assert(e.getMessage.contains("maxCellSize"), e.getMessage)
+  }
+
   test("ivfBuild + ivfQuery: recall ≥ 0.8 vs brute force from the persisted index") {
     val emb = clustered
     val query = emb.filter(col("vec_id") === 0).select("embedding")
