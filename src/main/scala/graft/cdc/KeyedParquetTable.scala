@@ -751,12 +751,42 @@ final class KeyedParquetTable(
     * into multiple files within its task. Compaction manages its own
     * distribution (it may sort within partitions) and bypasses this.
     */
+  /** Declared write-time sort order (`graft.write.sortBy` property, comma
+    * list) — Iceberg's `write.sort-order`: every commit lands its files
+    * locally sorted on these columns, so parquet row-group min/max stay
+    * tight for range predicates and the `_stats` file index prunes harder
+    * WITHOUT waiting for a sorted compaction. Settable/clearable any time
+    * (ALTER TABLE SET TBLPROPERTIES); existing files keep their order
+    * until their bucket next rewrites. Columns are validated lazily at
+    * write (a dropped column simply stops sorting rather than wedging
+    * every commit).
+    */
+  private def writeSortCols(forSchema: Seq[String]): Seq[String] =
+    properties.get("graft.write.sortBy").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .filter(forSchema.contains)
+
+  /** Apply the declared sort WITH the partition columns as its prefix:
+    * FileFormatWriter requires task rows sorted by the partition columns
+    * and inserts its own (unstable) sort when the child's ordering does
+    * not satisfy that — which would silently destroy a bare
+    * sortWithinPartitions(sortCols). A (parts ++ sortCols) local sort
+    * satisfies the writer's requirement (prefix) AND lands each partition
+    * dir's rows in declared order, with no extra sort inserted.
+    */
+  private def withSortOrder(df: DataFrame, parts: Seq[String]): DataFrame = {
+    val sortCols = writeSortCols(df.columns.toSeq)
+    if (sortCols.isEmpty) df
+    else df.sortWithinPartitions(
+      (parts.filter(df.columns.contains) ++ sortCols).distinct.map(col): _*)
+  }
+
   private def withLayout(df: DataFrame): (DataFrame, Seq[String]) =
     if (bucketCount > 0 && df.columns.nonEmpty) {
       val parts = Seq("__bucket") ++ partitionBy
-      (df.withColumn("__bucket", bucketExpr)
-        .repartition(parts.map(col): _*), parts)
-    } else (df, partitionBy)
+      (withSortOrder(df.withColumn("__bucket", bucketExpr)
+        .repartition(parts.map(col): _*), parts), parts)
+    } else (withSortOrder(df, partitionBy), partitionBy)
 
   /** Atomically make `next` the current snapshot. */
   private def swingPointer(next: Long): Long = {
@@ -1277,8 +1307,9 @@ final class KeyedParquetTable(
       // Hash-distribute on the layout cells first (see withLayout): a
       // micro-batch commit otherwise lands one file per (cell × task),
       // and per-batch fragmentation compounds fastest exactly here
-      enforceConstraints(content)
-        .repartition(("__bucket" +: partitionBy).map(col): _*)
+      withSortOrder(enforceConstraints(content)
+        .repartition(("__bucket" +: partitionBy).map(col): _*),
+        "__bucket" +: partitionBy)
         .write.mode("append")
         .partitionBy(("__bucket" +: partitionBy): _*)
         .parquet(nextDir.toString)

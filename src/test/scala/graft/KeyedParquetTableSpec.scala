@@ -2062,4 +2062,37 @@ class KeyedParquetTableSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(rows === Set((1L, "a+b", 0L), (2L, "a b", 0L), (3L, "c%2Bd", 0L)))
   }
+
+  test("graft.write.sortBy lands every commit's files locally sorted") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_sortorder"), Seq("id"),
+      Nil, 2)
+    t.setProperties(Map("graft.write.sortBy" -> "ts"))
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.tabulate(200)(i => (i.toLong, rnd.nextLong() % 100000))
+    t.commit(rows.toDF("id", "ts"))                                   // full write
+    t.merge(Seq((500L, 7L, "u"), (501L, -3L, "u"), (502L, 99L, "u"))
+      .toDF("id", "ts", "operation"))                                 // scoped write
+    // EVERY data file is internally ascending on ts
+    def files(v: Long) = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(t.root, s"v$v")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_stats") && !p.toString.contains("_deletes"))
+      .map(_.toString).toSeq
+    (0L to 1L).foreach { v =>
+      files(v).foreach { f =>
+        val ts = spark.read.parquet(f).select("ts").collect().map(_.getLong(0))
+        assert(ts.sameElements(ts.sorted), s"file $f of v$v is not ts-sorted")
+      }
+    }
+    // contents unaffected by the ordering
+    assert(t.read().count() === 203)
+    // clearing the property keeps commits working
+    t.removeProperty("graft.write.sortBy")
+    t.merge(Seq((503L, 1L, "u")).toDF("id", "ts", "operation"))
+    assert(t.read().count() === 204)
+    // a sort column that no longer exists must not wedge commits
+    t.setProperties(Map("graft.write.sortBy" -> "ghost"))
+    t.merge(Seq((504L, 2L, "u")).toDF("id", "ts", "operation"))
+    assert(t.read().count() === 205)
+  }
 }
