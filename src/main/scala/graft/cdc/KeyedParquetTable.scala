@@ -2864,8 +2864,10 @@ final class KeyedParquetTable(
     * and ordered consumers read without a sort. The clustering rides an
     * already-paid rewrite: zero extra I/O, one in-memory sort per output
     * partition; the `_stats` file index refreshes from the rewritten
-    * files either way. Columns must exist; empty = today's unsorted
-    * bin-pack.
+    * files either way. Columns must exist; empty defaults to the table's
+    * declared `graft.write.sortBy` order (Iceberg's sort-strategy rewrite
+    * honors the TABLE sort order when the CALL names none), falling back
+    * to an unsorted bin-pack when the table declares none either.
     */
   def compact(minInputFiles: Int = 5, targetPartitions: Int = 1,
               sortBy: Seq[String] = Nil): Option[Long] = {
@@ -2874,15 +2876,18 @@ final class KeyedParquetTable(
       sortBy.foreach(c => require(
         snapshotSchema(versionDir(currentVersion)).fieldNames.contains(c),
         s"compact sortBy column '$c' does not exist in $root"))
+      val effSort = if (sortBy.nonEmpty) sortBy
+        else writeSortCols(snapshotSchema(versionDir(currentVersion))
+          .fieldNames.toSeq)
       if (bucketCount > 0 && bucketDirsOf(versionDir(currentVersion)).nonEmpty)
-        compactScoped(targetPartitions, sortBy)
+        compactScoped(targetPartitions, effSort)
       else {
         // pin the base: a compaction racing an ingest commit must lose the
         // claim, not silently rewrite the table without the ingest's batch
         val baseV = currentVersion
         val base = read().repartition(targetPartitions)
-        val out = if (sortBy.isEmpty) base
-          else base.sortWithinPartitions(sortBy.map(col): _*)
+        val out = if (effSort.isEmpty) base
+          else base.sortWithinPartitions(effSort.map(col): _*)
         Some(commitInternal(out, None, carry = true, base = baseV))
       }
     }
@@ -3114,7 +3119,7 @@ final class KeyedParquetTable(
     require(version >= 0 && version <= currentVersion &&
       Files.exists(versionDir(version)),
       s"cannot tag v$version: not a retained snapshot of $root")
-    writeTags(tags + (name -> version))
+    withMetaMutex { writeTags(tags + (name -> version)) }
   }
 
   /** Time-travel read by tag name. */
@@ -3134,7 +3139,7 @@ final class KeyedParquetTable(
   }
 
   /** Drop a tag (the snapshot itself stays until retention expires it). */
-  def dropTag(name: String): Unit = writeTags(tags - name)
+  def dropTag(name: String): Unit = withMetaMutex { writeTags(tags - name) }
 
   private def writeTags(t: Map[String, Long]): Unit = {
     Files.createDirectories(rootPath)
@@ -3142,6 +3147,57 @@ final class KeyedParquetTable(
     Files.writeString(tmp, t.map { case (n, v) => s"$n=$v" }.mkString("\n"))
     Files.move(tmp, rootPath.resolve("_tags"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Serialize read-modify-write mutations of the root-level metadata maps
+    * (`_properties`, `_tags`): each mutation rewrites the WHOLE map from a
+    * fresh read, so two concurrent `ALTER TABLE SET TBLPROPERTIES` (or a
+    * tagger racing a tag-dropper) would last-writer-win the file and
+    * silently drop the other side's keys — the lost-update class the
+    * commit claim closes for data, recurring one layer up. Same link(2)
+    * lockfile primitive as [[claimCommit]] with a short lease (mutations
+    * are milliseconds; a holder dead longer than the lease is swept), and
+    * CREATE_NEW fallback for link-less filesystems. Waiters spin rather
+    * than raise: unlike a data commit there is no snapshot base to
+    * recompute, the retry IS the correct semantics.
+    */
+  private def withMetaMutex[A](f: => A): A = {
+    Files.createDirectories(rootPath)
+    val lock = rootPath.resolve("_meta.lock")
+    val leaseMs = 10000L
+    val deadline = System.currentTimeMillis() + leaseMs
+    var held = false
+    while (!held) {
+      val tmp = rootPath.resolve(s"_meta.lock.tmp-$writerToken")
+      Files.writeString(tmp, s"$writerToken ${System.currentTimeMillis()}")
+      try { Files.createLink(lock, tmp); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException | _: java.nio.file.NoSuchFileException =>
+          val ts =
+            try Files.readString(lock).trim.split(' ').lift(1)
+              .flatMap(_.toLongOption)
+              .getOrElse(Files.getLastModifiedTime(lock).toMillis)
+            catch { case _: java.io.IOException => System.currentTimeMillis() }
+          if (System.currentTimeMillis() - ts > leaseMs)
+            Files.deleteIfExists(lock) // dead holder; retry the link
+          else if (System.currentTimeMillis() > deadline)
+            throw new java.util.ConcurrentModificationException(
+              s"$root: _meta.lock held past its lease by a live writer")
+          else Thread.sleep(3)
+        case _: UnsupportedOperationException =>
+          try {
+            Files.write(lock,
+              s"$writerToken ${System.currentTimeMillis()}"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            held = true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => Thread.sleep(3)
+          }
+      } finally Files.deleteIfExists(tmp)
+    }
+    try f finally Files.deleteIfExists(lock)
   }
 
   /** M3: delete files under the root that belong to no live snapshot. */
@@ -3189,11 +3245,11 @@ final class KeyedParquetTable(
     * `spark_batch.py:91-96`) persisted as simple key=value lines.
     */
   def setProperties(props: Map[String, String]): Unit =
-    writeProperties(properties ++ props)
+    withMetaMutex { writeProperties(properties ++ props) }
 
   /** UNSET TBLPROPERTIES: remove a property key (no-op if absent). */
   def removeProperty(key: String): Unit =
-    writeProperties(properties - key)
+    withMetaMutex { writeProperties(properties - key) }
 
   private def writeProperties(all: Map[String, String]): Unit = {
     Files.createDirectories(rootPath)
@@ -3253,7 +3309,7 @@ final class KeyedParquetTable(
   }
 
   def dropConstraint(name: String): Unit =
-    writeProperties(properties - (ConstraintPrefix + name))
+    withMetaMutex { writeProperties(properties - (ConstraintPrefix + name)) }
 
   /** Guard every row a commit writes with the declared CHECK constraints:
     * the guard column raises on violation and is NULL otherwise, and the

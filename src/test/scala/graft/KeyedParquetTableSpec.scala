@@ -2095,4 +2095,131 @@ class KeyedParquetTableSpec extends SparkSpec {
     t.merge(Seq((504L, 2L, "u")).toDF("id", "ts", "operation"))
     assert(t.read().count() === 205)
   }
+
+  test("chaos: concurrent property/tag writers never drop each other's keys") {
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    // each mutation rewrites the WHOLE key=value file from a fresh read,
+    // so without the _meta.lock two ALTER TABLE SET TBLPROPERTIES racing
+    // from different sessions last-writer-win the map and one side's key
+    // silently vanishes. Four writers hammer disjoint keys; every key must
+    // survive with its own final value.
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_proprace"), Seq("id"),
+      Nil, 2)
+    t.commit(Seq((1L, 1L)).toDF("id", "v"))
+    val pool = Executors.newFixedThreadPool(4)
+    val futures = (0 until 4).map { w =>
+      pool.submit(new Callable[Option[Throwable]] {
+        override def call(): Option[Throwable] =
+          try {
+            (1 to 25).foreach { j =>
+              t.setProperties(Map(s"k$w" -> j.toString))
+              if (j % 5 == 0) t.tagSnapshot(s"tag_${w}_$j", 0L)
+            }; None
+          } catch { case x: Throwable => Some(x) }
+      })
+    }
+    val errs = futures.flatMap(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(errs.isEmpty, s"racing writers failed: ${errs.map(_.getMessage)}")
+    val p = t.properties
+    (0 until 4).foreach(w => assert(p.get(s"k$w") === Some("25"),
+      s"k$w lost: $p"))
+    // all 20 tags survived the cross-writer interleave too
+    assert(t.tags.keySet.filter(_.startsWith("tag_")).size === 20, t.tags)
+  }
+
+  test("chaos: compaction racing ingest merges never loses a batch") {
+    import java.util.concurrent.{Callable, CountDownLatch, Executors, TimeUnit}
+    // the autoMaintain-tick shape: a compactor rewriting the table while
+    // an ingester keeps merging. Any interleave may cost the LOSER its
+    // claim (loudly), but no serialization may silently drop a merge
+    // batch — the f039e06 hole was compact committing a rewrite of state
+    // read BEFORE a racing merge against a version claimed after it.
+    for (buckets <- Seq(4, 0)) {   // scoped path AND unbucketed full path
+      val root = tmpDir(s"kpt_cr$buckets")
+      // one instance PER WRITER: the commit fence disambiguates writers by
+      // token (a writer may clear its OWN stale claim) — two threads
+      // sharing one instance would impersonate each other, which no real
+      // deployment shape does (a writer is a session/process)
+      val t = new KeyedParquetTable(spark, root, Seq("id"), Nil, buckets)
+      val tc = new KeyedParquetTable(spark, root, Seq("id"), Nil, buckets)
+      t.commit(Seq.tabulate(40)(i => (i.toLong, 0L)).toDF("id", "v"))
+      def withRetry(f: => Unit): Unit = {
+        var last: Throwable = null
+        var done = false
+        for (_ <- 1 to 40 if !done) {
+          try { f; done = true }
+          catch { case e: java.util.ConcurrentModificationException =>
+            last = e; Thread.sleep(20) }
+        }
+        if (!done) throw last
+      }
+      val latch = new CountDownLatch(2)
+      val pool = Executors.newFixedThreadPool(2)
+      val merger = pool.submit(new Callable[Option[Throwable]] {
+        override def call(): Option[Throwable] = {
+          latch.countDown(); latch.await(10, TimeUnit.SECONDS)
+          try {
+            (1 to 5).foreach { b =>
+              withRetry(t.merge(Seq.tabulate(8)(i =>
+                ((b * 8 + i).toLong, b.toLong, "u"))
+                .toDF("id", "v", "operation")))
+            }; None
+          } catch { case x: Throwable => Some(x) }
+        }
+      })
+      val compactor = pool.submit(new Callable[Option[Throwable]] {
+        override def call(): Option[Throwable] = {
+          latch.countDown(); latch.await(10, TimeUnit.SECONDS)
+          try {
+            (1 to 5).foreach { _ =>
+              // a compaction losing its claim is sanctioned (next tick
+              // retries); losing DATA is not
+              try tc.compact(minInputFiles = 2)
+              catch { case _: java.util.ConcurrentModificationException => () }
+              Thread.sleep(10)
+            }; None
+          } catch { case x: Throwable => Some(x) }
+        }
+      })
+      val errs = Seq(merger, compactor).flatMap(_.get(180, TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(errs.isEmpty, s"buckets=$buckets chaos run failed: " +
+        errs.map(_.getMessage).mkString("; "))
+      // fold: ids 0-7 keep v=0, batch b owns ids b*8..b*8+7 with v=b
+      val got = t.read().select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (0 until 48).map(i => (i.toLong, (i / 8).toLong)).toSet
+      assert(got === want,
+        s"buckets=$buckets lost a batch: missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("compact defaults to the declared graft.write.sortBy order") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_sortcompact"), Seq("id"),
+      Nil, 2)
+    val rnd = new scala.util.Random(7)
+    // fragment with the property UNSET: appended files land unsorted and
+    // stack per bucket without rewriting
+    t.commit(Seq.tabulate(60)(i => (i.toLong, rnd.nextLong() % 1000))
+      .toDF("id", "ts"))
+    (1 to 2).foreach { b =>
+      t.append(Seq.tabulate(40)(i => ((b * 1000 + i).toLong,
+        rnd.nextLong() % 1000)).toDF("id", "ts"))
+    }
+    t.setProperties(Map("graft.write.sortBy" -> "ts"))
+    // bare compact (no sortBy argument) must honor the table sort order
+    assert(t.compact(minInputFiles = 2).nonEmpty)
+    val vDir = java.nio.file.Paths.get(t.root, s"v${t.currentVersion}")
+    val files = java.nio.file.Files.walk(vDir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_stats") && !p.toString.contains("_deletes"))
+      .map(_.toString).toSeq
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ts = spark.read.parquet(f).select("ts").collect().map(_.getLong(0))
+      assert(ts.sameElements(ts.sorted), s"compacted file $f is not ts-sorted")
+    }
+    assert(t.read().count() === 140)
+  }
 }
