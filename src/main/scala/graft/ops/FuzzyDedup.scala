@@ -181,6 +181,45 @@ object FuzzyDedup {
     docTable.merge(docRows.withColumn("operation", lit("u")))
   }
 
+  /** Remove documents from the maintained near-dup index — the takedown /
+    * GDPR-wipe propagation the maintained corpus needs (and, composed with
+    * [[indexNearDups]], the sanctioned way to UPDATE a mutated doc:
+    * unindex old, index new — closing the immutability caveat above).
+    *
+    * Ids suffice: the removed docs' texts are fetched from the doc store
+    * by bucket-pruned point lookup, their band rows recomputed with the
+    * SAME banding parameters as index time (the caller's contract, as with
+    * [[checkNearDups]]), locating exactly the (band_id, band_hash) buckets
+    * each id lives in. Both removals are merge-on-read keyed deletes —
+    * O(removed batch) probe + O(touched shards) commit, never O(corpus),
+    * and a pure-tombstone commit rewrites zero data files. Ids absent from
+    * the doc store no-op. A doc sharing band rows with a near-identical
+    * survivor deletes only its OWN (…, id) rows — the survivor's keys
+    * differ in the id component, so its probe-ability is untouched.
+    */
+  def unindexNearDups(bandTable: graft.cdc.KeyedParquetTable,
+                      docTable: graft.cdc.KeyedParquetTable,
+                      removedIds: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 32, bands: Int = 8,
+                      shingle: Int = 3): Unit = {
+    require(docTable.keys == Seq(idCol),
+      s"docTable must be keyed by '$idCol' (got ${docTable.keys})")
+    require(bandTable.keys == Seq("band_id", "band_hash", "id"),
+      s"bandTable must be keyed (band_id, band_hash, id); got ${bandTable.keys}")
+    // one evaluation: the fetched docs drive band recomputation AND the
+    // doc-store delete's key set. readForKeys is a PRUNING read (returns
+    // the touched buckets' contents, a superset) — the semi-join restores
+    // exact membership, or every innocent doc sharing a bucket with a
+    // removed id would be wiped with it
+    val docs = docTable.readForKeys(removedIds.select(col(idCol)))
+      .join(removedIds.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol), col(textCol)).localCheckpoint(true)
+    val bandKeys = bandedRows(docs, idCol, textCol, numHashes, bands, shingle)
+      .select(col("band_id"), col("band_hash"), col(idCol).as("id"))
+    bandTable.deleteKeys(bandKeys)
+    docTable.deleteKeys(docs.select(col(idCol)))
+  }
+
   /** Near-dup pairs between a candidate batch and the corpus indexed by
     * [[indexNearDups]]: explode the batch's bands, bucket-pruned probe of
     * the band index, equi-join on (band_id, band_hash), then exact-Jaccard
@@ -242,6 +281,23 @@ object FuzzyDedup {
       .select(col("q"), col("qv"), col(idCol).as("id"), col("sim"))
     quarterTable.createIfNotExists(rows.schema)
     quarterTable.merge(rows.withColumn("operation", lit("u")))
+  }
+
+  /** Remove documents from the maintained SimHash index ([[unindexNearDups]]
+    * for the SimHash modality). The quarter table has NO doc store to
+    * recover texts from, so the removal batch must carry the documents
+    * (id + text — the shape takedown requests arrive in): their quarter
+    * rows recompute to exactly the index-time (q, qv, id) keys, deleted
+    * merge-on-read. O(removed batch), never O(corpus); with
+    * [[indexSimhash]] this is also the doc-update path (unindex old text,
+    * index new).
+    */
+  def unindexSimhash(quarterTable: graft.cdc.KeyedParquetTable,
+                     removed: DataFrame, idCol: String, textCol: String): Unit = {
+    require(quarterTable.keys == Seq("q", "qv", "id"),
+      s"quarterTable must be keyed (q, qv, id); got ${quarterTable.keys}")
+    quarterTable.deleteKeys(quarterRows(removed, idCol, textCol)
+      .select(col("q"), col("qv"), col(idCol).as("id")))
   }
 
   /** SimHash near-dup pairs between a candidate batch and the corpus indexed

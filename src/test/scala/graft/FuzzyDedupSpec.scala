@@ -145,6 +145,73 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(!got.keys.exists(_._1 == 12L)) // singleton pairs with nothing
   }
 
+  test("unindexNearDups: removal ≡ never-indexed; survivors keep probing; update path") {
+    import graft.cdc.KeyedParquetTable
+    val probe = Seq(
+      (10L, base.replace("green hills", "rolling hills")),     // near dup of 0/1/2
+      (11L, unrelated)                                         // exact dup of 3
+    ).toDF("doc_id", "text")
+    val tmp = tmpDir("ndun")
+    def freshIndex(sub: String, corpus: org.apache.spark.sql.DataFrame) = {
+      val bt = new KeyedParquetTable(spark, s"$tmp/$sub/bands",
+        Seq("band_id", "band_hash", "id"), Nil, 8, Seq("band_id", "band_hash"))
+      val dt = new KeyedParquetTable(spark, s"$tmp/$sub/docs", Seq("doc_id"), Nil, 8)
+      FuzzyDedup.indexNearDups(bt, dt, corpus, "doc_id", "text")
+      (bt, dt)
+    }
+    val (bandT, docT) = freshIndex("full", docs)
+    // remove doc 0 (near-dup family with 1/2 — shared-band survivor case)
+    // and doc 3 (the exact-dup target); 99 is absent and must no-op
+    FuzzyDedup.unindexNearDups(bandT, docT,
+      Seq(0L, 3L, 99L).toDF("doc_id"), "doc_id", "text")
+    def probeMap(bt: KeyedParquetTable, dt: KeyedParquetTable) =
+      FuzzyDedup.checkNearDups(bt, dt, probe, "doc_id", "text", threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = probeMap(bandT, docT)
+    // equivalence: exactly what an index never holding 0/3 answers
+    val (bRef, dRef) = freshIndex("ref",
+      docs.filter(!col("doc_id").isin(0L, 3L)))
+    assert(got === probeMap(bRef, dRef))
+    // the removed ids pair with nothing; their near-dup SURVIVORS still do
+    assert(!got.keys.exists(p => p._2 == 0L || p._2 == 3L))
+    assert(got.keys.exists(p => p._1 == 10L && Set(1L, 2L)(p._2)),
+      s"surviving twins of the removed doc stopped probing: $got")
+    assert(!got.contains((11L, 3L))) // the wiped exact-dup target is gone
+    // update path: re-index doc 3 under new text; old text stops matching,
+    // new text matches exactly
+    FuzzyDedup.indexNearDups(bandT, docT,
+      Seq((3L, "completely rewritten takedown replacement text mentioning nothing familiar at all"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val after = probeMap(bandT, docT)
+    assert(!after.contains((11L, 3L)))
+    val got3 = FuzzyDedup.checkNearDups(bandT, docT,
+      Seq((12L, "completely rewritten takedown replacement text mentioning nothing familiar at all"))
+        .toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got3 === Set((12L, 3L)))
+  }
+
+  test("unindexSimhash: removal ≡ never-indexed (docs carried by the request)") {
+    import graft.cdc.KeyedParquetTable
+    val probe = Seq((10L, base)).toDF("doc_id", "text") // exact dup of 0/1
+    val tmp = tmpDir("shun")
+    def fresh(sub: String, corpus: org.apache.spark.sql.DataFrame) = {
+      val qt = new KeyedParquetTable(spark, s"$tmp/$sub",
+        Seq("q", "qv", "id"), Nil, 8, Seq("q", "qv"))
+      FuzzyDedup.indexSimhash(qt, corpus, "doc_id", "text")
+      qt
+    }
+    val qt = fresh("full", docs)
+    FuzzyDedup.unindexSimhash(qt, docs.filter(col("doc_id") === 0L),
+      "doc_id", "text")
+    def pm(t: KeyedParquetTable) =
+      FuzzyDedup.checkSimhashNearDups(t, probe, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val got = pm(qt)
+    assert(got === pm(fresh("ref", docs.filter(col("doc_id") =!= 0L))))
+    assert(!got.contains((10L, 0L)) && got.get((10L, 1L)) === Some(0))
+  }
+
   test("incremental simhash index ≡ one-shot simhashNearDups restricted across the split") {
     import graft.cdc.KeyedParquetTable
     val extra = Seq(
