@@ -338,6 +338,68 @@ object Similarity {
     }
   }
 
+  /** Remove vectors from a persisted IVF index — the embedding-modality
+    * takedown path ([[graft.ops.FuzzyDedup.unindexNearDups]] for this
+    * layout). The index is partitioned by cell, not keyed by id, so
+    * removal is two bounded passes:
+    *   1. locate the removed ids' cells with a COLUMN-PRUNED scan of
+    *      (id, centroid_id) semi-joined with the removal set — the scan
+    *      reads two thin columns of the corpus, never the vectors;
+    *   2. rewrite ONLY the touched cells (dynamic partition overwrite of
+    *      their directories with the surviving rows) — O(touched cells)
+    *      data I/O, untouched cells' files are never opened.
+    * Absent ids no-op. Returns the number of cells rewritten.
+    *
+    * Not transactional: the layout is a plain partitioned dir (rebuildable
+    * from the corpus — same contract as [[ivfBuild]]'s swap pattern), so a
+    * reader racing the per-cell overwrite can glimpse a cell mid-replace;
+    * run removals from the index's single maintenance owner, like retrain.
+    */
+  def ivfRemove(spark: SparkSession, indexDir: String, removedIds: DataFrame,
+                idCol: String): Int = {
+    val vectors = s"$indexDir/vectors"
+    val ids = removedIds.select(col(idCol)).distinct().localCheckpoint(true)
+    val touched = spark.read.parquet(vectors)
+      .select(col(idCol), col("centroid_id"))
+      .join(ids, Seq(idCol), "left_semi")
+      .select("centroid_id").distinct()
+      .collect().map(_.get(0).toString.toLong).sorted
+    if (touched.isEmpty) return 0
+    // survivors of the touched cells only; explicit column order keeps the
+    // rewritten files byte-compatible with the stored schema. Checkpoint:
+    // the overwrite job must not re-read the very directories it replaces.
+    val stored = spark.read.parquet(vectors)
+    val survivors = stored
+      .filter(col("centroid_id").cast("long").isInCollection(touched))
+      .join(ids, Seq(idCol), "left_anti")
+      .select(stored.columns.map(col): _*)
+      .localCheckpoint(true)
+    // a cell whose every row was removed appears in no output partition —
+    // dynamic overwrite would LEAVE its stale directory — so track which
+    // touched cells still have survivors and delete the emptied dirs
+    val living = survivors.select("centroid_id").distinct()
+      .collect().map(_.get(0).toString.toLong).toSet
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(vectors)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    if (touched.exists(c => !living(c))) {
+      val fs = new org.apache.hadoop.fs.Path(vectors)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(living).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$vectors/centroid_id=$c"), true)
+      }
+    }
+    // the session's FileStatusCache still lists the replaced files —
+    // without the refresh the next read of the path fails FILE_NOT_EXIST
+    spark.catalog.refreshByPath(vectors)
+    touched.length
+  }
+
   /** INCREMENTAL embedding near-dup screening — "is anything in this new
     * batch a near-dup (cosine ≥ threshold) of the indexed corpus?" — the
     * embedding-modality sibling of [[graft.ops.FuzzyDedup.checkNearDups]].

@@ -259,6 +259,45 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
+  test("ivfRemove: removed ids gone, survivors intact, untouched cells' files unrewritten") {
+    val emb = clustered
+    val dir = tmpDir("ivfremove")
+    Similarity.ivfBuild(emb, "vec_id", "embedding", dir, nPlanes = 4, dim = dim)
+    // snapshot (id → file, id → cell) BEFORE removal — the physical files
+    // are replaced in place, so these must not re-scan afterwards
+    val beforeRows = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), col("centroid_id").cast("long").as("c"),
+        input_file_name().as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val fileOf = beforeRows.map(t => t._1 -> t._3).toMap
+    val cellOf = beforeRows.map(t => t._1 -> t._2).toMap
+    // remove cluster 0 wholesale (ids 0-29: may empty its cell) plus one
+    // vector from cluster 5; id 9999 is absent and must no-op
+    val removed = ((0L until 30L) ++ Seq(155L, 9999L)).toDF("vec_id")
+    val nCells = Similarity.ivfRemove(spark, dir, removed, "vec_id")
+    assert(nCells > 0)
+    val after = spark.read.parquet(s"$dir/vectors")
+    val ids = after.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === emb.collect().map(_.getLong(0)).toSet -- (0L until 30L) - 155L)
+    // untouched cells' files were not rewritten (same physical files)
+    val afterFiles = after.select(col("vec_id"), input_file_name().as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val touchedCells = (((0L until 30L) :+ 155L)).flatMap(cellOf.get).toSet
+    val untouchedIds = beforeRows.collect {
+      case (i, c, _) if !touchedCells(c) => i }
+    assert(untouchedIds.nonEmpty)
+    untouchedIds.foreach(i => assert(afterFiles(i) === fileOf(i),
+      s"untouched vec $i was rewritten"))
+    // queries keep working and never surface a removed id
+    val query = emb.filter(col("vec_id") === 10L).select("embedding")
+    val got = Similarity.ivfQuery(spark, dir, query, "vec_id", "embedding", 5,
+      nProbe = 4).collect().map(_.getLong(0))
+    assert(got.nonEmpty && got.forall(ids.contains))
+    // absent-id-only removal is a full no-op
+    assert(Similarity.ivfRemove(spark, dir, Seq(77777L).toDF("vec_id"),
+      "vec_id") === 0)
+  }
+
   test("ivfMaybeRetrain: balanced index untouched; drift-overfilled cell triggers rebuild") {
     val emb = clustered
     val dir = tmpDir("ivfretrain")
