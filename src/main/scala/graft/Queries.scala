@@ -3968,6 +3968,53 @@ object Queries {
       },
       None),
 
+    // TAKEDOWN propagation on the maintained near-dup index: index the
+    // corpus, unindex a 10% slice (ids only — texts recovered from the
+    // doc store by bucket-pruned lookup), then gate BOTH directions:
+    // a removed doc's exact text re-probed under a fresh id must never
+    // surface a removed id, and every surviving doc's exact text must
+    // still find its source (identical shingles ⇒ identical band keys ⇒
+    // deterministic recall). Not SQL-expressible (LSH banding);
+    // FuzzyDedupSpec proves unindex ≡ never-indexed.
+    "q_takedown_neardup" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents")
+        val tmp = scratchDir("graft_ndrm_")
+        val bandT = new KeyedParquetTable(s, s"$tmp/bands",
+          Seq("band_id", "band_hash", "id"), Nil, 16, Seq("band_id", "band_hash"),
+          bloomKeyBits = 1 << 14)
+        val docT = new KeyedParquetTable(s, s"$tmp/docs", Seq("doc_id"), Nil, 16,
+          bloomKeyBits = 1 << 14)
+        FuzzyDedup.indexNearDups(bandT, docT, docs, "doc_id", "text")
+        FuzzyDedup.unindexNearDups(bandT, docT,
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id"),
+          "doc_id", "text")
+        // gate 1: removed texts re-probed under fresh ids — no removed id
+        // may resurface (its band rows and doc row are both gone)
+        val probeA = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        val resurfaced = FuzzyDedup.checkNearDups(bandT, docT, probeA,
+            "doc_id", "text", threshold = 0.5)
+          .filter(col("id_b") % 10 === 0).count()
+        require(resurfaced == 0L,
+          s"takedown gate: $resurfaced pairs against removed ids")
+        // gate 2: surviving docs (with enough text to shingle) re-probed
+        // under fresh ids must each still find their source exactly
+        val survivors = docs.filter(col("doc_id") % 10 === 5 &&
+          length(col("text")) >= 60)
+        val probeB = survivors
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+        val self = FuzzyDedup.checkNearDups(bandT, docT, probeB,
+            "doc_id", "text", threshold = 0.99)
+          .filter(col("id_a") === col("id_b") + 20000000L)
+        val (nSelf, nSurv) = (self.count(), survivors.count())
+        require(nSelf == nSurv,
+          s"takedown gate: only $nSelf of $nSurv survivors still probe")
+        self.select(col("id_b").as("doc_id"))
+      },
+      None),
+
     // INCREMENTAL SimHash screening: one maintained quarter-bucket table
     // (fingerprint rides along, so no doc store), probed bucket-pruned.
     // Not SQL-expressible; FuzzyDedupSpec proves incremental ≡ one-shot.
