@@ -44,11 +44,12 @@ import graft.cdc.KeyedParquetTable
   * sanctioned migration).
   *
   * Table semantics reachable from SQL: snapshot reads with bucket/stats
-  * pruning driven by pushed predicates, VERSION AS OF (numeric snapshot or
-  * tag), TIMESTAMP AS OF, append/overwrite commits, metadata-only column
+  * pruning driven by pushed predicates, VERSION AS OF (numeric snapshot,
+  * tag, or branch name — the branch's live head, Iceberg's refs read),
+  * TIMESTAMP AS OF, append/overwrite commits, metadata-only column
   * add/drop/rename (rename-history reads), TBLPROPERTIES. The engine's
-  * richer verbs (MERGE, WAP, branches, deleteKeys, maintenance) stay on
-  * the Scala surface — load the same root with [[tableFor]] and both
+  * richer verbs (MERGE, WAP, branch writes, deleteKeys, maintenance) stay
+  * on the Scala surface — load the same root with [[tableFor]] and both
   * interfaces see identical state, because the catalog stores nothing the
   * table root doesn't.
   */
@@ -279,20 +280,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     frame.map(f => new GraftMetaTable(s"${fullName(base)}.${ident.name}", f))
   }
 
-  /** SQL `VERSION AS OF x`: numeric snapshot id, or a snapshot TAG name
-    * (the engine's tagSnapshot — Iceberg's tag-addressed read).
+  /** SQL `VERSION AS OF x`: numeric snapshot id, a snapshot TAG name
+    * (the engine's tagSnapshot — Iceberg's tag-addressed read), or a
+    * BRANCH name (Iceberg's branch-addressed read: the branch's head at
+    * query time — the audit-before-publish read an auditor runs as plain
+    * SQL). Iceberg keeps tags and branches in ONE refs namespace, so a
+    * name carried by both refuses as ambiguous rather than silently
+    * preferring one.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val kpt = tableFor(ident)
-    val pin = version.toLongOption match {
-      case Some(v) => Pin.Version(v)
+    version.toLongOption match {
+      case Some(v) => new GraftTable(kpt, fullName(ident), Pin.Version(v))
       case None =>
-        require(kpt.tags.contains(version),
-          s"${fullName(ident)} has no snapshot tag '$version' " +
-            s"(tags: ${kpt.tags.keys.toSeq.sorted.mkString(", ")})")
-        Pin.Tag(version)
+        val isTag = kpt.tags.contains(version)
+        val isBranch = kpt.branches.contains(version)
+        if (isTag && isBranch) throw new IllegalArgumentException(
+          s"${fullName(ident)}: '$version' names both a tag and a branch — " +
+            "drop or rename one to address it from SQL")
+        if (isTag) new GraftTable(kpt, fullName(ident), Pin.Tag(version))
+        else if (isBranch)
+          new GraftTable(kpt.branch(version),
+            s"${fullName(ident)}@$version", Pin.Current)
+        else throw new IllegalArgumentException(
+          s"${fullName(ident)} has no snapshot tag or branch '$version' " +
+            s"(tags: ${kpt.tags.keys.toSeq.sorted.mkString(", ")}; " +
+            s"branches: ${kpt.branches.sorted.mkString(", ")})")
     }
-    new GraftTable(kpt, fullName(ident), pin)
   }
 
   /** SQL `TIMESTAMP AS OF t` (micros since epoch from Spark). */

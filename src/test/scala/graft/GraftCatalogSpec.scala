@@ -60,6 +60,38 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { sql("SELECT * FROM graft.spec.tt VERSION AS OF 'nope'").collect() }
   }
 
+  test("SQL time travel: VERSION AS OF a branch name reads the branch head") {
+    sql("DROP TABLE IF EXISTS graft.spec.br")
+    sql("""CREATE TABLE graft.spec.br (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.br VALUES (1, 10), (2, 20)")
+    val kpt = graftCatalog.tableFor(Identifier.of(Array("spec"), "br"))
+    val audit = kpt.createBranch("audit")
+    audit.merge(Seq((3L, 30L, "u")).toDF("id", "v", "operation"))
+    // the branch head is SQL-addressable; main is untouched
+    assert(sql("SELECT COUNT(*) FROM graft.spec.br VERSION AS OF 'audit'")
+      .head().getLong(0) === 3L)
+    assert(sql("SELECT COUNT(*) FROM graft.spec.br").head().getLong(0) === 2L)
+    // branch reads see further branch commits (head, not a frozen pin)
+    audit.merge(Seq((4L, 40L, "u")).toDF("id", "v", "operation"))
+    assert(sql("SELECT COUNT(*) FROM graft.spec.br VERSION AS OF 'audit'")
+      .head().getLong(0) === 4L)
+    // a name carried by BOTH a tag and a branch refuses as ambiguous
+    kpt.tagSnapshot("audit", 1)
+    val e = intercept[Exception] {
+      sql("SELECT COUNT(*) FROM graft.spec.br VERSION AS OF 'audit'").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("both a tag and a branch")), msgs(e))
+    // the unknown-ref error names available branches
+    val e2 = intercept[Exception] {
+      sql("SELECT * FROM graft.spec.br VERSION AS OF 'ghost'").collect()
+    }
+    assert(msgs(e2).exists(m => m.contains("branches") && m.contains("audit")), msgs(e2))
+    sql("DROP TABLE graft.spec.br")
+  }
+
   test("pushed bucket-key equality reaches the engine's bucket pruner") {
     sql("DROP TABLE IF EXISTS graft.spec.pruned")
     sql("""CREATE TABLE graft.spec.pruned (id BIGINT, payload STRING)
