@@ -261,6 +261,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val base = Identifier.of(ident.namespace.init, ident.namespace.last)
     if (!tableExists(base)) return None
     def kpt = tableFor(base)
+    // `graft.ns.t.branch_<name>`: the branch itself as a FULL table —
+    // readable AND writable (Iceberg's `t.branch_x` identifier), so the
+    // audit-branch workflow runs as plain SQL: CALL create_branch →
+    // INSERT INTO/MERGE INTO t.branch_x → SELECT … VERSION AS OF 'x' →
+    // CALL fast_forward. Unlike VERSION AS OF (a read pin), this is the
+    // branch's live head with the whole DML surface attached.
+    if (ident.name.startsWith("branch_")) {
+      val b = ident.name.stripPrefix("branch_")
+      return if (kpt.branches.contains(b))
+        Some(new GraftTable(kpt.branch(b), s"${fullName(base)}.${ident.name}",
+          Pin.Current))
+      else None
+    }
     val frame: Option[() => org.apache.spark.sql.DataFrame] = ident.name match {
       case "history"   => Some(() => kpt.history())
       case "files"     => Some(() => kpt.files())

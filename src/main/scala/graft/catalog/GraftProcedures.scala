@@ -19,6 +19,9 @@ import graft.cdc.KeyedParquetTable
   *   CALL graft.system.expire_snapshots(table => 'ns.t', older_than_ms => 0, retain_last => 5)
   *   CALL graft.system.remove_orphan_files(table => 'ns.t')
   *   CALL graft.system.auto_maintain(table => 'ns.t')
+  *   CALL graft.system.create_branch(table => 'ns.t', branch => 'audit')
+  *   CALL graft.system.fast_forward(table => 'ns.t', branch => 'audit')
+  *   CALL graft.system.drop_branch(table => 'ns.t', branch => 'audit')
   *
   * Spark 4 parses CALL natively and resolves it through
   * [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]], which
@@ -38,8 +41,13 @@ private[catalog] object GraftProcedures {
     ProcedureParameter.in("table", DataTypes.StringType)
       .comment("catalog-relative table name, e.g. 'ns.t'").build()
 
+  private def branchParam =
+    ProcedureParameter.in("branch", DataTypes.StringType)
+      .comment("branch name").build()
+
   def list: Seq[String] =
-    Seq("rewrite_data_files", "expire_snapshots", "remove_orphan_files", "auto_maintain")
+    Seq("rewrite_data_files", "expire_snapshots", "remove_orphan_files",
+      "auto_maintain", "create_branch", "fast_forward", "drop_branch")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] = {
     def resolve(input: InternalRow): KeyedParquetTable = {
@@ -90,6 +98,34 @@ private[catalog] object GraftProcedures {
           executed.map { case (action, urgency, reason) =>
             (action, s"[$urgency] $reason")
           }
+        }))
+      // the audit-branch workflow's CALL half (Iceberg's
+      // system.create_branch / fast_forward procedures): with the
+      // `t.branch_<name>` write identifier and the `VERSION AS OF 'name'`
+      // read, branching never needs the Scala surface.
+      case "create_branch" => Some(proc(name,
+        Array(tableParam, branchParam),
+        { in =>
+          val t = resolve(in)
+          val b = in.getUTF8String(1).toString
+          t.createBranch(b)
+          Seq(("create_branch", s"branch '$b' forked at v${t.currentVersion}"))
+        }))
+      case "fast_forward" => Some(proc(name,
+        Array(tableParam, branchParam),
+        { in =>
+          val v = resolve(in).fastForward(in.getUTF8String(1).toString)
+          Seq(("fast_forward", s"published as v$v"))
+        }))
+      case "drop_branch" => Some(proc(name,
+        Array(tableParam, branchParam),
+        { in =>
+          val t = resolve(in)
+          val b = in.getUTF8String(1).toString
+          require(t.branches.contains(b),
+            s"no branch '$b' (branches: ${t.branches.sorted.mkString(", ")})")
+          t.dropBranch(b)
+          Seq(("drop_branch", s"branch '$b' dropped"))
         }))
       case _ => None
     }

@@ -92,6 +92,40 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE graft.spec.br")
   }
 
+  test("full audit-branch workflow as SQL: CALL create_branch, write t.branch_x, fast_forward") {
+    sql("DROP TABLE IF EXISTS graft.spec.wf")
+    sql("""CREATE TABLE graft.spec.wf (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.wf VALUES (1, 10), (2, 20)")
+    val created = sql("CALL graft.system.create_branch(table => 'spec.wf', branch => 'audit')")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(created.head._1 === "create_branch" && created.head._2.contains("audit"))
+    // the branch identifier is a WRITABLE table: stage via INSERT, then
+    // audit via MERGE (the same DML surface as any graft table)
+    sql("INSERT INTO graft.spec.wf.branch_audit VALUES (3, 30)")
+    sql("""MERGE INTO graft.spec.wf.branch_audit t
+           USING (SELECT CAST(2 AS BIGINT) AS id, CAST(99 AS BIGINT) AS v,
+                         'u' AS operation) s
+           ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    // main untouched; the branch readable by identifier AND by ref
+    assert(sql("SELECT COUNT(*) FROM graft.spec.wf").head().getLong(0) === 2L)
+    assert(sql("SELECT SUM(v) FROM graft.spec.wf.branch_audit").head().getLong(0) === 139L)
+    assert(sql("SELECT SUM(v) FROM graft.spec.wf VERSION AS OF 'audit'")
+      .head().getLong(0) === 139L)
+    // publish: main fast-forwards to the audited state
+    sql("CALL graft.system.fast_forward(table => 'spec.wf', branch => 'audit')")
+    assert(sql("SELECT SUM(v) FROM graft.spec.wf").head().getLong(0) === 139L)
+    // drop: the identifier and the ref both stop resolving
+    sql("CALL graft.system.drop_branch(table => 'spec.wf', branch => 'audit')")
+    intercept[Exception] {
+      sql("SELECT * FROM graft.spec.wf.branch_audit").collect() }
+    intercept[Exception] {
+      sql("SELECT * FROM graft.spec.wf VERSION AS OF 'audit'").collect() }
+    sql("DROP TABLE graft.spec.wf")
+  }
+
   test("pushed bucket-key equality reaches the engine's bucket pruner") {
     sql("DROP TABLE IF EXISTS graft.spec.pruned")
     sql("""CREATE TABLE graft.spec.pruned (id BIGINT, payload STRING)
