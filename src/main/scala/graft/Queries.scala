@@ -3327,6 +3327,46 @@ object Queries {
       },
       Some(finalStateOracle)),
 
+    // PIPELINE CHAINING via the table-as-stream source (format
+    // "graft-table", the Iceberg streaming-read analog): a producer table
+    // takes three append commits; a checkpointed downstream query tails
+    // it with version offsets (maxVersionsPerTrigger=1 forces one
+    // micro-batch per snapshot — the paced catch-up path), folds each
+    // batch into a consumer table, and the consumer's aggregate is
+    // hash-checked against the flat oracle. Incremental all the way: no
+    // batch rescans the producer.
+    "q_table_stream_ingest" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val base = scratchDir("graft_tstream_")
+        val ev = t("events").select("event_id", "user_id", "event_type", "value")
+        val src = new KeyedParquetTable(s, s"$base/src", Seq("event_id"), Nil, 8)
+        (0 until 3).foreach(k => src.append(ev.filter(col("event_id") % 3 === k)))
+        val sink = new KeyedParquetTable(s, s"$base/sink", Seq("event_id"), Nil, 8)
+        val batches = new java.util.concurrent.atomic.AtomicInteger
+        val q = s.readStream.format("graft-table")
+          .option("path", s"$base/src")
+          .option("startVersion", "earliest")
+          .option("maxVersionsPerTrigger", "1")
+          .load()
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            batches.incrementAndGet(); sink.append(b); ()
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        require(batches.get >= 3,
+          s"rate limit ignored: 3 producer snapshots drained in ${batches.get} batch(es)")
+        sink.read().groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1e6).cast("long")).as("value_micros"))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // JSONL file source with quarantine: events round-trip through a
     // newline-JSON dump with every 97th record corrupted in place; the
     // single-pass text+from_json source (no _corrupt_record caching trap)

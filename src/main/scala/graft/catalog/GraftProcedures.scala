@@ -22,6 +22,10 @@ import graft.cdc.KeyedParquetTable
   *   CALL graft.system.create_branch(table => 'ns.t', branch => 'audit')
   *   CALL graft.system.fast_forward(table => 'ns.t', branch => 'audit')
   *   CALL graft.system.drop_branch(table => 'ns.t', branch => 'audit')
+  *   CALL graft.system.rollback_to_snapshot(table => 'ns.t', version => 3)
+  *   CALL graft.system.rollback_to_timestamp(table => 'ns.t', timestamp_ms => 17...)
+  *   CALL graft.system.create_tag(table => 'ns.t', tag => 'train-v1')
+  *   CALL graft.system.drop_tag(table => 'ns.t', tag => 'train-v1')
   *
   * Spark 4 parses CALL natively and resolves it through
   * [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]], which
@@ -47,7 +51,9 @@ private[catalog] object GraftProcedures {
 
   def list: Seq[String] =
     Seq("rewrite_data_files", "expire_snapshots", "remove_orphan_files",
-      "auto_maintain", "create_branch", "fast_forward", "drop_branch")
+      "auto_maintain", "create_branch", "fast_forward", "drop_branch",
+      "rollback_to_snapshot", "rollback_to_timestamp", "create_tag",
+      "drop_tag")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] = {
     def resolve(input: InternalRow): KeyedParquetTable = {
@@ -126,6 +132,59 @@ private[catalog] object GraftProcedures {
             s"no branch '$b' (branches: ${t.branches.sorted.mkString(", ")})")
           t.dropBranch(b)
           Seq(("drop_branch", s"branch '$b' dropped"))
+        }))
+      // operator-error recovery as CALL text (Iceberg's
+      // system.rollback_to_snapshot / rollback_to_timestamp): the pointer
+      // swings back atomically; newer now-unreachable snapshots purge
+      // (tags pin — the rollback refuses over a tagged snapshot).
+      case "rollback_to_snapshot" => Some(proc(name,
+        Array(tableParam,
+          ProcedureParameter.in("version", DataTypes.LongType)
+            .comment("snapshot version to make current").build()),
+        { in =>
+          val t = resolve(in)
+          val v = in.getLong(1)
+          t.rollbackTo(v)
+          Seq(("rollback_to_snapshot", s"current is v$v"))
+        }))
+      case "rollback_to_timestamp" => Some(proc(name,
+        Array(tableParam,
+          ProcedureParameter.in("timestamp_ms", DataTypes.LongType)
+            .comment("epoch millis; rolls back to the snapshot current then")
+            .build()),
+        { in =>
+          val t = resolve(in)
+          val v = t.versionAsOf(in.getLong(1))
+          t.rollbackTo(v)
+          Seq(("rollback_to_timestamp", s"current is v$v"))
+        }))
+      // tag refs as CALL text (Iceberg's system.create_tag / drop_tag):
+      // the reproducibility primitive — tags pin retention, so
+      // 'train-v1 read EXACTLY this state' survives expire_snapshots.
+      case "create_tag" => Some(proc(name,
+        Array(tableParam,
+          ProcedureParameter.in("tag", DataTypes.StringType).build(),
+          ProcedureParameter.in("version", DataTypes.LongType)
+            .defaultValue("-1")
+            .comment("snapshot to tag; default the current one").build()),
+        { in =>
+          val t = resolve(in)
+          val tag = in.getUTF8String(1).toString
+          val v = if (in.isNullAt(2) || in.getLong(2) < 0) t.currentVersion
+                  else in.getLong(2)
+          t.tagSnapshot(tag, v)
+          Seq(("create_tag", s"tag '$tag' pins v$v"))
+        }))
+      case "drop_tag" => Some(proc(name,
+        Array(tableParam,
+          ProcedureParameter.in("tag", DataTypes.StringType).build()),
+        { in =>
+          val t = resolve(in)
+          val tag = in.getUTF8String(1).toString
+          require(t.tags.contains(tag),
+            s"no tag '$tag' (tags: ${t.tags.keys.toSeq.sorted.mkString(", ")})")
+          t.dropTag(tag)
+          Seq(("drop_tag", s"tag '$tag' dropped"))
         }))
       case _ => None
     }

@@ -241,7 +241,12 @@ final class KeyedParquetTable(
     * expired or never existed — answering with a later state would be
     * silently wrong).
     */
-  def readAsOf(epochMs: Long): DataFrame = {
+  def readAsOf(epochMs: Long): DataFrame = readVersion(versionAsOf(epochMs))
+
+  /** The snapshot version that was current at `epochMs` — the resolution
+    * half of [[readAsOf]], exposed so timestamp-addressed maintenance
+    * (`rollback_to_timestamp`) resolves time the same way reads do. */
+  def versionAsOf(epochMs: Long): Long = {
     require(exists, s"table $root has no snapshot")
     val candidates = listEntries(rootPath)
       .filter(p => p.getFileName.toString.matches("v\\d+"))
@@ -251,7 +256,7 @@ final class KeyedParquetTable(
     require(candidates.nonEmpty,
       s"$root has no retained snapshot at or before epochMs=$epochMs " +
         "(expired, or before the table existed)")
-    readVersion(candidates.maxBy(_._1)._1)
+    candidates.maxBy(_._1)._1
   }
 
   /** Incremental append read: ONLY the data added after `sinceVersion` —
@@ -288,6 +293,107 @@ final class KeyedParquetTable(
         versionDir(currentVersion))
       if (bucketCount > 0 && df.columns.contains("__bucket")) df.drop("__bucket") else df
     }
+  }
+
+  /** The data appended between two PINNED snapshot versions — the
+    * micro-batch read of [[graft.streaming.GraftTableStreamProvider]]
+    * (Iceberg's streaming read over a table's snapshot chain). Unlike
+    * [[readAppendedSince]] (whose end is whatever `currentVersion` is at
+    * call time) both endpoints are fixed, so a batch planned against
+    * offset range (from, to] returns the same rows even when writers keep
+    * committing past `to` — the stability Structured Streaming's
+    * offset/commit log requires for replay.
+    *
+    * Walks the chain STEP BY STEP and classifies each snapshot:
+    *   - append step (every prior data file carried, delete set unchanged):
+    *     its fresh files — read from that step's own directory, so a LATER
+    *     compaction renaming them cannot corrupt a replay — join the batch;
+    *   - non-append step (merge / compact / delete — files vanished or the
+    *     delete set moved): REFUSED loudly by default, because a file diff
+    *     would misreport rewritten rows as new (use [[changesBetween]] for
+    *     keyed change streams); with `skipNonAppend` the step's changes are
+    *     skipped wholesale — Iceberg's
+    *     `streaming-skip-overwrite/delete-snapshots` contract.
+    * An expired intermediate snapshot also refuses: the appends it carried
+    * can no longer be separated from a possible rewrite.
+    *
+    * Schema evolution between the endpoints is honored per step (each
+    * step's fresh files read under that snapshot's declared schema) and the
+    * batch is aligned to the `to` snapshot's schema by name, missing
+    * columns null — the same contract a batch reader sees across an
+    * evolved table.
+    */
+  def readAppendedBetween(fromVersion: Long, toVersion: Long,
+                          skipNonAppend: Boolean = false): DataFrame = {
+    val cur = currentVersion
+    // fromVersion = -1 is "before the first snapshot": v0 joins the stream
+    // as the initial batch (the backfill half of backfill-then-tail)
+    require(fromVersion >= -1 && fromVersion <= toVersion && toVersion <= cur,
+      s"bad incremental range (v$fromVersion, v$toVersion] (current: v$cur)")
+    val toSchema = {
+      require(Files.exists(versionDir(toVersion)),
+        s"snapshot v$toVersion of $root was expired; retained versions only")
+      snapshotSchema(versionDir(toVersion))
+    }
+    if (fromVersion == toVersion) return emptyTyped(toSchema)
+    val stepFrames = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val dir = versionDir(v)
+      require(Files.exists(dir) && (v == 0 || Files.exists(versionDir(v - 1))),
+        s"streaming read of $root crossed expired snapshot v$v or v${v - 1} " +
+          "— restart the stream from a retained version")
+      // diff VERSION-RELATIVE paths, not base names: one write job reuses
+      // its task file name across bucket dirs (`__bucket=2/part-00000-X`,
+      // `__bucket=3/part-00000-X`), so a base-name diff would mask a
+      // single-bucket rewrite behind a sibling bucket's surviving twin
+      val prevNames =
+        if (v == 0) Set.empty[String]
+        else walkParquet(versionDir(v - 1))
+          .map(p => versionDir(v - 1).relativize(p).toString).toSet
+      val curFiles = walkParquet(dir)
+      val removed = prevNames -- curFiles.map(p => dir.relativize(p).toString)
+      val deletesMoved = (if (v == 0) Set.empty[String]
+                          else deleteSetFingerprint(versionDir(v - 1))) !=
+        deleteSetFingerprint(dir)
+      if (removed.nonEmpty || deletesMoved) {
+        if (skipNonAppend) None
+        else throw new IllegalStateException(
+          s"snapshot v$v of $root is not append-only (" +
+            (if (removed.nonEmpty) s"${removed.size} file(s) rewritten/removed"
+             else "delete set changed") +
+            ") — a file-diff stream would misreport rewritten rows as new. " +
+            "Use changesBetween for keyed change streams, or set " +
+            "skipNonAppend to drop non-append snapshots from this stream.")
+      } else {
+        val fresh = curFiles.filterNot(p => prevNames.contains(dir.relativize(p).toString))
+        if (fresh.isEmpty) None
+        else Some(scanDeclared(snapshotSchema(dir), Some(dir.toString),
+          fresh.map(_.toString)))
+      }
+    }
+    val aligned = stepFrames match {
+      case Seq() => emptyTyped(toSchema)
+      case fs => fs.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    val out = toSchema.fields.map(f =>
+      (if (aligned.columns.contains(f.name)) col(f.name)
+       else lit(null).cast(f.dataType)).as(f.name))
+    val df = aligned.select(out.toIndexedSeq: _*)
+    if (bucketCount > 0 && df.columns.contains("__bucket")) df.drop("__bucket") else df
+  }
+
+  /** Name-level fingerprint of a snapshot's MoR delete set ([[applyDeletes]]
+    * inputs): used to classify a snapshot step as append-only. */
+  private def deleteSetFingerprint(dir: Path): Set[String] = {
+    val del = deletesDirOf(dir)
+    if (!Files.exists(del)) Set.empty
+    else walkEntries(del).filter(p => p.toString.endsWith(".parquet") &&
+      Files.isRegularFile(p)).map(p => del.relativize(p).toString).toSet
+  }
+
+  private def emptyTyped(schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (bucketCount > 0 && df.columns.contains("__bucket")) df.drop("__bucket") else df
   }
 
   /** Bucket-pruned read: only the hash buckets that `keysDf`'s key rows fall
@@ -3352,6 +3458,25 @@ final class KeyedParquetTable(
 }
 
 object KeyedParquetTable {
+  /** Open an existing engine root, reconstructing the layout the root
+    * PINNED at its first commit (`graft.layout.*` properties) — the same
+    * self-description [[graft.catalog.GraftCatalog.register]] trusts, so a
+    * consumer that only holds a path (the streaming source, a CLI) opens
+    * the table with the exact keyed/bucketed layout its writers use.
+    * Legacy unpinned roots open keyless/unbucketed — fine for reads.
+    */
+  def openRoot(spark: SparkSession, root: String): KeyedParquetTable = {
+    val probe = new KeyedParquetTable(spark, root, Nil)
+    require(probe.exists, s"$root is not an engine table root (no snapshot)")
+    val p = probe.properties
+    def split(s: String): Seq[String] =
+      s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    new KeyedParquetTable(spark, root,
+      keys = split(p.getOrElse("graft.layout.keys", "")),
+      bucketCount = p.getOrElse("graft.layout.bucket-count", "0").toInt,
+      bucketBy = split(p.getOrElse("graft.layout.bucket-keys", "")))
+  }
+
   /** Runtime ordering for stats-index pruning: external Row values of one
     * orderable column share a concrete Comparable type (java.lang.Long,
     * String, java.math.BigDecimal, java.sql.Timestamp, ...) — guarded by

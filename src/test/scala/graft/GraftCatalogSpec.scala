@@ -621,6 +621,55 @@ class GraftCatalogSpec extends SparkSpec {
       messages)
   }
 
+  test("CALL procedures: rollback_to_snapshot/timestamp, create_tag/drop_tag") {
+    sql("DROP TABLE IF EXISTS graft.spec.rb")
+    sql("""CREATE TABLE graft.spec.rb (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.rb VALUES (1, 10)")          // v1
+    sql("INSERT INTO graft.spec.rb VALUES (2, 20)")          // v2
+    sql("CALL graft.system.create_tag(table => 'spec.rb', tag => 'train-v1')")
+    sql("INSERT INTO graft.spec.rb VALUES (3, 30)")          // v3
+    val kpt = graftCatalog.tableFor(Identifier.of(Array("spec"), "rb"))
+    val tsNow = System.currentTimeMillis()
+    assert(sql("SELECT COUNT(*) FROM graft.spec.rb").head().getLong(0) === 3L)
+
+    // tag pins: rolling back BELOW the tag refuses; to (at) the tag is fine
+    val refuse = intercept[Exception] {
+      sql("CALL graft.system.rollback_to_snapshot(table => 'spec.rb', version => 1)")
+        .collect()
+    }
+    assert(Iterator.iterate[Throwable](refuse)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("tag"))), refuse.getMessage)
+
+    val rb = sql(
+      "CALL graft.system.rollback_to_snapshot(table => 'spec.rb', version => 2)")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rb.head === ("rollback_to_snapshot", "current is v2"))
+    assert(sql("SELECT SUM(v) FROM graft.spec.rb").head().getLong(0) === 30L)
+    assert(kpt.currentVersion === 2L)
+
+    // tag readable by SQL ref; drop_tag then re-rollback to v1 succeeds
+    assert(sql("SELECT SUM(v) FROM graft.spec.rb VERSION AS OF 'train-v1'")
+      .head().getLong(0) === 30L)
+    sql("CALL graft.system.drop_tag(table => 'spec.rb', tag => 'train-v1')")
+    sql("CALL graft.system.rollback_to_snapshot(table => 'spec.rb', version => 1)")
+    assert(sql("SELECT SUM(v) FROM graft.spec.rb").head().getLong(0) === 10L)
+
+    // rollback_to_timestamp: "now" resolves to the current snapshot (no-op
+    // swing), a pre-table timestamp refuses loudly
+    sql("CALL graft.system.rollback_to_timestamp(" +
+      s"table => 'spec.rb', timestamp_ms => $tsNow)")
+    assert(kpt.currentVersion === 1L)
+    val old = intercept[Exception] {
+      sql("CALL graft.system.rollback_to_timestamp(table => 'spec.rb', timestamp_ms => 1)")
+        .collect()
+    }
+    assert(Iterator.iterate[Throwable](old)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("no retained snapshot"))),
+      old.getMessage)
+    sql("DROP TABLE graft.spec.rb")
+  }
+
   test("CREATE VIEW / SELECT / SHOW VIEWS / DROP VIEW round-trip") {
     sql("DROP TABLE IF EXISTS graft.spec.vbase")
     sql("""CREATE TABLE graft.spec.vbase (id BIGINT, grp STRING, v BIGINT)
