@@ -83,6 +83,21 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
+    // The round driver keeps only the LAST ~2000 chars of stdout; the full
+    // line above is longer, so its head (and the JSON opener) gets cut off
+    // and the driver records parsed=null (observed r11+r12). Re-emit the
+    // contract's minimal shape — minima rounded to 4 decimals, no
+    // mean/median/fingerprint — as the FINAL stdout line so one complete
+    // parseable JSON line always survives the tail capture.
+    def r4(d: Double): String =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).bigDecimal
+        .stripTrailingZeros.toPlainString
+    val qsCompact = results
+      .map { case (k, ts) => "\"" + k + "\":" + (if (ts.isEmpty) -1.0 else r4(ts.min)) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
+      s""""queries":$qsCompact,"failed":${failed.mkString("[", ",", "]")},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 
