@@ -3367,6 +3367,48 @@ object Queries {
              |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // CHANGE-DATA-FEED replication, no glue code: an upstream table takes
+    // 4 CDC merge batches (upserts + deletes); a changelog-mode stream
+    // (mode=changelog — changefeedBetween per version, post-images for
+    // insert/update, pre-images for delete) drives a graft-table MERGE
+    // sink, whose per-batch txn markers make the replay exactly-once. The
+    // REPLICA's final state — built purely from change rows, never a
+    // rescan of the upstream — must hash-match the flat oracle.
+    "q_table_replica" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val parsed = parsedEventsCached(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "operation")
+        val maxId = maxEventIdCached(s, dir)
+        val nBatches = 4L
+        val base = scratchDir("graft_replica_")
+        val up = new KeyedParquetTable(s, s"$base/up", Seq("user_id"), Nil, 8)
+        up.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
+        (0L until nBatches).foreach { b =>
+          val lo = b * (maxId + 1) / nBatches
+          val hi = (b + 1) * (maxId + 1) / nBatches
+          val batch = parsed.filter(col("event_id") >= lo && col("event_id") < hi)
+          up.merge(Dedup.dedupLatest(batch, Seq("user_id"), Seq(col("event_id").desc)))
+        }
+        val q = s.readStream.format("graft-table")
+          .option("path", s"$base/up")
+          .option("startVersion", "earliest")
+          .option("mode", "changelog")
+          .option("maxVersionsPerTrigger", "1")
+          .load()
+          .writeStream.format("graft-table")
+          .option("path", s"$base/replica")
+          .option("commitMode", "merge")
+          .option("keys", "user_id").option("buckets", "8")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        KeyedParquetTable.openRoot(s, s"$base/replica").read()
+          .select("user_id", "event_id", "event_type", "value")
+      },
+      Some(finalStateOracle)),
+
     // JSONL file source with quarantine: events round-trip through a
     // newline-JSON dump with every 97th record corrupted in place; the
     // single-pass text+from_json source (no _corrupt_record caching trap)

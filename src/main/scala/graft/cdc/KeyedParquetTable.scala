@@ -643,6 +643,48 @@ final class KeyedParquetTable(
         :+ col("change_type"): _*)
   }
 
+  /** Value-carrying changelog between two snapshots — [[changesBetween]]'s
+    * keys+classification joined back to full rows: insert/update rows carry
+    * their POST-image (read at `toVersion`), delete rows their PRE-image
+    * (read at `fromVersion`), each with a `_change_type` column. One row
+    * per key (the net effect over the range — an insert-then-delete inside
+    * the range is absent), which is exactly what a downstream replica
+    * `merge` wants: map insert/update→'u', delete→'d' and apply. The
+    * change-data-feed read of Delta/Iceberg, over the engine's snapshots.
+    *
+    * `fromVersion = -1` is the backfill batch: every row of `toVersion` as
+    * an insert (no diff run at all).
+    *
+    * Scale shape: one keyed diff ([[changesBetween]], bucket-diff pruned),
+    * then image reads BUCKET-PRUNED to the changed keys' buckets and joined
+    * on the key — O(changed buckets) I/O, never O(table), and the changed
+    * key set never lands on the driver (only its bucket ids do).
+    */
+  def changefeedBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    if (fromVersion == -1L)
+      return readVersion(toVersion).withColumn("_change_type", lit("insert"))
+    val ch = changesBetween(fromVersion, toVersion).localCheckpoint(true)
+    val chKeyed = ch.select(
+      keys.map(k => ch(k).as(s"__ck_$k")) :+ ch("change_type"): _*)
+    // one bucket probe shared by both image reads (post ∪ pre ⊆ ch's keys)
+    val bks = if (bucketCount > 0) Some(bucketsFor(ch.select(keys.map(col): _*)))
+              else None
+    def image(v: Long, types: Seq[String]): DataFrame = {
+      val side = chKeyed.filter(col("change_type").isin(types: _*))
+      val snap = bks match {
+        case Some(b) => readBuckets(b, v)
+        case None    => readVersion(v)
+      }
+      // <=> join: NULL keys are legitimate ([[changesBetween]] matched them
+      // null-safely; an === here would drop their change rows)
+      val cond = keys.map(k => snap(k) <=> side(s"__ck_$k")).reduce(_ && _)
+      snap.join(side, cond, "inner")
+        .select(snap.columns.map(snap(_)) :+ col("change_type").as("_change_type"): _*)
+    }
+    image(toVersion, Seq("insert", "update"))
+      .unionByName(image(fromVersion, Seq("delete")))
+  }
+
   /** Commit a new snapshot containing exactly `df`. An optional `txn` id is
     * recorded INSIDE the snapshot directory before the pointer swings, so it
     * is atomic with the commit — the idempotent-writer primitive (Delta's

@@ -2,10 +2,12 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.cdc.KeyedParquetTable
 
@@ -53,7 +55,8 @@ import graft.cdc.KeyedParquetTable
   * `spark_exactly_once.py` writes); here that tail is a first-class
   * checkpointed source instead of a rerun batch query.
   */
-final class GraftTableStreamProvider extends StreamSourceProvider with DataSourceRegister {
+final class GraftTableStreamProvider extends StreamSourceProvider
+  with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
@@ -65,13 +68,26 @@ final class GraftTableStreamProvider extends StreamSourceProvider with DataSourc
     KeyedParquetTable.openRoot(sqlContext.sparkSession, path)
   }
 
+  private def modeOf(parameters: Map[String, String]): String =
+    parameters.get("mode").map(_.trim.toLowerCase).getOrElse("appends") match {
+      case m @ ("appends" | "changelog") => m
+      case other => throw new IllegalArgumentException(
+        s"graft-table source mode '$other' — use 'appends' (default; " +
+          "non-append snapshots refuse or skip) or 'changelog' (keyed " +
+          "change rows with _change_type through merges/deletes)")
+    }
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       "graft-table source derives its schema from the table; don't pass one")
-    (shortName(), open(sqlContext, parameters).read().schema)
+    val base = open(sqlContext, parameters).read().schema
+    val s = if (modeOf(parameters) == "changelog")
+      StructType(base.fields :+ StructField("_change_type", StringType, nullable = true))
+    else base
+    (shortName(), s)
   }
 
   override def createSource(sqlContext: SQLContext,
@@ -95,8 +111,57 @@ final class GraftTableStreamProvider extends StreamSourceProvider with DataSourc
     require(start >= -1 && start <= table.currentVersion,
       s"startVersion $start out of range [-1, ${table.currentVersion}]")
     new GraftTableStreamSource(table, start,
+      changelog = modeOf(parameters) == "changelog",
       skipNonAppend = parameters.get("skipNonAppend").exists(_.toBoolean),
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toInt))
+  }
+
+  /** The SINK half: each micro-batch commits to an engine table with an
+    * idempotent txn marker derived from the batch id, so the at-least-once
+    * replay MicroBatchExecution performs after a crash (re-running the last
+    * unacknowledged batch with the SAME id) commits nothing twice —
+    * exactly-once without foreachBatch boilerplate.
+    *
+    *   df.writeStream.format("graft-table")
+    *     .option("path", tableRoot)
+    *     .option("commitMode", "append")   // | "merge" (opCol classifies)
+    *     .option("keys", "id")             // layout, if the table is new
+    *     .option("buckets", "8")
+    *     .start()
+    *
+    * `commitMode=merge` upserts/deletes each batch by key (`opCol`, default
+    * "operation", values u/d — the CDC protocol every engine merge speaks;
+    * the batch must be one row per key, e.g. a changelog-mode read of
+    * another table). The txn marker is `<txnAppId>#<batchId>`; `txnAppId`
+    * defaults to the query's checkpoint location, so two streams writing
+    * the same table don't collide unless they share a checkpoint (which
+    * Structured Streaming itself forbids).
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-table sink: layout comes from the table (keys/buckets options), " +
+        "not partitionBy")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-table sink requires .option(\"path\", <engine table root>)"))
+    val commitMode =
+      parameters.get("commitMode").map(_.trim.toLowerCase).getOrElse("append")
+    require(commitMode == "append" || commitMode == "merge",
+      s"graft-table sink commitMode '$commitMode' — use 'append' or 'merge'")
+    val txnAppId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-table sink: set option(\"checkpointLocation\", ...) (or an " +
+          "explicit txnAppId) — the exactly-once txn marker derives from it"))
+    new GraftTableSink(sqlContext.sparkSession, path, commitMode,
+      opCol = parameters.getOrElse("opCol", "operation"),
+      txnAppId = txnAppId,
+      keys = parameters.get("keys").toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
+      buckets = parameters.get("buckets").map(_.trim.toInt).getOrElse(0))
   }
 
   /** Read the pinned start version from `metadataPath/start`, writing
@@ -126,17 +191,30 @@ final class GraftTableStreamProvider extends StreamSourceProvider with DataSourc
   }
 }
 
-/** The [[Source]] half: version offsets over one opened table. */
+/** The [[Source]] half: version offsets over one opened table. In
+  * `changelog` mode a batch covering (a, b] is
+  * [[KeyedParquetTable.changefeedBetween]] — the NET keyed change over the
+  * range with `_change_type` — so merge/compact/delete snapshots stream
+  * (as retractions) instead of refusing; an intermediate state that a
+  * wider batch nets away is invisible, which is exactly what a replica
+  * consumer wants (set `maxVersionsPerTrigger=1` to see every snapshot's
+  * own changes). */
 final class GraftTableStreamSource(
     table: KeyedParquetTable,
     startVersion: Long,
+    changelog: Boolean,
     skipNonAppend: Boolean,
     maxVersionsPerTrigger: Option[Int])
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // schema is pinned at stream start — evolution mid-stream surfaces on
   // restart, like every file-based source
-  override val schema: StructType = table.read().schema
+  override val schema: StructType = {
+    val base = table.read().schema
+    if (changelog)
+      StructType(base.fields :+ StructField("_change_type", StringType, nullable = true))
+    else base
+  }
 
   // AvailableNow: the drain target is pinned ONCE at query start, so the
   // query terminates even while writers keep committing
@@ -176,7 +254,9 @@ final class GraftTableStreamSource(
     val from = start.map(o => versionOf(o.asInstanceOf[OffsetV2]))
       .getOrElse(startVersion)
     val to = versionOf(end.asInstanceOf[OffsetV2])
-    val batch = table.readAppendedBetween(from, to, skipNonAppend)
+    val batch =
+      if (changelog) table.changefeedBetween(from, to)
+      else table.readAppendedBetween(from, to, skipNonAppend)
     // a V1 source must hand MicroBatchExecution a STREAMING frame; the
     // batch plan (with its parquet pushdown already in place) rides under
     // it as an RDD scan
@@ -189,4 +269,59 @@ final class GraftTableStreamSource(
 
   override def toString: String =
     s"GraftTableStream[${table.root}, start=v$startVersion]"
+}
+
+/** The [[Sink]] half: one engine commit per micro-batch, replay-proof via
+  * the table's txn marker (Delta's txnAppId/txnVersion idea — the marker is
+  * written inside the snapshot atomically with the commit, so "was batch N
+  * applied?" survives any crash).
+  *
+  * `commitMode=merge` accepts a `_change_type` column (what a
+  * changelog-mode graft-table READ emits) as a stand-in for `opCol`:
+  * insert/update → upsert, delete → delete — chaining table → changefeed →
+  * replica needs no glue code.
+  */
+final class GraftTableSink(
+    spark: org.apache.spark.sql.SparkSession,
+    path: String,
+    commitMode: String,
+    opCol: String,
+    txnAppId: String,
+    keys: Seq[String],
+    buckets: Int) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val txn = s"$txnAppId#$batchId"
+    // open per batch: another writer (or a previous incarnation after
+    // restart) may have created/advanced the table since the last batch
+    val table =
+      if (keys.nonEmpty || buckets > 0)
+        new KeyedParquetTable(spark, path, keys, Nil, buckets)
+      else KeyedParquetTable.openRoot(spark, path)
+    if (table.exists && table.lastTxn.contains(txn)) return // replayed batch
+    val batch0 = org.apache.spark.sql.graftbridge.Internals.asBatchFrame(data)
+    commitMode match {
+      case "append" =>
+        require(!batch0.columns.contains("_change_type"),
+          "graft-table sink commitMode=append on a changelog stream would " +
+            "append retraction rows as data — use commitMode=merge")
+        table.append(batch0, Some(txn))
+      case "merge" =>
+        val batch =
+          if (batch0.columns.contains(opCol)) batch0
+          else {
+            require(batch0.columns.contains("_change_type"),
+              s"graft-table sink commitMode=merge needs '$opCol' (u/d) or " +
+                "'_change_type' (insert/update/delete) on the stream")
+            batch0.withColumn(opCol,
+              when(col("_change_type") === "delete", lit("d")).otherwise(lit("u")))
+              .drop("_change_type")
+          }
+        table.createIfNotExists(
+          StructType(batch.schema.fields.filterNot(_.name == opCol)))
+        table.merge(batch, opCol, Some(txn))
+    }
+  }
+
+  override def toString: String = s"GraftTableSink[$path, $commitMode]"
 }

@@ -18,4 +18,14 @@ object Internals {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse hop, for a V1 streaming [[org.apache.spark.sql.execution
+    * .streaming.Sink]]: `addBatch` receives a STREAMING frame that batch
+    * writers refuse; re-wrap its executed plan as an ordinary batch frame
+    * (what ForeachBatchSink does before invoking the user function). */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

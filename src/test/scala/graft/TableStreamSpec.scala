@@ -131,6 +131,88 @@ class TableStreamSpec extends SparkSpec {
     assert(spark.table("ts_avail").count() === 18L)
   }
 
+  test("changefeedBetween: post-images for insert/update, pre-images for delete") {
+    val root = tmpDir("cf_sem")
+    val t = mkTable(root)
+    append(t, 1 to 4)                                    // v0
+    val v0 = t.currentVersion
+    t.merge(Seq((2L, "two-updated", "u"), (3L, "p3", "d"), (9L, "nine", "u"))
+      .toDF("id", "payload", "operation"))               // v1
+    val cf = t.changefeedBetween(v0, t.currentVersion)
+      .select("id", "payload", "_change_type").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    assert(cf === Array(
+      (2L, "two-updated", "update"),  // post-image
+      (3L, "p3", "delete"),           // pre-image
+      (9L, "nine", "insert")))
+    // backfill form: from = -1 is the whole snapshot as inserts
+    assert(t.changefeedBetween(-1L, v0).filter($"_change_type" === "insert")
+      .count() === 4L)
+    // net effect over a wider range: insert-then-delete vanishes
+    t.merge(Seq((9L, "nine", "d")).toDF("id", "payload", "operation")) // v2
+    val net = t.changefeedBetween(v0, t.currentVersion)
+      .select("id", "_change_type").as[(Long, String)].collect().sortBy(_._1)
+    assert(net === Array((2L, "update"), (3L, "delete")))
+  }
+
+  test("changelog stream into a graft-table merge sink replicates through merges/deletes") {
+    val srcRoot = tmpDir("cf_src")
+    val dstRoot = tmpDir("cf_dst")
+    val t = mkTable(srcRoot)
+    append(t, 1 to 50)                                             // v0
+    t.merge((1 to 10).map(i => (i.toLong, s"upd$i", "u")).toDF("id", "payload", "operation")) // v1
+    t.merge((41 to 50).map(i => (i.toLong, "x", "d")).toDF("id", "payload", "operation"))     // v2
+    append(t, 51 to 60)                                            // v3
+    val ckpt = tmpDir("cf_ckpt")
+    def run() = spark.readStream.format("graft-table")
+      .option("path", srcRoot).option("startVersion", "earliest")
+      .option("mode", "changelog")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream.format("graft-table")
+      .option("path", dstRoot)
+      .option("commitMode", "merge")
+      .option("keys", "id").option("buckets", "4")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(50L))
+      .start()
+    val q = run()
+    try {
+      q.processAllAvailable()
+      val dst = graft.cdc.KeyedParquetTable.openRoot(spark, dstRoot)
+      assert(dst.read().count() === t.read().count())
+      assert(dst.read().except(t.read()).isEmpty &&
+        t.read().except(dst.read()).isEmpty, "replica diverged from upstream")
+    } finally q.stop()
+    // upstream keeps moving while the stream is DOWN; restart converges
+    t.merge(Seq((1L, "upd-again", "u"), (60L, "x", "d"))
+      .toDF("id", "payload", "operation"))
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      val dst = graft.cdc.KeyedParquetTable.openRoot(spark, dstRoot)
+      assert(dst.read().except(t.read()).isEmpty &&
+        t.read().except(dst.read()).isEmpty, "replica diverged after restart")
+    } finally q2.stop()
+  }
+
+  test("sink replay with the same batchId commits nothing twice (txn marker)") {
+    val root = tmpDir("sink_replay")
+    val sink = new graft.streaming.GraftTableSink(spark, root,
+      commitMode = "append", opCol = "operation", txnAppId = "spec",
+      keys = Seq("id"), buckets = 4)
+    // a plain batch frame stands in for MicroBatchExecution's incremental
+    // frame — addBatch's replay/commit logic is identical either way
+    val df = (1 to 5).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    sink.addBatch(0L, df)
+    sink.addBatch(0L, df) // the crash-replay: same id, must be a no-op
+    val t = graft.cdc.KeyedParquetTable.openRoot(spark, root)
+    assert(t.read().count() === 5L)
+    assert(t.currentVersion === 0L)
+    sink.addBatch(1L, df) // a NEW batch id does commit
+    assert(t.read().count() === 10L)
+  }
+
   test("readAppendedBetween pins endpoints and survives a LATER compaction") {
     val root = tmpDir("ts_pin")
     val t = mkTable(root)
