@@ -56,9 +56,68 @@ import graft.cdc.KeyedParquetTable
   * checkpointed source instead of a rerun batch query.
   */
 final class GraftTableStreamProvider extends StreamSourceProvider
-  with StreamSinkProvider with DataSourceRegister {
+  with StreamSinkProvider with org.apache.spark.sql.sources.RelationProvider
+  with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
+
+  /** BATCH reads of the same surfaces (Iceberg's incremental batch read):
+    *
+    *   spark.read.format("graft-table").option("path", root)
+    *     [.option("versionAsOf", n) | .option("timestampAsOf", ms)]   // time travel
+    *     [.option("startVersion", a)[.option("endVersion", b)]]       // incremental
+    *     [.option("mode", "appends"|"changelog")]                     // range flavor
+    *     .load()
+    *
+    * No range/pin options → the current snapshot. A version RANGE returns
+    * either the appended rows (mode=appends, default — non-append snapshots
+    * refuse unless skipNonAppend) or the net keyed change rows with
+    * `_change_type` (mode=changelog) over (startVersion, endVersion],
+    * endVersion defaulting to the current snapshot. The relation executes
+    * the engine's own read plan (pushdown/pruning inside it intact) with
+    * `needConversion=false`, so no per-row conversion hop is paid.
+    */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String])
+  : org.apache.spark.sql.sources.BaseRelation = {
+    val table = open(sqlContext, parameters)
+    def bad(msg: String) = throw new IllegalArgumentException(s"graft-table: $msg")
+    val pinned = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
+      case (Some(_), Some(_)) => bad("versionAsOf and timestampAsOf are exclusive")
+      case (Some(v), None)    => Some(table.readVersion(v.trim.toLong))
+      case (None, Some(ts))   => Some(table.readAsOf(ts.trim.toLong))
+      case (None, None)       => None
+    }
+    val df = (pinned, parameters.get("startVersion")) match {
+      case (Some(_), Some(_)) => bad("a time-travel pin and a version range are exclusive")
+      case (Some(p), None)    => p
+      case (None, Some(a))    =>
+        val from = a.trim.toLowerCase match {
+          case "earliest" => -1L
+          case n          => n.toLong
+        }
+        val to = parameters.get("endVersion").map(_.trim.toLong)
+          .getOrElse(table.currentVersion)
+        if (modeOf(parameters) == "changelog") table.changefeedBetween(from, to)
+        else table.readAppendedBetween(from, to,
+          parameters.get("skipNonAppend").exists(_.toBoolean))
+      case (None, None) =>
+        if (parameters.contains("endVersion")) bad("endVersion needs startVersion")
+        else table.read()
+    }
+    val outerCtx = sqlContext
+    new org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: SQLContext = outerCtx
+      override def schema: StructType = df.schema
+      override def needConversion: Boolean = false
+      // contract of needConversion=false: the RDD[Row] actually carries
+      // InternalRow — hand over the engine plan's executed rows directly
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        df.queryExecution.toRdd
+          .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    }
+  }
 
   private def open(sqlContext: SQLContext,
                    parameters: Map[String, String]): KeyedParquetTable = {

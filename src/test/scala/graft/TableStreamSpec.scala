@@ -213,6 +213,35 @@ class TableStreamSpec extends SparkSpec {
     assert(t.read().count() === 10L)
   }
 
+  test("batch reads: spark.read.format(graft-table) snapshot/time-travel/incremental/changelog") {
+    val root = tmpDir("batch_read")
+    val t = mkTable(root)
+    append(t, 1 to 4)                                    // v0
+    append(t, 5 to 7)                                    // v1
+    t.merge(Seq((1L, "one-upd", "u"), (7L, "x", "d"))
+      .toDF("id", "payload", "operation"))               // v2
+    def rd = spark.read.format("graft-table").option("path", root)
+
+    assert(rd.load().count() === 6L)                                  // current
+    assert(rd.option("versionAsOf", "0").load().count() === 4L)       // pin
+    val incr = rd.option("startVersion", "0").option("endVersion", "1")
+      .load().select("id").as[Long].collect().sorted
+    assert(incr === Array(5L, 6L, 7L))                                // appends
+    val cl = rd.option("startVersion", "1").option("mode", "changelog")
+      .load().select("id", "_change_type").as[(Long, String)].collect().sortBy(_._1)
+    assert(cl === Array((1L, "update"), (7L, "delete")))              // changelog
+    // appends crossing the merge refuses; exclusive option pairs refuse
+    assertThrows[IllegalStateException] {
+      rd.option("startVersion", "1").load().collect()
+    }
+    assertThrows[IllegalArgumentException] {
+      rd.option("versionAsOf", "0").option("startVersion", "0").load()
+    }
+    // an outer aggregation over the relation still computes correctly
+    // (needConversion=false path end-to-end)
+    assert(rd.load().groupBy().sum("id").head().getLong(0) === (2 to 6).map(_.toLong).sum + 1L)
+  }
+
   test("readAppendedBetween pins endpoints and survives a LATER compaction") {
     val root = tmpDir("ts_pin")
     val t = mkTable(root)
