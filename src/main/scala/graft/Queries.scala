@@ -3409,6 +3409,61 @@ object Queries {
       },
       Some(finalStateOracle)),
 
+    // The FULL incremental chain: upstream CDC merges → changelog stream →
+    // maintained entity replica + maintained aggregate (IncrementalAgg's
+    // exact retraction math), every stage O(batch). The aggregate built
+    // purely from streamed change rows must equal the from-scratch
+    // aggregate over the upstream's final state — the invariant that makes
+    // chained materialized views trustworthy.
+    "q_stream_ivm_chain" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val parsed = parsedEventsCached(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "operation")
+        val maxId = maxEventIdCached(s, dir)
+        val nBatches = 4L
+        val base = scratchDir("graft_ivmchain_")
+        val up = new KeyedParquetTable(s, s"$base/up", Seq("user_id"), Nil, 8)
+        up.createIfNotExists(StructType(parsed.schema.filterNot(_.name == "operation")))
+        (0L until nBatches).foreach { b =>
+          val lo = b * (maxId + 1) / nBatches
+          val hi = (b + 1) * (maxId + 1) / nBatches
+          val batch = parsed.filter(col("event_id") >= lo && col("event_id") < hi)
+          up.merge(Dedup.dedupLatest(batch, Seq("user_id"), Seq(col("event_id").desc)))
+        }
+        val entity = new KeyedParquetTable(s, s"$base/entity", Seq("user_id"), Nil, 8)
+        val aggT = new KeyedParquetTable(s, s"$base/agg", Seq("event_type"), Nil, 4)
+        val q = s.readStream.format("graft-table")
+          .option("path", s"$base/up")
+          .option("startVersion", "earliest")
+          .option("mode", "changelog")
+          .option("maxVersionsPerTrigger", "1")
+          .load()
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            IncrementalAgg.applyCdcBatch(entity, aggT,
+              b.withColumn("operation",
+                when(col("_change_type") === "delete", lit("d")).otherwise(lit("u")))
+                .drop("_change_type"),
+              "event_type", "value", Seq(col("event_id").desc),
+              txnId = Some(s"chain#$id"))
+            ()
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        IncrementalAgg.snapshot(aggT, "value")
+      },
+      Some("""WITH final AS (
+             |  SELECT event_type, value FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |    FROM events) t
+             |  WHERE rn = 1 AND event_type <> 'error')
+             |SELECT event_type, COUNT(*) AS n_rows,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM final GROUP BY event_type""".stripMargin)),
+
     // JSONL file source with quarantine: events round-trip through a
     // newline-JSON dump with every 97th record corrupted in place; the
     // single-pass text+from_json source (no _corrupt_record caching trap)
