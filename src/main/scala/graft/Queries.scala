@@ -2412,6 +2412,97 @@ object Queries {
              |ORDER BY score_q DESC, tf.doc_id ASC LIMIT 20""".stripMargin),
       headline = true),
 
+    // HYBRID RETRIEVAL: the lexical (BM25) and dense (cosine) candidate
+    // lists fused by reciprocal-rank fusion — the standard two-tower
+    // retrieval shape for training-data curation. Each side contributes
+    // its top-50 (TakeOrderedAndProject — at corpus scale the candidate
+    // lists are bounded, never the full ranking), ranks are fused as
+    // Σ 1/(60 + rank) with absent sides contributing 0, quantized to
+    // nanos for a cross-engine-exact ordering. doc 0 is the query doc
+    // (its embedding is the dense query) and is excluded from both sides.
+    "q_hybrid_retrieval" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val C = 50
+        // lexical half — q_bm25's integer-exact scoring, same 5 terms
+        val toks = t("documents").filter(col("doc_id") =!= 0)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val dtf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true)
+        val dl = dtf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+        val dfT = dtf.groupBy("token").agg(count(lit(1)).as("df"))
+        val w15 = org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("token").asc)
+        val qterms = dfT.orderBy(col("df").desc, col("token").asc).limit(15)
+          .withColumn("__rn", row_number().over(w15))
+          .filter(col("__rn") > 10).drop("__rn")
+        val textTop = dtf.join(broadcast(qterms), "token")
+          .join(dl, "doc_id").crossJoin(broadcast(stats))
+          .withColumn("term_score",
+            expr("ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 " +
+              "/ (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"))
+          .groupBy("doc_id")
+          .agg(sum(expr("CAST(ROUND(term_score * 1e6) AS BIGINT)")).as("score_q"))
+          .orderBy(col("score_q").desc, col("doc_id").asc).limit(C)
+        // dense half — exact cosine vs doc 0's embedding
+        val emb = t("embeddings")
+        val vecTop = Similarity.cosineTopK(
+          emb.filter(col("vec_id") =!= 0), emb.filter(col("vec_id") === 0)
+            .select("embedding"), "vec_id", "embedding", C)
+          .withColumnRenamed("vec_id", "doc_id")
+        def ranked(df: DataFrame, by: Seq[Column]) = df.withColumn("r",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(by: _*)))
+        val tr = ranked(textTop, Seq(col("score_q").desc, col("doc_id").asc))
+          .select(col("doc_id"), col("r").as("rt"))
+        val vr = ranked(vecTop, Seq(col("sim").desc, col("doc_id").asc))
+          .select(col("doc_id"), col("r").as("rv"))
+        tr.join(vr, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_nanos",
+            expr("CAST(ROUND((COALESCE(1.0/(60+rt), 0.0) + " +
+              "COALESCE(1.0/(60+rv), 0.0)) * 1e9) AS BIGINT)"))
+          .select("doc_id", "rrf_nanos")
+          .orderBy(col("rrf_nanos").desc, col("doc_id").asc).limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |  FROM documents WHERE doc_id <> 0),
+             |dtf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             |        FROM toks GROUP BY doc_id, token),
+             |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dtf GROUP BY doc_id),
+             |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+             |dft AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM dtf GROUP BY token),
+             |q15 AS (SELECT token, df FROM dft ORDER BY df DESC, token ASC LIMIT 15),
+             |q10 AS (SELECT token, df FROM dft ORDER BY df DESC, token ASC LIMIT 10),
+             |qterms AS (SELECT * FROM q15 EXCEPT ALL SELECT * FROM q10),
+             |text_scores AS (
+             |  SELECT d.doc_id,
+             |    CAST(SUM(CAST(ROUND(
+             |      ln(1 + (s.n_docs - q.df + 0.5) / (q.df + 0.5)) * d.tf * 2.2
+             |      / (d.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) * 1e6)
+             |      AS BIGINT)) AS BIGINT) AS score_q
+             |  FROM dtf d JOIN qterms q USING (token)
+             |  JOIN dl ON d.doc_id = dl.doc_id CROSS JOIN stats s
+             |  GROUP BY d.doc_id),
+             |tr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id ASC) AS rt
+             |       FROM text_scores ORDER BY score_q DESC, doc_id ASC LIMIT 50),
+             |vec AS (SELECT b.vec_id AS doc_id,
+             |  list_sum(list_transform(list_zip(b.embedding, q.embedding),
+             |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             |  / (sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |     * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+             |  FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             |  WHERE b.vec_id <> 0),
+             |vr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS rv
+             |       FROM vec ORDER BY sim DESC, doc_id ASC LIMIT 50)
+             |SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+             |  CAST(ROUND((COALESCE(1.0/(60+rt), 0) + COALESCE(1.0/(60+rv), 0)) * 1e9) AS BIGINT) AS rrf_nanos
+             |FROM tr FULL JOIN vr ON tr.doc_id = vr.doc_id
+             |ORDER BY rrf_nanos DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
     // Gap-based sessionization over the Long-nanos event timestamps
     // (lag window + cumulative flag — the batch analog of session windows).
     "q_sessionize" -> Q(
