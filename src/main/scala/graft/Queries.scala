@@ -139,6 +139,66 @@ object Queries {
         .localCheckpoint(true))
   }
 
+  /** BM25 text scores for the 5 mid-document-frequency query terms (ranks
+    * 11–15 by df, alphabetical tiebreak — deterministic cross-engine), in
+    * TWO corpus passes and ONE narrow shuffle:
+    *
+    *   pass 1 — document frequencies: explode DISTINCT tokens per doc →
+    *   groupBy(token).count; corpus stats (n_docs, Σdl) RIDE the same job
+    *   as observed metrics; the top-15 collect is 15 rows.
+    *   pass 2 — scoring: shuffle-FREE scan computing each query term's tf
+    *   per doc with `size(filter(toks, _ = term))` against the collected
+    *   (term, df) literals; each term score quantizes to integer 1e6-units
+    *   (no float-addition-order dependence), the doc score is their exact
+    *   integer sum, and docs containing NO query term are filtered (they
+    *   have no postings row in the oracle's join).
+    *
+    * Replaces the postings-join shape (explode → (doc,token) shuffle →
+    * checkpoint → 3 downstream joins) that cost 3 wide shuffles over the
+    * token stream — at 100 TB the token shuffle IS the query; this shape
+    * only shuffles the distinct-token df aggregation and streams the rest.
+    */
+  private def bm25TextScores(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val obs = org.apache.spark.sql.Observation()
+    val dfT = docs.observe(obs, count(lit(1)).as("__n"),
+        sum(size(col("toks")).cast("long")).as("__sumdl"))
+      .select(explode(array_distinct(col("toks"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val top15 = dfT.orderBy(col("df").desc, col("token").asc).limit(15).collect()
+    val qterms = top15.drop(10).map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(qterms.nonEmpty, "bm25: corpus has fewer than 11 distinct tokens")
+    val m = obs.get
+    val nDocs = m("__n").asInstanceOf[Long]
+    val avgdl = m("__sumdl").asInstanceOf[Long].toDouble / nDocs
+    // ALL-DOUBLE literals (lit, never string-interpolated, never SQL
+    // fractional literals): Spark types a literal-operand decimal quotient
+    // as low as decimal(30,7) — a 1e-7 quantization of the ln argument
+    // that flips ROUND boundaries vs the oracle's all-double evaluation.
+    // THREE projections, not 2×5 chained withColumns: each withColumn is a
+    // full re-analyzed Dataset, and the analyzer latency is wall-clock on
+    // every run of the query.
+    val withTf = docs.select(
+      col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+        qterms.zipWithIndex.map { case ((tok, _), i) =>
+          size(filter(col("toks"), x => x === lit(tok))).cast("long").as(s"__tf_$i")
+        }: _*)
+    val termScores = qterms.zipWithIndex.map { case ((_, dfv), i) =>
+      val idf = log(lit(1.0) +
+        (lit(nDocs.toDouble) - lit(dfv.toDouble) + lit(0.5)) /
+          (lit(dfv.toDouble) + lit(0.5)))
+      round(idf * col(s"__tf_$i") * lit(2.2) /
+        (col(s"__tf_$i") + lit(1.2) *
+          (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / lit(avgdl))) * lit(1e6))
+        .cast("long").as(s"__ts_$i")
+    }
+    val hasTerm = qterms.indices.map(i => col(s"__tf_$i")).reduce(_ + _) > 0L
+    withTf.filter(hasTerm)
+      .select(col("doc_id") +: termScores: _*)
+      .select(col("doc_id"),
+        qterms.indices.map(i => col(s"__ts_$i")).reduce(_ + _).as("score_q"))
+  }
+
   /** One persisted envelope fixture per events corpus per JVM: the
     * Debezium-style JSON strings the CDC queries parse, written to a
     * scratch parquet ONCE and read back per run — what a real pipeline
@@ -2353,39 +2413,7 @@ object Queries {
     "q_bm25" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
-        val toks = t("documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        // ONE explode + one (doc_id, token) shuffle; every downstream stat
-        // (doc length, document frequency, query-term postings) aggregates
-        // the compressed per-doc term counts, and the shared subplan lets
-        // AQE reuse the exchange instead of re-running the explode per
-        // branch — the pass count that matters when `text` is the 100 TB
-        // column
-        // materialize the compressed term counts ONCE: four consumers
-        // (doc length, corpus stats, document frequency, postings join)
-        // each embedded their own copy of the explode + (doc, token)
-        // exchange, and AQE's runtime exchange reuse is best-effort —
-        // the checkpoint makes single evaluation a guarantee
-        val dtf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-          .localCheckpoint(true)
-        val dl = dtf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-        val dfT = dtf.groupBy("token").agg(count(lit(1)).as("df"))
-        // the 5 mid-frequency terms (ranks 11-15): TakeOrdered(15) then a
-        // 15-row single-partition window — no second sort or EXCEPT shuffle
-        val w15 = org.apache.spark.sql.expressions.Window
-          .orderBy(col("df").desc, col("token").asc)
-        val qterms = dfT.orderBy(col("df").desc, col("token").asc).limit(15)
-          .withColumn("__rn", row_number().over(w15))
-          .filter(col("__rn") > 10).drop("__rn")
-        val tf = dtf.join(broadcast(qterms), "token")
-        tf.join(dl, "doc_id").crossJoin(broadcast(stats))
-          .withColumn("term_score",
-            expr("ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 " +
-              "/ (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"))
-          .groupBy("doc_id")
-          .agg(sum(expr("CAST(ROUND(term_score * 1e6) AS BIGINT)")).as("score_q"))
+        bm25TextScores(t("documents"))
           .orderBy(col("score_q").desc, col("doc_id").asc)
           .limit(20)
       },
@@ -2425,26 +2453,7 @@ object Queries {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val C = 50
         // lexical half — q_bm25's integer-exact scoring, same 5 terms
-        val toks = t("documents").filter(col("doc_id") =!= 0)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        val dtf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-          .localCheckpoint(true)
-        val dl = dtf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-        val dfT = dtf.groupBy("token").agg(count(lit(1)).as("df"))
-        val w15 = org.apache.spark.sql.expressions.Window
-          .orderBy(col("df").desc, col("token").asc)
-        val qterms = dfT.orderBy(col("df").desc, col("token").asc).limit(15)
-          .withColumn("__rn", row_number().over(w15))
-          .filter(col("__rn") > 10).drop("__rn")
-        val textTop = dtf.join(broadcast(qterms), "token")
-          .join(dl, "doc_id").crossJoin(broadcast(stats))
-          .withColumn("term_score",
-            expr("ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 " +
-              "/ (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"))
-          .groupBy("doc_id")
-          .agg(sum(expr("CAST(ROUND(term_score * 1e6) AS BIGINT)")).as("score_q"))
+        val textTop = bm25TextScores(t("documents").filter(col("doc_id") =!= 0))
           .orderBy(col("score_q").desc, col("doc_id").asc).limit(C)
         // dense half — exact cosine vs doc 0's embedding
         val emb = t("embeddings")
@@ -2501,7 +2510,8 @@ object Queries {
              |SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
              |  CAST(ROUND((COALESCE(1.0/(60+rt), 0) + COALESCE(1.0/(60+rv), 0)) * 1e9) AS BIGINT) AS rrf_nanos
              |FROM tr FULL JOIN vr ON tr.doc_id = vr.doc_id
-             |ORDER BY rrf_nanos DESC, doc_id ASC LIMIT 20""".stripMargin)),
+             |ORDER BY rrf_nanos DESC, doc_id ASC LIMIT 20""".stripMargin),
+      headline = true),
 
     // Gap-based sessionization over the Long-nanos event timestamps
     // (lag window + cumulative flag — the batch analog of session windows).
