@@ -124,7 +124,10 @@ final class GraftTableStreamProvider extends StreamSourceProvider
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-table source requires .option(\"path\", <engine table root>)"))
-    KeyedParquetTable.openRoot(sqlContext.sparkSession, path)
+    val table = KeyedParquetTable.openRoot(sqlContext.sparkSession, path)
+    // a branch is a full table root under _branches/<name> — reads (batch,
+    // streaming, changelog) address it like Iceberg's branch option
+    parameters.get("branch").fold(table)(table.branch)
   }
 
   private def modeOf(parameters: Map[String, String]): String =

@@ -242,6 +242,67 @@ class TableStreamSpec extends SparkSpec {
     assert(rd.load().groupBy().sum("id").head().getLong(0) === (2 to 6).map(_.toLong).sum + 1L)
   }
 
+  test("branch option: reads tail the branch head, not main") {
+    val root = tmpDir("ts_branch")
+    val t = mkTable(root)
+    append(t, 1 to 3)                       // main v0
+    val b = t.createBranch("audit")
+    append(b, 4 to 6)                       // branch v1 (zero-copy fork)
+    append(t, 100 to 120)                   // main diverges
+    // batch read of the branch
+    val got = spark.read.format("graft-table")
+      .option("path", root).option("branch", "audit")
+      .load().select("id").as[Long].collect().sorted
+    assert(got === (1L to 6L).toArray)
+    // streaming read of the branch drains branch snapshots only
+    val q = spark.readStream.format("graft-table")
+      .option("path", root).option("branch", "audit")
+      .option("startVersion", "earliest").load()
+      .writeStream.format("memory").queryName("ts_branch")
+      .option("checkpointLocation", tmpDir("ts_branch_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000L))
+    assert(spark.table("ts_branch").select("id").as[Long].collect().sorted
+      === (1L to 6L).toArray)
+    assertThrows[IllegalArgumentException] {
+      spark.read.format("graft-table")
+        .option("path", root).option("branch", "nope").load()
+    }
+  }
+
+  test("restart after schema evolution: the re-opened stream carries the new column") {
+    val root = tmpDir("ts_evolve")
+    val ckpt = tmpDir("ts_evolve_ckpt")
+    val t = mkTable(root)
+    append(t, 1 to 3) // v0, (id, payload)
+    val schemas = new java.util.concurrent.CopyOnWriteArrayList[Seq[String]]()
+    val extras = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    def run() = spark.readStream.format("graft-table")
+      .option("path", root).option("startVersion", "earliest").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        schemas.add(b.columns.toSeq)
+        if (b.columns.contains("extra"))
+          b.select("id", "extra").na.drop().as[(Long, Long)].collect()
+            .foreach { case (k, v) => extras.put(k, v) }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val q = run()
+    assert(q.awaitTermination(120000L))
+    assert(schemas.get(0) === Seq("id", "payload"))
+    // evolve (metadata-only ADD COLUMN), then a post-evolution append
+    t.addColumn("extra", org.apache.spark.sql.types.LongType)
+    t.append(Seq((10L, "p10", 7L)).toDF("id", "payload", "extra"))
+    val q2 = run()
+    assert(q2.awaitTermination(120000L))
+    assert(schemas.get(schemas.size - 1) === Seq("id", "payload", "extra"))
+    assert(extras.get(10L) === 7L)
+  }
+
   test("readAppendedBetween pins endpoints and survives a LATER compaction") {
     val root = tmpDir("ts_pin")
     val t = mkTable(root)
