@@ -1175,6 +1175,31 @@ object Queries {
              |FROM v GROUP BY 1""".stripMargin),
       headline = true),
 
+    // BPE-style adjacent-pair counting — the first iteration of byte-pair
+    // tokenizer training: per word, every adjacent character pair; global
+    // pair frequencies; top-20. ONE shuffle (the pair groupBy, map-side
+    // combined), pairs generated in-expression — no UDF, no per-word
+    // shuffle. sequence() is guarded (Spark DESCENDS when end < start,
+    // where DuckDB's generate_series returns empty — the 1-char-word trap).
+    "q_bpe_pairs" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .select(explode(when(length(col("w")) < 2, array())
+            .otherwise(expr(
+              "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")))
+            .as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair").asc).limit(20)
+      },
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+             |p AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+             |        i -> substring(w, i, 2))) AS pair FROM w)
+             |SELECT pair, COUNT(*) AS n FROM p
+             |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin),
+      headline = true),
+
     // Heavy-hitter detection, two-pass: a bounded Misra–Gries sketch (one
     // map-side-combinable agg, O(k) state) surfaces candidate hot keys,
     // then ONE filtered groupBy exact-counts just the candidates. The
