@@ -242,6 +242,28 @@ class TableStreamSpec extends SparkSpec {
     assert(rd.load().groupBy().sum("id").head().getLong(0) === (2 to 6).map(_.toLong).sum + 1L)
   }
 
+  test("changefeed image reads are bucket-pruned to the changed keys' buckets") {
+    val root = tmpDir("cf_prune")
+    val t = new KeyedParquetTable(spark, root, keys = Seq("id"), bucketCount = 8)
+    append(t, 1 to 400)                                   // v0: all 8 buckets
+    val v0 = t.currentVersion
+    // touch ONE key → one bucket
+    t.merge(Seq((7L, "upd", "u")).toDF("id", "payload", "operation"))
+    val cf = t.changefeedBetween(v0, t.currentVersion)
+    val touched = t.bucketsFor(Seq(Tuple1(7L)).toDF("id"))
+    assert(touched.size === 1)
+    // every data file the changefeed plan reads lives in a touched bucket
+    // dir of some snapshot — O(changed buckets) I/O, never O(table)
+    val dataFiles = cf.inputFiles.filter(_.contains("__bucket="))
+    assert(dataFiles.nonEmpty)
+    val badBucket = dataFiles.filterNot(f =>
+      touched.exists(b => f.contains(s"__bucket=$b/")))
+    assert(badBucket.isEmpty,
+      s"changefeed read untouched buckets: ${badBucket.take(3).mkString(", ")}")
+    assert(cf.select("id", "_change_type").as[(Long, String)].collect().toSeq
+      === Seq((7L, "update")))
+  }
+
   test("branch option: reads tail the branch head, not main") {
     val root = tmpDir("ts_branch")
     val t = mkTable(root)
