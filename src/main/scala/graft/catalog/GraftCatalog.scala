@@ -274,6 +274,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           Pin.Current))
       else None
     }
+    // `.changes`: the value-carrying changelog; version range comes from
+    // SCAN options (fromVersion/toVersion), so it gets its own table class
+    if (ident.name == "changes")
+      return Some(new GraftChangesTable(kpt, s"${fullName(base)}.changes"))
     val frame: Option[() => org.apache.spark.sql.DataFrame] = ident.name match {
       case "history"   => Some(() => kpt.history())
       case "files"     => Some(() => kpt.files())

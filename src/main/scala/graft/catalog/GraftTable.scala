@@ -341,6 +341,51 @@ final class GraftMetaTable(ident: String, frame: () => DataFrame)
     }
 }
 
+/** `graft.ns.t.changes` — the value-carrying changelog as a catalog table
+  * (Iceberg's changelog table): `spark.read.option("fromVersion", a)
+  * [.option("toVersion", b)].table("graft.ns.t.changes")` plans
+  * [[graft.cdc.KeyedParquetTable.changefeedBetween]] over (a, b] —
+  * post-images for insert/update, PRE-images for delete, `_change_type`,
+  * image reads bucket-pruned to the changed keys. `toVersion` defaults to
+  * the current snapshot; a missing `fromVersion` refuses loudly (a change
+  * stream without a start is ambiguous — plain SQL text can't carry scan
+  * options, use the DataFrameReader form or VERSION AS OF reads).
+  */
+final class GraftChangesTable(kpt: graft.cdc.KeyedParquetTable, ident: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = ident
+  override lazy val schema: StructType = StructType(
+    kpt.read().schema.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = true))
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: Option[StructType] = None
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = Some(requiredSchema)
+      override def build(): Scan = {
+        require(options.containsKey("fromVersion"),
+          s"$ident requires option fromVersion (changes are a range read: " +
+            "spark.read.option(\"fromVersion\", a).table(\"" + ident + "\"))")
+        val from = options.get("fromVersion").trim.toLong
+        val to = Option(options.get("toVersion")).map(_.trim.toLong)
+          .getOrElse(kpt.currentVersion)
+        val df = kpt.changefeedBetween(from, to)
+        val projected = required match {
+          case Some(s) if s.fieldNames.nonEmpty =>
+            df.select(s.fieldNames.map(col).toIndexedSeq: _*)
+          case Some(_) => df.select(col(df.columns.head))
+          case None => df
+        }
+        new GraftScan(projected, "changes", Array.empty)
+      }
+    }
+}
+
 /** Statement-level commit retry for the SQL surface. Two writers racing
   * one table serialize on the engine's CAS pointer swing; the Scala
   * surface exposes the loser's ConcurrentModificationException (callers

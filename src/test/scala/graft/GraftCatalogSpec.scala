@@ -621,6 +621,32 @@ class GraftCatalogSpec extends SparkSpec {
       messages)
   }
 
+  test(".changes metadata table: changelog rows via reader options") {
+    sql("DROP TABLE IF EXISTS graft.spec.chg")
+    sql("""CREATE TABLE graft.spec.chg (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.chg VALUES (1, 10), (2, 20), (3, 30)")  // v1
+    sql("UPDATE graft.spec.chg SET v = 21 WHERE id = 2")                 // v2
+    sql("DELETE FROM graft.spec.chg WHERE id = 3")                       // v3
+    val ch = spark.read.option("fromVersion", "1")
+      .table("graft.spec.chg.changes")
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(ch.toSeq === Seq((2L, 21L, "update"), (3L, 30L, "delete")))
+    // column pruning through the scan; toVersion bounds the range
+    assert(spark.read.option("fromVersion", "1").option("toVersion", "2")
+      .table("graft.spec.chg.changes").select("_change_type").collect()
+      .map(_.getString(0)).toSeq === Seq("update"))
+    // no fromVersion → loud refusal naming the option
+    val e = intercept[Exception] {
+      spark.table("graft.spec.chg.changes").collect()
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("fromVersion"))), e.getMessage)
+    sql("DROP TABLE graft.spec.chg")
+  }
+
   test("CALL procedures: rollback_to_snapshot/timestamp, create_tag/drop_tag") {
     sql("DROP TABLE IF EXISTS graft.spec.rb")
     sql("""CREATE TABLE graft.spec.rb (id BIGINT, v BIGINT)
