@@ -211,8 +211,11 @@ final class GraftTableStreamProvider extends StreamSourceProvider
         "graft-table sink requires .option(\"path\", <engine table root>)"))
     val commitMode =
       parameters.get("commitMode").map(_.trim.toLowerCase).getOrElse("append")
-    require(commitMode == "append" || commitMode == "merge",
-      s"graft-table sink commitMode '$commitMode' — use 'append' or 'merge'")
+    require(Set("append", "merge", "overwrite")(commitMode),
+      s"graft-table sink commitMode '$commitMode' — use 'append' (Append " +
+        "output), 'merge' (Update output / changelog input) or 'overwrite' " +
+        "(Complete output: each batch is the full state, committed as an " +
+        "atomic snapshot replacement)")
     val txnAppId = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation"))
       .getOrElse(throw new IllegalArgumentException(
@@ -368,6 +371,10 @@ final class GraftTableSink(
           "graft-table sink commitMode=append on a changelog stream would " +
             "append retraction rows as data — use commitMode=merge")
         table.append(batch0, Some(txn))
+      case "overwrite" =>
+        // Complete-mode sink: the batch IS the whole result; prior state
+        // stays time-travelable (an atomic snapshot replacement, not a wipe)
+        table.commit(batch0, Some(txn))
       case "merge" =>
         val batch =
           if (batch0.columns.contains(opCol)) batch0

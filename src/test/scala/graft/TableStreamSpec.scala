@@ -196,6 +196,39 @@ class TableStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("commitMode=overwrite: a Complete-mode aggregation stream replaces the snapshot per batch") {
+    val srcRoot = tmpDir("ov_src")
+    val dstRoot = tmpDir("ov_dst")
+    val t = mkTable(srcRoot)
+    append(t, 1 to 10)
+    val q = spark.readStream.format("graft-table")
+      .option("path", srcRoot).option("startVersion", "earliest").load()
+      .groupBy((org.apache.spark.sql.functions.col("id") % 2).as("parity"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream.format("graft-table")
+      .outputMode("complete")
+      .option("path", dstRoot)
+      .option("commitMode", "overwrite")
+      .option("keys", "parity")
+      .option("checkpointLocation", tmpDir("ov_ckpt"))
+      .trigger(Trigger.ProcessingTime(50L))
+      .start()
+    try {
+      q.processAllAvailable()
+      val dst = graft.cdc.KeyedParquetTable.openRoot(spark, dstRoot)
+      assert(dst.read().as[(Long, Long)].collect().sortBy(_._1).toSeq
+        === Seq((0L, 5L), (1L, 5L)))
+      append(t, 11 to 13)
+      q.processAllAvailable()
+      assert(dst.read().as[(Long, Long)].collect().sortBy(_._1).toSeq
+        === Seq((0L, 6L), (1L, 7L)))
+      // prior full state stays time-travelable
+      assert(dst.readVersion(dst.currentVersion - 1)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq === Seq((0L, 5L), (1L, 5L)))
+    } finally q.stop()
+  }
+
   test("sink replay with the same batchId commits nothing twice (txn marker)") {
     val root = tmpDir("sink_replay")
     val sink = new graft.streaming.GraftTableSink(spark, root,
