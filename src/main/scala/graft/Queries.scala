@@ -4904,6 +4904,43 @@ object Queries {
              |  * CASE WHEN user_id % 10 = 3 THEN 2 ELSE 1 END AS BIGINT) AS value_micros
              |FROM events GROUP BY user_id""".stripMargin)),
 
+    // The changelog AS A CATALOG TABLE (`graft.ns.t.changes`, Iceberg's
+    // changelog-table shape): seed via INSERT, mutate via SQL UPDATE and
+    // DELETE, then read the NET change over (v1, current] with reader
+    // options. Net semantics: an updated-then-deleted key surfaces ONCE as
+    // a delete carrying its PRE-image at fromVersion (v1 value, not the
+    // intermediate update); an updated survivor carries its post-image.
+    // The oracle reclassifies every user from the fixture.
+    "q_sql_changes" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("events").createOrReplaceTempView("events_v")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.vsql")
+        s.sql("DROP TABLE IF EXISTS graft.vsql.chg_stats")
+        s.sql("""CREATE TABLE graft.vsql.chg_stats
+                 (user_id BIGINT, n BIGINT, value_micros BIGINT)
+                 PARTITIONED BY (bucket(8, user_id))
+                 TBLPROPERTIES ('graft.keys'='user_id')""")
+        s.sql("""INSERT INTO graft.vsql.chg_stats
+                 SELECT user_id, COUNT(*),
+                        CAST(SUM(ROUND(value * 1000000)) AS BIGINT)
+                 FROM events_v GROUP BY user_id""")                    // v1
+        s.sql("""UPDATE graft.vsql.chg_stats
+                 SET value_micros = value_micros * 2
+                 WHERE user_id % 7 = 3""")                             // v2
+        s.sql("DELETE FROM graft.vsql.chg_stats WHERE user_id % 11 = 5") // v3
+        s.read.option("fromVersion", "1").table("graft.vsql.chg_stats.changes")
+          .select("user_id", "value_micros", "_change_type")
+      },
+      Some("""WITH seed AS (
+             |  SELECT user_id, CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS vm
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id,
+             |  CAST(CASE WHEN user_id % 11 = 5 THEN vm ELSE vm * 2 END AS BIGINT) AS value_micros,
+             |  CASE WHEN user_id % 11 = 5 THEN 'delete' ELSE 'update' END AS _change_type
+             |FROM seed
+             |WHERE user_id % 11 = 5 OR user_id % 7 = 3""".stripMargin)),
+
     // DELETE FROM ... WHERE as literal SQL (GraftDml): merge-on-read
     // delete-set commit — matched keys land in the delete shards, zero
     // data-file rewrites. Oracle recomputes the surviving aggregate.
