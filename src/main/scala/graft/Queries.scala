@@ -3535,6 +3535,40 @@ object Queries {
       },
       Some(finalStateOracle)),
 
+    // Complete-output streaming aggregation into the OVERWRITE sink: the
+    // stateful groupBy re-emits its full state per trigger and each batch
+    // commits as an atomic snapshot replacement (txn-marked). The final
+    // table state must equal the flat aggregate — and it stayed
+    // time-travelable through every intermediate trigger.
+    "q_stream_agg_complete" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val base = scratchDir("graft_complete_")
+        val ev = t("events").select("event_id", "event_type", "value")
+        val src = new KeyedParquetTable(s, s"$base/src", Seq("event_id"), Nil, 8)
+        (0 until 3).foreach(k => src.append(ev.filter(col("event_id") % 3 === k)))
+        val q = s.readStream.format("graft-table")
+          .option("path", s"$base/src")
+          .option("startVersion", "earliest")
+          .load()
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1e6).cast("long")).as("value_micros"))
+          .writeStream.format("graft-table")
+          .outputMode("complete")
+          .option("path", s"$base/agg")
+          .option("commitMode", "overwrite")
+          .option("keys", "event_type")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        KeyedParquetTable.openRoot(s, s"$base/agg").read()
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // The FULL incremental chain: upstream CDC merges → changelog stream →
     // maintained entity replica + maintained aggregate (IncrementalAgg's
     // exact retraction math), every stage O(batch). The aggregate built
