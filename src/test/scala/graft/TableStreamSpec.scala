@@ -229,6 +229,44 @@ class TableStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live replication: producer keeps merging while the changelog stream drains") {
+    val srcRoot = tmpDir("live_src")
+    val dstRoot = tmpDir("live_dst")
+    val t = mkTable(srcRoot)
+    append(t, 1 to 20) // v0
+    val q = spark.readStream.format("graft-table")
+      .option("path", srcRoot).option("startVersion", "earliest")
+      .option("mode", "changelog")
+      .load()
+      .writeStream.format("graft-table")
+      .option("path", dstRoot)
+      .option("commitMode", "merge")
+      .option("keys", "id").option("buckets", "4")
+      .option("checkpointLocation", tmpDir("live_ckpt"))
+      .trigger(Trigger.ProcessingTime(25L))
+      .start()
+    try {
+      // concurrent producer: upserts, group-moving updates and deletes land
+      // WHILE batches are being planned — version-pinned offsets must keep
+      // every batch stable regardless of interleave
+      val writer = new Thread(() => {
+        val w = graft.cdc.KeyedParquetTable.openRoot(spark, srcRoot)
+        (1 to 8).foreach { k =>
+          w.merge(Seq((k.toLong, s"upd$k", "u"), ((20 + k).toLong, s"new$k", "u"),
+            ((k % 5 + 10).toLong, "x", "d"))
+            .toDF("id", "payload", "operation"))
+          Thread.sleep(30L)
+        }
+      })
+      writer.start(); writer.join()
+      q.processAllAvailable()
+      val dst = graft.cdc.KeyedParquetTable.openRoot(spark, dstRoot)
+      assert(dst.read().except(t.read()).isEmpty &&
+        t.read().except(dst.read()).isEmpty,
+        "replica diverged from upstream under concurrent commits")
+    } finally q.stop()
+  }
+
   test("sink replay with the same batchId commits nothing twice (txn marker)") {
     val root = tmpDir("sink_replay")
     val sink = new graft.streaming.GraftTableSink(spark, root,
