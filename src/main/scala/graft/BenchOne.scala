@@ -24,9 +24,14 @@ object BenchOne {
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
-        if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE"))
-          jobStart.put(j.jobId, (System.nanoTime(),
-            j.stageInfos.map(_.name.takeWhile(_ != '\n').take(50)).mkString(" | ")))
+        if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE")) {
+          // job description (set by instrumented phases) beats the stage
+          // callsite, which futures obscure behind thread-pool frames
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+          jobStart.put(j.jobId, (System.nanoTime(), desc.getOrElse(
+            j.stageInfos.map(_.name.takeWhile(_ != '\n').take(50)).mkString(" | "))))
+        }
       }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         Option(jobStart.remove(j.jobId)).foreach { case (start, name) =>

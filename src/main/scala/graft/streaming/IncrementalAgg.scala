@@ -290,9 +290,11 @@ object IncrementalAgg {
           excludeWhen = Some(col(opCol) === "d")).as("__abk")) else Nil)
     val probeObs =
       if (probeMetrics.nonEmpty) Some(org.apache.spark.sql.Observation()) else None
+    batch.sparkSession.sparkContext.setJobDescription("ivm:prepare")
     val latest = probeObs.fold(latestRaw)(o =>
         latestRaw.observe(o, probeMetrics.head, probeMetrics.tail: _*))
       .localCheckpoint(true)
+    batch.sparkSession.sparkContext.setJobDescription(null)
     PreparedCdcBatch(latest,
       if (entityTable.bucketCount > 0)
         Some(entityTable.bucketSet(probeObs.get.get("__ebk"))) else None,
@@ -430,9 +432,12 @@ object IncrementalAgg {
       if (entityTable.snapshotHasFiles(preV)) {
         val raw = entityTable.readBuckets(entityBuckets.get, preV)
         preWasRead = true
-        Some(preObs.fold(raw)(o => raw.observe(o,
+        entityTable.spark.sparkContext.setJobDescription("ivm:pre-image")
+        val pre = Some(preObs.fold(raw)(o => raw.observe(o,
             aggTable.bucketSetMetric(Seq(col(groupCol))).as("__pbk")))
           .localCheckpoint(true))
+        entityTable.spark.sparkContext.setJobDescription(null)
+        pre
       } else Some(latest.drop(opCol).limit(0))
     } else None
     // pre-image groups' agg buckets, observed on the pre checkpoint job
@@ -442,7 +447,13 @@ object IncrementalAgg {
       if (preWasRead && preObs.isDefined)
         aggTable.bucketSet(preObs.get.get("__pbk"))
       else Set.empty
-    def entityHalf(): Unit = preState match {
+    // job descriptions are thread-local: each half tags its own commit jobs
+    // (futures run on pool threads) and clears on exit so a reused pool
+    // thread doesn't mislabel later work in the Spark UI
+    def described[T](sc: org.apache.spark.SparkContext, d: String)(body: => T): T =
+      try { sc.setJobDescription(d); body } finally sc.setJobDescription(null)
+    def entityHalf(): Unit = described(entityTable.spark.sparkContext,
+        "ivm:entity-commit") { preState match {
       case Some(pre) =>
         // fused commit: `pre` IS the complete current state of the touched
         // buckets, so mergeUpsert over it yields their complete NEW state —
@@ -459,7 +470,7 @@ object IncrementalAgg {
         entityTable.createIfNotExists(
           org.apache.spark.sql.types.StructType(latest.drop(opCol).schema.fields))
         entityTable.merge(latest, opCol, txnId, entityBuckets)
-    }
+    } }
     // the pre-image read above was the batch's last SPECULATIVE step — it
     // overlapped the previous batch's still-running agg commit. What the
     // still-pending `prevAgg` may gate depends on whether txn markers are
@@ -531,7 +542,9 @@ object IncrementalAgg {
             coalesce(sum(col(s"sum_$c")), lit(BigDecimal(0)))
               .cast("decimal(38,6)").as(s"sum_$c")): _*))
 
-    def aggHalf(): Unit = {
+    def aggHalf(): Unit =
+      described(aggTable.spark.sparkContext, "ivm:agg-commit")(aggHalfInner())
+    def aggHalfInner(): Unit = {
       // First-use is decided HERE, not on the main thread: every call path
       // reaches this point only after the previous batch's deferred agg
       // commit has been awaited (strict: line ~485; markerless fused: the
