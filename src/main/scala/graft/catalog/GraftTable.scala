@@ -401,7 +401,7 @@ final class GraftChangesTable(kpt: graft.cdc.KeyedParquetTable, ident: String)
   * queued writers); a wedged claim (dead writer, unexpired lease) still
   * surfaces as the engine's exception within ~40s.
   */
-private[catalog] object CommitRetry {
+private[graft] object CommitRetry {
   def retrying[T](what: String, maxRetries: Int = 40)(body: => T): T = {
     var attempt = 0
     while (true) {

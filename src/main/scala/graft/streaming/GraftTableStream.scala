@@ -357,14 +357,24 @@ final class GraftTableSink(
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val txn = s"$txnAppId#$batchId"
-    // open per batch: another writer (or a previous incarnation after
+    val batch0 = org.apache.spark.sql.graftbridge.Internals.asBatchFrame(data)
+    // statement-level retry (the SQL surface's CommitRetry): a concurrent
+    // writer racing this table costs the sink the commit CLAIM, not the
+    // query — each attempt re-opens the table and re-checks the replay
+    // marker against whatever state won
+    graft.catalog.CommitRetry.retrying(s"graft-table sink $path#$batchId") {
+      commitOnce(txn, batch0)
+    }
+  }
+
+  private def commitOnce(txn: String, batch0: DataFrame): Unit = {
+    // open per attempt: another writer (or a previous incarnation after
     // restart) may have created/advanced the table since the last batch
     val table =
       if (keys.nonEmpty || buckets > 0)
         new KeyedParquetTable(spark, path, keys, Nil, buckets)
       else KeyedParquetTable.openRoot(spark, path)
     if (table.exists && table.lastTxn.contains(txn)) return // replayed batch
-    val batch0 = org.apache.spark.sql.graftbridge.Internals.asBatchFrame(data)
     commitMode match {
       case "append" =>
         require(!batch0.columns.contains("_change_type"),
