@@ -267,6 +267,45 @@ class TableStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sink commits survive a racing direct writer (claim race -> retry, no losses)") {
+    val root = tmpDir("sink_race")
+    val sink = new graft.streaming.GraftTableSink(spark, root,
+      commitMode = "append", opCol = "operation", txnAppId = "race-spec",
+      keys = Seq("id"), buckets = 4)
+    val t = new KeyedParquetTable(spark, root, keys = Seq("id"), bucketCount = 4)
+    t.createIfNotExists(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType))))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def safely(body: => Unit): Runnable = () =>
+      try body catch { case e: Throwable => errs.add(e) }
+    val sinkThread = new Thread(safely {
+      (0 until 6).foreach { b =>
+        sink.addBatch(b.toLong,
+          Seq(((1000 + b).toLong, s"sink$b")).toDF("id", "payload"))
+      }
+    })
+    val writerThread = new Thread(safely {
+      val w = new KeyedParquetTable(spark, root, keys = Seq("id"), bucketCount = 4)
+      (0 until 6).foreach { k =>
+        // direct appends race the sink's claims on the same snapshot chain
+        graft.catalog.CommitRetry.retrying("race-spec direct append") {
+          w.append(Seq(((2000 + k).toLong, s"direct$k")).toDF("id", "payload"))
+        }
+      }
+    })
+    sinkThread.start(); writerThread.start()
+    sinkThread.join(120000L); writerThread.join(120000L)
+    assert(errs.isEmpty, errs.asScala.map(_.toString).mkString("; "))
+    val ids = t.read().select("id").as[Long].collect().sorted
+    assert(ids === ((1000L to 1005L) ++ (2000L to 2005L)).toArray,
+      s"lost commits: got ${ids.mkString(",")}")
+    // versions are linear: 12 commits on top of the empty create
+    assert(t.currentVersion === 12L)
+  }
+
   test("sink replay with the same batchId commits nothing twice (txn marker)") {
     val root = tmpDir("sink_replay")
     val sink = new graft.streaming.GraftTableSink(spark, root,
