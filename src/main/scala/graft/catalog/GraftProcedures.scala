@@ -53,7 +53,7 @@ private[catalog] object GraftProcedures {
     Seq("rewrite_data_files", "expire_snapshots", "remove_orphan_files",
       "auto_maintain", "create_branch", "fast_forward", "drop_branch",
       "rollback_to_snapshot", "rollback_to_timestamp", "create_tag",
-      "drop_tag")
+      "drop_tag", "sync_into")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] = {
     def resolve(input: InternalRow): KeyedParquetTable = {
@@ -185,6 +185,27 @@ private[catalog] object GraftProcedures {
             s"no tag '$tag' (tags: ${t.tags.keys.toSeq.sorted.mkString(", ")})")
           t.dropTag(tag)
           Seq(("drop_tag", s"tag '$tag' dropped"))
+        }))
+      // changelog-driven table-to-table replication as CALL text: one keyed
+      // merge of the source's net changes since from_version (final images
+      // read bucket-pruned; deletes propagate as 'd' rows) — the catch-up
+      // half of a rebucket/migration cutover, or plain replica maintenance
+      case "sync_into" => Some(proc(name,
+        Array(tableParam,
+          ProcedureParameter.in("target", DataTypes.StringType)
+            .comment("catalog-relative name of the replica table").build(),
+          ProcedureParameter.in("from_version", DataTypes.LongType)
+            .comment("replicate source changes committed after this snapshot")
+            .build()),
+        { in =>
+          val src = resolve(in)
+          val tgtParts = in.getUTF8String(1).toString.split('.')
+          require(tgtParts.forall(_.nonEmpty),
+            "target must be a catalog-relative name like 'ns.t'")
+          val tgt = cat.tableFor(Identifier.of(tgtParts.init, tgtParts.last))
+          val v = src.syncInto(tgt, in.getLong(2))
+          Seq(("sync_into",
+            s"target at v$v (source v${src.currentVersion})"))
         }))
       case _ => None
     }

@@ -647,6 +647,32 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE graft.spec.chg")
   }
 
+  test("CALL sync_into: changelog-driven replication between catalog tables") {
+    sql("DROP TABLE IF EXISTS graft.spec.sync_src")
+    sql("DROP TABLE IF EXISTS graft.spec.sync_dst")
+    sql("""CREATE TABLE graft.spec.sync_src (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("""CREATE TABLE graft.spec.sync_dst (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.sync_src VALUES (1, 10), (2, 20), (3, 30)") // v1
+    val r1 = sql("CALL graft.system.sync_into(table => 'spec.sync_src', " +
+      "target => 'spec.sync_dst', from_version => 0)").collect()
+    assert(r1.head.getString(0) === "sync_into", r1.head.toString)
+    assert(sql("SELECT SUM(v) FROM graft.spec.sync_dst").head().getLong(0) === 60L)
+    // source moves on: update + delete; catch up from the synced version
+    val synced = graftCatalog
+      .tableFor(Identifier.of(Array("spec"), "sync_src")).currentVersion
+    sql("UPDATE graft.spec.sync_src SET v = 21 WHERE id = 2")
+    sql("DELETE FROM graft.spec.sync_src WHERE id = 3")
+    sql("CALL graft.system.sync_into(table => 'spec.sync_src', " +
+      s"target => 'spec.sync_dst', from_version => $synced)").collect()
+    val rows = sql("SELECT id, v FROM graft.spec.sync_dst ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((1L, 10L), (2L, 21L)))
+    sql("DROP TABLE graft.spec.sync_src")
+    sql("DROP TABLE graft.spec.sync_dst")
+  }
+
   test("CALL procedures: rollback_to_snapshot/timestamp, create_tag/drop_tag") {
     sql("DROP TABLE IF EXISTS graft.spec.rb")
     sql("""CREATE TABLE graft.spec.rb (id BIGINT, v BIGINT)
