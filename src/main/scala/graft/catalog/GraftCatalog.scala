@@ -199,11 +199,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       declaredBuckets.map(_._1.toString))
     val bucketBy = agree("bucket keys", rp.get("graft.layout.bucket-keys"),
       declaredBuckets.map(_._2.mkString(",")))
-    // identity-partition columns are NOT pinned in the root's layout props
-    // (only keys/bucketing are), so a partitioned root registered without
-    // declaring its partitionBy would take later writes in a MIXED layout;
-    // detect the physical dirs and refuse rather than corrupt
-    if (partitionBy.isEmpty && probe.currentVersion >= 0) {
+    val partBy = agree("partitionBy", rp.get("graft.layout.partition-by"),
+      Option(partitionBy.mkString(",")).filter(_.nonEmpty))
+    // LEGACY roots predate partition-by pinning: a partitioned root
+    // registered without declaring its partitionBy would take later writes
+    // in a MIXED layout; detect the physical dirs and refuse rather than
+    // corrupt (pinned roots are covered by the agree() above)
+    if (partBy.isEmpty && probe.currentVersion >= 0) {
       val vd = Paths.get(location).resolve(s"v${probe.currentVersion}")
       def hasValueDirs(p: Path): Boolean = Files.isDirectory(p) && {
         val s = Files.list(p)
@@ -222,7 +224,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     writeMeta(dir, Map(
       "location" -> Paths.get(location).toAbsolutePath.normalize.toString,
       "keys" -> keys,
-      "partitionBy" -> partitionBy.mkString(","),
+      "partitionBy" -> partBy,
       "bucketCount" -> (if (bucketCount.isEmpty) "0" else bucketCount),
       "bucketBy" -> bucketBy,
       "statsCols" -> statsCols.mkString(","),

@@ -297,13 +297,33 @@ private[catalog] object GraftScan {
     if (files.isEmpty)
       inner.queryExecution.optimizedPlan.stats.sizeInBytes
         .min(BigInt(Long.MaxValue)).toLong
-    else files.iterator.map { f =>
-      try java.nio.file.Files.size(java.nio.file.Paths.get(new java.net.URI(f)))
-      catch { case _: Exception =>
-        try java.nio.file.Files.size(java.nio.file.Paths.get(f))
-        catch { case _: Exception => 0L }
+    else {
+      // stat through java.nio for local paths, then the file's own Hadoop
+      // FileSystem for anything else. An UN-stat-able file must make the
+      // whole estimate CONSERVATIVE (the session default, effectively
+      // "never auto-broadcast"), never count as 0 — a huge remote table
+      // reported as ~0 bytes gets auto-broadcast, the opposite failure of
+      // the defaultSizeInBytes problem this estimator exists to fix.
+      lazy val hconf = inner.sparkSession.sessionState.newHadoopConf()
+      var total = 0L
+      val allStatted = files.forall { f =>
+        val sz: Option[Long] =
+          (try Some(java.nio.file.Files.size(java.nio.file.Paths.get(new java.net.URI(f))))
+           catch { case _: Exception =>
+             try Some(java.nio.file.Files.size(java.nio.file.Paths.get(f)))
+             catch { case _: Exception => None }
+           }).orElse {
+            try {
+              val hp = new org.apache.hadoop.fs.Path(f)
+              Some(hp.getFileSystem(hconf).getFileStatus(hp).getLen)
+            } catch { case _: Exception => None }
+          }
+        sz.foreach(total += _)
+        sz.isDefined
       }
-    }.sum
+      if (allStatted) total
+      else inner.sparkSession.sessionState.conf.defaultSizeInBytes
+    }
   }
 }
 

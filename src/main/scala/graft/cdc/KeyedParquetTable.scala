@@ -867,20 +867,89 @@ final class KeyedParquetTable(
     }
   }
 
+  /** Split a structured `<appId>#<batchId>` marker into its parts — the
+    * shape every streaming writer here emits. Markers without a numeric
+    * `#`-suffix (ad-hoc ids like "batch-1") are unstructured: they only
+    * participate in the single-slot [[lastTxn]] protocol.
+    */
+  private def splitTxn(txn: String): Option[(String, Long)] = {
+    val i = txn.lastIndexOf('#')
+    if (i <= 0) None
+    else txn.drop(i + 1).toLongOption.map(b => (txn.take(i), b))
+  }
+
+  /** Per-appId replay ledger of the CURRENT snapshot: appId → highest
+    * batchId a committed `<appId>#<batchId>` marker recorded. Unlike the
+    * single-slot [[lastTxn]], a commit from one writer cannot erase
+    * another's marker — Delta's SetTransaction semantics, which is what
+    * lets two streams (different checkpoints → different appIds) write one
+    * table without reopening each other's at-least-once replay window.
+    */
+  def txnLedger: Map[String, Long] = {
+    val v = currentVersion
+    if (v < 0) Map.empty
+    else {
+      val f = versionDir(v).resolve("_txns")
+      if (!Files.exists(f)) Map.empty
+      else Files.readString(f).linesIterator.flatMap { l =>
+        val i = l.lastIndexOf('\t')
+        if (i <= 0) None
+        else l.drop(i + 1).toLongOption.map(b => l.take(i) -> b)
+      }.toMap
+    }
+  }
+
+  /** Has a commit already applied this txn marker (or a LATER batch of the
+    * same appId)? The replay guard streaming sinks must use: structured
+    * `<appId>#<batchId>` markers check the per-appId [[txnLedger]], so
+    * interleaved commits from OTHER appIds never mask a replay — and a
+    * replay arriving after later batches of the same appId landed is still
+    * recognized (batchId ≤ recorded). Unstructured markers fall back to
+    * the single-slot [[lastTxn]] equality check.
+    */
+  def txnSeen(txn: String): Boolean = splitTxn(txn) match {
+    case Some((app, batch)) =>
+      txnLedger.get(app).exists(_ >= batch) || lastTxn.contains(txn)
+    case None => lastTxn.contains(txn)
+  }
+
+  /** Write the snapshot's txn markers: the single-slot `_txn` (most recent
+    * txn-carrying commit, the single-writer protocol [[lastTxn]] documents)
+    * and, for structured `<appId>#<batchId>` markers, the `_txns` ledger —
+    * the previous snapshot's ledger with this appId's slot advanced. Both
+    * land inside the snapshot dir BEFORE the pointer swings, atomic with
+    * the commit.
+    */
   private def writeTxn(dir: Path, txn: String): Unit = {
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("_txn"), txn)
+    // every txn-carrying commit preserves the prior effects the other
+    // writers marked, so it carries their ledger slots; a structured
+    // marker also advances its own appId's slot
+    val ledger = splitTxn(txn) match {
+      case Some((app, batch)) =>
+        txnLedger + (app -> math.max(batch, txnLedger.getOrElse(app, Long.MinValue)))
+      case None => txnLedger
+    }
+    writeLedger(dir, ledger)
   }
 
-  /** Copy the previous snapshot's txn marker into a txn-less commit's
+  private def writeLedger(dir: Path, ledger: Map[String, Long]): Unit =
+    if (ledger.nonEmpty)
+      Files.writeString(dir.resolve("_txns"),
+        ledger.toSeq.sortBy(_._1).map { case (a, b) => s"$a\t$b" }.mkString("\n"))
+
+  /** Copy the previous snapshot's txn markers into a txn-less commit's
     * directory (before the pointer swings, so it is atomic with the commit).
     */
   private def carryTxn(prevVersion: Long, nextDir: Path): Unit =
     if (prevVersion >= 0) {
-      val f = versionDir(prevVersion).resolve("_txn")
-      if (Files.exists(f)) {
-        Files.createDirectories(nextDir)
-        Files.copy(f, nextDir.resolve("_txn"), StandardCopyOption.REPLACE_EXISTING)
+      Seq("_txn", "_txns").foreach { name =>
+        val f = versionDir(prevVersion).resolve(name)
+        if (Files.exists(f)) {
+          Files.createDirectories(nextDir)
+          Files.copy(f, nextDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+        }
       }
     }
 
@@ -990,7 +1059,13 @@ final class KeyedParquetTable(
   private val layoutProps: Map[String, String] = Map(
     "graft.layout.keys" -> keys.mkString(","),
     "graft.layout.bucket-count" -> bucketCount.toString,
-    "graft.layout.bucket-keys" -> bucketKeys.mkString(","))
+    "graft.layout.bucket-keys" -> bucketKeys.mkString(","),
+    // partitionBy is as load-bearing as the bucket spec: an instance opened
+    // WITHOUT it (the streaming sink / CLI openRoot path) would commit
+    // files missing the partition directories — mixed directory depth
+    // inside one snapshot chain that mis-reads every later partition-aware
+    // scan
+    "graft.layout.partition-by" -> partitionBy.mkString(","))
   @volatile private var layoutChecked = false
   private def ensureLayout(stamp: Boolean): Unit = {
     if (layoutChecked) return
@@ -1760,7 +1835,7 @@ final class KeyedParquetTable(
     if (Files.exists(nextDir)) deleteRecursively(nextDir)
     Files.createDirectories(nextDir)
     walkEntries(curDir).filter(Files.isRegularFile(_))
-      .filterNot(p => Set("_txn", "_schema.json", "_committed_at").contains(p.getFileName.toString))
+      .filterNot(p => Set("_txn", "_txns", "_schema.json", "_committed_at").contains(p.getFileName.toString))
       .foreach(linkInto(curDir, nextDir, _))
     writeSchemaMeta(nextDir, newSchema)
     carryTxn(cur, nextDir)
@@ -2056,7 +2131,7 @@ final class KeyedParquetTable(
     if (Files.exists(nextDir)) deleteRecursively(nextDir)
     Files.createDirectories(nextDir)
     walkEntries(curDir).filter(Files.isRegularFile(_))
-      .filterNot(p => Set("_txn", "_schema.json", "_committed_at").contains(p.getFileName.toString))
+      .filterNot(p => Set("_txn", "_txns", "_schema.json", "_committed_at").contains(p.getFileName.toString))
       .filterNot(p => curDir.relativize(p).iterator().asScala
         .exists(_.getFileName.toString == "_deletes"))
       .foreach(linkInto(curDir, nextDir, _))
@@ -2232,7 +2307,7 @@ final class KeyedParquetTable(
     val v0 = dst.resolve("v0")
     Files.createDirectories(v0)
     walkEntries(curDir).filter(Files.isRegularFile(_))
-      .filterNot(p => Set("_txn", "_committed_at").contains(p.getFileName.toString))
+      .filterNot(p => Set("_txn", "_txns", "_committed_at").contains(p.getFileName.toString))
       .foreach(linkInto(curDir, v0, _))
     val props = rootPath.resolve("_properties")
     if (Files.exists(props))
@@ -3315,23 +3390,30 @@ final class KeyedParquetTable(
     val leaseMs = 10000L
     val deadline = System.currentTimeMillis() + leaseMs
     var held = false
+    // shared lease logic for BOTH acquisition branches: a crashed holder's
+    // stale lock is swept after the lease, a LIVE holder past our own
+    // deadline raises — without this the CREATE_NEW fallback (link-less
+    // filesystems) livelocked forever behind a dead holder's leftover file
+    def contended(): Unit = {
+      val ts =
+        try Files.readString(lock).trim.split(' ').lift(1)
+          .flatMap(_.toLongOption)
+          .getOrElse(Files.getLastModifiedTime(lock).toMillis)
+        catch { case _: java.io.IOException => System.currentTimeMillis() }
+      if (System.currentTimeMillis() - ts > leaseMs)
+        Files.deleteIfExists(lock) // dead holder; retry the acquire
+      else if (System.currentTimeMillis() > deadline)
+        throw new java.util.ConcurrentModificationException(
+          s"$root: _meta.lock held past its lease by a live writer")
+      else Thread.sleep(3)
+    }
     while (!held) {
       val tmp = rootPath.resolve(s"_meta.lock.tmp-$writerToken")
       Files.writeString(tmp, s"$writerToken ${System.currentTimeMillis()}")
       try { Files.createLink(lock, tmp); held = true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException | _: java.nio.file.NoSuchFileException =>
-          val ts =
-            try Files.readString(lock).trim.split(' ').lift(1)
-              .flatMap(_.toLongOption)
-              .getOrElse(Files.getLastModifiedTime(lock).toMillis)
-            catch { case _: java.io.IOException => System.currentTimeMillis() }
-          if (System.currentTimeMillis() - ts > leaseMs)
-            Files.deleteIfExists(lock) // dead holder; retry the link
-          else if (System.currentTimeMillis() > deadline)
-            throw new java.util.ConcurrentModificationException(
-              s"$root: _meta.lock held past its lease by a live writer")
-          else Thread.sleep(3)
+          contended()
         case _: UnsupportedOperationException =>
           try {
             Files.write(lock,
@@ -3341,7 +3423,7 @@ final class KeyedParquetTable(
               java.nio.file.StandardOpenOption.WRITE)
             held = true
           } catch {
-            case _: java.nio.file.FileAlreadyExistsException => Thread.sleep(3)
+            case _: java.nio.file.FileAlreadyExistsException => contended()
           }
       } finally Files.deleteIfExists(tmp)
     }
@@ -3515,6 +3597,7 @@ object KeyedParquetTable {
       s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     new KeyedParquetTable(spark, root,
       keys = split(p.getOrElse("graft.layout.keys", "")),
+      partitionBy = split(p.getOrElse("graft.layout.partition-by", "")),
       bucketCount = p.getOrElse("graft.layout.bucket-count", "0").toInt,
       bucketBy = split(p.getOrElse("graft.layout.bucket-keys", "")))
   }

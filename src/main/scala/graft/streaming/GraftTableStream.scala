@@ -195,9 +195,16 @@ final class GraftTableStreamProvider extends StreamSourceProvider
     * "operation", values u/d — the CDC protocol every engine merge speaks;
     * the batch must be one row per key, e.g. a changelog-mode read of
     * another table). The txn marker is `<txnAppId>#<batchId>`; `txnAppId`
-    * defaults to the query's checkpoint location, so two streams writing
-    * the same table don't collide unless they share a checkpoint (which
-    * Structured Streaming itself forbids).
+    * defaults to the query's checkpoint location, and replay detection
+    * goes through the table's per-appId [[KeyedParquetTable.txnLedger]]
+    * (Delta's SetTransaction semantics): two streams with different
+    * checkpoints — or any interleaved txn-carrying writer like `CALL
+    * sync_into` — never erase each other's markers, so each stream's
+    * crash-replayed batch is still recognized and skipped. The one
+    * commit that DOES clear the ledger is a txn-less full
+    * [[KeyedParquetTable.commit]] (a whole-state replacement whose
+    * content may not include the marked batches — replaying them is the
+    * safe direction).
     */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
@@ -374,7 +381,10 @@ final class GraftTableSink(
       if (keys.nonEmpty || buckets > 0)
         new KeyedParquetTable(spark, path, keys, Nil, buckets)
       else KeyedParquetTable.openRoot(spark, path)
-    if (table.exists && table.lastTxn.contains(txn)) return // replayed batch
+    // per-appId ledger check, NOT the single-slot lastTxn: another writer's
+    // txn-carrying commit between this batch and its crash replay must not
+    // reopen the double-append window
+    if (table.exists && table.txnSeen(txn)) return // replayed batch
     commitMode match {
       case "append" =>
         require(!batch0.columns.contains("_change_type"),

@@ -477,19 +477,39 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE graft.spec.reg2")
     sql("DROP TABLE graft.spec.registered")
     assert(kpt.read().count() === 1L)
-    // a root with identity-partition dirs refuses registration unless the
-    // partition columns are declared (mixed-layout write hazard)
+    // a partitioned root PINS its partition columns in the layout props,
+    // so registration restores them without a declaration (and a
+    // conflicting declaration refuses)
     import graft.cdc.KeyedParquetTable
     val proot = java.nio.file.Files.createTempDirectory("kpt_regp").toString
     val pkpt = new KeyedParquetTable(spark, proot, Seq("id"), Seq("grp"), 2)
     pkpt.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "grp"))
-    val e = intercept[IllegalArgumentException] {
-      graftCatalog.register(Identifier.of(Array("spec"), "regp"), proot) }
-    assert(e.getMessage.contains("PARTITIONED BY"), e.getMessage)
-    graftCatalog.register(Identifier.of(Array("spec"), "regp"), proot,
-      partitionBy = Seq("grp"))
+    intercept[IllegalArgumentException] {
+      graftCatalog.register(Identifier.of(Array("spec"), "regbad"), proot,
+        partitionBy = Seq("other")) }
+    graftCatalog.register(Identifier.of(Array("spec"), "regp"), proot)
     assert(sql("SELECT COUNT(*) FROM graft.spec.regp").head().getLong(0) === 2L)
+    // SQL-driven writes keep the partition directory layout (the pinned
+    // partitionBy reached the opened instance)
+    sql("INSERT INTO graft.spec.regp VALUES (3, 'b')")
+    assert(sql("SELECT id FROM graft.spec.regp WHERE grp = 'b' ORDER BY id")
+      .as[Long].collect().toSeq === Seq(2L, 3L))
     sql("DROP TABLE graft.spec.regp")
+    // a LEGACY root (pre-pinning) with identity-partition dirs still
+    // refuses registration unless the partition columns are declared
+    // (mixed-layout write hazard)
+    val props = java.nio.file.Paths.get(proot, "_properties")
+    java.nio.file.Files.writeString(props,
+      java.nio.file.Files.readString(props).linesIterator
+        .filterNot(_.startsWith("graft.layout.partition-by="))
+        .mkString("\n"))
+    val e = intercept[IllegalArgumentException] {
+      graftCatalog.register(Identifier.of(Array("spec"), "regleg"), proot) }
+    assert(e.getMessage.contains("PARTITIONED BY"), e.getMessage)
+    graftCatalog.register(Identifier.of(Array("spec"), "regleg"), proot,
+      partitionBy = Seq("grp"))
+    assert(sql("SELECT COUNT(*) FROM graft.spec.regleg").head().getLong(0) === 3L)
+    sql("DROP TABLE graft.spec.regleg")
   }
 
   test("UPDATE ... WHERE / DELETE FROM ... WHERE as literal SQL; refusals") {

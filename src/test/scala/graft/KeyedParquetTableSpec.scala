@@ -657,6 +657,86 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(t.lastTxn === Some("b2"))
   }
 
+  test("per-appId txn ledger: interleaved writers never erase each other's replay markers") {
+    val t = new KeyedParquetTable(spark, tmpDir("kpt_txn_ledger"), Seq("id"))
+    t.createIfNotExists(schema)
+    // two streams (different checkpoints → different appIds) plus a
+    // sync_into-style third writer interleave txn-carrying commits — the
+    // single-slot lastTxn keeps only the most recent, but each appId's
+    // slot in the ledger must survive the others' commits or a crash
+    // replay double-appends (the Delta SetTransaction semantics)
+    t.merge(Seq((1L, "a", "u")).toDF("id", "v", "operation"), txn = Some("ckptA#0"))
+    t.merge(Seq((2L, "b", "u")).toDF("id", "v", "operation"), txn = Some("ckptB#0"))
+    t.append(Seq((3L, "c")).toDF("id", "v"), txn = Some("sync#5"))
+    assert(t.lastTxn === Some("sync#5")) // single-slot: latest writer
+    assert(t.txnLedger === Map("ckptA" -> 0L, "ckptB" -> 0L, "sync" -> 5L))
+    // every writer's replayed batch is still recognized
+    assert(t.txnSeen("ckptA#0") && t.txnSeen("ckptB#0") && t.txnSeen("sync#5"))
+    // a replay arriving AFTER later batches of the same appId landed is
+    // seen too (batchId <= recorded), but future batches are not
+    t.merge(Seq((1L, "a2", "u")).toDF("id", "v", "operation"), txn = Some("ckptA#1"))
+    assert(t.txnSeen("ckptA#0") && t.txnSeen("ckptA#1") && !t.txnSeen("ckptA#2"))
+    // txn-less maintenance carries the whole ledger forward
+    assert(t.compact(minInputFiles = 1).isDefined)
+    assert(t.txnSeen("ckptB#0") && t.txnSeen("sync#5"))
+    // unstructured markers (no #batch suffix) stay on the single-slot check
+    t.merge(Seq((4L, "d", "u")).toDF("id", "v", "operation"), txn = Some("adhoc-1"))
+    assert(t.txnSeen("adhoc-1") && t.txnSeen("ckptA#1"))
+    // a txn-less FULL commit is a whole-state replacement: it clears the
+    // ledger with the slot — replaying the batches is the safe direction
+    t.commit(Seq((9L, "recomputed")).toDF("id", "v"))
+    assert(t.txnLedger === Map.empty && !t.txnSeen("ckptA#1"))
+  }
+
+  test("openRoot restores the pinned partitionBy layout (streaming-sink path)") {
+    val root = tmpDir("kpt_part_pin")
+    val t = new KeyedParquetTable(spark, root, Seq("id"),
+      partitionBy = Seq("part"), bucketCount = 4)
+    t.commit(Seq((1L, "x", "p0"), (2L, "y", "p1")).toDF("id", "v", "part"))
+    // the root self-describes its FULL layout — a consumer holding only
+    // the path (streaming sink, CLI) must reconstruct partitionBy too, or
+    // its commits write files without the partition directories and the
+    // snapshot chain mixes directory depths
+    val reopened = KeyedParquetTable.openRoot(spark, root)
+    assert(reopened.partitionBy === Seq("part"))
+    assert(reopened.keys === Seq("id") && reopened.bucketCount === 4)
+    reopened.append(Seq((3L, "z", "p1")).toDF("id", "v", "part"))
+    // the appended snapshot keeps the partition directory layout: partition
+    // values come back from directory names on a plain read
+    val rows = reopened.read().orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("part")))
+    assert(rows === Array((1L, "p0"), (2L, "p1"), (3L, "p1")))
+    val vdir = java.nio.file.Paths.get(root, s"v${reopened.currentVersion}")
+    val s = java.nio.file.Files.walk(vdir)
+    val dirs =
+      try s.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString).toSet
+      finally s.close()
+    assert(dirs.exists(_.startsWith("part=")),
+      s"appended snapshot lost the partition directories: $dirs")
+    // an instance opened with a CONFLICTING partitionBy refuses at commit
+    val wrong = new KeyedParquetTable(spark, root, Seq("id"), bucketCount = 4)
+    intercept[IllegalStateException] {
+      wrong.append(Seq((4L, "w", "p0")).toDF("id", "v", "part"))
+    }
+  }
+
+  test("meta mutex sweeps a dead holder's stale lock instead of livelocking") {
+    val root = tmpDir("kpt_meta_lock")
+    val t = new KeyedParquetTable(spark, root, Seq("id"))
+    t.createIfNotExists(schema)
+    // simulate a crashed property-writer: its lockfile remains with a
+    // lease-expired timestamp; the next mutation must sweep it and proceed
+    // (both acquisition branches share the lease logic now — the
+    // CREATE_NEW fallback used to spin on this forever)
+    val lock = java.nio.file.Paths.get(root, "_meta.lock")
+    java.nio.file.Files.writeString(lock,
+      s"dead-writer ${System.currentTimeMillis() - 60000L}")
+    t.setProperties(Map("k" -> "v"))
+    assert(t.properties.get("k") === Some("v"))
+    assert(!java.nio.file.Files.exists(lock))
+  }
+
   test("stats index stays fresh through merge/append/compact and prunes correctly") {
     val root = tmpDir("kpt_stats_lc")
     val t = new KeyedParquetTable(spark, root, Seq("id"), Nil, 4, Nil,

@@ -323,6 +323,31 @@ class TableStreamSpec extends SparkSpec {
     assert(t.read().count() === 10L)
   }
 
+  test("two sinks with different txnAppIds interleave without reopening each other's replay window") {
+    val root = tmpDir("sink_two_apps")
+    def mkSink(app: String) = new graft.streaming.GraftTableSink(spark, root,
+      commitMode = "append", opCol = "operation", txnAppId = app,
+      keys = Seq("id"), buckets = 4)
+    val a = mkSink("ckptA")
+    val b = mkSink("ckptB")
+    def batch(ids: Range) = ids.map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    a.addBatch(0L, batch(1 to 3))
+    b.addBatch(0L, batch(11 to 13)) // a DIFFERENT writer commits in between
+    // crash replay of A's batch 0 after B's commit: with a single-slot
+    // marker B's commit erased A's, and this would double-append — the
+    // per-appId ledger must recognize it
+    a.addBatch(0L, batch(1 to 3))
+    val t = graft.cdc.KeyedParquetTable.openRoot(spark, root)
+    assert(t.read().count() === 6L,
+      s"A's replayed batch double-appended: ${t.read().count()} rows")
+    // and a sync_into-style txn-carrying direct commit doesn't mask either
+    t.append(batch(21 to 22), Some("sync#0"))
+    b.addBatch(0L, batch(11 to 13)) // B's own replay, after the third writer
+    a.addBatch(1L, batch(4 to 5))   // fresh batch still commits
+    assert(t.read().count() === 10L)
+    assert(t.txnLedger === Map("ckptA" -> 1L, "ckptB" -> 0L, "sync" -> 0L))
+  }
+
   test("batch reads: spark.read.format(graft-table) snapshot/time-travel/incremental/changelog") {
     val root = tmpDir("batch_read")
     val t = mkTable(root)
