@@ -3535,6 +3535,60 @@ object Queries {
       },
       Some(finalStateOracle)),
 
+    // CATALOG-IDENTIFIER streaming (r14): the same CDF replication shape
+    // with NO filesystem path anywhere — `spark.readStream.table(
+    // "graft.ns.t")` (the injected GraftStreamRelationRule claims the
+    // streaming identifier before Spark demands MICRO_BATCH_READ of the
+    // DSv2 table) drives the changelog into a sink addressed as
+    // `.option("table", "graft.ns.t")`. Upstream takes its CDC merges
+    // through the CATALOG-OPENED handle, so both surfaces provably share
+    // one state; the replica's final state is hash-checked against the
+    // flat oracle.
+    "q_stream_table_ident" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val parsed = parsedEventsCached(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "operation")
+        val maxId = maxEventIdCached(s, dir)
+        val nBatches = 4L
+        val base = scratchDir("graft_ident_")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.vsql")
+        s.sql("DROP TABLE IF EXISTS graft.vsql.ident_src")
+        s.sql("DROP TABLE IF EXISTS graft.vsql.ident_dst")
+        s.sql("""CREATE TABLE graft.vsql.ident_src
+                 (user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE)
+                 PARTITIONED BY (bucket(8, user_id))
+                 TBLPROPERTIES ('graft.keys'='user_id')""")
+        s.sql("""CREATE TABLE graft.vsql.ident_dst
+                 (user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE)
+                 PARTITIONED BY (bucket(8, user_id))
+                 TBLPROPERTIES ('graft.keys'='user_id')""")
+        val cat = s.sessionState.catalogManager.catalog("graft")
+          .asInstanceOf[graft.catalog.GraftCatalog]
+        val up = cat.tableFor(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("vsql"), "ident_src"))
+        (0L until nBatches).foreach { b =>
+          val lo = b * (maxId + 1) / nBatches
+          val hi = (b + 1) * (maxId + 1) / nBatches
+          val batch = parsed.filter(col("event_id") >= lo && col("event_id") < hi)
+          up.merge(Dedup.dedupLatest(batch, Seq("user_id"), Seq(col("event_id").desc)))
+        }
+        val q = s.readStream
+          .option("startVersion", "earliest")
+          .option("mode", "changelog")
+          .table("graft.vsql.ident_src")
+          .writeStream.format("graft-table")
+          .option("table", "graft.vsql.ident_dst")
+          .option("commitMode", "merge")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.sql("""SELECT user_id, event_id, event_type, value
+                 FROM graft.vsql.ident_dst""")
+      },
+      Some(finalStateOracle)),
+
     // Complete-output streaming aggregation into the OVERWRITE sink: the
     // stateful groupBy re-emits its full state per trigger and each batch
     // commits as an atomic snapshot replacement (txn-marked). The final

@@ -90,6 +90,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Spark's own relation rules have had precedence (see GraftViews)
     ext.injectHintResolutionRule(s => graft.catalog.GraftViewDdlRule(s))
     ext.injectResolutionRule(s => graft.catalog.GraftViewReadRule(s))
+    // spark.readStream.table("graft.ns.t"): claim the streaming identifier
+    // before the Resolution batch wraps it in a StreamingRelationV2 that
+    // would demand MICRO_BATCH_READ (see GraftStreamRelationRule)
+    ext.injectHintResolutionRule(s => graft.catalog.GraftStreamRelationRule(s))
     // UPDATE ... WHERE / DELETE FROM ... WHERE text → the engine's own
     // predicate-DML verbs (same claim pattern as MERGE; see GraftDml)
     ext.injectPostHocResolutionRule(s => graft.catalog.GraftDmlRule(s))

@@ -121,9 +121,10 @@ final class GraftTableStreamProvider extends StreamSourceProvider
 
   private def open(sqlContext: SQLContext,
                    parameters: Map[String, String]): KeyedParquetTable = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "graft-table source requires .option(\"path\", <engine table root>)"))
+    val path = GraftTableStreamProvider.rootOf(
+      sqlContext.sparkSession, parameters,
+      "graft-table source requires .option(\"path\", <engine table root>) " +
+        "or .option(\"table\", <graft catalog identifier>)")
     val table = KeyedParquetTable.openRoot(sqlContext.sparkSession, path)
     // a branch is a full table root under _branches/<name> — reads (batch,
     // streaming, changelog) address it like Iceberg's branch option
@@ -213,9 +214,10 @@ final class GraftTableStreamProvider extends StreamSourceProvider
     require(partitionColumns.isEmpty,
       "graft-table sink: layout comes from the table (keys/buckets options), " +
         "not partitionBy")
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "graft-table sink requires .option(\"path\", <engine table root>)"))
+    val path = GraftTableStreamProvider.rootOf(
+      sqlContext.sparkSession, parameters,
+      "graft-table sink requires .option(\"path\", <engine table root>) or " +
+        ".option(\"table\", <existing graft catalog identifier>)")
     val commitMode =
       parameters.get("commitMode").map(_.trim.toLowerCase).getOrElse("append")
     require(Set("append", "merge", "overwrite")(commitMode),
@@ -261,6 +263,34 @@ final class GraftTableStreamProvider extends StreamSourceProvider
       v
     }
   }
+}
+
+object GraftTableStreamProvider {
+  /** Resolve the engine root a source/sink addresses: a `path` option, or
+    * a `table` option naming a graft CATALOG identifier — the write-side
+    * half of identifier addressing (`writeStream.toTable` cannot reach a
+    * V1 sink, so `.format("graft-table").option("table", "graft.ns.t")`
+    * is the identifier spelling; reads also accept it for symmetry,
+    * though `spark.readStream.table(...)` is the natural read form). The
+    * identifier must resolve to an EXISTING catalog table — creating
+    * tables is DDL's job, and a sink that auto-created a root the catalog
+    * can't see would fork the two surfaces.
+    */
+  private[streaming] def rootOf(spark: org.apache.spark.sql.SparkSession,
+                                parameters: Map[String, String],
+                                missingMsg: String): String =
+    parameters.get("path").orElse(parameters.get("table").map { name =>
+      require(!parameters.contains("path"),
+        "graft-table: path and table options are exclusive")
+      val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(name)
+      graft.catalog.GraftViews.resolveIdent(spark, parts) match {
+        case Some((cat, ident)) if cat.tableExists(ident) =>
+          cat.tableFor(ident).root
+        case _ => throw new IllegalArgumentException(
+          s"graft-table: option table='$name' does not name an existing " +
+            "graft catalog table (register or CREATE it first)")
+      }
+    }).getOrElse(throw new IllegalArgumentException(missingMsg))
 }
 
 /** The [[Source]] half: version offsets over one opened table. In

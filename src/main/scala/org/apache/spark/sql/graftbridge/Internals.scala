@@ -28,4 +28,24 @@ object Internals {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** The V1 streaming-relation leaf `readStream.format(source)` would
+    * produce — what `spark.readStream.table("graft.ns.t")` rewrites to
+    * (see graft.catalog.GraftStreamRelationRule): Spark's analyzer routes
+    * a streaming identifier to `StreamingRelationV2` over the catalog's
+    * DSv2 Table and then requires MICRO_BATCH_READ, which a V1
+    * StreamSourceProvider cannot declare — so the engine claims the
+    * still-unresolved relation and plants the exact leaf the provider
+    * path would have planted. Both classes are `private[sql]`, hence the
+    * bridge.
+    */
+  def v1StreamingRelation(spark: org.apache.spark.sql.SparkSession,
+                          source: String,
+                          options: Map[String, String])
+  : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
+      org.apache.spark.sql.execution.datasources.DataSource(
+        cs, className = source, options = options))
+  }
 }

@@ -348,6 +348,81 @@ class TableStreamSpec extends SparkSpec {
     assert(t.txnLedger === Map("ckptA" -> 1L, "ckptB" -> 0L, "sync" -> 0L))
   }
 
+  test("readStream.table + sink option(table): catalog-identifier streaming end to end") {
+    def sql(q: String) = spark.sql(q)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    sql("DROP TABLE IF EXISTS graft.spec.src_stream")
+    sql("DROP TABLE IF EXISTS graft.spec.dst_stream")
+    sql("""CREATE TABLE graft.spec.src_stream (id BIGINT, payload STRING)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.src_stream VALUES (1,'a'), (2,'b'), (3,'c')")
+    sql("""CREATE TABLE graft.spec.dst_stream (id BIGINT, payload STRING)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    val ckpt = tmpDir("ident_ckpt")
+    // a CDC replica with no filesystem path in sight: identifier read
+    // (changelog mode via reader option), identifier write
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("startVersion", "earliest").option("mode", "changelog")
+        .table("graft.spec.src_stream")
+        .writeStream.format("graft-table")
+        .option("table", "graft.spec.dst_stream")
+        .option("commitMode", "merge")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000L), "identifier stream did not drain")
+    }
+    drain()
+    assert(sql("SELECT id, payload FROM graft.spec.dst_stream ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // source keeps evolving (append + keyed delete through SQL); the next
+    // drain replicates the NET change from the checkpointed offset
+    sql("INSERT INTO graft.spec.src_stream VALUES (4,'d')")
+    sql("DELETE FROM graft.spec.src_stream WHERE id = 2")
+    drain()
+    assert(sql("SELECT id, payload FROM graft.spec.dst_stream ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (3L, "c"), (4L, "d")))
+    // a sink identifier that names no catalog table refuses (creating
+    // tables is DDL's job, not a sink side effect)
+    val err = intercept[Exception] {
+      spark.readStream.option("startVersion", "earliest")
+        .table("graft.spec.src_stream")
+        .writeStream.format("graft-table")
+        .option("table", "graft.spec.nope")
+        .option("checkpointLocation", tmpDir("ident_ckpt_bad"))
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    assert(err.getMessage.contains("nope"), err.getMessage)
+    sql("DROP TABLE graft.spec.src_stream")
+    sql("DROP TABLE graft.spec.dst_stream")
+  }
+
+  test("readStream.table: temp views shadow a same-named table under the current catalog") {
+    def sql(q: String) = spark.sql(q)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    sql("DROP TABLE IF EXISTS graft.spec.shadowed")
+    sql("""CREATE TABLE graft.spec.shadowed (id BIGINT, payload STRING)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    val prevCat = spark.catalog.currentCatalog()
+    try {
+      sql("USE graft.spec")
+      // unqualified name binds to the current (graft) namespace
+      assert(spark.readStream.table("shadowed").schema.fieldNames.toSeq
+        === Seq("id", "payload"))
+      // a streaming TEMP VIEW of the same name must win (Spark's own
+      // precedence — the claim rule checks before touching the name)
+      spark.readStream.format("rate").load().createOrReplaceTempView("shadowed")
+      assert(spark.readStream.table("shadowed").schema.fieldNames.toSeq
+        === Seq("timestamp", "value"))
+    } finally {
+      spark.catalog.dropTempView("shadowed")
+      spark.catalog.setCurrentCatalog(prevCat)
+      sql("DROP TABLE IF EXISTS graft.spec.shadowed")
+    }
+  }
+
   test("batch reads: spark.read.format(graft-table) snapshot/time-travel/incremental/changelog") {
     val root = tmpDir("batch_read")
     val t = mkTable(root)
