@@ -3910,6 +3910,33 @@ object Queries {
              |GROUP BY doc_id""".stripMargin),
       headline = true),
 
+    // Unigram-LM surprisal (r14): the perplexity-proxy quality score in
+    // exact INTEGER BITS — token cost = msb(T) - msb(n) via binary-string
+    // length, never libm log2 (Spark's log2 is Math.log/Math.log and can
+    // disagree with another engine's floor() by a whole bit at powers of
+    // two). The oracle recomputes the identical bit arithmetic with
+    // DuckDB's bin(); hash-exact including the one IEEE division.
+    "q_unigram_surprisal" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents")
+        val freq = TextOps.tokenFrequencies(docs, "text").localCheckpoint(true)
+        TextOps.unigramSurprisal(docs, "doc_id", "text", freq)
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+             |            FROM documents),
+             |freq AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+             |tot AS (SELECT length(bin(SUM(n))) AS tb FROM freq),
+             |per AS (SELECT doc_id, token, COUNT(*) AS c
+             |        FROM tok GROUP BY doc_id, token)
+             |SELECT doc_id,
+             |CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |CAST(SUM(c * (tb - length(bin(n)))) AS BIGINT) AS total_bits,
+             |CAST(SUM(c * (tb - length(bin(n)))) AS DOUBLE)
+             |  / CAST(SUM(c) AS DOUBLE) AS avg_bits
+             |FROM per JOIN freq USING (token) CROSS JOIN tot
+             |GROUP BY doc_id""".stripMargin)),
+
     // Repetition/boilerplate signals: repeated-token and repeated-trigram
     // fractions (template spam repeats whole n-grams; natural text doesn't).
     "q_repetition_stats" -> Q(

@@ -391,6 +391,53 @@ object TextOps {
         (sum(when(col("__n") <= rareMax, col("__c")).otherwise(0L))
           .cast("double") / sum("__c").cast("double")).as("rare_frac"))
 
+  /** Unigram-LM surprisal scoring — the perplexity-proxy quality filter
+    * (CCNet scores candidate docs by a LM trained on a reference corpus)
+    * formulated in INTEGER BITS so it is bit-reproducible across engines:
+    * a token with corpus frequency `n` out of `T` total tokens costs
+    * `msb(T) - msb(n)` bits, where `msb(x) = length(bin(x))` is the
+    * 1-based position of the most-significant bit — floor(log2)+1 computed
+    * by binary-string length, NEVER libm (Spark's log2 is
+    * `Math.log(x)/Math.log(2)`, which is not exact even at powers of two,
+    * so a floor() on it can disagree with another engine by one whole
+    * bit). The integer score approximates -log2 p(token) within one bit —
+    * the same ORDERING signal a float LM score gives, with none of the
+    * ulp nondeterminism ([[tokenRarityScores]] documents why this corpus
+    * avoids float log-probs).
+    *
+    * A token absent from `freq` (scoring candidates against a CLEAN
+    * reference corpus) costs `msb(T)` bits — one more than the rarest
+    * seen token, the "rarer than anything observed" cap that keeps the
+    * score total-ordered without a smoothing hyperparameter.
+    *
+    * Scale shape: identical to [[tokenRarityScores]] — per-(doc, token)
+    * counts BEFORE the frequency join (one row per distinct token per
+    * doc; stopword skew flattened), weighted fold after. `totalTokens`
+    * (the corpus size the bit budget derives from) is O(vocab) to
+    * compute; pass it when the caller already knows it.
+    */
+  def unigramSurprisal(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String,
+                       freq: org.apache.spark.sql.DataFrame,
+                       totalTokens: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val total = totalTokens.getOrElse(
+      freq.agg(sum("n")).head().getLong(0)) // O(vocab) scalar
+    require(total > 0, "unigramSurprisal: frequency table is empty")
+    val totalBits = 64 - java.lang.Long.numberOfLeadingZeros(total) // length(bin(total))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("__c"))
+      .join(freq, Seq("token"), "left")
+      .withColumn("__bits",
+        when(col("n").isNull || col("n") <= 0L, lit(totalBits.toLong))
+          .otherwise(lit(totalBits.toLong) - length(bin(col("n"))).cast("long")))
+      .groupBy(idCol)
+      .agg(sum("__c").as("n_tokens"),
+        sum(col("__c") * col("__bits")).as("total_bits"))
+      .withColumn("avg_bits",
+        col("total_bits").cast("double") / col("n_tokens").cast("double"))
+  }
+
   // ---- Train/test decontamination -----------------------------------------
 
   /** Test-set docs sharing at least one n-token shingle with the training

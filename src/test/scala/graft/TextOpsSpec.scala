@@ -444,4 +444,27 @@ class TextOpsSpec extends SparkSpec {
     assert(a.contains((2L, "unique lead 2\nunique tail 2")))
     assert(a.contains((8L, "unique lead 8")))  // tail 1 already owned by doc 1
   }
+
+  test("unigramSurprisal: exact msb bit costs, unseen-token cap, multiplicity weighting") {
+    // reference corpus: "the" x8, "cat" x4, "sat" x2, "rug" x1 → T=15,
+    // msb(T)=4; bit costs: the=4-4=0, cat=4-3=1, sat=4-2=2, rug=4-1=3;
+    // any token NOT in the reference costs msb(T)=4 (the cap)
+    val freq = Seq(("the", 8L), ("cat", 4L), ("sat", 2L), ("rug", 1L))
+      .toDF("token", "n")
+    val docs = Seq(
+      (1L, "the cat sat"),            // 0 + 1 + 2 = 3 bits / 3 tokens
+      (2L, "the the zebra"),          // 0 + 0 + 4 = 4 bits / 3 tokens
+      (3L, "rug rug rug rug")         // 4 × 3 = 12 bits / 4 tokens (weighted fold)
+    ).toDF("doc_id", "text")
+    val got = TextOps.unigramSurprisal(docs, "doc_id", "text", freq)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("total_bits"),
+          r.getAs[Double]("avg_bits")))).toMap
+    assert(got(1L) === ((3L, 3L, 1.0)))
+    assert(got(2L) === ((3L, 4L, 4.0 / 3.0)))
+    assert(got(3L) === ((4L, 12L, 3.0)))
+    // the cap really is one more than the rarest seen token's cost, so the
+    // ordering "unseen > seen-once" holds with no smoothing parameter
+    assert(got(2L)._2 > 3L)
+  }
 }
