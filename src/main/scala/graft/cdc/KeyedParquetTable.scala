@@ -612,11 +612,25 @@ final class KeyedParquetTable(
       else { val aa = readVersion(fromVersion); (aa, aa.limit(0)) }
     val aCols = a.columns.filterNot(keys.contains).toSeq
     val bCols = b.columns.filterNot(keys.contains).toSeq
-    require(aCols == bCols,
-      s"changesBetween requires identical schemas: v$fromVersion data columns " +
-        s"${aCols.mkString("[", ",", "]")} vs v$toVersion ${bCols.mkString("[", ",", "]")}" +
-        " — diff schema-evolved snapshots explicitly")
-    val dataCols = aCols
+    // A range crossing a schema EVOLUTION diffs under the newer (to-side)
+    // schema — Iceberg/Delta CDC semantics. Additive evolution null-fills
+    // the old image (exactly what the evolved read shows for pre-evolution
+    // rows, so an untouched row is NOT a change); a dropped column stops
+    // participating. A non-subset difference (a rename: old name on one
+    // side, new on the other) still refuses — diffing it as drop+add would
+    // flag every row as updated.
+    val (a2, dataCols) =
+      if (aCols == bCols) (a, aCols)
+      else {
+        require(aCols.toSet.subsetOf(bCols.toSet) || bCols.toSet.subsetOf(aCols.toSet),
+          s"changesBetween(v$fromVersion, v$toVersion) of $root: data columns " +
+            s"${aCols.mkString("[", ",", "]")} vs ${bCols.mkString("[", ",", "]")} " +
+            "differ non-additively (a rename?) — diff such snapshots explicitly")
+        val have = a.columns.toSet
+        (a.select((keys.map(a(_)) ++ bCols.map(c =>
+          if (have.contains(c)) a(c)
+          else lit(null).cast(b.schema(c).dataType).as(c))): _*), bCols)
+      }
     // Unambiguous row encoding: each value is length-prefixed (so '#' inside
     // a value cannot shift field boundaries) and NULL gets its own marker
     // distinct from '' — then one xxhash64 over the joined encoding.
@@ -628,7 +642,7 @@ final class KeyedParquetTable(
     // <=> keys + explicit presence flags: a NULL key is a legitimate key
     // (merge matches it null-safely), and === plus key-IS-NULL classification
     // would report an unchanged NULL-keyed row as a phantom insert+delete
-    val left = a.select(keys.map(a(_)) :+ fp(a).as("__fa") :+ lit(true).as("__pa"): _*)
+    val left = a2.select(keys.map(a2(_)) :+ fp(a2).as("__fa") :+ lit(true).as("__pa"): _*)
     val right = b.select(keys.map(c => b(c).as(s"__r_$c")) :+ fp(b).as("__fb")
       :+ lit(true).as("__pb"): _*)
     val cond = keys.map(k => left(k) <=> right(s"__r_$k")).reduce(_ && _)
@@ -681,8 +695,21 @@ final class KeyedParquetTable(
       snap.join(side, cond, "inner")
         .select(snap.columns.map(snap(_)) :+ col("change_type").as("_change_type"): _*)
     }
-    image(toVersion, Seq("insert", "update"))
-      .unionByName(image(fromVersion, Seq("delete")))
+    val post = image(toVersion, Seq("insert", "update"))
+    val pre = image(fromVersion, Seq("delete"))
+    // pre-images read under the FROM snapshot's schema; when the range
+    // crosses an evolution, align them to the to-side columns (nulls for
+    // added columns, dropped ones gone) so the feed presents ONE schema —
+    // the current one, like Delta/Iceberg CDC reads
+    val preAligned =
+      if (pre.columns.sameElements(post.columns)) pre
+      else {
+        val have = pre.columns.toSet
+        pre.select(post.columns.map(c =>
+          if (have.contains(c)) pre(c)
+          else lit(null).cast(post.schema(c).dataType).as(c)).toIndexedSeq: _*)
+      }
+    post.unionByName(preAligned)
   }
 
   /** Commit a new snapshot containing exactly `df`. An optional `txn` id is

@@ -206,6 +206,14 @@ final class GraftTableStreamProvider extends StreamSourceProvider
     * [[KeyedParquetTable.commit]] (a whole-state replacement whose
     * content may not include the marked batches — replaying them is the
     * safe direction).
+    *
+    * `mergeSchema=true` (Delta's autoMerge): a batch carrying columns the
+    * table lacks evolves the table (metadata-only addColumn per new
+    * column) — the option that lets a changelog replica FOLLOW its
+    * upstream's schema evolution across a stream restart. Without it,
+    * merge's project-to-target contract applies: extra batch columns are
+    * dropped (the same projection that drops `opCol` itself) and the
+    * replica keeps its schema; append mode refuses a wider batch outright.
     */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
@@ -235,7 +243,8 @@ final class GraftTableStreamProvider extends StreamSourceProvider
       txnAppId = txnAppId,
       keys = parameters.get("keys").toSeq
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
-      buckets = parameters.get("buckets").map(_.trim.toInt).getOrElse(0))
+      buckets = parameters.get("buckets").map(_.trim.toInt).getOrElse(0),
+      mergeSchema = parameters.get("mergeSchema").exists(_.trim.toBoolean))
   }
 
   /** Read the pinned start version from `metadataPath/start`, writing
@@ -390,7 +399,8 @@ final class GraftTableSink(
     opCol: String,
     txnAppId: String,
     keys: Seq[String],
-    buckets: Int) extends Sink {
+    buckets: Int,
+    mergeSchema: Boolean = false) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val txn = s"$txnAppId#$batchId"
@@ -415,6 +425,22 @@ final class GraftTableSink(
     // txn-carrying commit between this batch and its crash replay must not
     // reopen the double-append window
     if (table.exists && table.txnSeen(txn)) return // replayed batch
+    // option("mergeSchema", "true"): when the upstream table evolved, its
+    // changelog batches start carrying the NEW column — without this the
+    // merge projects it away (append refuses) and the replica silently
+    // stops following at exactly the moment the schema changed. Evolution
+    // here is ADDED columns only (each a metadata-only addColumn commit,
+    // O(files) hard links — the Iceberg cost shape). Crash between
+    // addColumn and the batch commit replays safely: the column-exists
+    // guard skips the already-applied evolution, the txn check above
+    // skips nothing (the batch itself never committed).
+    if (mergeSchema && table.exists) {
+      val existing = table.read().schema.fieldNames.toSet
+      batch0.schema.fields
+        .filterNot(f => existing.contains(f.name) ||
+          f.name == opCol || f.name == "_change_type")
+        .foreach(f => table.addColumn(f.name, f.dataType))
+    }
     commitMode match {
       case "append" =>
         require(!batch0.columns.contains("_change_type"),

@@ -86,15 +86,33 @@ class KeyedParquetTableSpec extends SparkSpec {
     assert(ch === Map(1L -> "update", 2L -> "update"))
   }
 
-  test("changesBetween refuses schema-evolved snapshot pairs loudly") {
+  test("changesBetween across a schema evolution diffs under the to-side schema; renames refuse") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_diff_schema"), Seq("id"))
-    t.commit(Seq((1L, "a")).toDF("id", "v"))
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
     val v1 = t.currentVersion
-    t.commit(Seq((1L, "a", "extra")).toDF("id", "v", "v2"))
+    // ADD COLUMN then touch only row 1: row 2's new column is null on both
+    // ends of the range (the evolved read null-fills pre-evolution rows),
+    // so it is NOT a change — the Delta/Iceberg CDC semantics
+    t.addColumn("v2", org.apache.spark.sql.types.StringType)
+    t.merge(Seq((1L, "a", "extra", "u")).toDF("id", "v", "v2", "operation"))
+    val ch = t.changesBetween(v1, t.currentVersion)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ch === Map(1L -> "update"))
+    // the changefeed presents ONE schema (the current one) for all rows
+    val cf = t.changefeedBetween(v1, t.currentVersion)
+    assert(cf.columns.toSeq === Seq("id", "v", "v2", "_change_type"))
+    assert(cf.collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+      === Seq((1L, "extra")))
+    // a NON-subset difference (rename shape: a column on each side the
+    // other lacks) still refuses — drop+add diffing would flag every row
+    val t2 = new KeyedParquetTable(spark, tmpDir("kpt_diff_ren"), Seq("id"))
+    t2.commit(Seq((1L, "a")).toDF("id", "old"))
+    val w1 = t2.currentVersion
+    t2.commit(Seq((1L, "a")).toDF("id", "renamed"))
     val e = intercept[IllegalArgumentException] {
-      t.changesBetween(v1, t.currentVersion).collect()
+      t2.changesBetween(w1, t2.currentVersion).collect()
     }
-    assert(e.getMessage.contains("identical schemas"))
+    assert(e.getMessage.contains("non-additively"))
   }
 
   test("bucketed AND partitioned table keeps a consistent directory layout across merges") {

@@ -452,6 +452,65 @@ class TableStreamSpec extends SparkSpec {
     assert(rd.load().groupBy().sum("id").head().getLong(0) === (2 to 6).map(_.toLong).sum + 1L)
   }
 
+  test("mergeSchema sink: a replica follows its upstream's schema evolution across restart") {
+    val root = tmpDir("ms_up")
+    val rep = tmpDir("ms_rep") + "/t"
+    val ckpt = tmpDir("ms_ckpt")
+    val up = new KeyedParquetTable(spark, root, keys = Seq("id"), bucketCount = 4)
+    up.createIfNotExists(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType))))
+    up.merge(Seq((1L, "a", "u"), (2L, "b", "u")).toDF("id", "payload", "operation"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("path", root)
+        .option("startVersion", "earliest").option("mode", "changelog")
+        .load()
+        .writeStream.format("graft-table")
+        .option("path", rep)
+        .option("commitMode", "merge")
+        .option("keys", "id").option("buckets", "4")
+        .option("mergeSchema", "true")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000L))
+    }
+    drain()
+    // upstream evolves: ADD COLUMN, then rows carrying it
+    up.addColumn("note", org.apache.spark.sql.types.StringType)
+    up.merge(Seq((2L, "b2", "fresh", "u"), (3L, "c", "new", "u"))
+      .toDF("id", "payload", "note", "operation"))
+    // the stream restarts from its checkpoint (schema re-pins on restart);
+    // the sink evolves the replica instead of refusing the wider batch
+    drain()
+    val got = KeyedParquetTable.openRoot(spark, rep).read()
+      .select("id", "payload", "note").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got === Array((1L, "a", null), (2L, "b2", "fresh"), (3L, "c", "new")))
+    // WITHOUT the option, merge's project-to-target contract applies: the
+    // pre-existing narrow replica keeps replicating with the new column
+    // dropped (the same projection that drops `operation` itself) — the
+    // schema does NOT silently evolve
+    val rep2 = tmpDir("ms_rep2") + "/t"
+    val narrow = new KeyedParquetTable(spark, rep2, keys = Seq("id"), bucketCount = 4)
+    narrow.createIfNotExists(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType))))
+    val q2 = spark.readStream.format("graft-table")
+      .option("path", root)
+      .option("startVersion", "earliest").option("mode", "changelog").load()
+      .writeStream.format("graft-table")
+      .option("path", rep2)
+      .option("commitMode", "merge")
+      .option("keys", "id").option("buckets", "4")
+      .option("checkpointLocation", tmpDir("ms_ckpt2"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(120000L))
+    assert(narrow.read().columns.toSeq.filterNot(_ == "__bucket")
+      === Seq("id", "payload"))
+    assert(narrow.read().count() === 3L)
+  }
+
   test("changefeed image reads are bucket-pruned to the changed keys' buckets") {
     val root = tmpDir("cf_prune")
     val t = new KeyedParquetTable(spark, root, keys = Seq("id"), bucketCount = 8)
