@@ -4865,6 +4865,43 @@ object Queries {
              |CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
              |FROM events WHERE user_id = 7 GROUP BY event_type""".stripMargin)),
 
+    // COMPLETE aggregate pushdown (r14): SELECT COUNT/MIN/MAX/SUM as
+    // literal SQL answers from the engine's transactional _stats index
+    // (per-file n_rows/bounds/sums, committed atomically with every
+    // snapshot) — the scan is a one-row answered frame, data files never
+    // open (GraftCatalogSpec proves it on corrupted files; this gate
+    // proves the VALUES against DuckDB recomputing from the fixture).
+    "q_sql_agg_pushdown" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("events").createOrReplaceTempView("events_v")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.vsql")
+        s.sql("DROP TABLE IF EXISTS graft.vsql.agg_push")
+        s.sql("""CREATE TABLE graft.vsql.agg_push
+                 (event_id BIGINT, user_id BIGINT, value_micros BIGINT)
+                 PARTITIONED BY (bucket(8, event_id))
+                 TBLPROPERTIES ('graft.keys'='event_id',
+                                'graft.statsCols'='event_id',
+                                'graft.sumCols'='value_micros')""")
+        s.sql("""INSERT INTO graft.vsql.agg_push
+                 SELECT event_id, user_id,
+                        CAST(ROUND(value * 1000000) AS BIGINT)
+                 FROM events_v""")
+        val out = s.sql("""SELECT COUNT(*) AS n, MIN(event_id) AS min_id,
+                                  MAX(event_id) AS max_id,
+                                  SUM(value_micros) AS sum_micros
+                           FROM graft.vsql.agg_push""")
+        require(!out.queryExecution.executedPlan.toString.contains("HashAggregate"),
+          "q_sql_agg_pushdown: expected complete aggregate pushdown (no " +
+            "HashAggregate in the physical plan) — the stats index did not " +
+            "answer")
+        out
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+             |CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+             |FROM events""".stripMargin)),
+
     // MERGE INTO as literal SQL — the reference's core CDC statement
     // (spark_batch.py:273-280) driven through the injected merge rule +
     // strategy (GraftMergeInto) into the engine's bucket-scoped merge.

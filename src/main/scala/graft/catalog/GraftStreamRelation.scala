@@ -53,6 +53,13 @@ final case class GraftStreamRelationRule(spark: SparkSession) extends Rule[Logic
               "IS the path — don't also pass a path option")
           org.apache.spark.sql.graftbridge.Internals.v1StreamingRelation(
             spark, "graft-table", passed + ("path" -> cat.tableFor(ident).root))
+        case Some((cat, ident)) if probes(cat.viewExists(ident)) =>
+          // falling through would surface as a bare not-found (the batch
+          // view-read rule only claims non-streaming relations)
+          throw new UnsupportedOperationException(
+            s"readStream.table(${parts.mkString(".")}): stored views are " +
+              "batch text expansions and cannot be streamed — stream the " +
+              "base table (mode=changelog for the keyed change feed)")
         case _ => u
       }
   }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -133,11 +133,88 @@ final class GraftTable(val kpt: KeyedParquetTable, ident: String, pin: Pin)
   * wrong answer.
   */
 final class GraftScanBuilder(table: GraftTable)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val kpt = table.kpt
   private var pushed: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
+  private var pushedAgg: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
+
+  /** COMPLETE aggregate pushdown into the engine's O(metadata) stats-index
+    * aggregates: `SELECT COUNT(*) / MIN / MAX / SUM FROM graft.ns.t` as
+    * literal SQL answers from the transactional `_stats` index
+    * ([[KeyedParquetTable.countRows]]/[[KeyedParquetTable.minMaxOf]]/
+    * [[KeyedParquetTable.sumOf]] — per-file n_rows/bounds/sums written
+    * atomically with every commit; pending MoR deletes go hybrid) — data
+    * files never open. Spark only offers aggregates when every filter was
+    * consumed, and this builder returns ALL filters as residuals, so the
+    * offer arrives exactly for the unfiltered whole-table shape the index
+    * answers. Anything the index can't answer exactly (group-by, DISTINCT,
+    * Count(col) — null counts aren't indexed — min/max off statsCols, sum
+    * off sumCols, a time-travel pin) declines and Spark aggregates the
+    * ordinary scan.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    answerable(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = answerable(agg)
+    if (ok) pushedAgg = Some(agg)
+    ok
+  }
+
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case n: org.apache.spark.sql.connector.expressions.NamedReference
+        if n.fieldNames.length == 1 => Some(n.fieldNames.head)
+      case _ => None
+    }
+
+  private def answerable(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    table.isCurrent && pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => fieldOf(m.column).exists(kpt.statsCols.contains)
+        case m: Max => fieldOf(m.column).exists(kpt.statsCols.contains)
+        case s: Sum => !s.isDistinct && fieldOf(s.column).exists(kpt.sumCols.contains)
+        case _ => false
+      }
+  }
+
+  /** Answer the pushed aggregation as a one-row local frame (the complete-
+    * pushdown contract: the scan IS the final result). Each value comes
+    * from the corresponding O(metadata) table API; column types match
+    * Spark's own aggregate result types because min/max carry the column
+    * type and sumOf runs Spark's sum over index partials.
+    */
+  private def answeredFrame(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): DataFrame = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    val cols: Seq[(String, Column)] = agg.aggregateExpressions.toSeq.zipWithIndex.map {
+      case (_: CountStar, i) => (s"count_star_$i", lit(kpt.countRows()))
+      case (m: Min, i) =>
+        val c = fieldOf(m.column).get
+        val row = kpt.minMaxOf(c).head()
+        (s"min_${c}_$i", lit(row.get(0)).cast(table.schema(c).dataType))
+      case (m: Max, i) =>
+        val c = fieldOf(m.column).get
+        val row = kpt.minMaxOf(c).head()
+        (s"max_${c}_$i", lit(row.get(1)).cast(table.schema(c).dataType))
+      case (s: Sum, i) =>
+        val c = fieldOf(s.column).get
+        val df = kpt.sumOf(c)
+        (s"sum_${c}_$i", lit(df.head().get(0)).cast(df.schema.head.dataType))
+      case (other, _) => throw new IllegalStateException(
+        s"pushAggregation accepted an unanswerable function $other")
+    }
+    kpt.spark.range(1).select(cols.map { case (n, c) => c.as(n) }: _*)
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // keep the ones we can act on (prune by or translate); everything is
@@ -201,6 +278,9 @@ final class GraftScanBuilder(table: GraftTable)
   }
 
   override def build(): Scan = {
+    pushedAgg.foreach { agg =>
+      return new GraftScan(answeredFrame(agg), "stats-aggregate", pushed)
+    }
     val (base, pruneMode) = prunedBase()
     // re-apply translatable predicates inside the inner plan: Catalyst
     // pushes them to the nested vectorized parquet scan, so rows are

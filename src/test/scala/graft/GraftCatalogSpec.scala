@@ -994,6 +994,63 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE graft.spec.sct2")
   }
 
+  test("SQL aggregate pushdown answers COUNT/MIN/MAX/SUM from the stats index, data never opened") {
+    sql("DROP TABLE IF EXISTS graft.spec.aggp")
+    sql("""CREATE TABLE graft.spec.aggp (id BIGINT, ts BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id))
+           TBLPROPERTIES ('graft.keys'='id', 'graft.statsCols'='ts',
+                          'graft.sumCols'='v')""")
+    sql("INSERT INTO graft.spec.aggp " +
+      (1 to 50).map(i => s"SELECT ${i}L, ${i * 10}L, ${i}L").mkString(" UNION ALL "))
+    val one = sql("""SELECT COUNT(*) AS n, MIN(ts) AS mn, MAX(ts) AS mx,
+                     SUM(v) AS sv FROM graft.spec.aggp""")
+    // complete pushdown: no aggregation node survives in the physical plan
+    // (the scan IS the one-row answer); a declined shape keeps its
+    // HashAggregate over a real scan
+    assert(!one.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      one.queryExecution.executedPlan.toString)
+    assert(one.head() === org.apache.spark.sql.Row(50L, 10L, 500L, 1275L))
+    // the strong proof: corrupt every data file — the answer must not change
+    // because no data file is opened. Pin the declared schema first (an
+    // evolution commit writes _schema.json) so even schema resolution
+    // never needs a parquet footer.
+    sql("ALTER TABLE graft.spec.aggp ADD COLUMN note STRING")
+    val kpt = graftCatalog.tableFor(Identifier.of(Array("spec"), "aggp"))
+    val vdir = java.nio.file.Paths.get(kpt.root, s"v${kpt.currentVersion}")
+    val s = java.nio.file.Files.walk(vdir)
+    val dataFiles = {
+      import scala.jdk.CollectionConverters._
+      try s.iterator().asScala.filter(p =>
+          p.toString.endsWith(".parquet") && !p.toString.contains("_stats"))
+        .toList
+      finally s.close()
+    }
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach(p => java.nio.file.Files.write(p, Array[Byte](1, 2, 3)))
+    assert(sql("""SELECT COUNT(*) AS n, MIN(ts) AS mn, MAX(ts) AS mx,
+                  SUM(v) AS sv FROM graft.spec.aggp""").head()
+      === org.apache.spark.sql.Row(50L, 10L, 500L, 1275L))
+    sql("DROP TABLE graft.spec.aggp")
+    // shapes the index can't answer exactly decline and scan normally:
+    // a WHERE clause, an uncovered column, a GROUP BY
+    sql("DROP TABLE IF EXISTS graft.spec.aggn")
+    sql("""CREATE TABLE graft.spec.aggn (id BIGINT, ts BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id))
+           TBLPROPERTIES ('graft.keys'='id', 'graft.statsCols'='ts',
+                          'graft.sumCols'='v')""")
+    sql("INSERT INTO graft.spec.aggn VALUES (1, 10, 1), (2, 20, 2), (3, 30, 3)")
+    assert(sql("SELECT COUNT(*) FROM graft.spec.aggn WHERE id >= 2").head().getLong(0) === 2L)
+    assert(sql("SELECT MIN(v) FROM graft.spec.aggn").head().getLong(0) === 1L)
+    assert(sql("SELECT id, SUM(v) FROM graft.spec.aggn GROUP BY id ORDER BY id")
+      .collect().map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+    assert(sql("SELECT MIN(v) FROM graft.spec.aggn")
+      .queryExecution.executedPlan.toString.contains("HashAggregate")) // real scan+agg
+    // MoR delete debt: the pushed COUNT goes hybrid and stays exact
+    sql("DELETE FROM graft.spec.aggn WHERE id = 2")
+    assert(sql("SELECT COUNT(*) FROM graft.spec.aggn").head().getLong(0) === 2L)
+    sql("DROP TABLE graft.spec.aggn")
+  }
+
   test("Scala surface and SQL surface see one table state (MERGE then SELECT)") {
     sql("DROP TABLE IF EXISTS graft.spec.merged")
     sql("""CREATE TABLE graft.spec.merged (id BIGINT, v BIGINT)

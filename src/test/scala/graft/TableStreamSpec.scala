@@ -421,6 +421,18 @@ class TableStreamSpec extends SparkSpec {
       spark.catalog.setCurrentCatalog(prevCat)
       sql("DROP TABLE IF EXISTS graft.spec.shadowed")
     }
+    // a stored graft VIEW refuses with the reason named, not a bare
+    // not-found (views are batch text expansions)
+    sql("DROP TABLE IF EXISTS graft.spec.sv_base")
+    sql("""CREATE TABLE graft.spec.sv_base (id BIGINT, v BIGINT)
+           TBLPROPERTIES ('graft.keys'='id')""")
+    sql("CREATE VIEW graft.spec.sv AS SELECT id FROM graft.spec.sv_base")
+    val e = intercept[UnsupportedOperationException] {
+      spark.readStream.table("graft.spec.sv")
+    }
+    assert(e.getMessage.contains("cannot be streamed"), e.getMessage)
+    sql("DROP VIEW graft.spec.sv")
+    sql("DROP TABLE graft.spec.sv_base")
   }
 
   test("batch reads: spark.read.format(graft-table) snapshot/time-travel/incremental/changelog") {
