@@ -4584,6 +4584,36 @@ object Queries {
       None,
       headline = true),
 
+    // PRODUCT QUANTIZATION (r14): the memory-bound ANN path — the corpus
+    // compresses to m=16 codes/vector (~16 bytes vs 256 for float32×64);
+    // the query scores every row by 16 LUT lookups (ADC, vectors never
+    // read), shortlists 200, and exactly re-ranks the shortlist. Vectors
+    // are unit-normalized first so ADC-dot ranks cosine — the recall gate
+    // compares against the SHARED exact-cosine ground truth (cosine is
+    // scale-invariant, so the raw-corpus exact answer is the same ids).
+    "q_ann_pq" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val emb = t("embeddings")
+        val nrm = Similarity.norm(col("embedding"))
+        val unit = emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double") / nrm).as("uvec"))
+          .localCheckpoint(true) // train + encode + rerank all read it
+        val corpus = unit.filter(col("vec_id") =!= 0)
+        val query = unit.filter(col("vec_id") === 0).select("uvec")
+        val book = Similarity.pqTrain(corpus, "uvec", m = 16, nPlanes = 4)
+          .localCheckpoint(true) // encode + LUT both read the small book
+        val codes = Similarity.pqEncode(corpus, "vec_id", "uvec", book, m = 16)
+        Similarity.withRecallGate(
+          Similarity.pqTopK(book, codes, corpus, query,
+            "vec_id", "uvec", k = 20, m = 16, nPlanes = 4, rerank = 200),
+          exactCosineTopKCached(s, dir, "base", 20)(
+            t("embeddings").filter(col("vec_id") =!= 0),
+            t("embeddings").filter(col("vec_id") === 0).select("embedding")),
+          "vec_id", k = 20, minRecall = 0.9)
+      },
+      None),
+
     // int8 symmetric quantization of the embedding corpus (4× storage at
     // 100 TB): per-vector scale + codes, identical IEEE op order in both
     // engines so the codes hash-match bit-for-bit.

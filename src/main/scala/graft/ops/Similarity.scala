@@ -189,6 +189,142 @@ object Similarity {
     graft.ops.Components.dedupKeepers(pairs)
   }
 
+  // ---- Product quantization (PQ) ------------------------------------------
+  //
+  // The memory-bound ANN path: each D-dim float vector compresses to m
+  // small integer codes (one per D/m-wide subspace, each code naming that
+  // subspace's nearest codebook centroid), so a 100 TB embedding corpus
+  // scans as a few bytes per row. A query builds an m × nCells lookup
+  // table ONCE (dot(q_sub, centroid) for every codebook entry — driver
+  // side, the codebook is tiny) and scores every row by m array lookups
+  // (ADC — asymmetric distance computation): dot(q, x) ≈ Σ_sub
+  // LUT[sub][code]. The scored shortlist is then exactly re-ranked over
+  // the shortlist's REAL vectors — the standard prefilter+rerank shape
+  // that buys back the quantization error for a point-lookup cost.
+  //
+  // Training reuses the IVF recipe per subspace: sign-bit-LSH seeded
+  // cells refined by one Lloyd step — deterministic (seeded planes), two
+  // (row, sub)-exploded shuffles, no iteration count to tune. Codes are
+  // assigned by L2 (reconstruction error): argmin ||x_sub − c||² =
+  // argmax (dot(x_sub, c) − ||c||²/2), one broadcast pass.
+
+  /** Train the PQ codebook: `(sub, code, centroid, half_norm2)` —
+    * m × ≤2^nPlanes rows, tiny. `dim` must divide evenly by `m`.
+    */
+  def pqTrain(embeddings: DataFrame, vecCol: String, m: Int,
+              nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must be a multiple of m=$m subspaces")
+    val w = dim / m
+    val subs = subVectors(embeddings.select(col(vecCol)), vecCol, m, w)
+    // per-subspace planes (distinct seeds): one chained expression keeps
+    // the explode+bucket in a single codegen'd projection
+    val cell = (0 until m).map { s =>
+      (s, lshBucket(col("__svec"), hyperplanes(nPlanes, w, seed = 100L + s)))
+    }.foldLeft(lit(-1L)) { case (acc, (s, b)) => when(col("__sub") === s, b).otherwise(acc) }
+    val seeded = subs.withColumn("__cell", cell)
+    val seeds = subMeans(seeded)
+    val assigned = seeded.drop("__cell")
+      .join(broadcast(seeds.withColumn("__hn", halfNorm2(col("__centroid")))),
+        Seq("__sub"))
+      .withColumn("__score", dotHof(col("__svec"), col("__centroid")) - col("__hn"))
+      .groupBy(col("__rid"), col("__sub"))
+      .agg(max_by(col("__cell"), struct(col("__score"), -col("__cell"))).as("__cell"),
+        first(col("__svec")).as("__svec"))
+    subMeans(assigned)
+      .select(col("__sub").as("sub"), col("__cell").as("code"),
+        col("__centroid").as("centroid"),
+        halfNorm2(col("__centroid")).as("half_norm2"))
+  }
+
+  /** Encode vectors to `codes: array<bigint>` (length m, ordered by
+    * subspace) against a trained codebook — one broadcast pass, two
+    * shuffles on (row, sub) → row.
+    */
+  def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, m: Int, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must be a multiple of m=$m subspaces")
+    val w = dim / m
+    val subs = subVectors(embeddings.select(col(idCol), col(vecCol)), vecCol, m, w)
+    subs.join(broadcast(codebook.select(col("sub").as("__sub"),
+        col("code").as("__code"), col("centroid").as("__c"), col("half_norm2").as("__hn"))),
+        Seq("__sub"))
+      .withColumn("__score", dotHof(col("__svec"), col("__c")) - col("__hn"))
+      .groupBy(col(idCol), col("__sub"))
+      .agg(max_by(col("__code"), struct(col("__score"), -col("__code"))).as("__code"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("__sub"), col("__code")))),
+        s => s.getField("__code")).as("codes"))
+  }
+
+  /** ADC top-k with exact re-rank: score every row by m LUT lookups over
+    * its codes (never touching vectors), shortlist `rerank` candidates,
+    * then rank the shortlist by EXACT dot over the real vectors. The scan
+    * half reads O(m bytes)/row; the exact half reads `rerank` vectors.
+    * Ties broken by id for a total order.
+    */
+  def pqTopK(codebook: DataFrame, codes: DataFrame, embeddings: DataFrame,
+             query: DataFrame, idCol: String, vecCol: String, k: Int,
+             m: Int, nPlanes: Int = 4, rerank: Int = 200): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val cells = 1 << nPlanes
+    val w = { val d = query.select(size(col(vecCol))).head().getInt(0); d / m }
+    // LUT: dot(q_sub, centroid) for every codebook entry — the codebook is
+    // m × ≤2^nPlanes rows, so this is a bounded driver-side build
+    val q = query.select(col(vecCol)).head().getSeq[Any](0).map {
+      case f: Float => f.toDouble; case d: Double => d
+    }.toArray
+    val lut = Array.fill(m * cells)(0.0)
+    codebook.select("sub", "code", "centroid").collect().foreach { r =>
+      val s = r.getInt(0); val c = r.getLong(1).toInt
+      val cent = r.getSeq[Double](2)
+      var acc = 0.0
+      var i = 0
+      while (i < cent.length) { acc += q(s * w + i) * cent(i); i += 1 }
+      lut(s * cells + c) = acc
+    }
+    val lutLit = lit(lut)
+    val adc = codes.withColumn("__adc",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(lutLit,
+            (s * lit(cells) + element_at(col("codes"), s + 1)).cast("int") + 1)))
+      .orderBy(col("__adc").desc, col(idCol).asc)
+      .limit(rerank)
+      .select(idCol)
+    embeddings.join(broadcast(adc), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(query.select(col(vecCol).as("__qvec"))))
+      .withColumn("sim", cosine(col(vecCol), col("__qvec")))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Explode vectors into `(row-id, sub, subvector)` — the shared PQ
+    * preparation. `__rid` is a per-row synthetic id (the caller's id when
+    * present is carried alongside).
+    */
+  private def subVectors(df: DataFrame, vecCol: String, m: Int, w: Int): DataFrame =
+    df.withColumn("__rid", monotonically_increasing_id())
+      .select(col("*"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("__sub"),
+          transform(slice(col(vecCol), s * w + 1, w), x => x.cast("double"))
+            .as("__svec"))): _*)).as("__sv"))
+      .select(col("*"), col("__sv.__sub").as("__sub"), col("__sv.__svec").as("__svec"))
+      .drop("__sv", vecCol)
+
+  /** Component-wise mean per (sub, cell) — [[meanVectors]] with the
+    * subspace key carried through. O(m · cells · w) output rows.
+    */
+  private def subMeans(subs: DataFrame): DataFrame =
+    subs.select(col("__sub"), col("__cell"), posexplode(col("__svec")).as(Seq("__pos", "__v")))
+      .groupBy("__sub", "__cell", "__pos")
+      .agg(avg(col("__v")).as("__m"))
+      .groupBy("__sub", "__cell")
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+        s => s.getField("__m")).as("__centroid"))
+
+  private def halfNorm2(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, v) => acc + v * v) / 2.0
+
   /** Brute-force all-pairs top-k per vector against a SMALL probe set
     * (e.g. centroids) — the IVF assignment step: each vector gets its
     * nearest centroid id via a broadcast nested loop, no N² shuffle.

@@ -435,4 +435,55 @@ class SimilaritySpec extends SparkSpec {
     val got = top.collect().map(_.getLong(0)).toSet
     assert(exact.intersect(got).size >= 9, s"exact=$exact ivf=$got")
   }
+
+  test("PQ: codebook shape, code bounds, repartition-deterministic encoding") {
+    val m = 4; val nPlanes = 3; val w = dim / m
+    val emb = clustered
+    val book = Similarity.pqTrain(emb, "embedding", m, nPlanes, dim)
+    val rows = book.collect()
+    // one codebook entry per non-empty (subspace, cell); centroids are
+    // subvector-width; half_norm2 matches its centroid
+    assert(rows.nonEmpty && rows.length <= m * (1 << nPlanes))
+    assert(rows.map(_.getInt(0)).toSet === (0 until m).toSet)
+    rows.foreach { r =>
+      val cent = r.getSeq[Double](2)
+      assert(cent.length === w)
+      assert(math.abs(r.getDouble(3) - cent.map(x => x * x).sum / 2.0) < 1e-12)
+      assert(r.getLong(1) >= 0 && r.getLong(1) < (1 << nPlanes))
+    }
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", book, m, dim)
+    val byId = codes.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(byId.size === 300 && byId.values.forall(_.length == m))
+    assert(byId.values.forall(_.forall(c => c >= 0 && c < (1 << nPlanes))))
+    // determinism: the same corpus under a different partitioning encodes
+    // to the same codes (no partition-order dependence anywhere)
+    val byId2 = Similarity.pqEncode(emb.repartition(7), "vec_id", "embedding",
+        book, m, dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(byId2 === byId)
+    // same-cluster vectors mostly share codes (the codebook actually
+    // captures the cluster structure, not noise)
+    val cluster0 = (0L until 30L).map(byId)
+    assert(cluster0.distinct.length <= 5, s"cluster codes scattered: $cluster0")
+  }
+
+  test("PQ: ADC shortlist + exact rerank recovers the exact top-k on clustered data") {
+    val m = 4; val nPlanes = 3
+    val emb = clustered
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val query = emb.filter(col("vec_id") === 0).select("embedding")
+    val book = Similarity.pqTrain(corpus, "embedding", m, nPlanes, dim)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", book, m, dim)
+    val approx = Similarity.pqTopK(book, codes, corpus, query,
+        "vec_id", "embedding", k = 10, m = m, nPlanes = nPlanes, rerank = 60)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.cosineTopK(corpus, query, "vec_id", "embedding", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(approx).size >= 9, s"exact=$exact pq=$approx")
+    // rerank must cover k
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(book, codes, corpus, query, "vec_id", "embedding",
+        k = 10, m = m, nPlanes = nPlanes, rerank = 5)
+    }
+  }
 }
