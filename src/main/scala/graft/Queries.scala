@@ -1200,6 +1200,48 @@ object Queries {
              |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin),
       headline = true),
 
+    // FULL BPE training (r14) — q_bpe_pairs is one iteration; this is the
+    // whole loop in the word-histogram formulation: ONE wordcount shuffle
+    // (the corpus's only contribution), then the merge loop folds the
+    // bounded histogram driver-side — no per-merge shuffle. Rows-only
+    // (DuckDB cannot express the iterative fold) behind two gates:
+    // (1) the rank-0 merge must equal the DISTRIBUTED argmax adjacent
+    // pair (same tiebreak — q_bpe_pairs' oracle-proven shape), and
+    // (2) segmenting the corpus with the learned merges must reconcile
+    // EXACTLY with training's gain bookkeeping:
+    // Σ tokens = Σ chars − Σ gains — ties the distributed apply to the
+    // driver-side fold token for token.
+    "q_bpe_train" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents")
+        val merges = TextOps.bpeTrain(docs, "text", numMerges = 30,
+          maxWords = 1 << 20).localCheckpoint(true)
+        val words = docs.select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0).localCheckpoint(true)
+        val rank0 = merges.filter(col("rank") === 0)
+          .select(concat(col("left"), col("right"))).head().getString(0)
+        val topPair = words.filter(length(col("w")) > 1)
+          .select(explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair").asc).limit(1).head().getString(0)
+        require(rank0 == topPair,
+          s"q_bpe_train: rank-0 merge '$rank0' != distributed argmax pair '$topPair'")
+        val totalChars = words.agg(sum(length(col("w")).cast("long")))
+          .head().getLong(0)
+        val gains = merges.agg(coalesce(sum("gain"), lit(0L))).head().getLong(0)
+        val seg = TextOps.bpeSegment(words, "w", merges)
+        val totalToks = words.join(seg, "w")
+          .agg(sum(size(col("tokens")).cast("long"))).head().getLong(0)
+        require(totalToks == totalChars - gains,
+          s"q_bpe_train: segmented token count $totalToks != " +
+            s"$totalChars chars - $gains merge gains")
+        merges.select("rank", "left", "right", "merged", "gain")
+      },
+      None),
+
     // Heavy-hitter detection, two-pass: a bounded Misra–Gries sketch (one
     // map-side-combinable agg, O(k) state) surfaces candidate hot keys,
     // then ONE filtered groupBy exact-counts just the candidates. The

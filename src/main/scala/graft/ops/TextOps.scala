@@ -438,6 +438,121 @@ object TextOps {
         col("total_bits").cast("double") / col("n_tokens").cast("double"))
   }
 
+  // ---- BPE tokenizer training ----------------------------------------------
+  //
+  // Full byte-pair-encoding training in the WORD-HISTOGRAM formulation —
+  // the shape that scales: the corpus contributes exactly ONE wordcount
+  // shuffle, capped to the `maxWords` most frequent words (count desc,
+  // word asc — deterministic; capping is what every real tokenizer
+  // trainer does, and it bounds driver state independent of corpus
+  // size), and the merge loop then runs driver-side over that bounded
+  // histogram — O(maxWords · wordLen · numMerges), zero further jobs. A
+  // naive distributed loop would pay one pair-count shuffle PER merge
+  // (q_bpe_pairs is that loop's single iteration); the histogram
+  // formulation pays it once.
+
+  /** Train `numMerges` BPE merges. Each round counts weighted adjacent
+    * token pairs across the histogram and merges the most frequent (ties
+    * by lexicographically smallest (left, right) — total order, so
+    * training is deterministic). Stops early when no pair occurs twice.
+    * Returns `(rank, left, right, merged, gain)`, gain = the merged
+    * pair's weighted frequency at selection time.
+    *
+    * Tokens start as characters (`split("")` — char-level BPE; surrogate
+    * pairs split per UTF-16 unit, fine for the BMP text this corpus
+    * holds).
+    */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               numMerges: Int, maxWords: Int = 65536): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist: Array[(String, Long)] =
+      docs.select(explode(split(col(textCol), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w").asc)
+        .limit(maxWords)
+        .as[(String, Long)].collect()
+    var words: Array[(Array[String], Long)] =
+      hist.map { case (w, n) => (w.split("").filter(_.nonEmpty), n) }
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (toks, n) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          val p = (toks(i), toks(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      // argmax by count, ties by smallest (left, right): a merge of a
+      // once-seen pair gains nothing — stop
+      val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, (p, n)) => acc match {
+          case Some((bp, bn)) if bn > n || (bn == n &&
+            implicitly[Ordering[(String, String)]].lteq(bp, p)) => acc
+          case _ => Some((p, n))
+        }
+      }
+      best match {
+        case Some(((l, r), gain)) if gain >= 2 =>
+          merges += ((rank, l, r, l + r, gain))
+          words = words.map { case (toks, n) => (TextOps.mergePair(toks, l, r), n) }
+          rank += 1
+        case _ => exhausted = true
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "merged", "gain")
+  }
+
+  /** One merge application: every non-overlapping left-to-right (l, r)
+    * adjacency becomes the merged token. Shared by training's fold and
+    * [[bpeSegment]]'s apply, so a trained table segments EXACTLY the way
+    * training folded it.
+    */
+  private[ops] def mergePair(toks: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i < toks.length - 1 && toks(i) == l && toks(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Segment distinct words with a trained merge table: merges apply
+    * sequentially in rank order — the same fold training ran, so
+    * token counts reconcile exactly with training's gain bookkeeping
+    * (`tokens(w) = chars(w) − Σ merges applied in w`). Distributed
+    * mapPartitions over the DISTINCT words with the merge table broadcast
+    * (genuinely per-row imperative work — the sanctioned last-resort
+    * tier); callers join the (word → tokens) result back to the corpus,
+    * so the expensive half runs once per distinct word, not per
+    * occurrence.
+    */
+  def bpeSegment(words: org.apache.spark.sql.DataFrame, wordCol: String,
+                 merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val ms: Array[(String, String)] =
+      merges.orderBy("rank").select("left", "right").as[(String, String)].collect()
+    val bc = spark.sparkContext.broadcast(ms)
+    words.select(col(wordCol).cast("string")).distinct().as[String]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { w =>
+          var toks = w.split("").filter(_.nonEmpty)
+          var i = 0
+          while (i < m.length) { toks = TextOps.mergePair(toks, m(i)._1, m(i)._2); i += 1 }
+          (w, toks.toSeq)
+        }
+      }.toDF(wordCol, "tokens")
+  }
+
   // ---- Train/test decontamination -----------------------------------------
 
   /** Test-set docs sharing at least one n-token shingle with the training

@@ -467,4 +467,37 @@ class TextOpsSpec extends SparkSpec {
     // ordering "unseen > seen-once" holds with no smoothing parameter
     assert(got(2L)._2 > 3L)
   }
+
+  test("bpeTrain learns the classic low/lower/newest/widest merges; segment reconciles") {
+    // the canonical BPE teaching corpus: low×5 lower×2 newest×6 widest×3.
+    // pair counts round 1: (e,s)=9 (s,t)=9 (l,o)=7 (o,w)=7 ... — ties break
+    // to the lexicographically smallest pair, so the merge sequence is
+    // hand-computable: es, est, lo, low, ew
+    val docs = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val merges = TextOps.bpeTrain(docs, "text", numMerges = 5)
+    val got = merges.orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(got === Array((0, "es", 9L), (1, "est", 9L), (2, "lo", 7L),
+      (3, "low", 7L), (4, "ew", 6L)))
+    // segmentation applies the same fold: the classic result
+    val seg = TextOps.bpeSegment(Seq("lowest", "low", "newest", "widest", "lower")
+        .toDF("w"), "w", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(seg("lowest") === Seq("low", "est"))
+    assert(seg("low") === Seq("low"))
+    assert(seg("newest") === Seq("n", "ew", "est"))
+    assert(seg("widest") === Seq("w", "i", "d", "est"))
+    assert(seg("lower") === Seq("low", "e", "r"))
+    // early stop: no pair occurs twice → fewer merges than asked, loudly
+    // bounded rather than padding with gain-1 merges
+    val tiny = TextOps.bpeTrain(Seq("ab cd").toDF("text"), "text", numMerges = 10)
+    assert(tiny.count() === 0L)
+    // determinism under partitioning: same corpus, different layout
+    val merges2 = TextOps.bpeTrain(docs.repartition(5), "text", numMerges = 5)
+    assert(merges2.orderBy("rank").collect().map(_.toSeq).toSeq
+      === merges.orderBy("rank").collect().map(_.toSeq).toSeq)
+  }
 }
