@@ -196,16 +196,20 @@ final class GraftScanBuilder(table: GraftTable)
   private def answeredFrame(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): DataFrame = {
     import org.apache.spark.sql.connector.expressions.aggregate._
+    // one index job per DISTINCT source (count, per-column min/max row,
+    // per-column sum): SELECT MIN(c), MAX(c) must not run the stats job
+    // twice — and on the index-less fallback each run is a full scan
+    lazy val countOnce = kpt.countRows()
+    val minMaxOnce = collection.mutable.Map.empty[String, org.apache.spark.sql.Row]
+    def minMaxRow(c: String) = minMaxOnce.getOrElseUpdate(c, kpt.minMaxOf(c).head())
     val cols: Seq[(String, Column)] = agg.aggregateExpressions.toSeq.zipWithIndex.map {
-      case (_: CountStar, i) => (s"count_star_$i", lit(kpt.countRows()))
+      case (_: CountStar, i) => (s"count_star_$i", lit(countOnce))
       case (m: Min, i) =>
         val c = fieldOf(m.column).get
-        val row = kpt.minMaxOf(c).head()
-        (s"min_${c}_$i", lit(row.get(0)).cast(table.schema(c).dataType))
+        (s"min_${c}_$i", lit(minMaxRow(c).get(0)).cast(table.schema(c).dataType))
       case (m: Max, i) =>
         val c = fieldOf(m.column).get
-        val row = kpt.minMaxOf(c).head()
-        (s"max_${c}_$i", lit(row.get(1)).cast(table.schema(c).dataType))
+        (s"max_${c}_$i", lit(minMaxRow(c).get(1)).cast(table.schema(c).dataType))
       case (s: Sum, i) =>
         val c = fieldOf(s.column).get
         val df = kpt.sumOf(c)
@@ -378,28 +382,41 @@ private[catalog] object GraftScan {
       inner.queryExecution.optimizedPlan.stats.sizeInBytes
         .min(BigInt(Long.MaxValue)).toLong
     else {
-      // stat through java.nio for local paths, then the file's own Hadoop
-      // FileSystem for anything else. An UN-stat-able file must make the
-      // whole estimate CONSERVATIVE (the session default, effectively
-      // "never auto-broadcast"), never count as 0 — a huge remote table
-      // reported as ~0 bytes gets auto-broadcast, the opposite failure of
-      // the defaultSizeInBytes problem this estimator exists to fix.
-      lazy val hconf = inner.sparkSession.sessionState.newHadoopConf()
+      // stat through java.nio for local paths; non-local files go through
+      // their Hadoop FileSystem ONE listStatus PER PARENT DIRECTORY (a
+      // remote table's files cluster in a few bucket/partition dirs — a
+      // per-file getFileStatus would pay O(files) sequential RPCs at PLAN
+      // time). An UN-stat-able file must make the whole estimate
+      // CONSERVATIVE (the session default, effectively "never
+      // auto-broadcast"), never count as 0 — a huge remote table reported
+      // as ~0 bytes gets auto-broadcast, the opposite failure of the
+      // defaultSizeInBytes problem this estimator exists to fix.
       var total = 0L
-      val allStatted = files.forall { f =>
-        val sz: Option[Long] =
-          (try Some(java.nio.file.Files.size(java.nio.file.Paths.get(new java.net.URI(f))))
-           catch { case _: Exception =>
-             try Some(java.nio.file.Files.size(java.nio.file.Paths.get(f)))
-             catch { case _: Exception => None }
-           }).orElse {
-            try {
-              val hp = new org.apache.hadoop.fs.Path(f)
-              Some(hp.getFileSystem(hconf).getFileStatus(hp).getLen)
-            } catch { case _: Exception => None }
-          }
-        sz.foreach(total += _)
-        sz.isDefined
+      val remote = Seq.newBuilder[String]
+      files.foreach { f =>
+        try total += java.nio.file.Files.size(java.nio.file.Paths.get(new java.net.URI(f)))
+        catch { case _: Exception =>
+          try total += java.nio.file.Files.size(java.nio.file.Paths.get(f))
+          catch { case _: Exception => remote += f }
+        }
+      }
+      val allStatted = {
+        val rem = remote.result()
+        rem.isEmpty || {
+          try {
+            val hconf = inner.sparkSession.sessionState.newHadoopConf()
+            rem.groupBy(f => new org.apache.hadoop.fs.Path(f).getParent)
+              .forall { case (dir, names) =>
+                val fs = dir.getFileSystem(hconf)
+                val listed = fs.listStatus(dir)
+                  .map(s => s.getPath.toUri.getPath -> s.getLen).toMap
+                names.forall { f =>
+                  val p = new org.apache.hadoop.fs.Path(f).toUri.getPath
+                  listed.get(p).exists { len => total += len; true }
+                }
+              }
+          } catch { case _: Exception => false }
+        }
       }
       if (allStatted) total
       else inner.sparkSession.sessionState.conf.defaultSizeInBytes

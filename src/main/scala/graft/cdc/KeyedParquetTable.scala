@@ -103,6 +103,17 @@ final class KeyedParquetTable(
     }
   }
 
+  /** The current snapshot's physical schema (data + layout columns)
+    * WITHOUT building a read plan — declared `_schema.json` when pinned,
+    * else footer inference, cached per instance. For callers that only
+    * need field names/types (the streaming sink's mergeSchema diff), not
+    * the full MoR/evolution read semantics.
+    */
+  def currentSchema: org.apache.spark.sql.types.StructType = {
+    require(exists, s"table $root has no snapshot")
+    snapshotSchema(versionDir(currentVersion))
+  }
+
   /** The snapshot's DECLARED read schema, when one was pinned by a schema
     * evolution ([[addColumn]]/[[dropColumn]]): `_schema.json` inside the
     * snapshot dir, written before the pointer swings (atomic with the
@@ -626,10 +637,7 @@ final class KeyedParquetTable(
           s"changesBetween(v$fromVersion, v$toVersion) of $root: data columns " +
             s"${aCols.mkString("[", ",", "]")} vs ${bCols.mkString("[", ",", "]")} " +
             "differ non-additively (a rename?) — diff such snapshots explicitly")
-        val have = a.columns.toSet
-        (a.select((keys.map(a(_)) ++ bCols.map(c =>
-          if (have.contains(c)) a(c)
-          else lit(null).cast(b.schema(c).dataType).as(c))): _*), bCols)
+        (alignColumns(a, b), bCols)
       }
     // Unambiguous row encoding: each value is length-prefixed (so '#' inside
     // a value cannot shift field boundaries) and NULL gets its own marker
@@ -701,16 +709,22 @@ final class KeyedParquetTable(
     // crosses an evolution, align them to the to-side columns (nulls for
     // added columns, dropped ones gone) so the feed presents ONE schema —
     // the current one, like Delta/Iceberg CDC reads
-    val preAligned =
-      if (pre.columns.sameElements(post.columns)) pre
-      else {
-        val have = pre.columns.toSet
-        pre.select(post.columns.map(c =>
-          if (have.contains(c)) pre(c)
-          else lit(null).cast(post.schema(c).dataType).as(c)).toIndexedSeq: _*)
-      }
-    post.unionByName(preAligned)
+    post.unionByName(alignColumns(pre, post))
   }
+
+  /** Project `df` to exactly `like`'s columns: shared columns by name,
+    * missing ones typed NULL — the one evolution-crossing alignment rule
+    * (shared by the keyed diff and the changefeed image union, so the two
+    * can never disagree on what "aligned" means).
+    */
+  private def alignColumns(df: DataFrame, like: DataFrame): DataFrame =
+    if (df.columns.sameElements(like.columns)) df
+    else {
+      val have = df.columns.toSet
+      df.select(like.columns.map(c =>
+        if (have.contains(c)) df(c)
+        else lit(null).cast(like.schema(c).dataType).as(c)).toIndexedSeq: _*)
+    }
 
   /** Commit a new snapshot containing exactly `df`. An optional `txn` id is
     * recorded INSIDE the snapshot directory before the pointer swings, so it

@@ -421,7 +421,8 @@ object TextOps {
                        freq: org.apache.spark.sql.DataFrame,
                        totalTokens: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val total = totalTokens.getOrElse(
-      freq.agg(sum("n")).head().getLong(0)) // O(vocab) scalar
+      // O(vocab) scalar; sum() of an empty frame is NULL, not 0
+      Option(freq.agg(sum("n")).head().get(0)).fold(0L)(_.asInstanceOf[Long]))
     require(total > 0, "unigramSurprisal: frequency table is empty")
     val totalBits = 64 - java.lang.Long.numberOfLeadingZeros(total) // length(bin(total))
     docs.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
@@ -481,11 +482,27 @@ object TextOps {
     while (rank < numMerges && !exhausted) {
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
       words.foreach { case (toks, n) =>
+        // NON-overlapping pair counts — the number of applications
+        // [[mergePair]]'s left-to-right scan would actually make, so a
+        // selected merge's `gain` is exact (a run of L equal tokens
+        // yields L/2 self-pair merges, not L−1; distinct pairs cannot
+        // overlap). Counting overlapping adjacencies would overstate
+        // gains on runs and break the Σtokens = Σchars − Σgains
+        // reconciliation q_bpe_train asserts.
         var i = 0
         while (i < toks.length - 1) {
-          val p = (toks(i), toks(i + 1))
-          counts.update(p, counts.getOrElse(p, 0L) + n)
-          i += 1
+          if (toks(i) == toks(i + 1)) {
+            var j = i
+            while (j < toks.length && toks(j) == toks(i)) j += 1
+            val run = j - i
+            val p = (toks(i), toks(i))
+            counts.update(p, counts.getOrElse(p, 0L) + (run / 2) * n)
+            i = j - 1 // the loop still counts (run-last, next-distinct)
+          } else {
+            val p = (toks(i), toks(i + 1))
+            counts.update(p, counts.getOrElse(p, 0L) + n)
+            i += 1
+          }
         }
       }
       // argmax by count, ties by smallest (left, right): a merge of a

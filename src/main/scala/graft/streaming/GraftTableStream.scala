@@ -287,10 +287,11 @@ object GraftTableStreamProvider {
     */
   private[streaming] def rootOf(spark: org.apache.spark.sql.SparkSession,
                                 parameters: Map[String, String],
-                                missingMsg: String): String =
+                                missingMsg: String): String = {
+    require(!(parameters.contains("path") && parameters.contains("table")),
+      "graft-table: path and table options are exclusive — passing both " +
+        "would silently use one and ignore the other")
     parameters.get("path").orElse(parameters.get("table").map { name =>
-      require(!parameters.contains("path"),
-        "graft-table: path and table options are exclusive")
       val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(name)
       graft.catalog.GraftViews.resolveIdent(spark, parts) match {
         case Some((cat, ident)) if cat.tableExists(ident) =>
@@ -300,6 +301,7 @@ object GraftTableStreamProvider {
             "graft catalog table (register or CREATE it first)")
       }
     }).getOrElse(throw new IllegalArgumentException(missingMsg))
+  }
 }
 
 /** The [[Source]] half: version offsets over one opened table. In
@@ -416,11 +418,24 @@ final class GraftTableSink(
 
   private def commitOnce(txn: String, batch0: DataFrame): Unit = {
     // open per attempt: another writer (or a previous incarnation after
-    // restart) may have created/advanced the table since the last batch
+    // restart) may have created/advanced the table since the last batch.
+    // An EXISTING root always opens through openRoot — it restores the
+    // FULL pinned layout (including partitionBy, which the sink's options
+    // cannot express); declared keys/buckets then only VALIDATE. The
+    // keys/buckets options construct the layout solely for the
+    // first-batch create.
+    val probe = new KeyedParquetTable(spark, path, Nil)
     val table =
-      if (keys.nonEmpty || buckets > 0)
-        new KeyedParquetTable(spark, path, keys, Nil, buckets)
-      else KeyedParquetTable.openRoot(spark, path)
+      if (probe.exists) {
+        val t = KeyedParquetTable.openRoot(spark, path)
+        require(keys.isEmpty || keys == t.keys,
+          s"graft-table sink: declared keys $keys conflict with the " +
+            s"table's pinned keys ${t.keys}")
+        require(buckets == 0 || buckets == t.bucketCount,
+          s"graft-table sink: declared buckets=$buckets conflicts with " +
+            s"the table's pinned bucketCount=${t.bucketCount}")
+        t
+      } else new KeyedParquetTable(spark, path, keys, Nil, buckets)
     // per-appId ledger check, NOT the single-slot lastTxn: another writer's
     // txn-carrying commit between this batch and its crash replay must not
     // reopen the double-append window
@@ -435,7 +450,9 @@ final class GraftTableSink(
     // guard skips the already-applied evolution, the txn check above
     // skips nothing (the batch itself never committed).
     if (mergeSchema && table.exists) {
-      val existing = table.read().schema.fieldNames.toSet
+      // currentSchema, not read().schema: the diff needs field names only,
+      // not a per-batch MoR/evolution read-plan build
+      val existing = table.currentSchema.fieldNames.toSet
       batch0.schema.fields
         .filterNot(f => existing.contains(f.name) ||
           f.name == opCol || f.name == "_change_type")

@@ -523,6 +523,50 @@ class TableStreamSpec extends SparkSpec {
     assert(narrow.read().count() === 3L)
   }
 
+  test("sink with keys options onto an EXISTING partitioned root restores the pinned layout") {
+    val src = tmpDir("sink_part_src")
+    val dst = tmpDir("sink_part_dst")
+    val up = mkTable(src)
+    up.append(Seq((1L, "x", "p0"), (2L, "y", "p1")).toDF("id", "payload", "part"))
+    // the destination exists with a partitionBy the sink's options can't
+    // express — commitOnce must open it through openRoot (full pinned
+    // layout) instead of constructing a partition-less instance that
+    // ensureLayout would refuse on every batch
+    val pre = new KeyedParquetTable(spark, dst, Seq("id"),
+      partitionBy = Seq("part"), bucketCount = 4)
+    pre.commit(Seq((9L, "seed", "p0")).toDF("id", "payload", "part"))
+    val q = spark.readStream.format("graft-table")
+      .option("path", src).option("startVersion", "earliest").load()
+      .writeStream.format("graft-table")
+      .option("path", dst)
+      .option("keys", "id").option("buckets", "4") // agreeing declaration
+      .option("checkpointLocation", tmpDir("sink_part_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000L))
+    val got = KeyedParquetTable.openRoot(spark, dst).read()
+      .select("id", "part").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got === Array((1L, "p0"), (2L, "p1"), (9L, "p0")))
+    // a CONFLICTING declaration refuses loudly instead of committing a
+    // mixed layout
+    val bad = spark.readStream.format("graft-table")
+      .option("path", src).option("startVersion", "earliest").load()
+      .writeStream.format("graft-table")
+      .option("path", dst)
+      .option("keys", "id").option("buckets", "8")
+      .option("checkpointLocation", tmpDir("sink_part_ckpt2"))
+      .trigger(Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      bad.awaitTermination()
+    }
+    assert(err.getMessage.contains("buckets"), err.getMessage)
+    // path+table together refuse up front
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-table")
+        .option("path", src).option("table", "graft.spec.whatever").load()
+    }
+  }
+
   test("changefeed image reads are bucket-pruned to the changed keys' buckets") {
     val root = tmpDir("cf_prune")
     val t = new KeyedParquetTable(spark, root, keys = Seq("id"), bucketCount = 8)

@@ -500,4 +500,25 @@ class TextOpsSpec extends SparkSpec {
     assert(merges2.orderBy("rank").collect().map(_.toSeq).toSeq
       === merges.orderBy("rank").collect().map(_.toSeq).toSeq)
   }
+
+  test("bpeTrain gains are NON-overlapping counts, so runs reconcile exactly") {
+    // "aaaa aaaa": overlapping (a,a) adjacencies = 3 per word, but a
+    // left-to-right merge applies only twice — the gain must record 2.
+    // merge 0: (a,a) gain 4 (2 per word × 2 words) → [aa,aa];
+    // merge 1: (aa,aa) gain 2 → [aaaa]; then no pair repeats → stop.
+    val docs = Seq("aaaa aaaa").toDF("text")
+    val merges = TextOps.bpeTrain(docs, "text", numMerges = 10)
+    val got = merges.orderBy("rank")
+      .collect().map(r => (r.getString(3), r.getLong(4)))
+    assert(got === Array(("aa", 4L), ("aaaa", 2L)))
+    // the q_bpe_train invariant on this degenerate corpus:
+    // Σ tokens (2) == Σ chars (8) − Σ gains (6)
+    val seg = TextOps.bpeSegment(Seq("aaaa").toDF("w"), "w", merges)
+      .head().getSeq[String](1)
+    assert(seg === Seq("aaaa"))
+    // odd run: 'aaa' merges once (non-overlapping), leaving [aa, a]
+    val seg3 = TextOps.bpeSegment(Seq("aaa").toDF("w"), "w", merges)
+      .head().getSeq[String](1)
+    assert(seg3 === Seq("aa", "a"))
+  }
 }
