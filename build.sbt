@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout instead of through sbt's
+// logger: the benchmark/verify mains print machine-readable JSON lines
+// that downstream tooling parses, and the logger's "[info] " prefix has
+// broken that parse on every round so far (BENCH_r*.json parsed: null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
