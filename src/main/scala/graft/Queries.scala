@@ -4091,6 +4091,24 @@ object Queries {
              |FROM events
              |WHERE event_type IN ('view', 'purchase', 'signup')""".stripMargin)),
 
+    // Temperature-weighted mixture (r14): weights DERIVED from the data —
+    // source s interleaves at sqrt(n_s) rate (α=1/2, the multilingual
+    // up/down-sampling recipe; sqrt is the one power IEEE guarantees
+    // correctly rounded, so the derived weights and every mix_key are
+    // bit-identical to DuckDB recomputing them).
+    "q_temperature_mixture" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        Sampling.temperatureMixture(
+          t("documents").select(col("doc_id"), col("source")),
+          "source", Seq(col("doc_id")))
+      },
+      Some("""WITH n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+             |SELECT doc_id, source,
+             |(CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS DOUBLE) - 0.5)
+             |  / sqrt(CAST(n AS DOUBLE)) AS mix_key
+             |FROM documents JOIN n USING (source)""".stripMargin)),
+
     // Sequence packing: documents → fixed-token-budget training sequences
     // (bounded first-fit-decreasing per hash partition, one shuffle).
     // seq_id depends on the deterministic partitioning, so not

@@ -230,6 +230,35 @@ object Sampling {
       .withColumn("mix_key", (pos.cast("double") - 0.5) / wExpr)
   }
 
+  /** Temperature-weighted source mixture — the multilingual/multi-source
+    * up/down-sampling recipe (sample source s proportionally to n_s^α, so
+    * big sources stop drowning small ones): derive the weights FROM the
+    * per-source counts, then the deterministic stride interleave
+    * ([[interleaveByWeight]]). α is fixed at 1/2: sqrt is the one power
+    * IEEE-754 guarantees correctly rounded, so the derived weights — and
+    * therefore every mix_key — are bit-identical across engines, where a
+    * pow(n, 0.3) would differ by libm ulps (the documented reason the
+    * A-ES sampler below is spec-gated rather than oracle-gated).
+    *
+    * Sources are bounded by contract (`maxSources` refuses a runaway
+    * grouping — a mixture over unbounded sources is a modeling error),
+    * so the count table collects driver-side: one small agg job, then
+    * the interleave's single hash exchange.
+    */
+  def temperatureMixture(df: DataFrame, sourceCol: String,
+                         ordering: Seq[Column],
+                         maxSources: Int = 1000): DataFrame = {
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+      .orderBy(col(sourceCol)).limit(maxSources + 1).collect()
+    require(counts.length <= maxSources,
+      s"temperatureMixture: more than $maxSources distinct '$sourceCol' " +
+        "values — a mixture needs a bounded source set (raise maxSources " +
+        "if this is intentional)")
+    val weights = counts.map(r =>
+      r.getAs[String](sourceCol) -> math.sqrt(r.getAs[Long]("__n").toDouble)).toMap
+    interleaveByWeight(df, sourceCol, weights, ordering)
+  }
+
   /** WEIGHTED sample WITHOUT replacement (Efraimidis–Spirakis A-ES):
     * draw `k` rows where each row's inclusion odds scale with its weight
     * (quality-weighted corpus draws, importance-sampled eval sets),

@@ -243,4 +243,28 @@ class SamplingSpec extends SparkSpec {
       Sampling.withDrawGate(draw(), other, df, "id", 10).collect()
     }
   }
+
+  test("temperatureMixture: sqrt-rate interleave rebalances toward small sources") {
+    // 900 'big' rows vs 100 'small' rows: raw ratio 9:1, sqrt weights
+    // 30:10 → the mixture's prefix should carry ~3:1, not 9:1
+    val df = ((1L to 900L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, "small"))).toDF("id", "source")
+    val mixed = Sampling.temperatureMixture(df, "source", Seq(col("id")))
+    // a source's k-th row has key (k-0.5)/sqrt(n): in any prefix of the
+    // ordered mixture the per-source counts track sqrt proportions
+    val prefix = mixed.orderBy("mix_key").limit(200)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ratio = prefix("big").toDouble / prefix("small").toDouble
+    assert(ratio > 2.5 && ratio < 3.5, s"prefix ratio $ratio, expected ~3")
+    // deterministic across partitionings (no RNG anywhere)
+    val again = Sampling.temperatureMixture(df.repartition(7), "source", Seq(col("id")))
+      .orderBy("mix_key").limit(50).collect().map(_.getLong(0)).toSeq
+    assert(again === mixed.orderBy("mix_key").limit(50).collect().map(_.getLong(0)).toSeq)
+    // unbounded source sets refuse
+    val wide = (1L to 50L).map(i => (i, s"s$i")).toDF("id", "source")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(wide, "source", Seq(col("id")), maxSources = 10)
+    }
+  }
 }
