@@ -67,15 +67,25 @@ private[catalog] object GraftProcedures {
       case "rewrite_data_files" => Some(proc(name,
         Array(tableParam,
           ProcedureParameter.in("min_input_files", DataTypes.IntegerType)
-            .defaultValue("5").build()),
+            .defaultValue("5").build(),
+          // Iceberg's `sort_order` argument: comma-separated columns the
+          // rewrite clusters files by (empty → the table's own
+          // graft.write.sortBy property, compact's default)
+          ProcedureParameter.in("sort_order", DataTypes.StringType)
+            .defaultValue("''").build()),
         { in =>
           val t = resolve(in)
           val minFiles = if (in.isNullAt(1)) 5 else in.getInt(1)
+          val sortBy =
+            if (in.isNullAt(2)) Nil
+            else in.getUTF8String(2).toString.split(',').toSeq
+              .map(_.trim).filter(_.nonEmpty)
           val before = t.files().count()
-          val committed = t.compact(minInputFiles = minFiles)
+          val committed = t.compact(minInputFiles = minFiles, sortBy = sortBy)
           val after = t.files().count()
           Seq(("rewrite_data_files",
             s"files $before -> $after" +
+              (if (sortBy.nonEmpty) s", sorted by ${sortBy.mkString(",")}" else "") +
               committed.map(v => s", committed v$v").getOrElse(" (below min-input-files, no-op)")))
         }))
       case "expire_snapshots" => Some(proc(name,

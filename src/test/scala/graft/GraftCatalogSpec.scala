@@ -617,6 +617,17 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rewrite.head._1 === "rewrite_data_files", rewrite.mkString(";"))
     assert(kpt.files().count() < filesBefore)
 
+    // sort_order clusters the rewrite (Iceberg's argument shape); data
+    // intact, outcome row names the order, bogus columns refuse
+    sql("INSERT INTO graft.spec.proc VALUES (7, 5)")
+    val sorted = sql("""CALL graft.system.rewrite_data_files(
+        table => 'spec.proc', min_input_files => 1, sort_order => 'v')""")
+      .collect().map(_.getString(1)).head
+    assert(sorted.contains("sorted by v"), sorted)
+    assert(sql("SELECT COUNT(*) FROM graft.spec.proc").head().getLong(0) === 7L)
+    intercept[Exception] { sql("""CALL graft.system.rewrite_data_files(
+        table => 'spec.proc', min_input_files => 1, sort_order => 'nope')""") }
+
     val expired = sql(
       "CALL graft.system.expire_snapshots(table => 'spec.proc', older_than_ms => 0, retain_last => 1)")
       .collect().map(_.getString(1)).head
@@ -630,8 +641,9 @@ class GraftCatalogSpec extends SparkSpec {
     val auto = sql("CALL graft.system.auto_maintain(table => 'spec.proc')")
       .collect().map(_.getString(0))
     assert(auto.contains("remove_orphans"), auto.mkString(","))
-    // data intact through the whole maintenance pass
-    assert(sql("SELECT COUNT(*) FROM graft.spec.proc").head().getLong(0) === 6L)
+    // data intact through the whole maintenance pass (6 seeds + the
+    // sort_order case's extra row)
+    assert(sql("SELECT COUNT(*) FROM graft.spec.proc").head().getLong(0) === 7L)
     // unknown procedure refuses (Spark wraps it as FAILED_TO_LOAD_ROUTINE;
     // our inventory message rides the cause chain)
     val e = intercept[Exception] { sql("CALL graft.system.nope(table => 'spec.proc')") }
