@@ -1219,16 +1219,46 @@ object Queries {
           maxWords = 1 << 20).localCheckpoint(true)
         val words = docs.select(explode(split(col("text"), " ")).as("w"))
           .filter(length(col("w")) > 0).localCheckpoint(true)
+        // gate 2's reconciliation assumes training saw EVERY word — make
+        // the precondition explicit instead of failing as a confusing
+        // count mismatch if the fixture's vocabulary ever outgrows the cap
+        val vocab = words.select(countDistinct(col("w"))).head().getLong(0)
+        require(vocab < (1L << 20),
+          s"q_bpe_train: vocabulary $vocab exceeds the maxWords cap — " +
+            "the reconciliation gate needs an uncapped histogram")
         val rank0 = merges.filter(col("rank") === 0)
-          .select(concat(col("left"), col("right"))).head().getString(0)
-        val topPair = words.filter(length(col("w")) > 1)
+          .select(col("left"), col("right")).head()
+        val (r0l, r0r) = (rank0.getString(0), rank0.getString(1))
+        val rank0Gain = merges.filter(col("rank") === 0)
+          .select(col("gain")).head().getLong(0)
+        // distributed rank-0 check with TRAINING'S counting rule:
+        // non-overlapping occurrences — exactly what a regex scan counts
+        // (left-to-right, never overlapping), so size(regexp_extract_all)
+        // is the independent recount. Candidates come from the cheap
+        // OVERLAPPING count: true(p) ∈ [overlap(p)/2, overlap(p)], so any
+        // pair that could beat the best true count has overlap ≥ the max
+        // overlap / 2 — a provably sufficient, bounded candidate set.
+        val overlap = words.filter(length(col("w")) > 1)
           .select(explode(expr(
             "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
             .as("pair"))
           .groupBy("pair").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("pair").asc).limit(1).head().getString(0)
-        require(rank0 == topPair,
-          s"q_bpe_train: rank-0 merge '$rank0' != distributed argmax pair '$topPair'")
+          .localCheckpoint(true)
+        val maxOverlap = overlap.agg(max("n")).head().getLong(0)
+        val candidates = overlap.filter(col("n") >= lit(maxOverlap / 2))
+          .select("pair").collect().map(_.getString(0))
+        require(candidates.length <= 256,
+          s"q_bpe_train: ${candidates.length} rank-0 candidates — degenerate corpus")
+        // ONE job: an exact-count aggregate column per candidate
+        val aggCols = candidates.map(p =>
+          sum(size(regexp_extract_all(col("w"),
+            lit(java.util.regex.Pattern.quote(p)), lit(0))).cast("long")))
+        val counted = words.agg(aggCols.head, aggCols.tail: _*).head()
+        val exact = candidates.zipWithIndex.map { case (p, i) => (p, counted.getLong(i)) }
+        val (bestPair, bestN) = exact.minBy { case (p, n) => (-n, p) }
+        require(bestPair == r0l + r0r && bestN == rank0Gain,
+          s"q_bpe_train: rank-0 merge '${r0l + r0r}' (gain $rank0Gain) != " +
+            s"distributed argmax '$bestPair' ($bestN non-overlapping occurrences)")
         val totalChars = words.agg(sum(length(col("w")).cast("long")))
           .head().getLong(0)
         val gains = merges.agg(coalesce(sum("gain"), lit(0L))).head().getLong(0)

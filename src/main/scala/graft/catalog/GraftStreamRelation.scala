@@ -31,9 +31,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Precedence: temp views shadow (checked explicitly — this rule runs
   * before the resolution rules that would normally give them precedence);
-  * non-graft identifiers, graft VIEWS and metadata tables pass through
-  * untouched to Spark's own handling (a stored view is a batch-text
-  * expansion; streaming it is not claimed).
+  * non-graft identifiers and metadata tables pass through untouched to
+  * Spark's own handling. A stored graft VIEW refuses with the reason
+  * named (a view is a batch text expansion — streaming it would
+  * otherwise surface as a bare not-found).
   */
 final case class GraftStreamRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
 

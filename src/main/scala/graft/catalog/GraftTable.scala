@@ -176,14 +176,28 @@ final class GraftScanBuilder(table: GraftTable)
   private def answerable(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate._
+    // the index must actually be able to answer WITHOUT a scan: these
+    // lookups run at PLAN time, so any minMaxOf/countRows scan fallback
+    // (index-less table, flat delete set, stale index missing a column)
+    // would execute a full table scan inside query planning — decline
+    // and let the ordinary scan+agg run at execution instead
     table.isCurrent && pushed.isEmpty && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall {
-        case _: CountStar => true
-        case m: Min => fieldOf(m.column).exists(kpt.statsCols.contains)
-        case m: Max => fieldOf(m.column).exists(kpt.statsCols.contains)
-        case s: Sum => !s.isDistinct && fieldOf(s.column).exists(kpt.sumCols.contains)
-        case _ => false
+      agg.aggregateExpressions.nonEmpty && kpt.statsAggregatable && {
+        lazy val indexed = kpt.statsIndexColumns.toSet
+        // statsAggregatable already passed, so an EMPTY index set means a
+        // file-less table — the aggregate over zero files is scan-free
+        def covered(c: String, prefixes: String*) =
+          indexed.isEmpty || prefixes.forall(p => indexed.contains(p + c))
+        agg.aggregateExpressions.forall {
+          case _: CountStar => true
+          case m: Min => fieldOf(m.column).exists(c =>
+            kpt.statsCols.contains(c) && covered(c, "mn_", "mx_"))
+          case m: Max => fieldOf(m.column).exists(c =>
+            kpt.statsCols.contains(c) && covered(c, "mn_", "mx_"))
+          case s: Sum => !s.isDistinct && fieldOf(s.column).exists(c =>
+            kpt.sumCols.contains(c) && covered(c, "sm_"))
+          case _ => false
+        }
       }
   }
 
@@ -202,6 +216,11 @@ final class GraftScanBuilder(table: GraftTable)
     lazy val countOnce = kpt.countRows()
     val minMaxOnce = collection.mutable.Map.empty[String, org.apache.spark.sql.Row]
     def minMaxRow(c: String) = minMaxOnce.getOrElseUpdate(c, kpt.minMaxOf(c).head())
+    val sumOnce = collection.mutable.Map.empty[String, (Any, org.apache.spark.sql.types.DataType)]
+    def sumVal(c: String) = sumOnce.getOrElseUpdate(c, {
+      val df = kpt.sumOf(c)
+      (df.head().get(0), df.schema.head.dataType)
+    })
     val cols: Seq[(String, Column)] = agg.aggregateExpressions.toSeq.zipWithIndex.map {
       case (_: CountStar, i) => (s"count_star_$i", lit(countOnce))
       case (m: Min, i) =>
@@ -212,8 +231,8 @@ final class GraftScanBuilder(table: GraftTable)
         (s"max_${c}_$i", lit(minMaxRow(c).get(1)).cast(table.schema(c).dataType))
       case (s: Sum, i) =>
         val c = fieldOf(s.column).get
-        val df = kpt.sumOf(c)
-        (s"sum_${c}_$i", lit(df.head().get(0)).cast(df.schema.head.dataType))
+        val (v, dt) = sumVal(c)
+        (s"sum_${c}_$i", lit(v).cast(dt))
       case (other, _) => throw new IllegalStateException(
         s"pushAggregation accepted an unanswerable function $other")
     }

@@ -2631,6 +2631,34 @@ final class KeyedParquetTable(
     * flat delete sets, and foreign flat files fall back to the
     * delete-applied scan count — correct, honestly O(table).
     */
+  /** Can the stats index answer metadata aggregates WITHOUT a data scan?
+    * The planner-side guard for SQL aggregate pushdown: countRows/
+    * minMaxOf/sumOf execute at PLAN time there, so their scan fallbacks
+    * (no index, a flat/foreign delete set) would run a full table scan
+    * inside query planning — the pushdown must decline those shapes and
+    * let the ordinary scan+agg run at execution time instead.
+    */
+  def statsAggregatable: Boolean = {
+    if (!exists) return false
+    val curDir = versionDir(currentVersion)
+    if (walkParquet(curDir).isEmpty) return true // empty table: no scan possible
+    Files.exists(statsDirOf(curDir)) &&
+      (!hasDeletes(curDir) ||
+        (isSharded(deletesDirOf(curDir)) && bucketCount > 0 && !hasForeignFlatFiles))
+  }
+
+  /** Columns the CURRENT snapshot's stats index carries (empty when
+    * absent) — the per-column half of [[statsAggregatable]]: an index
+    * built before a column joined statsCols/sumCols lacks its mn_/mx_/sm_
+    * entries, and the corresponding aggregate would fall back to a scan.
+    */
+  def statsIndexColumns: Seq[String] = {
+    if (!exists) return Nil
+    val d = statsDirOf(versionDir(currentVersion))
+    if (!Files.exists(d)) Nil
+    else spark.read.parquet(d.toString).schema.fieldNames.toSeq
+  }
+
   def countRows(): Long = {
     val v = currentVersion
     require(v >= 0, s"table $root has no snapshot")
@@ -3135,11 +3163,15 @@ final class KeyedParquetTable(
     */
   def compact(minInputFiles: Int = 5, targetPartitions: Int = 1,
               sortBy: Seq[String] = Nil): Option[Long] = {
-    if (!exists || files().count() < minInputFiles) None
+    if (!exists) return None
+    // validate BEFORE the min-files short-circuit: a typo'd sort column on
+    // a small table must refuse now, not surface months later when enough
+    // files accumulate for the compaction to actually run
+    sortBy.foreach(c => require(
+      snapshotSchema(versionDir(currentVersion)).fieldNames.contains(c),
+      s"compact sortBy column '$c' does not exist in $root"))
+    if (files().count() < minInputFiles) None
     else {
-      sortBy.foreach(c => require(
-        snapshotSchema(versionDir(currentVersion)).fieldNames.contains(c),
-        s"compact sortBy column '$c' does not exist in $root"))
       val effSort = if (sortBy.nonEmpty) sortBy
         else writeSortCols(snapshotSchema(versionDir(currentVersion))
           .fieldNames.toSeq)

@@ -248,8 +248,17 @@ object Sampling {
   def temperatureMixture(df: DataFrame, sourceCol: String,
                          ordering: Seq[Column],
                          maxSources: Int = 1000): DataFrame = {
+    require(df.schema(sourceCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"temperatureMixture: '$sourceCol' must be STRING (weights key on " +
+        s"source names), got ${df.schema(sourceCol).dataType.sql}")
     val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
       .orderBy(col(sourceCol)).limit(maxSources + 1).collect()
+    // a NULL source would derive a weight and then silently vanish in the
+    // interleave's equality match — refuse instead of losing rows
+    require(counts.forall(!_.isNullAt(0)),
+      s"temperatureMixture: NULL values in '$sourceCol' — a null source " +
+        "is unmixable (coalesce it to a named bucket first)")
     require(counts.length <= maxSources,
       s"temperatureMixture: more than $maxSources distinct '$sourceCol' " +
         "values — a mixture needs a bounded source set (raise maxSources " +

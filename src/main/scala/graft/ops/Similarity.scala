@@ -267,7 +267,13 @@ object Similarity {
              m: Int, nPlanes: Int = 4, rerank: Int = 200): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val cells = 1 << nPlanes
-    val w = { val d = query.select(size(col(vecCol))).head().getInt(0); d / m }
+    val qRows = query.select(size(col(vecCol))).limit(1).collect()
+    require(qRows.nonEmpty, "pqTopK: the query frame is empty")
+    val d = qRows.head.getInt(0)
+    require(d % m == 0,
+      s"pqTopK: query dim $d must be a multiple of m=$m subspaces " +
+        "(and match the codebook's training dim)")
+    val w = d / m
     // LUT: dot(q_sub, centroid) for every codebook entry — the codebook is
     // m × ≤2^nPlanes rows, so this is a bounded driver-side build
     val q = query.select(col(vecCol)).head().getSeq[Any](0).map {
@@ -277,6 +283,9 @@ object Similarity {
     codebook.select("sub", "code", "centroid").collect().foreach { r =>
       val s = r.getInt(0); val c = r.getLong(1).toInt
       val cent = r.getSeq[Double](2)
+      require(cent.length == w,
+        s"pqTopK: codebook subspace width ${cent.length} != query width $w " +
+          "— the query's dim/m does not match the codebook's training dim/m")
       var acc = 0.0
       var i = 0
       while (i < cent.length) { acc += q(s * w + i) * cent(i); i += 1 }

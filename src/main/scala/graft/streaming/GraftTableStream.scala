@@ -451,11 +451,16 @@ final class GraftTableSink(
     // skips nothing (the batch itself never committed).
     if (mergeSchema && table.exists) {
       // currentSchema, not read().schema: the diff needs field names only,
-      // not a per-batch MoR/evolution read-plan build
+      // not a per-batch MoR/evolution read-plan build. opCol/_change_type
+      // are protocol columns ONLY in merge mode — in append mode a data
+      // column that happens to be named 'operation' is just a column and
+      // must evolve like any other
+      val reserved =
+        if (commitMode == "merge") Set(opCol, "_change_type")
+        else Set.empty[String]
       val existing = table.currentSchema.fieldNames.toSet
       batch0.schema.fields
-        .filterNot(f => existing.contains(f.name) ||
-          f.name == opCol || f.name == "_change_type")
+        .filterNot(f => existing.contains(f.name) || reserved.contains(f.name))
         .foreach(f => table.addColumn(f.name, f.dataType))
     }
     commitMode match {
