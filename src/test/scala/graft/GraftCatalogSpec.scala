@@ -1061,6 +1061,18 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DELETE FROM graft.spec.aggn WHERE id = 2")
     assert(sql("SELECT COUNT(*) FROM graft.spec.aggn").head().getLong(0) === 2L)
     sql("DROP TABLE graft.spec.aggn")
+    // an INDEX-LESS table must DECLINE the pushdown (its countRows
+    // fallback would full-scan at PLAN time): the ordinary HashAggregate
+    // plan stays, and the answer is still right
+    sql("DROP TABLE IF EXISTS graft.spec.aggx")
+    sql("""CREATE TABLE graft.spec.aggx (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.aggx VALUES (1, 1), (2, 2)")
+    val noIdx = sql("SELECT COUNT(*) FROM graft.spec.aggx")
+    assert(noIdx.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "index-less COUNT(*) must not push down")
+    assert(noIdx.head().getLong(0) === 2L)
+    sql("DROP TABLE graft.spec.aggx")
   }
 
   test("Scala surface and SQL surface see one table state (MERGE then SELECT)") {
