@@ -307,6 +307,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Build and PERSIST the PQ index under `indexDir` — the memory-bound
+    * companion to [[ivfBuild]]:
+    *  - `<indexDir>/codebook` — the tiny (m × ≤2^nPlanes row) codebook;
+    *  - `<indexDir>/codes`    — one `(id, codes: array<bigint>)` row per
+    *    vector, ~m small integers where the corpus holds dim floats.
+    * The expensive ONCE half (train + encode); every [[pqQuery]] then
+    * scans codes only and point-reads the shortlist.
+    */
+  def pqBuild(embeddings: DataFrame, idCol: String, vecCol: String,
+              indexDir: String, m: Int, nPlanes: Int = 4,
+              dim: Int = 64): Unit = {
+    val book = pqTrain(embeddings, vecCol, m, nPlanes, dim).localCheckpoint(true)
+    book.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
+    pqEncode(embeddings, idCol, vecCol, book, m, dim)
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** INCREMENTAL PQ maintenance: encode a new batch against the STORED
+    * codebook (no retraining — [[ivfAppend]]'s contract) and append its
+    * codes. O(batch); append-only (dedupe upstream when re-ingesting).
+    * A drifting distribution degrades quantization error over time;
+    * re-run [[pqBuild]] periodically like any codebook-based index.
+    */
+  def pqAppend(spark: SparkSession, indexDir: String, newEmbeddings: DataFrame,
+               idCol: String, vecCol: String, m: Int, dim: Int = 64): Unit = {
+    val book = spark.read.parquet(s"$indexDir/codebook")
+    pqEncode(newEmbeddings, idCol, vecCol, book, m, dim)
+      .write.mode("append").parquet(s"$indexDir/codes")
+  }
+
+  /** ADC top-k from a PERSISTED index: scan stored codes (m small ints
+    * per row — the memory-bound win), shortlist, exact-rerank against the
+    * caller's vector table. See [[pqTopK]].
+    */
+  def pqQuery(spark: SparkSession, indexDir: String, embeddings: DataFrame,
+              query: DataFrame, idCol: String, vecCol: String, k: Int,
+              m: Int, nPlanes: Int = 4, rerank: Int = 200): DataFrame =
+    pqTopK(spark.read.parquet(s"$indexDir/codebook"),
+      spark.read.parquet(s"$indexDir/codes"),
+      embeddings, query, idCol, vecCol, k, m, nPlanes, rerank)
+
   /** Explode vectors into `(row-id, sub, subvector)` — the shared PQ
     * preparation. `__rid` is a per-row synthetic id (the caller's id when
     * present is carried alongside).

@@ -485,5 +485,46 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqTopK(book, codes, corpus, query, "vec_id", "embedding",
         k = 10, m = m, nPlanes = nPlanes, rerank = 5)
     }
+    // a query whose width doesn't match the codebook refuses loudly
+    // instead of scoring garbage
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(book, codes, corpus,
+        Seq(Tuple1(Seq.fill(dim / 2)(0.1f))).toDF("embedding"),
+        "embedding", "embedding", k = 2, m = m, nPlanes = nPlanes, rerank = 5)
+    }
+  }
+
+  test("persisted PQ index: build, append without retraining, query sees both") {
+    val m = 4; val nPlanes = 3
+    val emb = clustered
+    val old = emb.filter(col("vec_id") < 250)          // build corpus
+    val fresh = emb.filter(col("vec_id") >= 250)       // appended later
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    Similarity.pqBuild(old, "vec_id", "embedding", dir, m, nPlanes, dim)
+    val bookBefore = spark.read.parquet(s"$dir/codebook").collect().map(_.toSeq).toSet
+    Similarity.pqAppend(spark, dir, fresh, "vec_id", "embedding", m, dim)
+    // codebook untouched; codes cover the whole corpus exactly once
+    assert(spark.read.parquet(s"$dir/codebook").collect().map(_.toSeq).toSet
+      === bookBefore)
+    assert(spark.read.parquet(s"$dir/codes").count() === 300L)
+    // query vector 0 (cluster 0, built half) and vector 299's cluster
+    // (appended half): both sides retrievable from the one index
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val got = Similarity.pqQuery(spark, dir, corpus,
+        emb.filter(col("vec_id") === 0).select("embedding"),
+        "vec_id", "embedding", k = 10, m = m, nPlanes = nPlanes, rerank = 60)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.cosineTopK(corpus,
+        emb.filter(col("vec_id") === 0).select("embedding"),
+        "vec_id", "embedding", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(got).size >= 9, s"exact=$exact pq=$got")
+    val gotLate = Similarity.pqQuery(spark, dir, corpus,
+        emb.filter(col("vec_id") === 299).select("embedding"),
+        "vec_id", "embedding", k = 10, m = m, nPlanes = nPlanes, rerank = 60)
+      .collect().map(_.getLong(0)).toSet
+    // vector 299 lives in cluster 9 (ids 270..299) — appended AFTER build,
+    // still found via the stored-codebook encoding
+    assert(gotLate.count(id => id >= 270 && id <= 299) >= 8, s"late=$gotLate")
   }
 }
