@@ -4704,6 +4704,55 @@ object Queries {
       },
       None),
 
+    // Batched PQ ANN: ADC top-k for a whole query TABLE in one job against
+    // the codes (bulk-inference shape, ivfQueryAll's contract for the
+    // memory-bound index) — distributed per-query LUT maps, one codegen'd
+    // ADC scan, broadcast shortlist rerank. Gated on the MINIMUM per-query
+    // recall@k vs batched exact cosine (every query must clear 0.9, not
+    // just the average). Batch ≡ single-query equivalence is spec-asserted
+    // (SimilaritySpec "pqQueryAll: batch result matches per-query pqTopK").
+    "q_ann_pq_batch" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val emb = t("embeddings")
+        val nrm = Similarity.norm(col("embedding"))
+        val unit = emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double") / nrm).as("uvec"))
+          .localCheckpoint(true) // train + encode + rerank + exact all read it
+        val corpus = unit.filter(col("vec_id") >= 5)
+        val queries = unit.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("uvec"))
+        val book = Similarity.pqTrain(corpus, "uvec", m = 16, nPlanes = 4)
+          .localCheckpoint(true)
+        val codes = Similarity.pqEncode(corpus, "vec_id", "uvec", book, m = 16)
+        val k = 20
+        val approx = Similarity.pqQueryAll(book, codes, corpus, queries,
+          "query_id", "vec_id", "uvec", k = k, m = 16, nPlanes = 4,
+          rerank = 200)
+        // batched exact ground truth: bounded (5-query) crossJoin +
+        // per-query window — cosine is scale-invariant so unit vectors
+        // rank identically to the raw corpus
+        val exact = corpus
+          .crossJoin(broadcast(queries
+            .select(col("query_id"), col("uvec").as("__qv"))))
+          .withColumn("__sim", Similarity.cosine(col("uvec"), col("__qv")))
+          .withColumn("__rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+              .orderBy(col("__sim").desc, col("vec_id").asc)))
+          .filter(col("__rk") <= k)
+          .select(col("query_id"), col("vec_id"))
+        val worst = approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("__hits"))
+          .agg((min(col("__hits")) / lit(k.toDouble)).as("__minRecall"))
+        approx.crossJoin(broadcast(worst))
+          .withColumn("__ok", assert_true(col("__minRecall") >= 0.9,
+            concat(lit(s"batched PQ ANN min per-query recall@$k regression: "),
+              col("__minRecall").cast("string"), lit(" < 0.9"))))
+          .filter(col("__ok").isNull)
+          .drop("__ok", "__minRecall")
+      },
+      None),
+
     // int8 symmetric quantization of the embedding corpus (4× storage at
     // 100 TB): per-vector scale + codes, identical IEEE op order in both
     // engines so the codes hash-match bit-for-bit.
@@ -4998,18 +5047,25 @@ object Queries {
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft.vsql")
         s.sql("DROP TABLE IF EXISTS graft.vsql.agg_push")
         s.sql("""CREATE TABLE graft.vsql.agg_push
-                 (event_id BIGINT, user_id BIGINT, value_micros BIGINT)
+                 (event_id BIGINT, user_id BIGINT, value_micros BIGINT,
+                  maybe_val BIGINT)
                  PARTITIONED BY (bucket(8, event_id))
                  TBLPROPERTIES ('graft.keys'='event_id',
-                                'graft.statsCols'='event_id',
+                                'graft.statsCols'='event_id,maybe_val',
                                 'graft.sumCols'='value_micros')""")
         s.sql("""INSERT INTO graft.vsql.agg_push
                  SELECT event_id, user_id,
-                        CAST(ROUND(value * 1000000) AS BIGINT)
+                        CAST(ROUND(value * 1000000) AS BIGINT),
+                        CASE WHEN user_id % 5 = 0 THEN NULL
+                             ELSE CAST(ROUND(value * 1000000) AS BIGINT) END
                  FROM events_v""")
+        // COUNT(col) over a NULLABLE column (r15): answered from the
+        // index's per-file nl_<col> null counts (Iceberg's
+        // null_value_counts) — Σ n_rows − Σ nl, still scan-free
         val out = s.sql("""SELECT COUNT(*) AS n, MIN(event_id) AS min_id,
                                   MAX(event_id) AS max_id,
-                                  SUM(value_micros) AS sum_micros
+                                  SUM(value_micros) AS sum_micros,
+                                  COUNT(maybe_val) AS n_val
                            FROM graft.vsql.agg_push""")
         require(!out.queryExecution.executedPlan.toString.contains("HashAggregate"),
           "q_sql_agg_pushdown: expected complete aggregate pushdown (no " +
@@ -5019,7 +5075,8 @@ object Queries {
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
              |MIN(event_id) AS min_id, MAX(event_id) AS max_id,
-             |CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+             |CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,
+             |CAST(COUNT(CASE WHEN user_id % 5 = 0 THEN NULL ELSE 1 END) AS BIGINT) AS n_val
              |FROM events""".stripMargin)),
 
     // MERGE INTO as literal SQL — the reference's core CDC statement

@@ -39,9 +39,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
 final case class GraftStreamRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Existence probes must never throw during resolution (malformed
-    * segments are simply "not ours" — Spark's own not-found applies). */
+    * segments are simply "not ours" — Spark's own not-found applies).
+    * NonFatal, not just IllegalArgumentException: a corrupt `_meta` dir or
+    * an IO hiccup inside tableExists would otherwise abort analysis of ANY
+    * streaming query touching the name instead of falling through. */
   private def probes(b: => Boolean): Boolean =
-    try b catch { case _: IllegalArgumentException => false }
+    try b catch { case scala.util.control.NonFatal(_) => false }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
     case u @ UnresolvedRelation(parts, opts, true)

@@ -194,8 +194,20 @@ final class GraftScanBuilder(table: GraftTable)
             kpt.statsCols.contains(c) && covered(c, "mn_", "mx_"))
           case m: Max => fieldOf(m.column).exists(c =>
             kpt.statsCols.contains(c) && covered(c, "mn_", "mx_"))
+          // COUNT(col): Σ n_rows − Σ nl_<col> — needs the null counts the
+          // index carries since they joined the stats schema; a stale
+          // pre-upgrade index (no nl_) declines rather than scans
+          case n: Count => !n.isDistinct && fieldOf(n.column).exists(c =>
+            kpt.statsCols.contains(c) && covered(c, "nl_"))
+          // Sum of a DECIMAL declines: sumOf's result schema is the
+          // sum-of-sum-partials type (precision widened TWICE), which
+          // disagrees with Spark's expected Sum result type for the column
+          // — the complete-pushdown scan schema would mismatch. Integral
+          // (long) and floating (double) sums match exactly.
           case s: Sum => !s.isDistinct && fieldOf(s.column).exists(c =>
-            kpt.sumCols.contains(c) && covered(c, "sm_"))
+            kpt.sumCols.contains(c) && covered(c, "sm_") &&
+              !table.schema(c).dataType
+                .isInstanceOf[org.apache.spark.sql.types.DecimalType])
           case _ => false
         }
       }
@@ -214,6 +226,8 @@ final class GraftScanBuilder(table: GraftTable)
     // per-column sum): SELECT MIN(c), MAX(c) must not run the stats job
     // twice — and on the index-less fallback each run is a full scan
     lazy val countOnce = kpt.countRows()
+    val countColOnce = collection.mutable.Map.empty[String, Long]
+    def countCol(c: String) = countColOnce.getOrElseUpdate(c, kpt.countOf(c))
     val minMaxOnce = collection.mutable.Map.empty[String, org.apache.spark.sql.Row]
     def minMaxRow(c: String) = minMaxOnce.getOrElseUpdate(c, kpt.minMaxOf(c).head())
     val sumOnce = collection.mutable.Map.empty[String, (Any, org.apache.spark.sql.types.DataType)]
@@ -223,6 +237,9 @@ final class GraftScanBuilder(table: GraftTable)
     })
     val cols: Seq[(String, Column)] = agg.aggregateExpressions.toSeq.zipWithIndex.map {
       case (_: CountStar, i) => (s"count_star_$i", lit(countOnce))
+      case (n: Count, i) =>
+        val c = fieldOf(n.column).get
+        (s"count_${c}_$i", lit(countCol(c)))
       case (m: Min, i) =>
         val c = fieldOf(m.column).get
         (s"min_${c}_$i", lit(minMaxRow(c).get(0)).cast(table.schema(c).dataType))

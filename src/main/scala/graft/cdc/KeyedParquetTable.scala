@@ -969,6 +969,14 @@ final class KeyedParquetTable(
     // marker also advances its own appId's slot
     val ledger = splitTxn(txn) match {
       case Some((app, batch)) =>
+        // the _txns ledger is newline-delimited `appId\tbatchId` lines with
+        // no escaping — an appId carrying a control character (user-settable
+        // via the sink's txnAppId option) would corrupt the ledger and
+        // silently drop replay markers, reopening the double-apply window
+        require(!app.exists(_.isControl),
+          s"txn appId contains a control character (newline/tab/...): " +
+            s"${app.map(c => if (c.isControl) f"\\u${c.toInt}%04x" else c.toString).mkString} " +
+            "— txnAppId must be ledger-safe plain text")
         txnLedger + (app -> math.max(batch, txnLedger.getOrElse(app, Long.MinValue)))
       case None => txnLedger
     }
@@ -2644,7 +2652,14 @@ final class KeyedParquetTable(
     if (walkParquet(curDir).isEmpty) return true // empty table: no scan possible
     Files.exists(statsDirOf(curDir)) &&
       (!hasDeletes(curDir) ||
-        (isSharded(deletesDirOf(curDir)) && bucketCount > 0 && !hasForeignFlatFiles))
+        (isSharded(deletesDirOf(curDir)) && bucketCount > 0 && !hasForeignFlatFiles &&
+          // the MoR hybrid scans the DEBT buckets' data inside the caller —
+          // which for SQL aggregate pushdown is ScanBuilder.build(), i.e.
+          // PLAN time. Bound the accepted debt so planning never becomes a
+          // near-full table scan: beyond 1/8 of the buckets, decline and
+          // let the ordinary scan+agg run at execution.
+          deleteShardDirs(deletesDirOf(curDir)).flatMap(shardIdOf).toSet.size
+            <= math.max(1, bucketCount / 8)))
   }
 
   /** Columns the CURRENT snapshot's stats index carries (empty when
@@ -2676,6 +2691,42 @@ final class KeyedParquetTable(
         .agg(coalesce(sum("n_rows"), lit(0L))).head.getLong(0)
       cleanSum + (if (debt.isEmpty) 0L else readBuckets(debt).count())
     } else read().count()
+  }
+
+  /** O(metadata) COUNT(c): the live NON-NULL count of a stats-covered
+    * column, answered from the per-file `nl_<c>` null counts in the
+    * transactional `_stats` index (Iceberg's manifests carry
+    * `null_value_counts` for exactly this) — COUNT(col) =
+    * Σ n_rows − Σ nl_<c>. Same merge-on-read hybrid as [[countRows]]:
+    * clean buckets answer from the index, delete-debt buckets by a scoped
+    * delete-applied scan. An index written before this column carried
+    * null counts lacks `nl_<c>` and falls back to the honest scan —
+    * [[statsIndexColumns]] lets planners decline that shape up front.
+    */
+  def countOf(c: String): Long = {
+    val v = currentVersion
+    require(v >= 0, s"table $root has no snapshot")
+    require(statsCols.contains(c),
+      s"countOf('$c') needs '$c' in statsCols (got $statsCols) — " +
+        "without index coverage use read().filter(isNotNull).count()")
+    val curDir = versionDir(v)
+    if (walkParquet(curDir).isEmpty) return 0L
+    def scanCount(df: DataFrame): Long = df.filter(col(c).isNotNull).count()
+    val statsDir = statsDirOf(curDir)
+    if (!Files.exists(statsDir)) return scanCount(read())
+    val statsDf = spark.read.parquet(statsDir.toString)
+    if (!statsDf.columns.contains(s"nl_$c")) return scanCount(read())
+    if (!hasDeletes(curDir))
+      statsDf.agg(coalesce(sum(col("n_rows") - col(s"nl_$c")), lit(0L)))
+        .head.getLong(0)
+    else if (isSharded(deletesDirOf(curDir)) && bucketCount > 0 &&
+             !hasForeignFlatFiles) {
+      val debt = deleteShardDirs(deletesDirOf(curDir)).flatMap(shardIdOf).toSet
+      val cleanSum = statsDf.filter(!col("bucket").isin(debt.toSeq: _*))
+        .agg(coalesce(sum(col("n_rows") - col(s"nl_$c")), lit(0L)))
+        .head.getLong(0)
+      cleanSum + (if (debt.isEmpty) 0L else scanCount(readBuckets(debt)))
+    } else scanCount(read())
   }
 
   /** O(metadata) MIN/MAX over a stats-covered column: one row
@@ -2797,7 +2848,8 @@ final class KeyedParquetTable(
     graft.ops.FileStats.collect(spark, paths, statsCols,
       basePath = Some(versionDir(next).toString),
       bloom = if (bloomKeyBits > 0) Some((bucketKeys, bloomKeyBits)) else None,
-      sums = sumCols)
+      sums = sumCols,
+      nulls = statsCols)
       .withColumn("file_path",
         element_at(split(decode(col("file_path")), sep), -1))
       .withColumn("bucket",
@@ -2830,7 +2882,7 @@ final class KeyedParquetTable(
     // commit on a union mismatch; recompute fully instead (one-time cost,
     // after which incremental maintenance resumes on the new columns)
     val wanted = ("file_path" +: "n_rows" +: "bucket" +:
-      (statsCols.flatMap(c => Seq(s"mn_$c", s"mx_$c")) ++
+      (statsCols.flatMap(c => Seq(s"mn_$c", s"mx_$c", s"nl_$c")) ++
         sumCols.map(c => s"sm_$c") ++
         (if (bloomKeyBits > 0) Seq(bloomColName) else Nil))).toSet
     val carried = rewrittenBuckets.flatMap(rw => prevStatsOf(prev).map(_ -> rw))

@@ -42,16 +42,20 @@ object FileStats {
   def collect(spark: SparkSession, paths: Seq[String], cols: Seq[String],
               basePath: Option[String] = None,
               bloom: Option[(Seq[String], Int)] = None,
-              sums: Seq[String] = Nil): DataFrame = {
-    require(cols.nonEmpty || bloom.isDefined || sums.nonEmpty,
-      "need at least one stats column, sum column, or a bloom spec")
+              sums: Seq[String] = Nil,
+              nulls: Seq[String] = Nil): DataFrame = {
+    require(cols.nonEmpty || bloom.isDefined || sums.nonEmpty || nulls.nonEmpty,
+      "need at least one stats/sum/null column or a bloom spec")
     require(paths.nonEmpty, "need at least one path")
     require(bloom.forall(_._1.nonEmpty), "bloom needs at least one key column")
     // sm_<c>: per-file SUM for numeric columns — the manifest stat Iceberg
     // does not carry (counts and bounds only); lets a table answer SUM from
     // metadata. Non-numeric sum columns fail loudly at analysis here.
+    // nl_<c>: per-file NULL count (Iceberg's null_value_counts) — lets a
+    // table answer COUNT(col) = Σ n_rows − Σ nl_<c> from metadata.
     val aggs = count(lit(1)).as("n_rows") +:
       (cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))) ++
+        nulls.map(c => count(when(col(c).isNull, true)).as(s"nl_$c")) ++
         sums.map(c => sum(col(c)).as(s"sm_$c")) ++
         bloom.map { case (ks, bits) =>
           KeyBloom.agg(bits)(xxhash64(ks.map(col): _*))

@@ -267,18 +267,25 @@ object Similarity {
              m: Int, nPlanes: Int = 4, rerank: Int = 200): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val cells = 1 << nPlanes
-    val qRows = query.select(size(col(vecCol))).limit(1).collect()
-    require(qRows.nonEmpty, "pqTopK: the query frame is empty")
-    val d = qRows.head.getInt(0)
+    // EXACTLY one query row: the LUT is built from a single vector, and the
+    // exact rerank cross-joins the query frame — a multi-row frame would
+    // silently rank the shortlist by row 1's LUT while scoring sims against
+    // every row (a meaningless mixture). Batch callers use [[pqQueryAll]].
+    val qRows = query.select(col(vecCol)).limit(2).collect()
+    require(qRows.length == 1,
+      s"pqTopK expects exactly one query row (got ${
+        if (qRows.isEmpty) "0" else "2 or more"}) — use pqQueryAll to " +
+        "score a whole query table in one job")
+    val q = qRows.head.getSeq[Any](0).map {
+      case f: Float => f.toDouble; case d: Double => d
+    }.toArray
+    val d = q.length
     require(d % m == 0,
       s"pqTopK: query dim $d must be a multiple of m=$m subspaces " +
         "(and match the codebook's training dim)")
     val w = d / m
     // LUT: dot(q_sub, centroid) for every codebook entry — the codebook is
     // m × ≤2^nPlanes rows, so this is a bounded driver-side build
-    val q = query.select(col(vecCol)).head().getSeq[Any](0).map {
-      case f: Float => f.toDouble; case d: Double => d
-    }.toArray
     val lut = Array.fill(m * cells)(0.0)
     codebook.select("sub", "code", "centroid").collect().foreach { r =>
       val s = r.getInt(0); val c = r.getLong(1).toInt
@@ -347,6 +354,135 @@ object Similarity {
     pqTopK(spark.read.parquet(s"$indexDir/codebook"),
       spark.read.parquet(s"$indexDir/codes"),
       embeddings, query, idCol, vecCol, k, m, nPlanes, rerank)
+
+  /** Remove vectors from a persisted PQ index — takedown parity with
+    * [[ivfRemove]] for the codes layout. The codes dir is flat (not
+    * partitioned by cell — ADC scans everything by design), so removal is
+    * file-scoped instead of cell-scoped:
+    *   1. locate the files holding removed ids with a COLUMN-PRUNED
+    *      (id, input_file_name) scan semi-joined with the removal set —
+    *      reads the id column only, never the codes;
+    *   2. rewrite ONLY the touched files: their survivors append as new
+    *      part files, then the old files are deleted. O(touched files)
+    *      I/O; untouched files are never opened.
+    * Absent ids no-op. Returns the number of files rewritten.
+    *
+    * Not transactional (same contract as [[ivfRemove]]): a reader racing
+    * the append-then-delete can briefly see survivors doubled — run
+    * removals from the index's single maintenance owner. Crash between the
+    * two steps leaves duplicated survivors, never lost rows; re-running
+    * the removal converges (the duplicate-holding old files are touched
+    * again only if they hold removed ids — rebuild via [[pqBuild]] if a
+    * crash ever needs cleaning).
+    */
+  def pqRemove(spark: SparkSession, indexDir: String, removedIds: DataFrame,
+               idCol: String): Int = {
+    val codesDir = s"$indexDir/codes"
+    val ids = removedIds.select(col(idCol)).distinct().localCheckpoint(true)
+    val touched = spark.read.parquet(codesDir)
+      .select(col(idCol), input_file_name().as("__f"))
+      .join(ids, Seq(idCol), "left_semi")
+      .select("__f").distinct()
+      .collect().map(_.getString(0)).sorted // O(removed-touched files)
+    if (touched.isEmpty) return 0
+    // survivors of the touched files only; checkpoint so the append job
+    // cannot re-read the very files the delete below removes
+    val stored = spark.read.parquet(codesDir)
+    val survivors = stored
+      .filter(input_file_name().isInCollection(touched))
+      .join(ids, Seq(idCol), "left_anti")
+      .select(stored.columns.map(col): _*)
+      .localCheckpoint(true)
+    if (!survivors.isEmpty)
+      survivors.write.mode("append").parquet(codesDir)
+    val fs = new org.apache.hadoop.fs.Path(codesDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { f =>
+      // input_file_name() is URI-encoded; decode before handing to the FS
+      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
+    }
+    // the FileStatusCache still lists the deleted part files
+    spark.catalog.refreshByPath(codesDir)
+    touched.length
+  }
+
+  /** Batched PQ ANN: ADC top-k for EVERY query row in ONE job against the
+    * codes table — [[ivfQueryAll]]'s shape for the memory-bound index.
+    *
+    * Plan: each query builds its LUT DISTRIBUTED — queries × broadcast
+    * codebook → per-(query, sub, code) dot products, folded into ONE
+    * map<slot, double> row per query (≤ m·2^nPlanes entries — index-
+    * bounded, not data-bounded). The per-query LUT maps broadcast onto the
+    * codes scan (|queries| rows of ~m·cells doubles — a few MB for
+    * thousands of queries; chunk a larger query table upstream), every
+    * (code row, query) pair scores by m map lookups in one codegen'd
+    * projection, and a per-query window keeps the `rerank` shortlist. The
+    * exact rerank then joins the (|queries|·rerank)-row shortlist back to
+    * the real vectors — broadcast, bounded by construction — and keeps the
+    * top k by true cosine. Vectors are read ONLY for shortlisted rows.
+    * Returns (query_id, idCol, sim) like [[ivfQueryAll]].
+    */
+  def pqQueryAll(codebook: DataFrame, codes: DataFrame, embeddings: DataFrame,
+                 queries: DataFrame, qidCol: String, idCol: String,
+                 vecCol: String, k: Int, m: Int, nPlanes: Int,
+                 rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val cells = 1 << nPlanes
+    // subspace width from the codebook (m × ≤2^nPlanes rows: bounded read)
+    val wRows = codebook.select(size(col("centroid"))).limit(1).collect()
+    require(wRows.nonEmpty, "pqQueryAll: the codebook is empty")
+    val w = wRows.head.getInt(0)
+    val book = broadcast(codebook.select(col("sub").as("__sub"),
+      col("code").as("__code"), col("centroid").as("__c")))
+    // per-query LUT as ONE map row: slot = sub·cells + code → dot(q_sub, c)
+    val qluts = queries
+      .select(col(qidCol).as("query_id"), col(vecCol).as("__qvec"))
+      .crossJoin(book)
+      .withColumn("__lut", dotHof(
+        transform(slice(col("__qvec"), col("__sub") * lit(w) + lit(1), lit(w)),
+          x => x.cast("double")),
+        col("__c")))
+      .groupBy("query_id")
+      .agg(first(col("__qvec")).as("__qvec"),
+        map_from_entries(collect_list(struct(
+          (col("__sub") * lit(cells) + col("__code")).cast("int").as("__slot"),
+          col("__lut")))).as("__lutmap"))
+      // two consumers (ADC scan + exact rerank) — materialize once
+      .localCheckpoint(true)
+    // ADC: every (codes row × query) scores by m map lookups; codes always
+    // reference codebook entries (they were assigned from it), so every
+    // looked-up slot is present in the map
+    val shortlist = codes
+      .crossJoin(broadcast(qluts.select(col("query_id"), col("__lutmap"))))
+      .withColumn("__adc",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(col("__lutmap"),
+            (s * lit(cells) + element_at(col("codes"), s + 1)).cast("int"))))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("__adc").desc, col(idCol).asc)))
+      .filter(col("__rk") <= rerank)
+      .select(col("query_id"), col(idCol))
+    embeddings.join(broadcast(shortlist), Seq(idCol))
+      .join(broadcast(qluts.select(col("query_id"), col("__qvec"))),
+        Seq("query_id"))
+      .withColumn("sim", cosine(col(vecCol), col("__qvec")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col(idCol).asc)))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col(idCol), col("sim"))
+  }
+
+  /** [[pqQueryAll]] from a PERSISTED index (see [[pqQuery]]). */
+  def pqQueryAll(spark: SparkSession, indexDir: String, embeddings: DataFrame,
+                 queries: DataFrame, qidCol: String, idCol: String,
+                 vecCol: String, k: Int, m: Int, nPlanes: Int = 4,
+                 rerank: Int = 200): DataFrame =
+    pqQueryAll(spark.read.parquet(s"$indexDir/codebook"),
+      spark.read.parquet(s"$indexDir/codes"),
+      embeddings, queries, qidCol, idCol, vecCol, k, m, nPlanes, rerank)
 
   /** Explode vectors into `(row-id, sub, subvector)` — the shared PQ
     * preparation. `__rid` is a per-row synthetic id (the caller's id when

@@ -1075,6 +1075,85 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE graft.spec.aggx")
   }
 
+  test("COUNT(col) pushdown: nl_ null counts answer scan-free; stale/debt/decimal shapes decline") {
+    sql("DROP TABLE IF EXISTS graft.spec.aggc")
+    sql("""CREATE TABLE graft.spec.aggc (id BIGINT, ts BIGINT, mv BIGINT)
+           PARTITIONED BY (bucket(4, id))
+           TBLPROPERTIES ('graft.keys'='id', 'graft.statsCols'='ts,mv')""")
+    sql("INSERT INTO graft.spec.aggc " +
+      (1 to 40).map(i =>
+        s"SELECT ${i}L, ${i * 10}L, ${if (i % 4 == 0) "NULL" else s"${i}L"}")
+        .mkString(" UNION ALL "))
+    val cnt = sql("SELECT COUNT(mv) AS nv, COUNT(*) AS n FROM graft.spec.aggc")
+    assert(!cnt.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      cnt.queryExecution.executedPlan.toString)
+    assert(cnt.head() === org.apache.spark.sql.Row(30L, 40L))
+    // COUNT(DISTINCT col) is not index-answerable — must decline
+    val dist = sql("SELECT COUNT(DISTINCT mv) FROM graft.spec.aggc")
+    assert(dist.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(dist.head().getLong(0) === 30L)
+    // a STALE index missing nl_ (written before null counts joined the
+    // stats schema) must DECLINE COUNT(col), not scan at plan time —
+    // simulate by rewriting _stats without its nl_ columns
+    val kpt = graftCatalog.tableFor(Identifier.of(Array("spec"), "aggc"))
+    val statsDir = java.nio.file.Paths
+      .get(kpt.root, s"v${kpt.currentVersion}", "_stats").toString
+    val stale = spark.read.parquet(statsDir)
+      .drop("nl_ts", "nl_mv").collect()
+    val staleSchema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(statsDir).schema.filterNot(_.name.startsWith("nl_")))
+    spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(stale: _*)), staleSchema)
+      .coalesce(1).write.mode("overwrite").parquet(statsDir + "_new")
+    val fs = new org.apache.hadoop.fs.Path(statsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(statsDir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(statsDir + "_new"),
+      new org.apache.hadoop.fs.Path(statsDir))
+    spark.catalog.refreshByPath(statsDir)
+    val staleCnt = sql("SELECT COUNT(mv) FROM graft.spec.aggc")
+    assert(staleCnt.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "stale index (no nl_) must decline COUNT(col)")
+    assert(staleCnt.head().getLong(0) === 30L)
+    // MIN/MAX still push down off the stale index (mn_/mx_ intact)
+    val mm = sql("SELECT MIN(ts), MAX(ts) FROM graft.spec.aggc")
+    assert(!mm.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(mm.head() === org.apache.spark.sql.Row(10L, 400L))
+    sql("DROP TABLE graft.spec.aggc")
+    // MoR delete DEBT past the bound (1/8 of buckets, min 1) must decline:
+    // planning would otherwise data-scan the debt buckets inside
+    // ScanBuilder.build(). One-bucket debt still answers hybrid.
+    sql("DROP TABLE IF EXISTS graft.spec.aggd")
+    sql("""CREATE TABLE graft.spec.aggd (id BIGINT, ts BIGINT)
+           PARTITIONED BY (bucket(8, id))
+           TBLPROPERTIES ('graft.keys'='id', 'graft.statsCols'='ts')""")
+    sql("INSERT INTO graft.spec.aggd " +
+      (1 to 40).map(i => s"SELECT ${i}L, ${i}L").mkString(" UNION ALL "))
+    sql("DELETE FROM graft.spec.aggd WHERE id = 1") // ≤1 debt bucket
+    val hybrid = sql("SELECT COUNT(*) FROM graft.spec.aggd")
+    assert(!hybrid.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "single-bucket debt should still answer hybrid")
+    assert(hybrid.head().getLong(0) === 39L)
+    sql("DELETE FROM graft.spec.aggd WHERE id IN (2,3,4,5,6,7,8,9,10,11,12)")
+    val deep = sql("SELECT COUNT(*) FROM graft.spec.aggd")
+    assert(deep.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "deep delete debt must decline pushdown (plan-time scan guard)")
+    assert(deep.head().getLong(0) === 28L)
+    sql("DROP TABLE graft.spec.aggd")
+    // SUM over a DECIMAL column declines (sumOf's double-widened partials
+    // type disagrees with Spark's Sum result type) — and stays correct
+    sql("DROP TABLE IF EXISTS graft.spec.aggm")
+    sql("""CREATE TABLE graft.spec.aggm (id BIGINT, d DECIMAL(10,2))
+           PARTITIONED BY (bucket(4, id))
+           TBLPROPERTIES ('graft.keys'='id', 'graft.sumCols'='d')""")
+    sql("INSERT INTO graft.spec.aggm VALUES (1, 1.25), (2, 2.50), (3, 3.25)")
+    val dec = sql("SELECT SUM(d) FROM graft.spec.aggm")
+    assert(dec.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "decimal SUM must decline pushdown")
+    assert(dec.head().getDecimal(0) === new java.math.BigDecimal("7.00"))
+    sql("DROP TABLE graft.spec.aggm")
+  }
+
   test("Scala surface and SQL surface see one table state (MERGE then SELECT)") {
     sql("DROP TABLE IF EXISTS graft.spec.merged")
     sql("""CREATE TABLE graft.spec.merged (id BIGINT, v BIGINT)

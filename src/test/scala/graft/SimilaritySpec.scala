@@ -527,4 +527,106 @@ class SimilaritySpec extends SparkSpec {
     // still found via the stored-codebook encoding
     assert(gotLate.count(id => id >= 270 && id <= 299) >= 8, s"late=$gotLate")
   }
+
+  test("pqTopK refuses a multi-row query frame (single-query LUT contract)") {
+    val m = 4; val nPlanes = 3
+    val emb = clustered
+    val book = Similarity.pqTrain(emb, "embedding", m, nPlanes, dim)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", book, m, dim)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(book, codes, emb,
+        emb.filter(col("vec_id") < 2).select("embedding"),
+        "vec_id", "embedding", k = 5, m = m, nPlanes = nPlanes, rerank = 20)
+    }
+    assert(e.getMessage.contains("pqQueryAll"))
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(book, codes, emb, emb.limit(0).select("embedding"),
+        "vec_id", "embedding", k = 5, m = m, nPlanes = nPlanes, rerank = 20)
+    }
+  }
+
+  test("pqRemove: removed ids unscorable, untouched files unrewritten, ≡ never-indexed") {
+    val m = 4; val nPlanes = 3
+    val emb = clustered
+    val dir = tmpDir("pqremove")
+    // build + append → at least two physical code files (AQE coalesces a
+    // tiny build into one file; the append lands in its own), so the
+    // untouched-file assertion below has something to bite on
+    Similarity.pqBuild(emb.filter(col("vec_id") < 200), "vec_id", "embedding",
+      dir, m, nPlanes, dim)
+    Similarity.pqAppend(spark, dir, emb.filter(col("vec_id") >= 200),
+      "vec_id", "embedding", m, dim)
+    val before = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), input_file_name().as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // remove a handful of ids (codes are hash-spread across part files, so
+    // a small set leaves most files untouched — the pruning under test);
+    // 9999 is absent and must no-op
+    val removedIds = Set(0L, 1L, 155L)
+    val n = Similarity.pqRemove(spark, dir,
+      (removedIds + 9999L).toSeq.toDF("vec_id"), "vec_id")
+    assert(n > 0)
+    val after = spark.read.parquet(s"$dir/codes")
+    val ids = after.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === before.keySet -- removedIds)
+    // untouched files (those holding no removed id) were not rewritten
+    val afterFiles = after.select(col("vec_id"), input_file_name().as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val touchedFiles = removedIds.flatMap(before.get)
+    val untouched = before.collect {
+      case (i, f) if !touchedFiles(f) && !removedIds(i) => i }
+    assert(untouched.nonEmpty)
+    untouched.foreach(i => assert(afterFiles(i) === before(i),
+      s"untouched code row $i was rewritten"))
+    // removal-equivalence: the surviving codes are EXACTLY what indexing
+    // only the survivors would have produced (same stored codebook)
+    val book = spark.read.parquet(s"$dir/codebook")
+    val fresh = Similarity.pqEncode(
+        emb.filter(!col("vec_id").isInCollection(removedIds)),
+        "vec_id", "embedding", book, m, dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kept = after.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kept === fresh)
+    // queries never surface a removed id — query INSIDE cluster 0, whose
+    // removed members (0, 1) would otherwise be top neighbors
+    val got = Similarity.pqQuery(spark, dir,
+        emb.filter(!col("vec_id").isInCollection(removedIds)),
+        emb.filter(col("vec_id") === 5L).select("embedding"),
+        "vec_id", "embedding", k = 10, m = m, nPlanes = nPlanes, rerank = 60)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got.intersect(removedIds).isEmpty)
+    // absent-id-only removal is a full no-op
+    assert(Similarity.pqRemove(spark, dir, Seq(77777L).toDF("vec_id"),
+      "vec_id") === 0)
+  }
+
+  test("pqQueryAll: batch result matches per-query pqTopK for every query") {
+    val m = 4; val nPlanes = 3
+    val emb = clustered
+    val corpus = emb.filter(col("vec_id") % 30 =!= 0)
+    val queries = emb.filter(col("vec_id") % 30 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val book = Similarity.pqTrain(corpus, "embedding", m, nPlanes, dim)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", book, m, dim)
+    val batch = Similarity.pqQueryAll(book, codes, corpus, queries,
+        "qid", "vec_id", "embedding", k = 5, m = m, nPlanes = nPlanes,
+        rerank = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    assert(batch.keySet === (0 until 10).map(_ * 30L).toSet)
+    queries.collect().foreach { qr =>
+      val qid = qr.getLong(0)
+      val one = Similarity.pqTopK(book, codes, corpus,
+          queries.filter(col("qid") === qid).select("embedding"),
+          "vec_id", "embedding", k = 5, m = m, nPlanes = nPlanes, rerank = 60)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch(qid).sortBy(t => (-t._3, t._2)).map(t => (t._2, t._3)).toSeq
+      assert(got === one, s"qid=$qid batch=$got single=$one")
+    }
+    // each query's batch top-5 comes from its own cluster
+    batch.foreach { case (qid, rows) =>
+      assert(rows.forall { case (_, id, _) => id / 30 == qid / 30 },
+        s"qid=$qid leaked across clusters: ${rows.toSeq}")
+    }
+  }
 }
