@@ -1726,15 +1726,27 @@ object Queries {
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val li = t("lineitem")
-        // one explicit hash(l_orderkey) exchange serves BOTH aggregations:
-        // HashPartitioning(orderkey) satisfies the (orderkey, suppkey)
-        // clustering too, so the cascade runs in a single post-shuffle
-        // stage (the map-side combine it forgoes collapses ~1 row per
-        // (order, supp) pair — nothing)
-        val perSupp = li.select("l_orderkey", "l_suppkey", "l_returnflag")
+        // the F-order semi runs BEFORE the exchange: o_orderstatus='F'
+        // keeps ~half the orders, so the broadcast semi (hash probe per
+        // row, no shuffle) halves the rows the exchange carries — and the
+        // post-agg semi it replaces disappears. Order-level restriction is
+        // exact: the oracle's EXISTS subqueries range over rows of the
+        // SAME order, so dropping whole non-F orders changes nothing.
+        // returnflag narrows to one boolean pre-shuffle (8+8+1 byte rows).
+        // One explicit hash(l_orderkey) exchange then serves BOTH
+        // aggregations: HashPartitioning(orderkey) satisfies the
+        // (orderkey, suppkey) clustering too, so the cascade runs in a
+        // single post-shuffle stage (the map-side combine it forgoes
+        // collapses ~1 row per (order, supp) pair — nothing)
+        val perSupp = li
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_returnflag") === "R").as("__r"))
+          .join(broadcast(t("orders").filter(col("o_orderstatus") === "F")
+            .select("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
           .repartition(col("l_orderkey"))
           .groupBy(col("l_orderkey"), col("l_suppkey"))
-          .agg(count(when(col("l_returnflag") === "R", 1)).as("__r_rows_s"))
+          .agg(count(when(col("__r"), 1)).as("__r_rows_s"))
         val perOrder = perSupp.groupBy(col("l_orderkey")).agg(
           count(lit(1)).as("__n_supp"),
           sum(when(col("__r_rows_s") > 0, 1).otherwise(0)).as("__r_supp"),
@@ -1742,9 +1754,6 @@ object Queries {
           max(when(col("__r_rows_s") > 0, col("l_suppkey"))).as("__r_suppkey"))
         perOrder
           .filter(col("__n_supp") >= 2 && col("__r_supp") === 1)
-          .join(broadcast(t("orders").filter(col("o_orderstatus") === "F")
-            .select("o_orderkey")),
-            col("l_orderkey") === col("o_orderkey"), "left_semi")
           .join(broadcast(t("supplier")), col("__r_suppkey") === col("s_suppkey"))
           .groupBy("s_name").agg(sum(col("__r_rows")).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name").asc)
