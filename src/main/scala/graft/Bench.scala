@@ -36,41 +36,64 @@ object Bench {
         s"[bench] unparseable SPARK_GRAFT_BENCH_RUNS='$s', using 3")
       n
     }.getOrElse(3).max(1)
-    val results = selected.map { case (name, fn) =>
-      // a failed run's elapsed time is NOT a measurement — keep only
-      // successful runs, so one fast failure can't become the reported min
-      val times = (1 to nRuns).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
-        }
-      }
-      name -> times
+    // contention self-defense (VERDICT r14 ask #5): interleave a one-shot
+    // calibration probe every K queries; a query whose min lands >3× its
+    // prior-round min WHILE its window's calibration ran hot is a SUSPECT
+    // (machine contention, not code) — re-time it once at the end of the
+    // sweep and report both, so one contended window can't fake a
+    // regression wall (BENCH_r14's 4–6.5× phantom window cost a round's
+    // signal and was diagnosable only post-hoc).
+    val items = selected.map { case (name, fn) =>
+      name -> (() => {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); ()
+      })
     }
+    val sweep = timedSweep(items, nRuns, calEvery = 8,
+      () => calibrationProbe(spark))
+    val priors = priorMinima(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench_result.json"))
+    val suspectQs = suspectNames(sweep, priors)
+    val retimed: Map[String, Double] = suspectQs.flatMap { n =>
+      items.find(_._1 == n).flatMap { case (_, run) =>
+        val t0 = System.nanoTime()
+        try { run(); Some(n -> (System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+    }.toMap
+    // reported min folds the retime in (the uncontended sample IS the
+    // better estimate); mean/median stay over the swept runs, and the
+    // suspect detail keeps both numbers visible
+    val results = sweep.map(r => r.name -> (r.times ++ retimed.get(r.name)))
     // -1 marks a query with zero successful runs (visible, never mistaken
     // for a fast time); failed list makes it machine-readable
-    def asJson(f: Seq[Double] => Double) = results
+    def asJson(rs: Seq[(String, Seq[Double])])(f: Seq[Double] => Double) = rs
       .map { case (k, ts) => "\"" + k + "\":" + (if (ts.isEmpty) -1.0 else f(ts)) }
       .mkString("{", ",", "}")
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val qs = asJson(_.min)
-    val qsMean = asJson(ts => ts.sum / ts.size)
-    val qsMedian = asJson(median)
+    // mean/median over the SWEPT runs only (a retime would skew them);
+    // min folds the retime in
+    val swept = sweep.map(r => r.name -> r.times)
+    val qs = asJson(results)(_.min)
+    val qsMean = asJson(swept)(ts => ts.sum / ts.size)
+    val qsMedian = asJson(swept)(median)
     val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
     // the ingest/maintenance lines time fixed pipelines, not headliners —
     // skip them on a filtered iteration run
     val ingest = if (only.isEmpty) streamIngest(spark, sfDir) else "null"
     val maint = if (only.isEmpty) tableMaintenance(spark, sfDir) else "null"
+    val suspectJson = suspectQs.map { n =>
+      val sw = sweep.find(_.name == n).map(_.times.min).getOrElse(-1.0)
+      "\"" + n + "\":{\"swept\":" + sw + ",\"retimed\":" +
+        retimed.getOrElse(n, -1.0) + "}"
+    }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,""" +
       s""""queries":$qs,"queries_mean":$qsMean,"queries_median":$qsMedian,""" +
+      s""""suspect":$suspectJson,""" +
+      s""""cal_samples":${sweep.map(_.calAt).distinct.mkString("[", ",", "]")},""" +
       s""""calibration_sec":${calibration(spark)},""" +
       s""""testdata_fingerprint":${testdataFingerprint(spark, sfDir)},""" +
       s""""stream_ingest_sf01":$ingest,""" +
@@ -95,10 +118,97 @@ object Bench {
     val qsCompact = results
       .map { case (k, ts) => "\"" + k + "\":" + (if (ts.isEmpty) -1.0 else r4(ts.min)) }
       .mkString("{", ",", "}")
+    // suspects ride the compact line as names only, capped so the ≤1.5k
+    // budget holds even on a fully-contended run
+    val suspectCompact =
+      if (suspectQs.isEmpty) ""
+      else s""","suspect":${suspectQs.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
-      s""""queries":$qsCompact,"failed":${failed.mkString("[", ",", "]")},""" +
-      s""""sf":"$sfDir"}""")
+      s""""queries":$qsCompact,"failed":${failed.mkString("[", ",", "]")}""" +
+      suspectCompact + s""","sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** One timed sweep item after its run: successful run times plus the
+    * calibration sample governing its window (the most recent interleaved
+    * probe — contention evidence local to WHEN the query actually ran).
+    */
+  private[graft] final case class SweepResult(name: String, times: Seq[Double],
+                                              calAt: Double)
+
+  /** Time every item `nRuns` times, interleaving a one-shot calibration
+    * probe every `calEvery` items. A failed run's elapsed time is NOT a
+    * measurement — only successful runs are kept, so one fast failure can't
+    * become a reported min.
+    */
+  private[graft] def timedSweep(items: Seq[(String, () => Unit)], nRuns: Int,
+                                calEvery: Int,
+                                calProbe: () => Double): Seq[SweepResult] = {
+    var lastCal = calProbe()
+    items.zipWithIndex.map { case ((name, run), i) =>
+      if (i > 0 && i % calEvery == 0) lastCal = calProbe()
+      val times = (1 to nRuns).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { run(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
+      }
+      SweepResult(name, times, lastCal)
+    }
+  }
+
+  /** The suspect rule: flagged iff the query's swept min is >3× its
+    * prior-round min AND its window's calibration probe ran >1.5× the
+    * run's own calibration floor — BOTH conditions, so a genuine
+    * regression under a cool calibration is never masked as contention,
+    * and a noisy window without a prior to compare against flags nothing.
+    */
+  private[graft] def suspectNames(results: Seq[SweepResult],
+                                  priors: Map[String, Double]): Seq[String] = {
+    val cals = results.map(_.calAt).filter(_ > 0)
+    if (cals.isEmpty) return Nil
+    val calFloor = cals.min
+    results.filter { r =>
+      r.times.nonEmpty && r.calAt > 1.5 * calFloor &&
+        priors.get(r.name).exists(p => p > 0 && r.times.min > 3 * p)
+    }.map(_.name)
+  }
+
+  /** Prior-round per-query minima from a persisted bench line (the
+    * `bench_result.json` the previous full run wrote) — {} when absent or
+    * unparseable, which simply disables the suspect rule.
+    */
+  private[graft] def priorMinima(path: String): Map[String, Double] = try {
+    val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val key = "\"queries\":{"
+    val i = s.indexOf(key)
+    if (i < 0) return Map.empty
+    val start = i + key.length
+    val end = s.indexOf('}', start)
+    if (end < 0) return Map.empty
+    s.substring(start, end).split(',').flatMap { kv =>
+      val p = kv.split(':')
+      if (p.length != 2) None
+      else p(1).trim.toDoubleOption.filter(_ > 0)
+        .map(v => p(0).trim.stripPrefix("\"").stripSuffix("\"") -> v)
+    }.toMap
+  } catch { case _: Throwable => Map.empty }
+
+  /** One-shot interleaved calibration probe: a single run of the same
+    * no-I/O range aggregation [[calibration]] uses (warm after the first —
+    * the sweep's leading probe pays the one-time codegen).
+    */
+  private[graft] def calibrationProbe(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{sum => fsum, col}
+    val t0 = System.nanoTime()
+    try {
+      spark.range(0, 50000000L, 1, 32)
+        .select(fsum(col("id") % 7).as("s"), fsum(col("id") * 3 % 11).as("t"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 }
   }
 
   /** Fixed no-I/O calibration (VERDICT r9 ask #5): a pure in-memory

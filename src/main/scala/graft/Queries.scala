@@ -4927,21 +4927,47 @@ object Queries {
 
     // ---- Multimodal plumbing ----------------------------------------------
 
-    // Decode/feature-extract path (mapPartitions; deterministic stub codec)
-    // aggregated per source — exercises the full multimodal plumbing.
+    // REAL container-header decode (r15): plant a spec-valid PNG/JPEG/GIF
+    // per document with dimensions derived from doc_id (a subset planted
+    // TRUNCATED), parse the headers back with the pure-JVM container
+    // walkers (mapPartitions typed-Dataset shape), and hash-check against
+    // DuckDB recomputing the plant formula — the parser must read genuine
+    // byte structure (PNG IHDR, JPEG SOFn behind a skipped APP0, GIF
+    // screen descriptor) to reproduce it. Truncated blobs QUARANTINE
+    // (null media columns), never throw.
     "q_media_features" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
-        val docs = t("documents")
-        val withBin = Multimodal.attachBinary(docs, "text", "text/plain")
-        val feats = Multimodal.decodeStub(withBin, "doc_id", "media")
-        feats.join(docs.select(col("doc_id").as("id"), col("source")), "id")
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            expr("CAST(SUM(CAST(round(element_at(features, 1) * 1000) AS BIGINT)) AS BIGINT)")
-              .as("f0_sum_milli"))
+        import s.implicits._
+        val planted = t("documents").select(col("doc_id")).as[Long].map { id =>
+          val w = 1 + (id % 512).toInt
+          val h = 1 + ((id * 7) % 512).toInt
+          val full = (id % 3) match {
+            case 0 => Multimodal.makePng(w, h)
+            case 1 => Multimodal.makeJpeg(w, h)
+            case _ => Multimodal.makeGif(w, h)
+          }
+          // 8 bytes truncates every format BEFORE its dimension fields
+          // (GIF carries dims at bytes 6-9, so 10 would still parse)
+          (id, if (id % 7 == 0) full.take(8) else full)
+        }.toDF("doc_id", "media")
+        Multimodal.decodeHeaders(planted, "doc_id", "media")
+          .select(col("id").as("doc_id"), col("mime"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("decode_error").isNotNull.as("quarantined"))
       },
-      None),
+      Some("""SELECT doc_id,
+             |CASE WHEN doc_id % 7 = 0 THEN NULL
+             |     WHEN doc_id % 3 = 0 THEN 'image/png'
+             |     WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+             |     ELSE 'image/gif' END AS mime,
+             |CASE WHEN doc_id % 7 = 0 THEN NULL
+             |     ELSE CAST(1 + doc_id % 512 AS BIGINT) END AS width,
+             |CASE WHEN doc_id % 7 = 0 THEN NULL
+             |     ELSE CAST(1 + (doc_id * 7) % 512 AS BIGINT) END AS height,
+             |doc_id % 7 = 0 AS quarantined
+             |FROM documents""".stripMargin)),
 
     // Binary payload + typed metadata; metadata-only projection (the blob is
     // pruned at the scan).

@@ -59,9 +59,41 @@ private[catalog] object Pin {
   * constraints enforced inside the write plan.
   */
 final class GraftTable(val kpt: KeyedParquetTable, ident: String, pin: Pin)
-    extends Table with SupportsRead with SupportsWrite with TruncatableTable {
+    extends Table with SupportsRead with SupportsWrite with TruncatableTable
+    with org.apache.spark.sql.graftbridge.V1FallbackTable {
 
   override def name(): String = ident
+
+  /** Claims Spark's native `DataStreamWriter.toTable("graft.ns.t")` path:
+    * a table exposing this fallback routes the streaming write into its V1
+    * provider + location — i.e. the engine's own `graft-table` sink
+    * (exactly-once per the `_txns` replay ledger, merge/append/complete
+    * modes), with the identifier resolved through this catalog. Spark's
+    * guard requires the writer's `format` to match the provider, so the
+    * end-to-end call is `writeStream.format("graft-table").toTable(...)`
+    * — omitting the format fails with Spark's own error naming
+    * `graft-table`. Streaming READS of the identifier never reach this
+    * fallback (the injected GraftStreamRelationRule claims them first),
+    * and batch resolution ignores it (Spark consults it only under
+    * isStreaming).
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    val parts = ident.split('.')
+    val tid = parts.length match {
+      case 1 => org.apache.spark.sql.catalyst.TableIdentifier(parts(0))
+      case 2 => org.apache.spark.sql.catalyst.TableIdentifier(parts(1), Some(parts(0)))
+      case n => org.apache.spark.sql.catalyst.TableIdentifier(
+        parts(n - 1), Some(parts(n - 2)), Some(parts(0)))
+    }
+    CatalogTable(
+      identifier = tid,
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new org.apache.hadoop.fs.Path(kpt.root).toUri)),
+      schema = schema,
+      provider = Some("graft-table"))
+  }
 
   /** `TRUNCATE TABLE` SQL: one atomic empty-snapshot commit — the prior
     * state stays time-travelable (truncate is a version, not an erasure).

@@ -474,6 +474,126 @@ object TextOps {
         .orderBy(col("n").desc, col("w").asc)
         .limit(maxWords)
         .as[(String, Long)].collect()
+    bpeMergeLoop(hist, numMerges).toDF("rank", "left", "right", "merged", "gain")
+  }
+
+  /** NON-overlapping pair counts of one token array — the number of
+    * applications [[mergePair]]'s left-to-right scan would actually make,
+    * so a selected merge's `gain` is exact (a run of L equal tokens yields
+    * L/2 self-pair merges, not L−1; distinct pairs cannot overlap).
+    * Counting overlapping adjacencies would overstate gains on runs and
+    * break the Σtokens = Σchars − Σgains reconciliation q_bpe_train
+    * asserts. Shared by both merge loops below.
+    */
+  private def scanPairs(toks: Array[String])(f: ((String, String), Long) => Unit): Unit = {
+    var i = 0
+    while (i < toks.length - 1) {
+      if (toks(i) == toks(i + 1)) {
+        var j = i
+        while (j < toks.length && toks(j) == toks(i)) j += 1
+        val run = j - i
+        f((toks(i), toks(i)), run / 2L)
+        i = j - 1 // the loop still counts (run-last, next-distinct)
+      } else {
+        f((toks(i), toks(i + 1)), 1L)
+        i += 1
+      }
+    }
+  }
+
+  /** The INCREMENTAL merge loop (the one every real trainer runs): a merge
+    * only changes pair counts inside words that CONTAIN the merged pair,
+    * so global counts are maintained by per-word deltas over a pair→words
+    * index instead of recounting the whole histogram every round —
+    * O(affected-words · len) per merge where the recount loop pays
+    * O(maxWords · len). Selection runs off a lazy-deletion priority queue
+    * (popped entries are validated against the live count; total order =
+    * count desc, then (left, right) asc — deterministic, identical to the
+    * recount loop's argmax, which [[bpeMergeLoopRecount]] + TextOpsSpec
+    * keep as the executable specification).
+    */
+  private[graft] def bpeMergeLoop(hist: Array[(String, Long)], numMerges: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    type Pair = (String, String)
+    val words: Array[(Array[String], Long)] =
+      hist.map { case (w, n) => (w.split("").filter(_.nonEmpty), n) }
+    val counts = scala.collection.mutable.HashMap.empty[Pair, Long]
+    val pairWords = scala.collection.mutable.HashMap
+      .empty[Pair, scala.collection.mutable.HashSet[Int]]
+    var wi = 0
+    while (wi < words.length) {
+      val (toks, n) = words(wi)
+      val w = wi // stable capture for the closure
+      scanPairs(toks) { (p, c) =>
+        counts.update(p, counts.getOrElse(p, 0L) + c * n)
+        pairWords.getOrElseUpdate(p,
+          scala.collection.mutable.HashSet.empty[Int]) += w
+      }
+      wi += 1
+    }
+    // max-heap on (count, pair): bigger count wins; ties pop the SMALLER
+    // (left, right) — the recount loop's exact tiebreak
+    val ord: Ordering[(Long, Pair)] = (a, b) => {
+      val byCount = java.lang.Long.compare(a._1, b._1)
+      if (byCount != 0) byCount
+      else implicitly[Ordering[Pair]].compare(b._2, a._2)
+    }
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Pair)](ord)
+    counts.foreach { case (p, c) => pq.enqueue((c, p)) }
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      // pop to the first LIVE entry (stale entries carry a superseded count)
+      var best = Option.empty[(Long, Pair)]
+      while (best.isEmpty && pq.nonEmpty) {
+        val e = pq.dequeue()
+        if (counts.get(e._2).contains(e._1)) best = Some(e)
+      }
+      best match {
+        case Some((gain, (l, r))) if gain >= 2 =>
+          merges += ((rank, l, r, l + r, gain))
+          val touched = pairWords.getOrElse((l, r), Nil).toArray.sorted
+          touched.foreach { w =>
+            val (toks, n) = words(w)
+            val delta = scala.collection.mutable.HashMap.empty[Pair, Long]
+            scanPairs(toks)((p, c) => delta.update(p, delta.getOrElse(p, 0L) - c))
+            // a stale index entry (the pair was merged away inside this
+            // word by an earlier round) applies a no-op delta — correct,
+            // just wasted scan; the index entry dies with the pair below
+            val merged = mergePair(toks, l, r)
+            words(w) = (merged, n)
+            scanPairs(merged) { (p, c) =>
+              delta.update(p, delta.getOrElse(p, 0L) + c)
+              pairWords.getOrElseUpdate(p,
+                scala.collection.mutable.HashSet.empty[Int]) += w
+            }
+            delta.foreach { case (p, d) =>
+              if (d != 0L) {
+                val next = counts.getOrElse(p, 0L) + d * n
+                if (next <= 0L) counts.remove(p)
+                else { counts.update(p, next); pq.enqueue((next, p)) }
+              }
+            }
+          }
+          // every (l, r) adjacency was just merged away
+          counts.remove((l, r))
+          pairWords.remove((l, r))
+          rank += 1
+        case _ => exhausted = true
+      }
+    }
+    merges.result()
+  }
+
+  /** The straightforward recount loop — every round recounts ALL pairs and
+    * takes the argmax (count desc, pair asc). O(maxWords · len) PER MERGE:
+    * fine at tens of merges, minutes at a real 32k-vocab run — kept as the
+    * executable SPECIFICATION the incremental loop must match
+    * (TextOpsSpec asserts identical merge tables).
+    */
+  private[graft] def bpeMergeLoopRecount(hist: Array[(String, Long)], numMerges: Int)
+      : Seq[(Int, String, String, String, Long)] = {
     var words: Array[(Array[String], Long)] =
       hist.map { case (w, n) => (w.split("").filter(_.nonEmpty), n) }
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
@@ -482,28 +602,8 @@ object TextOps {
     while (rank < numMerges && !exhausted) {
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
       words.foreach { case (toks, n) =>
-        // NON-overlapping pair counts — the number of applications
-        // [[mergePair]]'s left-to-right scan would actually make, so a
-        // selected merge's `gain` is exact (a run of L equal tokens
-        // yields L/2 self-pair merges, not L−1; distinct pairs cannot
-        // overlap). Counting overlapping adjacencies would overstate
-        // gains on runs and break the Σtokens = Σchars − Σgains
-        // reconciliation q_bpe_train asserts.
-        var i = 0
-        while (i < toks.length - 1) {
-          if (toks(i) == toks(i + 1)) {
-            var j = i
-            while (j < toks.length && toks(j) == toks(i)) j += 1
-            val run = j - i
-            val p = (toks(i), toks(i))
-            counts.update(p, counts.getOrElse(p, 0L) + (run / 2) * n)
-            i = j - 1 // the loop still counts (run-last, next-distinct)
-          } else {
-            val p = (toks(i), toks(i + 1))
-            counts.update(p, counts.getOrElse(p, 0L) + n)
-            i += 1
-          }
-        }
+        scanPairs(toks)((p, c) =>
+          counts.update(p, counts.getOrElse(p, 0L) + c * n))
       }
       // argmax by count, ties by smallest (left, right): a merge of a
       // once-seen pair gains nothing — stop
@@ -522,7 +622,7 @@ object TextOps {
         case _ => exhausted = true
       }
     }
-    merges.result().toDF("rank", "left", "right", "merged", "gain")
+    merges.result()
   }
 
   /** One merge application: every non-overlapping left-to-right (l, r)

@@ -49,3 +49,14 @@ object Internals {
         cs, className = source, options = options))
   }
 }
+
+/** Public face of the `private[sql]` [[org.apache.spark.sql.connector
+  * .catalog.V2TableWithV1Fallback]] trait: a DSv2 table extending this is
+  * routed by `DataStreamWriter.toTable` into its V1 provider + location —
+  * the hook that lets a V1 streaming sink claim the native
+  * `writeStream.toTable("catalog.ns.t")` API. Same bridge rationale as
+  * [[Internals]]: the trait's contract is stable and public in bytecode,
+  * only its Scala access is sql-private.
+  */
+trait V1FallbackTable
+  extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback

@@ -24,31 +24,86 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.schema.fieldNames.contains("media"))
   }
 
-  test("decodeStub emits deterministic fixed-width features per row") {
-    val withBin = Multimodal.attachBinary(docs, "text", "text/plain")
-    val feats = Multimodal.decodeStub(withBin, "doc_id", "media")
-    val rows = feats.orderBy("id").collect()
-    assert(rows.length === 2)
-    rows.foreach(r => assert(r.getSeq[Float](1).length === 8))
-    // determinism: same input → same features
-    val again = Multimodal.decodeStub(withBin, "doc_id", "media").orderBy("id").collect()
-    assert(rows.map(_.getSeq[Float](1)).toSeq === again.map(_.getSeq[Float](1)).toSeq)
+  test("parseMediaHeader: PNG/JPEG/GIF roundtrip recovers planted dimensions") {
+    for ((w, h) <- Seq((1, 1), (640, 480), (512, 7), (65535, 1))) {
+      assert(Multimodal.parseMediaHeader(Multimodal.makePng(w, h))
+        === Some(("image/png", w, h)), s"png $w x $h")
+      assert(Multimodal.parseMediaHeader(Multimodal.makeGif(w min 65535, h))
+        === Some(("image/gif", w min 65535, h)), s"gif $w x $h")
+    }
+    // JPEG dims are 16-bit
+    for ((w, h) <- Seq((1, 1), (640, 480), (65535, 65535)))
+      assert(Multimodal.parseMediaHeader(Multimodal.makeJpeg(w, h))
+        === Some(("image/jpeg", w, h)), s"jpeg $w x $h")
+    // PNG above 16 bits exercises the 32-bit IHDR fields
+    assert(Multimodal.parseMediaHeader(Multimodal.makePng(1 << 20, 3))
+      === Some(("image/png", 1 << 20, 3)))
   }
 
-  test("decodeStub drops null blobs and null ids instead of failing the job") {
+  test("parseMediaHeader: truncated/corrupt/unknown bytes parse as None, never throw") {
+    val png = Multimodal.makePng(100, 50)
+    val jpg = Multimodal.makeJpeg(100, 50)
+    val gif = Multimodal.makeGif(100, 50)
+    // truncations at EVERY prefix length: no prefix may throw; prefixes
+    // cut before the dimension fields must refuse
+    for (b <- Seq(png, jpg, gif); n <- 0 to b.length) {
+      val p = Multimodal.parseMediaHeader(b.take(n))
+      if (n < 10) assert(p.isEmpty, s"prefix $n parsed as $p")
+    }
+    // corrupt structure: PNG whose first chunk is not IHDR; JPEG whose
+    // marker stream breaks; JPEG reaching EOI without a SOF; junk text
+    val notIhdr = png.clone(); notIhdr(12) = 'X'.toByte
+    assert(Multimodal.parseMediaHeader(notIhdr).isEmpty)
+    val brokenMarker = jpg.clone(); brokenMarker(2) = 0x00.toByte
+    assert(Multimodal.parseMediaHeader(brokenMarker).isEmpty)
+    assert(Multimodal.parseMediaHeader(
+      Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)).isEmpty)
+    assert(Multimodal.parseMediaHeader("just some text".getBytes).isEmpty)
+    assert(Multimodal.parseMediaHeader(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.parseMediaHeader(null).isEmpty)
+    // zero dimensions are out of spec
+    assert(Multimodal.parseMediaHeader(Multimodal.makePng(0, 5)).isEmpty)
+    assert(Multimodal.parseMediaHeader(Multimodal.makeGif(0, 5)).isEmpty)
+  }
+
+  test("decodeHeaders parses good blobs and QUARANTINES bad ones (no throw)") {
+    val df = Seq(
+      (1L, Multimodal.makePng(320, 200)),
+      (2L, Multimodal.makeJpeg(64, 48)),
+      (3L, Multimodal.makeGif(12, 34)),
+      (4L, Multimodal.makePng(320, 200).take(8)),     // truncated
+      (5L, "plain text, no container".getBytes)        // unknown
+    ).toDF("doc_id", "media")
+    val out = Multimodal.decodeHeaders(df, "doc_id", "media")
+      .orderBy("id").collect()
+    assert(out.length === 5)
+    assert((out(0).getString(1), out(0).getInt(2), out(0).getInt(3))
+      === ("image/png", 320, 200))
+    assert((out(1).getString(1), out(1).getInt(2), out(1).getInt(3))
+      === ("image/jpeg", 64, 48))
+    assert((out(2).getString(1), out(2).getInt(2), out(2).getInt(3))
+      === ("image/gif", 12, 34))
+    Seq(3, 4).foreach { i =>
+      assert(out(i).isNullAt(1) && out(i).isNullAt(2) && out(i).isNullAt(3))
+      assert(out(i).getString(4).nonEmpty, "quarantine rows carry the error")
+    }
+    assert(out.take(3).forall(_.isNullAt(4)))
+  }
+
+  test("decodeHeaders drops null blobs and null ids instead of failing the job") {
     val df = Seq((Option(1L), Option("x")), (Option(2L), Option.empty[String]),
       (Option.empty[Long], Option("y"))).toDF("doc_id", "text")
     val withBin = Multimodal.attachBinary(df, "text", "text/plain")
-    val feats = Multimodal.decodeStub(withBin, "doc_id", "media").collect()
-    assert(feats.map(_.getLong(0)).toSeq === Seq(1L))
+    val out = Multimodal.decodeHeaders(withBin, "doc_id", "media").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
   }
 
-  test("decodeStub stays inside the Dataset plan (no severed RDD scan)") {
+  test("decodeHeaders stays inside the Dataset plan (no severed RDD scan)") {
     val withBin = Multimodal.attachBinary(docs, "text", "text/plain")
-    val feats = Multimodal.decodeStub(withBin, "doc_id", "media")
+    val out = Multimodal.decodeHeaders(withBin, "doc_id", "media")
     // a .rdd → createDataFrame round trip would plan as Scan ExistingRDD,
     // cutting column pruning and AQE off from the source
-    val plan = feats.queryExecution.executedPlan.toString
+    val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("ExistingRDD"), plan)
     assert(plan.contains("MapPartitions"), plan)
   }

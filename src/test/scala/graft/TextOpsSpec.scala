@@ -521,4 +521,30 @@ class TextOpsSpec extends SparkSpec {
       .head().getSeq[String](1)
     assert(seg3 === Seq("aa", "a"))
   }
+
+  test("incremental BPE merge loop ≡ the recount loop (the executable spec)") {
+    // classic fixture
+    val classic = Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    assert(TextOps.bpeMergeLoop(classic, 5)
+      === TextOps.bpeMergeLoopRecount(classic, 5))
+    // deep run on the classic fixture: exhausts every mergeable pair, so
+    // the early-stop paths of both loops must also agree
+    assert(TextOps.bpeMergeLoop(classic, 100)
+      === TextOps.bpeMergeLoopRecount(classic, 100))
+    // randomized histogram (seeded): runs, ties, shared prefixes/suffixes
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcde"
+    val randHist = (0 until 300).map { _ =>
+      val len = 1 + rnd.nextInt(10)
+      val w = Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      w
+    }.groupBy(identity).map { case (w, ws) => (w, ws.size.toLong * (1 + rnd.nextInt(5))) }
+      .toArray.sortBy(_._1)
+    for (m <- Seq(1, 7, 40, 500))
+      assert(TextOps.bpeMergeLoop(randHist, m)
+        === TextOps.bpeMergeLoopRecount(randHist, m), s"numMerges=$m")
+    // empty histogram: both refuse to invent merges
+    assert(TextOps.bpeMergeLoop(Array.empty, 5).isEmpty)
+    assert(TextOps.bpeMergeLoopRecount(Array.empty, 5).isEmpty)
+  }
 }
