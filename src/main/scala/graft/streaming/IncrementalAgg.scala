@@ -253,22 +253,6 @@ object IncrementalAgg {
     entityBuckets: Option[Set[Int]],
     aggAddBuckets: Option[Set[Int]])
 
-  /** The post-commit entity state of one batch's touched buckets, carried
-    * to the NEXT batch so it never re-reads from parquet what this process
-    * just wrote: `state` is the checkpointed mergeUpsert result the entity
-    * commit streamed to disk (the complete state of `buckets` at snapshot
-    * `version`), and `preAggBuckets` its groups' agg-bucket set (observed
-    * on the checkpoint job — the probe the pre-image read used to pay).
-    * Purely an intra-process fast path: validity is re-checked against the
-    * LIVE table version at consume time, so an interleaved external commit
-    * or a replayed batch falls back to the version-pinned parquet read.
-    */
-  private final case class CarriedEntity(
-    version: Long,
-    buckets: Set[Int],
-    state: DataFrame,
-    preAggBuckets: Set[Int])
-
   /** The commit-INDEPENDENT prefix of [[applyCdcBatchN]]: dedup the batch
     * to merge cardinality, checkpoint it, resolve the bucket probes. Reads
     * only the batch — never table state — so it can run for batch k+1
@@ -347,32 +331,15 @@ object IncrementalAgg {
     // pre-image read (applyPreparedCdcDeferred awaits it before i+1
     // commits anything — reads overlap commits, commit order never changes)
     var pendingAgg: Option[Future[Unit]] = None
-    // post-state carried batch-to-batch: batch k+1's pre-image is batch
-    // k's checkpointed commit content — the per-batch parquet re-read of
-    // state this process just wrote disappears from the critical path
-    var carry: Option[CarriedEntity] = None
     batches.indices.foreach { i =>
       val prepared = Await.result(pending, Duration.Inf)
       if (i + 1 < batches.size)
         pending = Future(prepareCdcBatch(entityTable, aggTable,
           batches(i + 1), groupCol, ordering, opCol))
-      val (aggFut, newCarry) = applyPreparedCdcDeferred(entityTable, aggTable,
-        prepared, groupCol, valueCols, opCol, txnIds.lift(i), pendingAgg,
-        carriedPre = carry, produceCarry = i + 1 < batches.size)
-      // the consumed carry's last reader is this batch's agg half (its
-      // retraction pre-images) — release the cached blocks when that
-      // commit lands; a superseded-but-unconsumed carry releases the same
-      // way (the version guard means nothing will read it again)
-      if (!newCarry.exists(n => carry.exists(_.state eq n.state)))
-        carry.foreach { c =>
-          aggFut.getOrElse(Future.unit)
-            .onComplete(_ => c.state.unpersist(false))
-        }
-      pendingAgg = aggFut
-      carry = newCarry
+      pendingAgg = applyPreparedCdcDeferred(entityTable, aggTable, prepared,
+        groupCol, valueCols, opCol, txnIds.lift(i), pendingAgg)
     }
     pendingAgg.foreach(Await.result(_, Duration.Inf))
-    carry.foreach(_.state.unpersist(false))
   }
 
   /** Single-measure [[applyCdcBatchesN]]. */
@@ -392,7 +359,7 @@ object IncrementalAgg {
     import scala.concurrent.duration.Duration
     applyPreparedCdcDeferred(entityTable, aggTable, prepared, groupCol,
       valueCols, opCol, txnId, prevAgg = None)
-      ._1.foreach(Await.result(_, Duration.Inf))
+      .foreach(Await.result(_, Duration.Inf))
   }
 
   /** [[applyPreparedCdc]] with the AGG half handed back as a still-running
@@ -412,10 +379,8 @@ object IncrementalAgg {
                                        prepared: PreparedCdcBatch, groupCol: String,
                                        valueCols: Seq[String], opCol: String,
                                        txnId: Option[String],
-                                       prevAgg: Option[scala.concurrent.Future[Unit]],
-                                       carriedPre: Option[CarriedEntity] = None,
-                                       produceCarry: Boolean = false)
-      : (Option[scala.concurrent.Future[Unit]], Option[CarriedEntity]) = {
+                                       prevAgg: Option[scala.concurrent.Future[Unit]])
+      : Option[scala.concurrent.Future[Unit]] = {
     require(valueCols.nonEmpty, "need at least one value column")
     val keys = entityTable.keys
     require(aggTable.keys == Seq(groupCol),
@@ -432,16 +397,8 @@ object IncrementalAgg {
     val latest = prepared.latest
     val entityBuckets = prepared.entityBuckets
     if (entityBuckets.fold(latest.isEmpty)(_.isEmpty)) {
-      // nothing committed: the caller's carried state stays valid
-      latest.unpersist(false); return (prevAgg, carriedPre)
+      latest.unpersist(false); return prevAgg
     }
-    // consume the carried state only when it is EXACTLY this batch's
-    // pre-image: same touched buckets, and the table has not moved since
-    // the carry was produced (an external commit or a replayed batch
-    // invalidates it — fall back to the version-pinned read)
-    val carryUsed = carriedPre.filter(c => !entityDone &&
-      entityTable.exists && c.version == entityTable.currentVersion &&
-      entityBuckets.contains(c.buckets))
     // FUSED entity read (hot path, bucketed entity table in the engine's
     // own layout): the touched buckets' complete state is scanned ONCE and
     // cached; it then serves BOTH the retraction pre-images and the entity
@@ -458,11 +415,7 @@ object IncrementalAgg {
       if (fused && aggTable.bucketCount > 0)
         Some(org.apache.spark.sql.Observation()) else None
     var preWasRead = false
-    val preState: Option[DataFrame] = if (fused && carryUsed.isDefined) {
-      // the previous batch's checkpointed post-state IS this batch's
-      // pre-image — no parquet read, no pre-image job, probe already paid
-      Some(carryUsed.get.state)
-    } else if (fused) {
+    val preState: Option[DataFrame] = if (fused) {
       entityTable.createIfNotExists(
         org.apache.spark.sql.types.StructType(latest.drop(opCol).schema.fields))
       // crash recovery under PARALLEL commits: if the entity half of this
@@ -491,17 +444,15 @@ object IncrementalAgg {
     // above (never resolved when the read branch didn't run — a fresh
     // entity table has nothing to retract from, so the set is empty)
     val preAggBuckets: Set[Int] =
-      carryUsed.map(_.preAggBuckets).getOrElse {
-        if (preWasRead && preObs.isDefined)
-          aggTable.bucketSet(preObs.get.get("__pbk"))
-        else Set.empty
-      }
+      if (preWasRead && preObs.isDefined)
+        aggTable.bucketSet(preObs.get.get("__pbk"))
+      else Set.empty
     // job descriptions are thread-local: each half tags its own commit jobs
     // (futures run on pool threads) and clears on exit so a reused pool
     // thread doesn't mislabel later work in the Spark UI
     def described[T](sc: org.apache.spark.SparkContext, d: String)(body: => T): T =
       try { sc.setJobDescription(d); body } finally sc.setJobDescription(null)
-    def entityHalf(): Option[CarriedEntity] = described(entityTable.spark.sparkContext,
+    def entityHalf(): Unit = described(entityTable.spark.sparkContext,
         "ivm:entity-commit") { preState match {
       case Some(pre) =>
         // fused commit: `pre` IS the complete current state of the touched
@@ -512,30 +463,13 @@ object IncrementalAgg {
         // batch-bounded by contract (same bound as the retraction keySet),
         // so the commit plan is shuffle-free — checkpointed bucket scan +
         // broadcast hash anti-join + union + write, no AQE stage jobs
-        val merged = graft.cdc.Merge.mergeUpsert(pre, broadcast(latest), keys, opCol)
-        if (produceCarry) {
-          // carry mode: checkpoint the new state FIRST (the next batch's
-          // pre-image and the commit write both read the cached blocks —
-          // no parquet re-read next batch), with the next batch's
-          // agg-bucket probe riding the checkpoint job as a metric
-          val cObs =
-            if (aggTable.bucketCount > 0)
-              Some(org.apache.spark.sql.Observation()) else None
-          val state = cObs.fold(merged)(o => merged.observe(o,
-              aggTable.bucketSetMetric(Seq(col(groupCol))).as("__cbk")))
-            .localCheckpoint(true)
-          val v = entityTable.replaceBuckets(state, entityBuckets.get, txnId)
-          Some(CarriedEntity(v, entityBuckets.get, state,
-            cObs.map(o => aggTable.bucketSet(o.get("__cbk"))).getOrElse(Set.empty)))
-        } else {
-          entityTable.replaceBuckets(merged, entityBuckets.get, txnId)
-          None
-        }
+        entityTable.replaceBuckets(
+          graft.cdc.Merge.mergeUpsert(pre, broadcast(latest), keys, opCol),
+          entityBuckets.get, txnId)
       case None =>
         entityTable.createIfNotExists(
           org.apache.spark.sql.types.StructType(latest.drop(opCol).schema.fields))
         entityTable.merge(latest, opCol, txnId, entityBuckets)
-        None
     } }
     // the pre-image read above was the batch's last SPECULATIVE step — it
     // overlapped the previous batch's still-running agg commit. What the
@@ -561,7 +495,7 @@ object IncrementalAgg {
     val strict = txnId.isDefined
     if (strict) prevAgg.foreach(Await.result(_, Duration.Inf))
     val aggDone = strict && aggTable.exists && aggTable.lastTxn == txnId
-    if (aggDone && entityDone) { latest.unpersist(false); return (None, carriedPre) }
+    if (aggDone && entityDone) { latest.unpersist(false); return None }
     // the entity commit depends only on (preState, latest) — both already
     // checkpointed and IMMUTABLE — so on the fused path it launches NOW and
     // overlaps the whole agg half (delta aggregation + fold + commit): the
@@ -570,7 +504,7 @@ object IncrementalAgg {
     // marker identifies its half, and the preV read above recovers
     // pre-images even when the entity half won the race. (The unfused path
     // keeps agg-then-entity ordering, whose recovery depends on it.)
-    val entityFut: Option[Future[Option[CarriedEntity]]] =
+    val entityFut: Option[Future[Unit]] =
       if (fused && !entityDone) Some(Future(entityHalf())) else None
     // ---- agg half, in its own future on the fused path (returned to the
     // batched loop, which overlaps it with the next pre-read).
@@ -727,13 +661,18 @@ object IncrementalAgg {
           if (!strict) prevAgg.foreach(Await.result(_, Duration.Inf))
           aggHalf()
         }) else None
-      val carryOut = entityFut.map(Await.result(_, Duration.Inf)).getOrElse(None)
-      // this batch's checkpoints (the dedup window; the pre-image when it
-      // was READ rather than carried in) have no readers once both halves
-      // land — release the cached blocks, or a long batch sequence
-      // accumulates one window + one bucket-state per batch in the
-      // storage tier. The carried state is NOT ours to free: the NEXT
-      // batch reads it (the batched loop releases it after that).
+      entityFut.foreach(Await.result(_, Duration.Inf))
+      // this batch's checkpoints (the dedup window; the pre-image read)
+      // have no readers once both halves land — release the cached
+      // blocks, or a long batch sequence accumulates one window + one
+      // bucket-state per batch in the storage tier (measured: repeated
+      // 4-batch folds in one session degraded run over run before this).
+      // NOTE an alternative was tried and MEASURED SLOWER (r15): carrying
+      // the checkpointed mergeUpsert state batch-to-batch as the next
+      // pre-image eliminates this re-read but pays an extra full
+      // materialization of the touched buckets' state per batch —
+      // 1.72 s vs 1.38 s on the 4-batch bench; writes cost more than the
+      // bucket re-read they save. Reverted; the cleanup stays.
       val ownedPre = if (preWasRead) preState else None
       def release(): Unit = {
         latest.unpersist(false)
@@ -743,15 +682,15 @@ object IncrementalAgg {
         case Some(f) => f.onComplete(_ => release())
         case None    => release()
       }
-      (aggFut, carryOut)
+      aggFut
     } else {
       // unfused: agg first (its readForKeys retraction path reads the LIVE
       // entity table), then advance the entity state — strictly serial, so
       // nothing defers
       if (!strict) prevAgg.foreach(Await.result(_, Duration.Inf))
       if (!aggDone) aggHalf()
-      if (!entityDone) { entityHalf(); () }
-      (None, None)
+      if (!entityDone) entityHalf()
+      None
     }
   }
 

@@ -821,7 +821,7 @@ class KeyedParquetTableSpec extends SparkSpec {
       statsCols = Seq("id"))
     t2.merge(Seq((7L, 123L, "w", "u")).toDF("id", "ts", "v", "operation"))
     assert(t2.readStats().columns.toSet ===
-      Set("file_path", "bucket", "n_rows", "mn_id", "mx_id"))
+      Set("file_path", "bucket", "n_rows", "mn_id", "mx_id", "nl_id"))
     assert(t2.readRangePruned("id", 7L, 7L)
       .filter(col("id") === 7L).count() === 1L)
   }
