@@ -3401,6 +3401,55 @@ object Queries {
              |HAVING COUNT(*) FILTER (WHERE rn = 1) > 0""".stripMargin),
       headline = true),
 
+    // EXACT duplicated-SPAN removal (Lee et al. substring dedup at
+    // n-token-window granularity): a 10-token passage planted per
+    // doc_id%5 group (its tail 6 tokens shared across ALL groups), plus
+    // whatever spans the corpus genuinely repeats; every duplicated
+    // 6-token window keeps its globally-first occurrence and later
+    // occurrences' token ranges are excised. Oracle replays the exact
+    // first-occurrence/coverage semantics in SQL; results compare by md5
+    // of the deduped text, so reassembly order must match byte-for-byte.
+    "q_span_dedup" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents").select(col("doc_id"),
+          concat_ws(" ",
+            concat(lit("shared passage group "), (col("doc_id") % 5).cast("string")),
+            lit("alpha beta gamma delta epsilon zeta"),
+            col("text")).as("text"))
+        TextOps.spanDedup(docs, "doc_id", "text", n = 6)
+          .select(col("doc_id"), md5(col("text_dedup")).as("dedup_md5"),
+            col("n_tokens_removed"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    'shared passage group ' || CAST(doc_id % 5 AS VARCHAR) ||
+             |    ' alpha beta gamma delta epsilon zeta ' || text AS dtext
+             |  FROM documents),
+             |toks AS (SELECT doc_id, str_split(dtext, ' ') AS t FROM d),
+             |grams AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |         array_to_string(t[i:i+5], ' ') AS g
+             |  FROM toks, unnest(range(1, greatest(len(t) - 4, 1))) AS u(i)),
+             |ranked AS (
+             |  SELECT doc_id, pos,
+             |         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+             |  FROM grams),
+             |rem AS (SELECT doc_id, pos AS s, pos + 5 AS e FROM ranked WHERE rn > 1),
+             |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS tk
+             |        FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+             |kept AS (
+             |  SELECT tk.doc_id, tk.p, tk.tk FROM tok tk
+             |  WHERE NOT EXISTS (SELECT 1 FROM rem r
+             |                    WHERE r.doc_id = tk.doc_id AND tk.p BETWEEN r.s AND r.e)),
+             |agg AS (SELECT doc_id, array_to_string(list(tk ORDER BY p), ' ') AS text_dedup,
+             |               COUNT(*) AS n_kept
+             |        FROM kept GROUP BY doc_id)
+             |SELECT t.doc_id, MD5(coalesce(a.text_dedup, '')) AS dedup_md5,
+             |       CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_removed
+             |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin),
+      headline = true),
+
     // Binary chunk-level dedup screening — the media analog of shingle
     // dedup: blobs (synthesized as a 64-byte group banner + doc text, so
     // group members share an aligned chunk) slice into 64-byte windows,

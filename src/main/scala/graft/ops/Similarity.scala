@@ -484,6 +484,46 @@ object Similarity {
       spark.read.parquet(s"$indexDir/codes"),
       embeddings, queries, qidCol, idCol, vecCol, k, m, nPlanes, rerank)
 
+  /** Per-(subspace, code) occupancy of a persisted PQ index — the balance
+    * dial [[pqMaybeRetrain]] reads. One scan of the codes table folded
+    * map-side; the result is ≤ m × 2^nPlanes rows.
+    */
+  def pqCodeStats(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/codes")
+      .select(posexplode(col("codes")).as(Seq("sub", "code")))
+      .groupBy("sub", "code").agg(count(lit(1)).as("n"))
+
+  /** The retrain trigger [[pqAppend]]'s Scaladoc prescribes, as code —
+    * [[ivfMaybeRetrain]]'s PQ sibling: append-only maintenance under a
+    * drifting embedding distribution funnels new vectors into few codes
+    * per subspace (the stored centroids no longer tile the data, so
+    * quantization error — and with it ADC ranking quality — degrades).
+    * When any subspace's most frequent code exceeds `maxCodeFraction` of
+    * the corpus, rebuild codebook+codes FROM the caller's embedding
+    * corpus into `outDir` (the codes table stores no vectors, so unlike
+    * the IVF layout the rebuild needs the corpus handed back in); the
+    * caller swaps directories when ready — the same single-writer publish
+    * pattern. Returns true iff a rebuild happened; `outDir` is untouched
+    * otherwise. Code stats are ≤ m × 2^nPlanes rows — driver-safe.
+    */
+  def pqMaybeRetrain(spark: SparkSession, indexDir: String, outDir: String,
+                     embeddings: DataFrame, idCol: String, vecCol: String,
+                     m: Int, nPlanes: Int = 4, dim: Int = 64,
+                     maxCodeFraction: Double = 0.5): Boolean = {
+    require(maxCodeFraction > 0 && maxCodeFraction <= 1,
+      s"maxCodeFraction must be in (0, 1], got $maxCodeFraction")
+    val bySub = pqCodeStats(spark, indexDir)
+      .groupBy("sub").agg(max(col("n")).as("top"), sum(col("n")).as("total"))
+      .collect()
+    val drifted = bySub.exists(r =>
+      r.getLong(2) > 0 && r.getLong(1).toDouble / r.getLong(2) > maxCodeFraction)
+    if (!drifted) false
+    else {
+      pqBuild(embeddings, idCol, vecCol, outDir, m, nPlanes, dim)
+      true
+    }
+  }
+
   /** Explode vectors into `(row-id, sub, subvector)` — the shared PQ
     * preparation. `__rid` is a per-row synthetic id (the caller's id when
     * present is carried alongside).

@@ -226,6 +226,66 @@ object TextOps {
       .where(col("n_paras_kept") > 0)
   }
 
+  /** EXACT duplicated-SPAN removal across the corpus — the substring-level
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (suffix-array dedup), at n-token-window granularity:
+    * every n-token window that occurs more than once ANYWHERE in the
+    * corpus (across documents or repeated inside one) keeps only its
+    * globally-first occurrence (lexicographic min of (doc id, position) —
+    * total order, deterministic); every later occurrence's token range is
+    * removed. A duplicated run of length L ≥ n yields L−n+1 duplicated
+    * windows whose union covers the whole run, so later copies of long
+    * shared passages are excised wholesale while the first copy survives
+    * intact — the span-level behavior paragraph-aligned dedup
+    * ([[paragraphDedup]]) cannot reach (it needs the duplication to land
+    * on separator boundaries).
+    *
+    * Scale shape: one posexplode to (doc, pos, window) — Σ tokens rows,
+    * the standard shingle shuffle; one map-side-combined groupBy(window)
+    * keeping min(first) and count (windows occurring once drop out
+    * BEFORE the join back); one equi-join on the window (never
+    * all-pairs); removal-interval coverage evaluates per-document in pure
+    * HOF column expressions (no extra shuffle past the per-doc span
+    * collect). Windows here are oracle-legible STRINGS — the hot-path
+    * swap is the native `shingle_hashes` kernel, exactly as
+    * [[contaminatedDocs]] documents.
+    *
+    * Returns (idCol, text_dedup, n_tokens_removed); documents shorter
+    * than n tokens pass through unchanged.
+    */
+  def spanDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, s"span window must be >= 2 tokens, got $n")
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    val grams = toks.select(col(idCol).as("__id"),
+        posexplode(when(size(col("__toks")) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+            i => array_join(slice(col("__toks"), i, lit(n)), " "))))
+          .as(Seq("__i", "__g")))
+      .select(col("__id"), (col("__i") + 1).as("__pos"), col("__g"))
+    // one shuffle on the window value ranks every occurrence; rank > 1 IS
+    // the removal set (a groupBy-min + join-back pays the gram shuffle
+    // twice and explodes the corpus twice — measured slower)
+    val removals = grams
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__g")
+          .orderBy(col("__id"), col("__pos"))))
+      .filter(col("__rn") > 1)
+      .groupBy("__id")
+      .agg(collect_list(struct(col("__pos").as("__s"),
+        (col("__pos") + (n - 1)).as("__e"))).as("__spans"))
+    toks.join(removals, col(idCol) === col("__id"), "left")
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"), (_, i) =>
+            !exists(col("__spans"), s =>
+              i + 1 >= s.getField("__s") && i + 1 <= s.getField("__e")))))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("text_dedup"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_tokens_removed"))
+  }
+
   // ---- Repetition / boilerplate detection ---------------------------------
 
   /** Fraction of repeated whitespace tokens: 1 − distinct/total (0 for empty

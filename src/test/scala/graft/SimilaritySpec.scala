@@ -600,6 +600,39 @@ class SimilaritySpec extends SparkSpec {
       "vec_id") === 0)
   }
 
+  test("pqMaybeRetrain: balanced index untouched; drift-funneled codes trigger rebuild") {
+    val m = 4; val nPlanes = 3
+    val emb = clustered
+    val dir = tmpDir("pqretrain")
+    Similarity.pqBuild(emb, "vec_id", "embedding", dir, m, nPlanes, dim)
+    // the fresh build spreads codes across cells — no subspace should be
+    // majority-one-code at a generous threshold; outDir untouched
+    val out1 = tmpDir("pqretrain_out1")
+    assert(!Similarity.pqMaybeRetrain(spark, dir, out1, emb, "vec_id",
+      "embedding", m, nPlanes, dim, maxCodeFraction = 0.9))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out1, "codebook")))
+    // drift: append 5× the corpus of near-identical vectors — they all
+    // encode to ONE code per subspace, overflowing every subspace's top
+    // code past the threshold
+    val rnd = new scala.util.Random(11)
+    val drift = (1000L until 2500L).map { id =>
+      (id, Seq.fill(dim)(5.0f + rnd.nextFloat() * 0.001f))
+    }.toDF("vec_id", "embedding")
+    Similarity.pqAppend(spark, dir, drift, "vec_id", "embedding", m, dim)
+    val all = emb.unionByName(drift)
+    val out2 = tmpDir("pqretrain_out2")
+    assert(Similarity.pqMaybeRetrain(spark, dir, out2, all, "vec_id",
+      "embedding", m, nPlanes, dim, maxCodeFraction = 0.5))
+    // the rebuilt index is complete and queryable
+    assert(spark.read.parquet(s"$out2/codes").count() === all.count())
+    val got = Similarity.pqQuery(spark, out2, all,
+        emb.filter(col("vec_id") === 0).select("embedding"),
+        "vec_id", "embedding", k = 10, m = m, nPlanes = nPlanes, rerank = 60)
+      .collect().map(_.getLong(0))
+    assert(got.nonEmpty)
+  }
+
   test("pqQueryAll: batch result matches per-query pqTopK for every query") {
     val m = 4; val nPlanes = 3
     val emb = clustered

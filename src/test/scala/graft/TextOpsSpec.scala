@@ -522,6 +522,41 @@ class TextOpsSpec extends SparkSpec {
     assert(seg3 === Seq("aa", "a"))
   }
 
+  test("spanDedup: later copies of duplicated n-token spans excised, first kept") {
+    import graft.ops.TextOps
+    // doc 1 holds the original passage; doc 2 repeats it mid-text; doc 3
+    // repeats it twice (cross-doc AND intra-doc); doc 4 shares nothing;
+    // doc 5 is shorter than the window and must pass through unchanged
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "intro words then the quick brown fox jumps over the lazy dog tonight and more"),
+      (3L, "x the quick brown fox jumps over the lazy dog y the quick brown fox jumps over the lazy dog z"),
+      (4L, "completely different content with no repeated spans at all here"),
+      (5L, "too short")).toDF("doc_id", "text")
+    val out = TextOps.spanDedup(docs, "doc_id", "text", n = 6)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 1 is the global first occurrence of every window it holds
+    assert(out(1L) === (("the quick brown fox jumps over the lazy dog tonight", 0L)))
+    // doc 2: the duplicated windows cover "the ... tonight" (10 tokens);
+    // its unique prefix/suffix survive
+    assert(out(2L) === (("intro words then and more", 10L)))
+    // doc 3: both copies of the 9-token passage are later occurrences of
+    // doc 1's windows ("...dog" windows; "dog y/z the..." windows are
+    // unique) — only the separators survive
+    assert(out(3L) === (("x y z", 18L)))
+    assert(out(4L) ===
+      (("completely different content with no repeated spans at all here", 0L)))
+    assert(out(5L) === (("too short", 0L)))
+    // determinism under partitioning (the first-occurrence rule is a
+    // total order, not an arrival order)
+    val out2 = TextOps.spanDedup(docs.repartition(7), "doc_id", "text", n = 6)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out2 === out)
+    intercept[IllegalArgumentException] {
+      TextOps.spanDedup(docs, "doc_id", "text", n = 1)
+    }
+  }
+
   test("incremental BPE merge loop ≡ the recount loop (the executable spec)") {
     // classic fixture
     val classic = Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
