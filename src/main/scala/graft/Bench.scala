@@ -118,11 +118,12 @@ object Bench {
     val qsCompact = results
       .map { case (k, ts) => "\"" + k + "\":" + (if (ts.isEmpty) -1.0 else r4(ts.min)) }
       .mkString("{", ",", "}")
-    // suspects ride the compact line as names only, capped so the ≤1.5k
-    // budget holds even on a fully-contended run
+    // the compact line carries only the suspect COUNT (the full line and
+    // bench_result.json hold names + both timings): the clean-run compact
+    // line measures ~1.47k of the 1.5k budget, so even a short name list
+    // would blow it on a fully-contended run
     val suspectCompact =
-      if (suspectQs.isEmpty) ""
-      else s""","suspect":${suspectQs.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      if (suspectQs.isEmpty) "" else s""","n_suspect":${suspectQs.size}"""
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
       s""""queries":$qsCompact,"failed":${failed.mkString("[", ",", "]")}""" +
       suspectCompact + s""","sf":"$sfDir"}""")
