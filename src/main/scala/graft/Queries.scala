@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
 import graft.cdc.{CdcParse, KeyedParquetTable, Merge}
 import graft.functions.HeavyHitters
 import graft.streaming.IncrementalAgg
-import graft.ops.{Bucketing, Components, Dedup, FuzzyDedup, Graph, Multimodal, Prefilter, Quantize, RangeLayout, Ranks, Sampling, Similarity, Skew, TextOps}
+import graft.ops.{Bucketing, Components, Dedup, FuzzyDedup, Graph, Multimodal, Prefilter, QualityFilter, Quantize, RangeLayout, Ranks, Sampling, Similarity, Skew, TextOps}
 import graft.validate.Validation
 
 /** The engine's registered query workload.
@@ -3152,6 +3152,49 @@ object Queries {
              |FROM documents""".stripMargin)),
 
     // Quality scoring (stopword ratio + length band + punctuation sanity).
+    // TRAINED quality filter (r15): in-engine logistic regression over
+    // hashed token features (fastText-style linear classifier, zero ML
+    // libraries — the gradient is one decimal-exact aggregation per
+    // iteration, so training is bit-deterministic; QualityFilterSpec
+    // proves partition-independence). Signal planted with NOISE: 80% of
+    // positives carry a marker phrase, 20% of negatives confuse — the
+    // attainable accuracy is ~0.8 (measured 0.766 at sf0.01), and the
+    // in-query gate raises below 0.70 (a broken trainer sits at the 0.5
+    // prior). Rows-only: the
+    // 12-iteration GD loop has no SQL oracle.
+    "q_quality_filter" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        // marker phrase repeated ×3: features are length-NORMALIZED, so a
+        // single marker token in a ~200-token doc carries x ≈ 0.005 and
+        // converges too slowly to matter — exactly the tf weighting a
+        // real corpus-quality signal (boilerplate density) has
+        val marker = lit(" curated editorial verified" * 3)
+        val docs = t("documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 2 === 0 && col("doc_id") % 10 =!= 0, marker)
+              .when(col("doc_id") % 2 === 1 && col("doc_id") % 10 === 9, marker)
+              .otherwise(lit(""))).as("text"),
+          (col("doc_id") % 2 === 0).cast("int").as("label"))
+          .localCheckpoint(true) // train + score + gate all read it
+        val w = QualityFilter.train(docs, "doc_id", "text", "label",
+          dim = 1 << 14, iters = 20)
+        val scored = QualityFilter.score(docs, "doc_id", "text", w)
+          .join(docs.select(col("doc_id"), col("label")), "doc_id")
+          .withColumn("predicted", (col("score") >= 0.5).cast("int"))
+          .select("doc_id", "label", "predicted")
+        val acc = scored
+          .agg(avg((col("predicted") === col("label")).cast("double"))
+            .as("__acc"))
+        scored.crossJoin(broadcast(acc))
+          .withColumn("__ok", assert_true(col("__acc") >= 0.70,
+            concat(lit("trained quality filter accuracy regression: "),
+              col("__acc").cast("string"), lit(" < 0.70"))))
+          .filter(col("__ok").isNull)
+          .drop("__ok", "__acc")
+      },
+      None),
+
     "q_quality_score" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
