@@ -633,6 +633,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("pqQueryAll exactness: rerank >= corpus makes the batch EXACTLY brute-force top-k") {
+    // with the whole corpus shortlisted, the ADC prefilter cannot lose a
+    // candidate and the exact rerank decides everything — quantization
+    // error is fully bought back, per the prefilter+rerank contract
+    val m = 4; val nPlanes = 3
+    val emb = clustered
+    val corpus = emb.filter(col("vec_id") % 30 =!= 0)
+    val queries = emb.filter(col("vec_id") % 30 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val book = Similarity.pqTrain(corpus, "embedding", m, nPlanes, dim)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", book, m, dim)
+    val batch = Similarity.pqQueryAll(book, codes, corpus, queries,
+        "qid", "vec_id", "embedding", k = 7, m = m, nPlanes = nPlanes,
+        rerank = 400) // corpus is 290 rows — full shortlist
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    queries.collect().map(_.getLong(0)).foreach { qid =>
+      val exact = Similarity.cosineTopK(corpus,
+          queries.filter(col("qid") === qid).select("embedding"),
+          "vec_id", "embedding", 7)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(qid) === exact, s"qid=$qid")
+    }
+  }
+
   test("pqQueryAll: batch result matches per-query pqTopK for every query") {
     val m = 4; val nPlanes = 3
     val emb = clustered

@@ -557,6 +557,48 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("spanDedup property: matches an independent brute-force reference on random corpora") {
+    import graft.ops.TextOps
+    import scala.collection.mutable
+    // straight-line reference: enumerate every occurrence, sort, first
+    // keeps, later ones mark their interval, coverage by linear scan
+    def reference(docs: Seq[(Long, String)], n: Int): Map[Long, (String, Long)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+      val occ = mutable.HashMap.empty[String, mutable.ArrayBuffer[(Long, Int)]]
+      for ((id, t) <- docs.map(d => d._1 -> toks(d._1));
+           p <- 1 to t.length - n + 1) {
+        val g = t.slice(p - 1, p - 1 + n).mkString(" ")
+        occ.getOrElseUpdate(g, mutable.ArrayBuffer.empty) += ((id, p))
+      }
+      val removals = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Int, Int)]]
+      occ.values.foreach { os =>
+        os.sortBy(identity).drop(1).foreach { case (id, p) =>
+          removals.getOrElseUpdate(id, mutable.ArrayBuffer.empty) += ((p, p + n - 1))
+        }
+      }
+      docs.map { case (id, _) =>
+        val tk = toks(id)
+        val rem = removals.getOrElse(id, mutable.ArrayBuffer.empty)
+        val kept = tk.zipWithIndex.collect {
+          case (tok, i) if !rem.exists(r => i + 1 >= r._1 && i + 1 <= r._2) => tok
+        }
+        id -> ((kept.mkString(" "), (tk.length - kept.length).toLong))
+      }.toMap
+    }
+    // tiny alphabet → dense window collisions, runs, whole-doc wipes
+    val rnd = new scala.util.Random(9)
+    val alphabet = IndexedSeq("a", "b", "c", "d")
+    for (trial <- 0 until 4; nWin <- Seq(2, 3)) {
+      val docs = (0L until 30L).map { id =>
+        id -> Seq.fill(3 + rnd.nextInt(15))(alphabet(rnd.nextInt(4))).mkString(" ")
+      }
+      val got = TextOps.spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text", nWin)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(got === reference(docs, nWin),
+        s"trial=$trial n=$nWin docs=${docs.take(5)}...")
+    }
+  }
+
   test("incremental BPE merge loop ≡ the recount loop (the executable spec)") {
     // classic fixture
     val classic = Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
