@@ -5206,6 +5206,35 @@ object Queries {
              |CAST(COUNT(CASE WHEN user_id % 5 = 0 THEN NULL ELSE 1 END) AS BIGINT) AS n_val
              |FROM events""".stripMargin)),
 
+    // ALTER COLUMN TYPE widening (r15): INT column widened to BIGINT as a
+    // metadata-only evolution commit — pre-widening int32 files read under
+    // the wide schema (Spark 4 parquet widening promotions), post-widening
+    // inserts carry values above 2^31, and the oracle recomputes the final
+    // state in DuckDB with the wide type throughout.
+    "q_sql_widen" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        t("events").createOrReplaceTempView("events_v")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.vsql")
+        s.sql("DROP TABLE IF EXISTS graft.vsql.widen_t")
+        s.sql("""CREATE TABLE graft.vsql.widen_t (user_id BIGINT, n_events INT)
+                 PARTITIONED BY (bucket(8, user_id))
+                 TBLPROPERTIES ('graft.keys'='user_id')""")
+        s.sql("""INSERT INTO graft.vsql.widen_t
+                 SELECT user_id, CAST(COUNT(*) AS INT)
+                 FROM events_v GROUP BY user_id""")
+        s.sql("ALTER TABLE graft.vsql.widen_t ALTER COLUMN n_events TYPE BIGINT")
+        s.sql("""INSERT INTO graft.vsql.widen_t
+                 SELECT user_id + 10000000, COUNT(*) + 4000000000
+                 FROM events_v GROUP BY user_id""")
+        s.sql("""SELECT user_id, n_events FROM graft.vsql.widen_t""")
+      },
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+             |FROM events GROUP BY user_id
+             |UNION ALL
+             |SELECT user_id + 10000000, CAST(COUNT(*) + 4000000000 AS BIGINT)
+             |FROM events GROUP BY user_id""".stripMargin)),
+
     // MERGE INTO as literal SQL — the reference's core CDC statement
     // (spark_batch.py:273-280) driven through the injected merge rule +
     // strategy (GraftMergeInto) into the engine's bucket-scoped merge.

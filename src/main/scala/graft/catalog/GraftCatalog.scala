@@ -448,6 +448,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         require(ren.fieldNames.length == 1,
           s"nested column rename not supported: ${ren.fieldNames.mkString(".")}")
         kpt.renameColumn(ren.fieldNames.head, ren.newName)
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          s"nested column type change not supported: ${upd.fieldNames.mkString(".")}")
+        kpt.widenColumn(upd.fieldNames.head, upd.newDataType)
       case set: TableChange.SetProperty =>
         kpt.setProperties(Map(set.property -> set.value))
       case rm: TableChange.RemoveProperty =>

@@ -631,7 +631,21 @@ final class KeyedParquetTable(
     // side, new on the other) still refuses — diffing it as drop+add would
     // flag every row as updated.
     val (a2, dataCols) =
-      if (aCols == bCols) (a, aCols)
+      if (aCols == bCols) {
+        // a range crossing a TYPE WIDENING ([[widenColumn]]) has identical
+        // names but narrower from-side types; fingerprinting the raw values
+        // would phantom-update every float/decimal row (cast-to-string of
+        // float 0.1 differs from its widened double). Cast the from side to
+        // the to side's types first — widening is value-preserving, so an
+        // untouched row fingerprints identically.
+        val bTypes = b.schema.map(x => x.name -> x.dataType).toMap
+        val drift = a.schema.exists(x => bTypes.get(x.name).exists(_ != x.dataType))
+        val aAligned =
+          if (!drift) a
+          else a.select(a.columns.map(c =>
+            a(c).cast(bTypes(c)).as(c)).toIndexedSeq: _*)
+        (aAligned, aCols)
+      }
       else {
         require(aCols.toSet.subsetOf(bCols.toSet) || bCols.toSet.subsetOf(aCols.toSet),
           s"changesBetween(v$fromVersion, v$toVersion) of $root: data columns " +
@@ -1821,6 +1835,56 @@ final class KeyedParquetTable(
     require(!snapshotSchema(versionDir(currentVersion)).fieldNames.contains(name),
       s"$root already has a column '$name'")
     commitInternal(read().withColumn(name, default), None, carry = true)
+  }
+
+  /** ALTER COLUMN TYPE — WIDENING only, Iceberg's evolution rule
+    * (int → long, float → double, decimal precision growth at the same
+    * scale; plus the smaller integral ups Spark's vectorized parquet
+    * reader widens natively). Metadata-only commit: existing files keep
+    * their narrow physical type and the declared-schema scan widens them
+    * at read time (Spark 4's widening promotions — probed: int32 files
+    * read under a LongType schema, float under double, decimal under
+    * wider precision). Narrowing and cross-family changes refuse — they
+    * would corrupt or lose data. Load-bearing columns refuse: a
+    * key/bucket column's widened value HASHES differently (Murmur3/xxhash
+    * are typed), so bucket routing and the delete-key sets would silently
+    * miss rows; the stats index carries the narrow type for
+    * stats/sum-covered columns.
+    */
+  def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): Long = {
+    require(exists, s"widenColumn target $root does not exist")
+    val cur = snapshotSchema(versionDir(currentVersion))
+    require(cur.fieldNames.contains(name), s"$root has no column '$name'")
+    val f = cur(name)
+    require(widensTo(f.dataType, to),
+      s"cannot alter '$name' from ${f.dataType.sql} to ${to.sql} — only " +
+        "widening promotions are metadata-safe (byte/short/int→wider " +
+        "integral, float→double, decimal precision growth at the same scale)")
+    require(!keys.contains(name) && !bucketKeys.contains(name),
+      s"cannot widen key column '$name' — hashes are typed, bucket " +
+        "routing and delete-key sets would miss rows")
+    require(!partitionBy.contains(name), s"cannot widen partition column '$name'")
+    require(!statsCols.contains(name) && !sumCols.contains(name),
+      s"cannot widen stats/sum column '$name' — the _stats index carries " +
+        "the narrow type; reopen the table without it first")
+    require(name != "__bucket", "cannot widen the bucket layout column")
+    evolveTo(org.apache.spark.sql.types.StructType(cur.fields.map { x =>
+      if (x.name != name) x else x.copy(dataType = to)
+    }))
+  }
+
+  private def widensTo(from: org.apache.spark.sql.types.DataType,
+                       to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale == d1.scale && d2.precision > d1.precision
+      case _ => false
+    }
   }
 
   /** RENAME COLUMN — metadata-only, like Iceberg's field-id rename (a 100 TB

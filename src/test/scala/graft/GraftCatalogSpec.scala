@@ -1154,6 +1154,31 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE graft.spec.aggm")
   }
 
+  test("ALTER COLUMN TYPE widens via SQL; narrowing refuses") {
+    sql("DROP TABLE IF EXISTS graft.spec.widen")
+    sql("""CREATE TABLE graft.spec.widen (id BIGINT, n INT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    sql("INSERT INTO graft.spec.widen VALUES (1, 10), (2, 20)")
+    sql("ALTER TABLE graft.spec.widen ALTER COLUMN n TYPE BIGINT")
+    val out = sql("SELECT id, n FROM graft.spec.widen ORDER BY id")
+    assert(out.schema("n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(out.as[(Long, Long)].collect().toSeq === Seq((1L, 10L), (2L, 20L)))
+    // post-widening INSERT carries longs; old + new rows coexist
+    sql(s"INSERT INTO graft.spec.widen VALUES (3, ${Long.MaxValue}L)")
+    assert(sql("SELECT n FROM graft.spec.widen WHERE id = 3").head().getLong(0)
+      === Long.MaxValue)
+    // narrowing refuses — Spark's analyzer guards it before the catalog
+    // (NOT_SUPPORTED_CHANGE_COLUMN via Cast.canUpCast); the engine's own
+    // widensTo guard is covered by KeyedParquetTableSpec for direct calls
+    val e = intercept[Exception] {
+      sql("ALTER TABLE graft.spec.widen ALTER COLUMN n TYPE INT")
+    }
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e.getMessage.contains("widening"), e.getMessage)
+    sql("DROP TABLE graft.spec.widen")
+  }
+
   test("Scala surface and SQL surface see one table state (MERGE then SELECT)") {
     sql("DROP TABLE IF EXISTS graft.spec.merged")
     sql("""CREATE TABLE graft.spec.merged (id BIGINT, v BIGINT)

@@ -1254,6 +1254,56 @@ class KeyedParquetTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t2.dropColumn("val2") }
   }
 
+  test("widenColumn is metadata-only: narrow files read wide, changelog stays quiet") {
+    val dir = tmpDir("kpt_widen")
+    val t = new KeyedParquetTable(spark, dir, Seq("id"), Nil, 4)
+    t.commit(Seq((1L, 10, 1.5f), (2L, 20, 2.5f), (3L, 30, 0.1f))
+      .toDF("id", "n", "f"))
+    val preV = t.currentVersion
+    t.widenColumn("n", LongType)
+    t.widenColumn("f", DoubleType)
+    // metadata-only: same inodes, no byte rewritten
+    assert(dataFileKeys(dir, preV) === dataFileKeys(dir, t.currentVersion))
+    // old (int32/float) files read under the widened schema
+    val sch = t.read().schema
+    assert(sch("n").dataType === LongType && sch("f").dataType === DoubleType)
+    assert(t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // time travel shows the narrow shape
+    assert(t.readVersion(preV).schema("n").dataType === IntegerType)
+    // the widening commits changed NO values: the changelog across them is
+    // EMPTY (the from side is cast-aligned to the to side's types — float
+    // 0.1's widened-double string would otherwise phantom-update every row)
+    assert(t.changesBetween(preV, t.currentVersion).count() === 0L)
+    // merges carry the wide type; values round-trip
+    t.merge(Seq((2L, 200L, 2.75, "u"), (4L, 40L, 4.5, "u"))
+      .toDF("id", "n", "f", "operation"))
+    assert(t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 10L), (2L, 200L), (3L, 30L), (4L, 40L)))
+    // and the post-merge changelog reports exactly the touched keys
+    assert(t.changesBetween(preV, t.currentVersion)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((2L, "update"), (4L, "insert")))
+    // decimal precision growth (same scale)
+    val td = new KeyedParquetTable(spark, tmpDir("kpt_widen_dec"), Seq("id"), Nil, 2)
+    td.commit(Seq((1L, BigDecimal("1.25"))).toDF("id", "d")
+      .select(col("id"), col("d").cast(DecimalType(10, 2)).as("d")))
+    td.widenColumn("d", DecimalType(20, 2))
+    assert(td.read().schema("d").dataType === DecimalType(20, 2))
+    assert(td.read().head().getDecimal(1) === new java.math.BigDecimal("1.25"))
+    // refusals: narrowing, cross-family, scale change, keys, stats columns
+    intercept[IllegalArgumentException] { t.widenColumn("n", IntegerType) }
+    intercept[IllegalArgumentException] { t.widenColumn("f", StringType) }
+    intercept[IllegalArgumentException] { td.widenColumn("d", DecimalType(22, 4)) }
+    intercept[IllegalArgumentException] { t.widenColumn("id", DoubleType) }
+    val ts = new KeyedParquetTable(spark, tmpDir("kpt_widen_stat"), Seq("id"),
+      Nil, 2, statsCols = Seq("m"))
+    ts.commit(Seq((1L, 5)).toDF("id", "m")
+      .select(col("id"), col("m").cast(IntegerType).as("m")))
+    intercept[IllegalArgumentException] { ts.widenColumn("m", LongType) }
+  }
+
   test("addColumnWithDefault backfills every existing row (full rewrite)") {
     val t = new KeyedParquetTable(spark, tmpDir("kpt_backfill"), Seq("id"), Nil, 4)
     t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
