@@ -50,8 +50,14 @@ object Bench {
     }
     val sweep = timedSweep(items, nRuns, calEvery = 8,
       () => calibrationProbe(spark))
-    val priors = priorMinima(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench_result.json"))
+    // priors: the last local full run when present; on a fresh checkout
+    // (no untracked bench_result.json) fall back to the newest committed
+    // round artifact — absent both, the suspect rule simply disables
+    val priors = {
+      val primary = priorMinima(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench_result.json"))
+      if (primary.nonEmpty) primary else latestRoundPriors(".")
+    }
     val suspectQs = suspectNames(sweep, priors)
     val retimed: Map[String, Double] = suspectQs.flatMap { n =>
       items.find(_._1 == n).flatMap { case (_, run) =>
@@ -195,6 +201,24 @@ object Bench {
       else p(1).trim.toDoubleOption.filter(_ > 0)
         .map(v => p(0).trim.stripPrefix("\"").stripSuffix("\"") -> v)
     }.toMap
+  } catch { case _: Throwable => Map.empty }
+
+  /** Newest committed round artifact's per-query minima (`BENCH_r<N>.json`
+    * with a parsed `queries` object — the driver writes one per round) —
+    * the fresh-checkout fallback for [[priorMinima]].
+    */
+  private[graft] def latestRoundPriors(dir: String): Map[String, Double] = try {
+    val d = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(d)) return Map.empty
+    val rounds = java.nio.file.Files.list(d).toArray.map(_.toString)
+      .flatMap { p =>
+        val name = java.nio.file.Paths.get(p).getFileName.toString
+        "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(name)
+          .map(m => m.group(1).toInt -> p)
+      }
+      .sortBy(-_._1)
+    rounds.iterator.map(r => priorMinima(r._2)).find(_.nonEmpty)
+      .getOrElse(Map.empty)
   } catch { case _: Throwable => Map.empty }
 
   /** One-shot interleaved calibration probe: a single run of the same

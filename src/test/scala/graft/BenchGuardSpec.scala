@@ -53,6 +53,21 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.priorMinima(g.toString) === Map.empty)
   }
 
+  test("latestRoundPriors falls back to the newest committed round artifact") {
+    val d = java.nio.file.Files.createTempDirectory("bench_rounds")
+    java.nio.file.Files.writeString(d.resolve("BENCH_r03.json"),
+      """{"n":3,"parsed":{"queries":{"q1":0.5}}}""")
+    java.nio.file.Files.writeString(d.resolve("BENCH_r11.json"),
+      """{"n":11,"parsed":{"queries":{"q1":0.25,"q2":0.1}}}""")
+    java.nio.file.Files.writeString(d.resolve("BENCH_r12.json"),
+      """{"n":12,"parsed":null}""") // a parse-failed round: skip to r11
+    assert(Bench.latestRoundPriors(d.toString)
+      === Map("q1" -> 0.25, "q2" -> 0.1))
+    assert(Bench.latestRoundPriors("/nonexistent") === Map.empty)
+    val empty = java.nio.file.Files.createTempDirectory("bench_rounds_e")
+    assert(Bench.latestRoundPriors(empty.toString) === Map.empty)
+  }
+
   test("synthetic 16+-core burn mid-sweep: contended window flagged, retime recovers") {
     val nThreads = 32
     // calibrate iteration count to ~30ms clean wall-clock on this box
