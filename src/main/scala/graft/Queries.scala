@@ -4110,6 +4110,57 @@ object Queries {
              |FROM per JOIN freq USING (token) CROSS JOIN tot
              |GROUP BY doc_id""".stripMargin)),
 
+    // Bigram-LM surprisal with unigram backoff (r15): frequency tables
+    // trained on the doc_id%10<8 split, ALL docs scored — held-out docs
+    // carry unseen bigrams, so the stupid-backoff branch (unigram cost
+    // + 1 bit; unseen unigram caps) is exercised and oracle-checked, not
+    // just the happy path. Same integer-bit discipline as the unigram
+    // form: length(bin(n)), never libm log2.
+    "q_bigram_surprisal" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents")
+        val train = docs.filter(col("doc_id") % 10 < 8)
+        val uni = TextOps.tokenFrequencies(train, "text").localCheckpoint(true)
+        val big = TextOps.bigramFrequencies(train, "text").localCheckpoint(true)
+        TextOps.bigramSurprisal(docs, "doc_id", "text", uni, big)
+      },
+      Some("""WITH tr AS (SELECT text FROM documents WHERE doc_id % 10 < 8),
+             |uni AS (SELECT token, COUNT(*) AS n
+             |        FROM (SELECT unnest(str_split(text, ' ')) AS token FROM tr)
+             |        GROUP BY token),
+             |tot AS (SELECT length(bin(SUM(n))) AS tb FROM uni),
+             |trp AS (SELECT t[i] AS w1, t[i+1] AS w2
+             |        FROM (SELECT str_split(text, ' ') AS t FROM tr),
+             |             unnest(range(1, len(t))) AS u(i)),
+             |bg AS (SELECT w1, w2, COUNT(*) AS bn FROM trp GROUP BY w1, w2),
+             |cx AS (SELECT w1, SUM(bn) AS cn FROM bg GROUP BY w1),
+             |tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+             |pairs AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+             |          FROM tok, unnest(range(1, len(t))) AS u(i)),
+             |perpair AS (SELECT doc_id, w1, w2, COUNT(*) AS c
+             |            FROM pairs GROUP BY doc_id, w1, w2),
+             |pbits AS (
+             |  SELECT p.doc_id,
+             |    SUM(p.c * CASE WHEN b.bn IS NOT NULL
+             |      THEN length(bin(cx.cn)) - length(bin(b.bn))
+             |      ELSE (SELECT tb FROM tot) + 1 - coalesce(length(bin(u.n)), 0)
+             |    END) AS pair_bits
+             |  FROM perpair p
+             |  LEFT JOIN bg b ON b.w1 = p.w1 AND b.w2 = p.w2
+             |  LEFT JOIN cx ON cx.w1 = p.w1
+             |  LEFT JOIN uni u ON u.token = p.w2
+             |  GROUP BY p.doc_id),
+             |firsts AS (
+             |  SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_tokens,
+             |    (SELECT tb FROM tot) - coalesce(length(bin(u.n)), 0) AS fbits
+             |  FROM tok k LEFT JOIN uni u ON u.token = k.t[1])
+             |SELECT f.doc_id, f.n_tokens,
+             |  CAST(coalesce(p.pair_bits, 0) + f.fbits AS BIGINT) AS total_bits,
+             |  CAST(coalesce(p.pair_bits, 0) + f.fbits AS DOUBLE)
+             |    / CAST(f.n_tokens AS DOUBLE) AS avg_bits
+             |FROM firsts f LEFT JOIN pbits p ON p.doc_id = f.doc_id""".stripMargin)),
+
     // Repetition/boilerplate signals: repeated-token and repeated-trigram
     // fractions (template spam repeats whole n-grams; natural text doesn't).
     "q_repetition_stats" -> Q(

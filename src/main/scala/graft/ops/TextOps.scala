@@ -499,6 +499,94 @@ object TextOps {
         col("total_bits").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Whitespace-token bigram frequencies: (w1, w2, n) — the context table
+    * [[bigramSurprisal]] scores against. One pair explode + one
+    * map-side-combined count; pair keys flatten the unigram stopword skew
+    * ("the" splits across every successor).
+    */
+  def bigramFrequencies(docs: org.apache.spark.sql.DataFrame,
+                        textCol: String): org.apache.spark.sql.DataFrame =
+    consecutivePairs(docs.select(col(textCol)), textCol, Nil)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+
+  private def consecutivePairs(df: org.apache.spark.sql.DataFrame,
+                               textCol: String,
+                               carry: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    df.select(carry.map(col) :+
+        posexplode(when(size(toks) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
+            struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2"))))).as(Seq("__i", "__p")): _*)
+      .select(carry.map(col) :+ col("__p.w1").as("w1") :+ col("__p.w2").as("w2"): _*)
+  }
+
+  /** Bigram-LM surprisal with unigram BACKOFF — [[unigramSurprisal]]'s
+    * next step up (a real CCNet-style filter scores with context), in the
+    * same INTEGER-BIT formulation so the score is bit-reproducible across
+    * engines (never libm — see unigramSurprisal on why `length(bin(n))`,
+    * not log2):
+    *
+    *  - a bigram (w1, w2) SEEN in `bigramFreq` costs
+    *    `msb(cn(w1)) − msb(bn(w1,w2))` bits — the integer −log2 of the
+    *    conditional P(w2|w1) = bn/cn within one bit;
+    *  - an UNSEEN bigram backs off to w2's unigram cost plus ONE backoff
+    *    bit: `msb(T) − msb(n(w2)) + 1` (unseen unigram caps at
+    *    `msb(T) + 1`) — the fixed-penalty stupid-backoff shape, no
+    *    smoothing hyperparameter;
+    *  - a document's FIRST token has no context and scores by the plain
+    *    unigram rule (exactly [[unigramSurprisal]]'s cost).
+    *
+    * Train the tables on a REFERENCE corpus and score candidates — on a
+    * self-trained corpus the backoff branch never fires. Returns
+    * (idCol, n_tokens, total_bits, avg_bits).
+    *
+    * Scale shape: per-(doc, w1, w2) counts BEFORE the frequency joins —
+    * one row per distinct pair per doc, skew flattened — then a weighted
+    * fold; the context table derives from `bigramFreq` by one O(distinct
+    * bigrams) aggregation.
+    */
+  def bigramSurprisal(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String,
+                      uniFreq: org.apache.spark.sql.DataFrame,
+                      bigramFreq: org.apache.spark.sql.DataFrame,
+                      totalTokens: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val total = totalTokens.getOrElse(
+      Option(uniFreq.agg(sum("n")).head().get(0)).fold(0L)(_.asInstanceOf[Long]))
+    require(total > 0, "bigramSurprisal: unigram frequency table is empty")
+    val totalBits = (64 - java.lang.Long.numberOfLeadingZeros(total)).toLong
+    val ctx = bigramFreq.groupBy("w1").agg(sum("n").as("__cn"))
+    val pairBits = consecutivePairs(docs.select(col(idCol), col(textCol)),
+        textCol, Seq(idCol))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("__c"))
+      .join(bigramFreq.select(col("w1"), col("w2"), col("n").as("__bn")),
+        Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(uniFreq.select(col("token").as("w2"), col("n").as("__un")),
+        Seq("w2"), "left")
+      .withColumn("__bits",
+        when(col("__bn").isNotNull && col("__bn") > 0,
+          length(bin(col("__cn"))).cast("long") - length(bin(col("__bn"))).cast("long"))
+          .otherwise(lit(totalBits + 1L) -
+            when(col("__un").isNull || col("__un") <= 0L, lit(0L))
+              .otherwise(length(bin(col("__un"))).cast("long"))))
+      .groupBy(idCol)
+      .agg(sum(col("__c") * col("__bits")).as("__pair_bits"))
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol), element_at(toks, 1).as("token"),
+        size(toks).cast("long").as("n_tokens"))
+      .join(uniFreq, Seq("token"), "left")
+      .withColumn("__fbits",
+        when(col("n").isNull || col("n") <= 0L, lit(totalBits))
+          .otherwise(lit(totalBits) - length(bin(col("n"))).cast("long")))
+      .join(pairBits, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (coalesce(col("__pair_bits"), lit(0L)) + col("__fbits")).as("total_bits"))
+      .withColumn("avg_bits",
+        col("total_bits").cast("double") / col("n_tokens").cast("double"))
+  }
+
   // ---- BPE tokenizer training ----------------------------------------------
   //
   // Full byte-pair-encoding training in the WORD-HISTOGRAM formulation —

@@ -522,6 +522,37 @@ class TextOpsSpec extends SparkSpec {
     assert(seg3 === Seq("aa", "a"))
   }
 
+  test("bigramSurprisal: hand-computed costs, seen/backoff/cap branches") {
+    import graft.ops.TextOps
+    // train corpus "a b a b c": uni a:2 b:2 c:1 (T=5, msb=3);
+    // bigrams (a,b):2 (b,a):1 (b,c):1; contexts a:2 b:2
+    val train = Seq(Tuple1("a b a b c")).toDF("text")
+    val uni = TextOps.tokenFrequencies(train, "text")
+    val big = TextOps.bigramFrequencies(train, "text")
+    assert(big.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet === Set(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L)))
+    val docs = Seq(
+      (1L, "a b c d"), // first 'a'=1; (a,b) seen=0; (b,c) seen=1; (c,d) backoff unseen-uni=3+1-0=4 → 6
+      (2L, "z"),       // single unseen token: unigram cap 3, no pairs
+      (3L, "b a")      // first 'b'=1; (b,a) seen: msb(2)-msb(1)=1 → 2
+    ).toDF("doc_id", "text")
+    val got = TextOps.bigramSurprisal(docs, "doc_id", "text", uni, big)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((4L, 6L)))
+    assert(got(2L) === ((1L, 3L)))
+    assert(got(3L) === ((2L, 2L)))
+    // backoff to a SEEN unigram: (c,a) unseen bigram, 'a' seen (n=2):
+    // tb+1-msb(2) = 3+1-2 = 2; first 'c' = 3-msb(1) = 2 → total 4
+    val got2 = TextOps.bigramSurprisal(Seq((9L, "c a")).toDF("doc_id", "text"),
+        "doc_id", "text", uni, big)
+      .head()
+    assert((got2.getLong(1), got2.getLong(2)) === ((2L, 4L)))
+    // empty frequency table refuses
+    intercept[IllegalArgumentException] {
+      TextOps.bigramSurprisal(docs, "doc_id", "text", uni.limit(0), big)
+    }
+  }
+
   test("spanDedup: later copies of duplicated n-token spans excised, first kept") {
     import graft.ops.TextOps
     // doc 1 holds the original passage; doc 2 repeats it mid-text; doc 3
