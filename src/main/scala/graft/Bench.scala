@@ -99,7 +99,10 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,""" +
       s""""queries":$qs,"queries_mean":$qsMean,"queries_median":$qsMedian,""" +
       s""""suspect":$suspectJson,""" +
-      s""""cal_samples":${sweep.map(_.calAt).distinct.mkString("[", ",", "]")},""" +
+      // one sample PER PROBE WINDOW in firing order (probes fire at item
+      // 0, 8, 16, …) — distinct values alone hid how many windows ran hot
+      s""""cal_samples":${
+        sweep.grouped(8).map(_.head.calAt).mkString("[", ",", "]")},""" +
       s""""calibration_sec":${calibration(spark)},""" +
       s""""testdata_fingerprint":${testdataFingerprint(spark, sfDir)},""" +
       s""""stream_ingest_sf01":$ingest,""" +
@@ -210,7 +213,8 @@ object Bench {
   private[graft] def latestRoundPriors(dir: String): Map[String, Double] = try {
     val d = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(d)) return Map.empty
-    val rounds = java.nio.file.Files.list(d).toArray.map(_.toString)
+    val rounds = scala.util.Using.resource(java.nio.file.Files.list(d))(
+      _.toArray.map(_.toString))
       .flatMap { p =>
         val name = java.nio.file.Paths.get(p).getFileName.toString
         "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(name)
@@ -221,18 +225,27 @@ object Bench {
       .getOrElse(Map.empty)
   } catch { case _: Throwable => Map.empty }
 
-  /** One-shot interleaved calibration probe: a single run of the same
-    * no-I/O range aggregation [[calibration]] uses (warm after the first —
-    * the sweep's leading probe pays the one-time codegen).
+  /** Interleaved calibration probe: one UNTIMED warmup run then the min
+    * of 2 timed runs of the same no-I/O range aggregation [[calibration]]
+    * uses. r15's one-shot probe spanned 0.15–0.42s on a CLEAN run (codegen
+    * warmup + GC noise), so its >1.5×-floor condition fired on most
+    * windows and the suspect rule leaned on the 3×-prior condition alone;
+    * warmup + min-of-2 keeps clean-run samples within ~1.5× of the floor,
+    * making the contention evidence discriminating on its own.
     */
   private[graft] def calibrationProbe(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions.{sum => fsum, col}
-    val t0 = System.nanoTime()
-    try {
+    def run(): Unit =
       spark.range(0, 50000000L, 1, 32)
         .select(fsum(col("id") % 7).as("s"), fsum(col("id") * 3 % 11).as("t"))
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+    try {
+      run() // warmup — never timed
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }.min
     } catch { case _: Throwable => -1.0 }
   }
 
@@ -266,7 +279,8 @@ object Bench {
   private[graft] def testdataFingerprint(spark: SparkSession, sfDir: String): String =
     try {
       val dir = java.nio.file.Paths.get(sfDir)
-      val tables = java.nio.file.Files.list(dir).toArray.map(_.toString)
+      val tables = scala.util.Using.resource(java.nio.file.Files.list(dir))(
+        _.toArray.map(_.toString))
         .filter(_.endsWith(".parquet")).sorted
       val parts = tables.map { p =>
         val path = java.nio.file.Paths.get(p)

@@ -80,11 +80,20 @@ final class GraftTable(val kpt: KeyedParquetTable, ident: String, pin: Pin)
   override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
     val parts = ident.split('.')
+    // TableIdentifier holds exactly (catalog, database, table): a deeper
+    // namespace (graft.a.b.t) or a branch-suffixed name (graft.ns.t.branch)
+    // cannot be represented — refuse loudly rather than silently dropping
+    // middle segments and routing the stream to the wrong identifier.
+    require(parts.length <= 3,
+      s"streaming toTable: identifier '$ident' has ${parts.length} parts; " +
+        "the V1 streaming fallback can address at most catalog.namespace." +
+        "table — write to the base table or use the graft-table sink's " +
+        "option(\"table\", ...) path for branch/deep-namespace targets")
     val tid = parts.length match {
       case 1 => org.apache.spark.sql.catalyst.TableIdentifier(parts(0))
       case 2 => org.apache.spark.sql.catalyst.TableIdentifier(parts(1), Some(parts(0)))
-      case n => org.apache.spark.sql.catalyst.TableIdentifier(
-        parts(n - 1), Some(parts(n - 2)), Some(parts(0)))
+      case 3 => org.apache.spark.sql.catalyst.TableIdentifier(
+        parts(2), Some(parts(1)), Some(parts(0)))
     }
     CatalogTable(
       identifier = tid,

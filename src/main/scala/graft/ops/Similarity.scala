@@ -364,16 +364,20 @@ object Similarity {
     *      reads the id column only, never the codes;
     *   2. rewrite ONLY the touched files: their survivors append as new
     *      part files, then the old files are deleted. O(touched files)
-    *      I/O; untouched files are never opened.
+    *      heavy I/O; untouched files contribute only a column-pruned id
+    *      read (no codes), never a rewrite.
     * Absent ids no-op. Returns the number of files rewritten.
     *
     * Not transactional (same contract as [[ivfRemove]]): a reader racing
     * the append-then-delete can briefly see survivors doubled — run
     * removals from the index's single maintenance owner. Crash between the
-    * two steps leaves duplicated survivors, never lost rows; re-running
-    * the removal converges (the duplicate-holding old files are touched
-    * again only if they hold removed ids — rebuild via [[pqBuild]] if a
-    * crash ever needs cleaning).
+    * two steps leaves duplicated survivors, never lost rows, and RE-RUNNING
+    * THE SAME REMOVAL CONVERGES: the rewrite is idempotent because a
+    * survivor whose id already exists in an untouched file (i.e. one the
+    * crashed run's append landed) is NOT appended again — only the stale
+    * old files are deleted. SimilaritySpec proves the crash window
+    * round-trip (duplicate state still answers top-k correctly; re-run
+    * restores removal-equivalence).
     */
   def pqRemove(spark: SparkSession, indexDir: String, removedIds: DataFrame,
                idCol: String): Int = {
@@ -386,11 +390,23 @@ object Similarity {
       .collect().map(_.getString(0)).sorted // O(removed-touched files)
     if (touched.isEmpty) return 0
     // survivors of the touched files only; checkpoint so the append job
-    // cannot re-read the very files the delete below removes
+    // cannot re-read the very files the delete below removes.
+    // The anti-join against ids already living in UNTOUCHED files makes
+    // the rewrite idempotent: after a crash between append and delete,
+    // the re-run's survivors are exactly the rows the crashed append
+    // already landed elsewhere, so nothing re-appends and the stale old
+    // files just get deleted. In a healthy index (unique ids) the extra
+    // anti-join matches nothing; its probe side is the same column-pruned
+    // id scan step 1 already paid — no codes bytes are read for it.
     val stored = spark.read.parquet(codesDir)
+    val untouchedIds = spark.read.parquet(codesDir)
+      .select(col(idCol), input_file_name().as("__f"))
+      .filter(!col("__f").isInCollection(touched))
+      .select(idCol)
     val survivors = stored
       .filter(input_file_name().isInCollection(touched))
       .join(ids, Seq(idCol), "left_anti")
+      .join(untouchedIds, Seq(idCol), "left_anti")
       .select(stored.columns.map(col): _*)
       .localCheckpoint(true)
     if (!survivors.isEmpty)
@@ -435,9 +451,19 @@ object Similarity {
     val w = wRows.head.getInt(0)
     val book = broadcast(codebook.select(col("sub").as("__sub"),
       col("code").as("__code"), col("centroid").as("__c")))
-    // per-query LUT as ONE map row: slot = sub·cells + code → dot(q_sub, c)
+    // per-query LUT as ONE map row: slot = sub·cells + code → dot(q_sub, c).
+    // Every query row's dim is validated in-plan (pqTopK's d % m == 0 check
+    // for the batch path): a vector whose length != m·w would null-pad
+    // inside dotHof and silently score garbage — refuse loudly instead.
     val qluts = queries
-      .select(col(qidCol).as("query_id"), col(vecCol).as("__qvec"))
+      .select(col(qidCol).as("query_id"),
+        when(size(col(vecCol)) === lit(m * w), col(vecCol)).otherwise(
+          raise_error(concat(
+            lit("pqQueryAll: query vector dim "),
+            size(col(vecCol)).cast("string"),
+            lit(s" != m*w = ${m * w} — the query dim must match the " +
+              "codebook's training dim and split into m subspaces"))))
+          .as("__qvec"))
       .crossJoin(book)
       .withColumn("__lut", dotHof(
         transform(slice(col("__qvec"), col("__sub") * lit(w) + lit(1), lit(w)),
@@ -464,6 +490,10 @@ object Similarity {
           .orderBy(col("__adc").desc, col(idCol).asc)))
       .filter(col("__rk") <= rerank)
       .select(col("query_id"), col(idCol))
+      // duplicated code rows (the documented pqRemove crash window) rank
+      // adjacently under the (adc, id) tiebreak; distinct on the bounded
+      // |queries|·rerank shortlist keeps them out of the top-k output
+      .distinct()
     embeddings.join(broadcast(shortlist), Seq(idCol))
       .join(broadcast(qluts.select(col("query_id"), col("__qvec"))),
         Seq("query_id"))

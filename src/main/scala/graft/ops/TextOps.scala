@@ -252,25 +252,82 @@ object TextOps {
     *
     * Returns (idCol, text_dedup, n_tokens_removed); documents shorter
     * than n tokens pass through unchanged.
+    *
+    * Hot-gram skew guard: the fast ranking plan — ONE `row_number` window
+    * over the gram — routes every occurrence of one gram to one task and
+    * sorts it there, which a mass-boilerplate gram (one n-gram occurring
+    * 10⁸ times at 100× scale) turns into a single-task straggler. The
+    * guard is an EXACT upper bound that costs one cheap token-count pass:
+    * a gram occurring c times forces its FIRST TOKEN to occur ≥ c times,
+    * and token counts are map-side-combinable (hot tokens flatten before
+    * their tiny shuffle). When no token reaches `hotTokenThreshold`, no
+    * gram can either, and the measured-fast window plan is provably safe
+    * and runs unchanged. Otherwise grams split by first token: cool grams
+    * (occurrence count < threshold, by the bound) keep the window; hot
+    * grams take the skew-safe two-level plan — map-side-combined
+    * `groupBy(gram).agg(min(first), count)` (hot keys flatten BEFORE the
+    * shuffle), singletons drop, and a join back marks non-first
+    * occurrences by PROBE (hash lookup, no per-gram sort; the
+    * duplicated-hot-gram side is tiny — broadcast — and a shuffled probe
+    * is AQE-skew-splittable, which a window sort never is). The two-level
+    * plan is not the default because it was A/B-measured slower on clean
+    * corpora (r15: 1.38 vs 0.80 joining all grams; r16 re-measure with the
+    * count>1 filter: 1.67 vs 0.80 BenchOne — the distinct-gram shuffle +
+    * second explode dominate), so clean data pays only the token count.
+    * The hot-token set is broadcast (≤ Σ tokens / threshold rows — a few
+    * thousand under any Zipfian corpus); size the threshold so that bound
+    * stays broadcastable at the target corpus.
     */
   def spanDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+                textCol: String, n: Int,
+                hotTokenThreshold: Long = 1000000L): org.apache.spark.sql.DataFrame = {
     require(n >= 2, s"span window must be >= 2 tokens, got $n")
+    require(hotTokenThreshold >= 2,
+      s"hotTokenThreshold must be >= 2, got $hotTokenThreshold")
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("__toks"))
     val grams = toks.select(col(idCol).as("__id"),
         posexplode(when(size(col("__toks")) < n, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
             i => array_join(slice(col("__toks"), i, lit(n)), " "))))
           .as(Seq("__i", "__g")))
-      .select(col("__id"), (col("__i") + 1).as("__pos"), col("__g"))
-    // one shuffle on the window value ranks every occurrence; rank > 1 IS
-    // the removal set (a groupBy-min + join-back pays the gram shuffle
-    // twice and explodes the corpus twice — measured slower)
-    val removals = grams
+      .select(col("__id"), (col("__i") + 1).as("__pos"), col("__g"),
+        // the gram's first token — the skew-routing key
+        element_at(split(col("__g"), " "), 1).as("__t1"))
+    // the exact skew bound: count(gram) <= count(first token of gram)
+    val hotTokens = toks
+      .select(explode(col("__toks")).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= hotTokenThreshold)
+      .select("__t")
+    // driver-side switch on ONE number; the hot-token set itself is never
+    // collected (Σ tokens / threshold rows — broadcast-joined, not isin'd)
+    val anyHot = !hotTokens.isEmpty
+    def windowRemovals(g: org.apache.spark.sql.DataFrame) = g
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("__g")
           .orderBy(col("__id"), col("__pos"))))
       .filter(col("__rn") > 1)
+      .select("__id", "__pos")
+    val removalRows =
+      if (!anyHot) windowRemovals(grams)
+      else {
+        val hot = broadcast(hotTokens)
+        val coolGrams = grams.join(hot, grams("__t1") === hot("__t"), "left_anti")
+        val hotGrams = grams.join(hot, grams("__t1") === hot("__t"), "left_semi")
+        val dupFirstHot = hotGrams.groupBy("__g")
+          .agg(min(struct(col("__id"), col("__pos"))).as("__first"),
+            count(lit(1)).as("__c"))
+          .filter(col("__c") > 1)
+          .select("__g", "__first")
+        // dupFirstHot is left to AQE: broadcast when small (the common
+        // case), a skew-splittable shuffled probe when a 100× corpus
+        // makes the duplicated-hot-gram set itself large
+        val hotRemovals = hotGrams.join(dupFirstHot, Seq("__g"))
+          .filter(struct(col("__id"), col("__pos")) =!= col("__first"))
+          .select("__id", "__pos")
+        windowRemovals(coolGrams).unionByName(hotRemovals)
+      }
+    val removals = removalRows
       .groupBy("__id")
       .agg(collect_list(struct(col("__pos").as("__s"),
         (col("__pos") + (n - 1)).as("__e"))).as("__spans"))

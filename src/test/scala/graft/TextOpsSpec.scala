@@ -619,15 +619,50 @@ class TextOpsSpec extends SparkSpec {
     // tiny alphabet → dense window collisions, runs, whole-doc wipes
     val rnd = new scala.util.Random(9)
     val alphabet = IndexedSeq("a", "b", "c", "d")
-    for (trial <- 0 until 4; nWin <- Seq(2, 3)) {
+    // thresholds route the SAME corpus three ways: default (pure window
+    // path), 2 (every token hot → pure two-level path), 5 (mixed: hot
+    // tokens split out, the rest stay on the window) — all must match the
+    // one reference
+    for (trial <- 0 until 4; nWin <- Seq(2, 3);
+         thr <- Seq(1000000L, 2L, 5L)) {
       val docs = (0L until 30L).map { id =>
         id -> Seq.fill(3 + rnd.nextInt(15))(alphabet(rnd.nextInt(4))).mkString(" ")
       }
-      val got = TextOps.spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text", nWin)
+      val got = TextOps.spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+          nWin, hotTokenThreshold = thr)
         .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
       assert(got === reference(docs, nWin),
-        s"trial=$trial n=$nWin docs=${docs.take(5)}...")
+        s"trial=$trial n=$nWin thr=$thr docs=${docs.take(5)}...")
     }
+  }
+
+  test("spanDedup hot-gram skew: one 6-gram duplicated ~1e5× takes the two-level path") {
+    // one boilerplate 6-gram planted 50× in each of 2000 docs (~1e5
+    // occurrences of the SAME gram — the single-task-window-sort
+    // pathology), surrounded by per-doc-unique noise tokens
+    val boiler = "zz0 zz1 zz2 zz3 zz4 zz5"
+    val docs = spark.range(0, 2000).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        concat(lit("u"), col("id"), lit("head")),
+        concat_ws(" ", (0 until 50).map(_ => lit(boiler)): _*),
+        concat(lit("u"), col("id"), lit("tail"))).as("text"))
+    val out = TextOps.spanDedup(docs, "doc_id", "text", n = 6,
+      hotTokenThreshold = 1000L)
+    // the hardened path is IN the executed plan: the hot/cool split unions
+    // two removal branches — the default pure-window plan has no Union
+    assert(out.queryExecution.executedPlan.toString.contains("Union"),
+      "expected the hot/cool split (Union of removal branches) to be planned")
+    val rows = out.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows.size === 2000)
+    // doc 0 holds the globally-first occurrence: its first boilerplate
+    // copy survives; copies 2..50 are excised. The copies tile back-to-
+    // back, so every window inside the repeated run duplicates the run's
+    // own first window — removal intervals cover tokens 8..301 of doc 0
+    // (the run spans positions 2..301; 2..7 survive).
+    assert(rows(0L) === ((s"u0head $boiler u0tail", 294L)))
+    // every other doc loses the whole run (300 tokens)
+    assert(rows(1L) === (("u1head u1tail", 300L)))
+    assert(rows(1999L) === (("u1999head u1999tail", 300L)))
   }
 
   test("incremental BPE merge loop ≡ the recount loop (the executable spec)") {
