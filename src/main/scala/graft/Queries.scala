@@ -5142,14 +5142,48 @@ object Queries {
              |CAST(octet_length(encode(text)) AS BIGINT) AS total_frame_bytes
              |FROM documents""".stripMargin)),
 
-    // Resize plumbing: normalize every blob to a fixed byte budget
-    // (truncate/zero-pad) with refreshed metadata — metadata-only readback,
-    // so the blob column itself is pruned from this query's output.
+    // REAL pixel resize (javax.imageio — JDK codecs, zero new deps): plant
+    // one DECODABLE container per document (format rotates png/jpg/gif,
+    // source dims vary per doc), corrupt every 10th to exercise the
+    // quarantine path, bilinear-rescale everything to a 32×24 box, and
+    // group on the width/height RE-PARSED from the produced PNG bytes —
+    // the output dims come from the header parser reading the actual
+    // payload, so a resize or encode regression breaks the hash.
     "q_media_resize" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
+        import s.implicits._
+        val planted = t("documents").select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val fmt = (id % 3) match {
+                case 0 => "png"; case 1 => "jpg"; case _ => "gif"
+              }
+              (id, Multimodal.makeDecodable(
+                (8 + id % 5).toInt, (6 + id % 7).toInt, fmt))
+            }
+          }
+          .toDF("doc_id", "media")
+          // every 10th blob truncated to its signature — undecodable
+          .withColumn("media", when(col("doc_id") % 10 === 0,
+            col("media").substr(1, 8)).otherwise(col("media")))
+        Multimodal.resize(planted, "doc_id", "media", targetW = 32, targetH = 24)
+          .groupBy("mime", "width", "height", "resize_error")
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""SELECT CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 'image/png' END AS mime,
+             |CASE WHEN doc_id % 10 = 0 THEN NULL ELSE CAST(32 AS INTEGER) END AS width,
+             |CASE WHEN doc_id % 10 = 0 THEN NULL ELSE CAST(24 AS INTEGER) END AS height,
+             |CASE WHEN doc_id % 10 = 0 THEN 'ImageIO could not decode pixel data' END AS resize_error,
+             |COUNT(*) AS n_docs
+             |FROM documents GROUP BY 1, 2, 3, 4""".stripMargin)),
+
+    // The byte-budget stand-in (non-image media) keeps its own oracle row.
+    "q_media_byte_budget" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
         val withBin = Multimodal.attachBinary(t("documents"), "text", "text/plain")
-        Multimodal.resizeStub(withBin, "media", "image/thumb", 64)
+        Multimodal.resizeStub(withBin, "media", "audio/thumb", 64)
           .groupBy(col("media_meta.n_bytes").as("n_bytes"))
           .agg(count(lit(1)).as("n_docs"))
       },

@@ -12,10 +12,11 @@ import org.apache.spark.sql.types._
   * dimensions from the container bytes (pure JVM — the published byte
   * layouts need no codec library), and [[decodeHeaders]] runs it as the
   * typed-Dataset mapPartitions operator a production pipeline would use,
-  * quarantining malformed blobs instead of throwing. Only PIXEL work
-  * (resampling) remains a byte-budget stand-in ([[resizeStub]]) — this
-  * container ships no image codecs; a real resampler keeps that exact
-  * shape.
+  * quarantining malformed blobs instead of throwing. IMAGE pixel work is
+  * real too: [[resize]] decodes/rescales/re-encodes through the JDK's own
+  * `javax.imageio` codecs. Only non-image media (audio/video resampling)
+  * keeps a byte-budget stand-in ([[resizeStub]]) — those codecs the
+  * container genuinely does not ship.
   *
   * Scale notes: decode runs via `mapPartitions` so per-partition setup
   * amortizes across rows; header parsing touches O(header) bytes per blob
@@ -224,11 +225,90 @@ object Multimodal {
     df.select(col(idCol), posexplode(split_part_bytes(col(binCol), n))
       .as(Seq("frame_idx", "frame_bytes")))
 
+  /** REAL pixel resize via the JDK's own codecs (`javax.imageio` — zero
+    * new dependencies): decode PNG/JPEG/GIF pixels, bilinear-rescale into
+    * the `targetW`×`targetH` box with Graphics2D, re-encode as PNG (the
+    * JDK's PNG writer is deterministic for a given raster). Keeps
+    * [[decodeHeaders]]' operator shape — typed-Dataset mapPartitions,
+    * blobs never on the driver, ImageIO's temp-file cache disabled per
+    * partition — and its quarantine discipline: a blob ImageIO cannot
+    * decode (corrupt bytes, or a header-only container with no pixel
+    * data) yields a null payload + error label, never a thrown job.
+    *
+    * The emitted width/height/mime are RE-PARSED from the produced PNG by
+    * [[parseMediaHeader]] — the output validates itself against the
+    * header parser instead of echoing the requested box back.
+    *
+    * Returns (id, media: binary, mime, width, height, resize_error).
+    */
+  def resize(df: DataFrame, idCol: String, binCol: String,
+             targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0,
+      s"resize target must be positive, got ${targetW}x$targetH")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull && col(binCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // stream, no executor temp files
+        rows.map { case (id, bytes) =>
+          val decoded =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          decoded match {
+            case Some(img) =>
+              val out = new java.awt.image.BufferedImage(targetW, targetH,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, targetW, targetH, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              val png = bos.toByteArray
+              val hdr = parseMediaHeader(png) // self-validate the output
+              (id, Option(png), hdr.map(_._1), hdr.map(_._2), hdr.map(_._3),
+                if (hdr.isDefined) Option.empty[String]
+                else Option("re-encoded PNG failed its own header parse"))
+            case None =>
+              (id, Option.empty[Array[Byte]], Option.empty[String],
+                Option.empty[Int], Option.empty[Int],
+                Option("ImageIO could not decode pixel data"))
+          }
+        }
+      }
+      .toDF("id", "media", "mime", "width", "height", "resize_error")
+  }
+
+  /** A DECODABLE image fixture: a deterministic gradient raster encoded by
+    * the JDK's own writer in the requested container (`"png"`, `"jpg"`,
+    * `"gif"`) — what [[resize]] tests plant where the header-only builders
+    * above (no pixel data) would quarantine.
+    */
+  def makeDecodable(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x * 37 + y * 101) & 0xFFFFFF); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
   /** Resize stub: normalize every blob to exactly `targetBytes` (truncate
     * long payloads, zero-pad short ones) and refresh the metadata struct.
-    * A real image/audio resample keeps exactly this shape — binary in,
-    * fixed-budget binary out, metadata recomputed. Pure column expressions:
-    * codegen'd, no shuffle, no driver involvement.
+    * The byte-budget stand-in for NON-image media (audio/video need codecs
+    * this container does not ship); images have the real pixel path in
+    * [[resize]]. Pure column expressions: codegen'd, no shuffle, no driver
+    * involvement.
     */
   def resizeStub(df: DataFrame, binCol: String, mime: String,
                  targetBytes: Int): DataFrame = {

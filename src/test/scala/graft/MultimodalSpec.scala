@@ -167,4 +167,57 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L) === ((2L, 0L)))
     assert(got(4L) === ((2L, 2L)))
   }
+
+  test("resize: real decode → bilinear rescale → PNG whose re-parsed dims ARE the box") {
+    // decodable fixtures in all three containers, different source dims
+    val rows = Seq(
+      (1L, Multimodal.makeDecodable(40, 30, "png")),
+      (2L, Multimodal.makeDecodable(7, 13, "jpg")),
+      (3L, Multimodal.makeDecodable(64, 8, "gif"))).toDF("doc_id", "media")
+    val got = Multimodal.resize(rows, "doc_id", "media", 16, 12)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]]("media"), r.getString(2), r.get(3), r.get(4),
+          r.getString(5)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    got.foreach { case (id, (png, mime, w, h, err)) =>
+      assert(err == null, s"id=$id unexpectedly quarantined: $err")
+      assert(mime === "image/png")
+      assert(w === 16 && h === 12, s"id=$id dims ($w,$h)")
+      // the emitted dims came from parseMediaHeader over the emitted
+      // bytes — re-parse here independently to close the loop
+      assert(Multimodal.parseMediaHeader(png) === Some(("image/png", 16, 12)))
+      // and the produced PNG is itself ImageIO-decodable at the box size
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(back.getWidth === 16 && back.getHeight === 12)
+    }
+    // determinism: the same raster re-encodes to the same bytes
+    val again = Multimodal.resize(rows, "doc_id", "media", 16, 12)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("media")).toMap
+    got.foreach { case (id, (png, _, _, _, _)) =>
+      assert(java.util.Arrays.equals(png, again(id)), s"id=$id bytes drifted")
+    }
+  }
+
+  test("resize QUARANTINES undecodable blobs (corrupt, header-only) and keeps good ones") {
+    val rows = Seq(
+      (1L, Multimodal.makeDecodable(10, 10, "png")),          // good
+      (2L, Array[Byte](1, 2, 3, 4)),                          // garbage
+      (3L, Multimodal.makeDecodable(10, 10, "jpg").take(8)),  // truncated
+      // spec-valid header but NO pixel data — parseMediaHeader reads it,
+      // ImageIO cannot decode it: must quarantine, not throw
+      (4L, Multimodal.makePng(9, 9))).toDF("doc_id", "media")
+    val got = Multimodal.resize(rows, "doc_id", "media", 4, 4)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[Array[Byte]]("media")), Option(r.getString(5))))).toMap
+    assert(got(1L)._1.isDefined && got(1L)._2.isEmpty)
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(got(id)._1.isEmpty, s"id=$id should carry no payload")
+      assert(got(id)._2 === Some("ImageIO could not decode pixel data"),
+        s"id=$id wrong quarantine label: ${got(id)._2}")
+    }
+    // null blobs/ids drop up front (decodeHeaders' discipline)
+    val withNulls = rows.withColumn("media",
+      when(col("doc_id") === 1L, lit(null).cast("binary")).otherwise(col("media")))
+    assert(Multimodal.resize(withNulls, "doc_id", "media", 4, 4).count() === 3)
+  }
 }

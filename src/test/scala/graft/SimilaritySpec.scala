@@ -600,6 +600,76 @@ class SimilaritySpec extends SparkSpec {
       "vec_id") === 0)
   }
 
+  test("pqRemove crash window: duplicated survivors still answer exact top-k; re-run converges") {
+    val m = 4; val nPlanes = 3
+    val emb = clustered
+    val dir = tmpDir("pqcrash")
+    val codesDir = s"$dir/codes"
+    Similarity.pqBuild(emb.filter(col("vec_id") < 200), "vec_id", "embedding",
+      dir, m, nPlanes, dim)
+    Similarity.pqAppend(spark, dir, emb.filter(col("vec_id") >= 200),
+      "vec_id", "embedding", m, dim)
+    val removedIds = Set(0L, 1L, 155L)
+    val removedDf = removedIds.toSeq.toDF("vec_id")
+    // simulate pqRemove crashing BETWEEN its two steps: run the append
+    // half exactly as pqRemove would (survivors of the touched files land
+    // as new part files), then "crash" — the deletes never run
+    val codes0 = spark.read.parquet(codesDir)
+    val touched = codes0.select(col("vec_id"), input_file_name().as("__f"))
+      .join(removedDf, Seq("vec_id"), "left_semi")
+      .select("__f").distinct().collect().map(_.getString(0))
+    assert(touched.nonEmpty)
+    val crashedAppend = codes0.filter(input_file_name().isInCollection(touched))
+      .join(removedDf, Seq("vec_id"), "left_anti")
+      .select(codes0.columns.map(col): _*).localCheckpoint(true)
+    crashedAppend.write.mode("append").parquet(codesDir)
+    spark.catalog.refreshByPath(codesDir)
+    // the documented crash state: survivor rows DUPLICATED, nothing lost,
+    // removed ids still present (their delete never ran)
+    val crashed = spark.read.parquet(codesDir)
+    assert(crashed.count() > crashed.select("vec_id").distinct().count())
+    assert(crashed.select("vec_id").distinct().count() === emb.count())
+    // (b) batch queries over the duplicated-survivor state are still the
+    // EXACT top-k of the full (not-yet-removed) corpus: with rerank >=
+    // corpus the ADC prefilter cannot lose a candidate, and the shortlist
+    // distinct keeps duplicates from eating slots or repeating in output
+    val book = spark.read.parquet(s"$dir/codebook")
+    val queries = emb.filter(col("vec_id") % 30 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val batch = Similarity.pqQueryAll(book, crashed, emb, queries,
+        "qid", "vec_id", "embedding", k = 7, m = m, nPlanes = nPlanes,
+        rerank = 700) // corpus is 300 rows + duplicated survivors
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    queries.collect().map(_.getLong(0)).foreach { qid =>
+      val exact = Similarity.cosineTopK(emb,
+          queries.filter(col("qid") === qid).select("embedding"),
+          "vec_id", "embedding", 7)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(qid).distinct.size === batch(qid).size,
+        s"qid=$qid repeated an id under the duplicated-survivor state")
+      assert(batch(qid) === exact, s"qid=$qid under duplicated-survivor state")
+    }
+    // (a) re-running the SAME removal converges to removal-equivalence:
+    // the new run's survivors are all already present in untouched files
+    // (the crashed append's), so nothing re-appends and the stale old
+    // files just get deleted — removed ids gone, zero duplicates
+    assert(Similarity.pqRemove(spark, dir, removedDf, "vec_id") > 0)
+    val after = spark.read.parquet(codesDir)
+    val idsAfter = after.select("vec_id").collect().map(_.getLong(0))
+    assert(idsAfter.length === idsAfter.distinct.length,
+      "re-run left duplicated survivor rows")
+    assert(idsAfter.toSet ===
+      emb.select("vec_id").collect().map(_.getLong(0)).toSet -- removedIds)
+    // and the surviving codes are exactly a never-indexed-the-removed build
+    val fresh = Similarity.pqEncode(
+        emb.filter(!col("vec_id").isInCollection(removedIds)),
+        "vec_id", "embedding", book, m, dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(after.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      === fresh)
+  }
+
   test("pqMaybeRetrain: balanced index untouched; drift-funneled codes trigger rebuild") {
     val m = 4; val nPlanes = 3
     val emb = clustered
