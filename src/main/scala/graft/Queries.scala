@@ -1272,6 +1272,43 @@ object Queries {
       },
       None),
 
+    // BPE SEGMENTATION end-to-end over the corpus (r16): train, segment
+    // every document through the distinct-word path, and emit PER-DOC
+    // token counts (hashed by the gate as rows). Rows-only (DuckDB cannot
+    // replay the merge loop) behind the exact non-overlap invariant at
+    // corpus scope: Σ per-doc tokens = Σ chars − Σ training gains — the
+    // corpus-side identity q_bpe_train asserts at the word level, here
+    // carried through the word→doc join-back a real tokenization pipeline
+    // runs (so a broken join/fan-out double-counts and fails the gate).
+    "q_bpe_segment" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val docs = t("documents")
+        val merges = TextOps.bpeTrain(docs, "text", numMerges = 30,
+          maxWords = 1 << 20).localCheckpoint(true)
+        val words = docs.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+        val vocab = words.select(countDistinct(col("w"))).head().getLong(0)
+        require(vocab < (1L << 20),
+          s"q_bpe_segment: vocabulary $vocab exceeds the maxWords cap — " +
+            "the reconciliation gate needs an uncapped histogram")
+        val seg = TextOps.bpeSegment(words, "w", merges)
+        val perDoc = words.join(seg, "w")
+          .groupBy("doc_id")
+          .agg(sum(size(col("tokens")).cast("long")).as("n_tokens"),
+            sum(length(col("w")).cast("long")).as("n_chars"))
+          .localCheckpoint(true)
+        val gains = merges.agg(coalesce(sum("gain"), lit(0L))).head().getLong(0)
+        val tot = perDoc.agg(sum("n_tokens"), sum("n_chars")).head()
+        val (totToks, totChars) = (tot.getLong(0), tot.getLong(1))
+        require(totToks == totChars - gains,
+          s"q_bpe_segment: Σ per-doc tokens $totToks != " +
+            s"$totChars chars - $gains merge gains")
+        perDoc.select("doc_id", "n_tokens", "n_chars")
+      },
+      None),
+
     // Heavy-hitter detection, two-pass: a bounded Misra–Gries sketch (one
     // map-side-combinable agg, O(k) state) surfaces candidate hot keys,
     // then ONE filtered groupBy exact-counts just the candidates. The

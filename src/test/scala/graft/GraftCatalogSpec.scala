@@ -1179,6 +1179,47 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE graft.spec.widen")
   }
 
+  test("aggregate pushdown × widening: stats columns stay scan-free, COUNT(widened) declines") {
+    // the r15×r15 interaction matrix: widenColumn refuses stats/sum
+    // columns, so the widened column is by construction NOT indexed —
+    // COUNT over it must decline to a real scan that is correct across
+    // pre- and post-widening files, while pushdown on the indexed columns
+    // is untouched by the widening commit
+    sql("DROP TABLE IF EXISTS graft.spec.aggw")
+    sql("""CREATE TABLE graft.spec.aggw (id BIGINT, ts BIGINT, n INT)
+           PARTITIONED BY (bucket(4, id))
+           TBLPROPERTIES ('graft.keys'='id', 'graft.statsCols'='ts')""")
+    sql("INSERT INTO graft.spec.aggw " +
+      (1 to 20).map(i =>
+        s"SELECT ${i}L, ${i * 10}L, ${if (i % 5 == 0) "NULL" else s"$i"}")
+        .mkString(" UNION ALL "))
+    sql("ALTER TABLE graft.spec.aggw ALTER COLUMN n TYPE BIGINT")
+    // a post-widening insert above 2^31 — a value INT could not hold
+    sql("INSERT INTO graft.spec.aggw SELECT 21L, 210L, 4294967296L")
+    // pushdown on the INDEXED column is untouched by the widening
+    val mm = sql("SELECT COUNT(ts) AS c, MIN(ts) AS lo, MAX(ts) AS hi " +
+      "FROM graft.spec.aggw")
+    assert(!mm.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "stats-column pushdown must survive an unrelated column widening")
+    assert(mm.head() === org.apache.spark.sql.Row(21L, 10L, 210L))
+    // COUNT/MAX over the WIDENED (never-indexed) column: real scan,
+    // correct across int32-encoded old files and int64 new ones
+    val cw = sql("SELECT COUNT(n) AS c, MAX(n) AS m FROM graft.spec.aggw")
+    assert(cw.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "COUNT(widened non-stats column) must decline to a scan")
+    assert(cw.head() === org.apache.spark.sql.Row(17L, 4294967296L))
+    // promoting the widened column into statsCols AFTER files exist
+    // leaves a stale index for it — COUNT(n) must STILL decline (the
+    // stale-index rule), never answer from an index that never saw n
+    sql("ALTER TABLE graft.spec.aggw " +
+      "SET TBLPROPERTIES ('graft.statsCols'='ts,n')")
+    val cw2 = sql("SELECT COUNT(n) FROM graft.spec.aggw")
+    assert(cw2.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "stale index (n joined statsCols post-write) must decline COUNT(n)")
+    assert(cw2.head().getLong(0) === 17L)
+    sql("DROP TABLE graft.spec.aggw")
+  }
+
   test("Scala surface and SQL surface see one table state (MERGE then SELECT)") {
     sql("DROP TABLE IF EXISTS graft.spec.merged")
     sql("""CREATE TABLE graft.spec.merged (id BIGINT, v BIGINT)
