@@ -1544,7 +1544,8 @@ final class KeyedParquetTable(
     */
   def replaceBuckets(content: DataFrame, buckets: Set[Int],
                      txn: Option[String] = None,
-                     expectedBase: Long = -1L): Long = {
+                     expectedBase: Long = -1L,
+                     align: Boolean = true): Long = {
     require(exists, s"replaceBuckets target $root does not exist")
     require(bucketCount > 0, "replaceBuckets requires a bucketed table")
     val cur = currentVersion
@@ -1557,7 +1558,7 @@ final class KeyedParquetTable(
       Files.isRegularFile(p) && p.toString.endsWith(".parquet")),
       s"replaceBuckets: $root holds flat (unbucketed) files — merge instead")
     commitScoped(content.withColumn("__bucket", bucketExpr), buckets, txn,
-      base = cur)
+      base = cur, align = align)
   }
 
   /** Commit kernel under [[mergeScoped]]/[[replaceBuckets]]: write `content`
@@ -1568,7 +1569,7 @@ final class KeyedParquetTable(
   private def commitScoped(content: DataFrame, touched: Set[Int],
                            txn: Option[String], swing: Boolean = true,
                            extraDeletes: Option[DataFrame] = None,
-                           base: Long = -1L): Long = {
+                           base: Long = -1L, align: Boolean = true): Long = {
     // `base` = the snapshot the caller computed `content` AGAINST. Claiming
     // base+1 (not currentVersion+1 re-read here) makes an interleaved
     // commit fail the claim's post-acquire fence instead of silently
@@ -1590,12 +1591,20 @@ final class KeyedParquetTable(
       // layout parity with commit()/withLayout: bucket dir FIRST, then the
       // table's partition spec — dropping partitionBy here would mix
       // directory depths across buckets and break partition discovery.
-      // Hash-distribute on the layout cells first (see withLayout): a
-      // micro-batch commit otherwise lands one file per (cell × task),
-      // and per-batch fragmentation compounds fastest exactly here
-      withSortOrder(enforceConstraints(content)
-        .repartition(("__bucket" +: partitionBy).map(col): _*),
-        "__bucket" +: partitionBy)
+      // align: hash-distribute on the layout cells first (see withLayout) —
+      // without it a commit lands one file per (cell × task) and per-batch
+      // fragmentation compounds fastest exactly here. align=false is for
+      // the per-micro-batch REPLACE path only (IncrementalAgg), where the
+      // next batch rewrites the same buckets wholesale so fragmentation
+      // cannot compound, and the skipped exchange (an AQE stage job +
+      // scheduling gap) is a measured slice of the per-batch floor; file
+      // count stays bounded by (pre-state files + batch partitions), and
+      // the maintenance advisor's compaction covers the pathological case.
+      val aligned =
+        if (align) enforceConstraints(content)
+          .repartition(("__bucket" +: partitionBy).map(col): _*)
+        else enforceConstraints(content)
+      withSortOrder(aligned, "__bucket" +: partitionBy)
         .write.mode("append")
         .partitionBy(("__bucket" +: partitionBy): _*)
         .parquet(nextDir.toString)

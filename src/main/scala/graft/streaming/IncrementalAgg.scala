@@ -161,7 +161,7 @@ object IncrementalAgg {
         .agg(sum(col("n_rows")).as("n_rows"),
           valueCols.map(c =>
             sum(col(s"sum_$c")).cast("decimal(38,6)").as(s"sum_$c")): _*)
-      table.replaceBuckets(content, buckets, txnId)
+      table.replaceBuckets(content, buckets, txnId, align = false)
     } else {
       // unbucketed fallback: join-based fold + full merge (fine for small
       // tables; bucket the table for the O(batch) path).
@@ -465,7 +465,7 @@ object IncrementalAgg {
         // broadcast hash anti-join + union + write, no AQE stage jobs
         entityTable.replaceBuckets(
           graft.cdc.Merge.mergeUpsert(pre, broadcast(latest), keys, opCol),
-          entityBuckets.get, txnId)
+          entityBuckets.get, txnId, align = false)
       case None =>
         entityTable.createIfNotExists(
           org.apache.spark.sql.types.StructType(latest.drop(opCol).schema.fields))
@@ -589,7 +589,8 @@ object IncrementalAgg {
         if (aggFirstUse) deltaRows.limit(0)
         else aggTable.readBuckets(aggBuckets)
           .select(deltaRows.columns.map(col): _*)
-      aggTable.replaceBuckets(foldInto(cur, deltaRows), aggBuckets, txnId)
+      aggTable.replaceBuckets(foldInto(cur, deltaRows), aggBuckets, txnId,
+        align = false)
     } else {
       // unfused fallback (unbucketed tables / foreign flat layout):
       // aggregate the delta per group once and checkpoint it — it embeds
@@ -623,7 +624,8 @@ object IncrementalAgg {
           if (aggFirstUse) deltaRows.limit(0)
           else aggTable.readBuckets(aggBuckets)
             .select(deltaRows.columns.map(col): _*)
-        aggTable.replaceBuckets(foldInto(cur, deltaRows), aggBuckets, txnId)
+        aggTable.replaceBuckets(foldInto(cur, deltaRows), aggBuckets, txnId,
+        align = false)
       } else {
         // unbucketed: join-based fold + full merge.
         // <=> throughout: a NULL group is a legitimate group, and ===
