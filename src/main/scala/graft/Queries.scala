@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
 import graft.cdc.{CdcParse, KeyedParquetTable, Merge}
 import graft.functions.HeavyHitters
 import graft.streaming.IncrementalAgg
-import graft.ops.{Bucketing, Components, Dedup, FuzzyDedup, Graph, Multimodal, Prefilter, QualityFilter, Quantize, RangeLayout, Ranks, Sampling, Similarity, Skew, TextOps}
+import graft.ops.{Audio, Bucketing, Components, Dedup, FuzzyDedup, Graph, Multimodal, Prefilter, QualityFilter, Quantize, RangeLayout, Ranks, Sampling, Similarity, Skew, TextOps}
 import graft.validate.Validation
 
 /** The engine's registered query workload.
@@ -5214,6 +5214,101 @@ object Queries {
              |CASE WHEN doc_id % 10 = 0 THEN 'ImageIO could not decode pixel data' END AS resize_error,
              |COUNT(*) AS n_docs
              |FROM documents GROUP BY 1, 2, 3, 4""".stripMargin)),
+
+    // Image near-dup over REAL pixels (r16): perceptual dHash (decode →
+    // 9×8 luma grid → adjacent-cell comparison bits) + banded Hamming
+    // join — the text near-dup family's band trick applied to the image
+    // modality. Each doc group plants the SAME block raster three ways
+    // (png, gif, brightness-shifted png — lossless variants a byte-level
+    // fingerprint cannot match), every 50th doc is corrupted into
+    // quarantine, and the pair counts grouped by (group_a, group_b) must
+    // equal the combinatorial prediction: C(live members, 2) inside each
+    // group, ZERO cross-group rows (pseudo-random block permutations put
+    // distinct groups ~24 bits apart; radius is 4).
+    "q_image_neardup" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        import s.implicits._
+        val planted = t("documents").select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val g = id / 3
+              val bytes = (id % 3) match {
+                case 0 => Multimodal.makeBlockImage(g, "png")
+                case 1 => Multimodal.makeBlockImage(g, "gif")
+                case _ => Multimodal.makeBlockImage(g, "png", lumaShift = 16)
+              }
+              (id, bytes)
+            }
+          }
+          .toDF("doc_id", "media")
+          .withColumn("media", when(col("doc_id") % 50 === 0,
+            col("media").substr(1, 8)).otherwise(col("media")))
+        val hashes = Multimodal.imageHash64(planted, "doc_id", "media")
+        Multimodal.imageNearDupPairs(hashes, "id", "phash",
+            maxHamming = 4, bands = 8)
+          .groupBy(expr("id_a DIV 3").as("group_a"),
+            expr("id_b DIV 3").as("group_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH ok AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+             |g AS (SELECT doc_id // 3 AS grp, COUNT(*) AS m FROM ok GROUP BY 1)
+             |SELECT grp AS group_a, grp AS group_b, m*(m-1)//2 AS n_pairs
+             |FROM g WHERE m >= 2""".stripMargin)),
+
+    // REAL audio decode (r16, pure JVM — WAV/PCM needs no codec): plant a
+    // deterministic PCM16 triangle wave per doc (frame count varies,
+    // always a whole number of periods so mean |amplitude| is EXACTLY
+    // 4000), corrupt every 25th, and hash the per-doc integer features.
+    "q_audio_features" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        import s.implicits._
+        val planted = t("documents").select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Audio.makeWav(8000, 64 * (8 + (id % 5)).toInt))))
+          .toDF("doc_id", "media")
+          .withColumn("media", when(col("doc_id") % 25 === 0,
+            col("media").substr(1, 12)).otherwise(col("media")))
+        Audio.decodeWavFeatures(planted, "doc_id", "media")
+          .select(col("id").as("doc_id"), col("sample_rate"), col("n_frames"),
+            col("duration_ms"), col("mean_abs_amplitude"), col("decode_error"))
+      },
+      Some("""SELECT doc_id,
+             |CASE WHEN doc_id % 25 = 0 THEN NULL ELSE CAST(8000 AS INTEGER) END AS sample_rate,
+             |CASE WHEN doc_id % 25 = 0 THEN NULL ELSE CAST(64*(8 + doc_id % 5) AS BIGINT) END AS n_frames,
+             |CASE WHEN doc_id % 25 = 0 THEN NULL ELSE CAST(64*(8 + doc_id % 5) // 8 AS BIGINT) END AS duration_ms,
+             |CASE WHEN doc_id % 25 = 0 THEN NULL ELSE CAST(4000 AS BIGINT) END AS mean_abs_amplitude,
+             |CASE WHEN doc_id % 25 = 0 THEN 'unrecognized or truncated WAV container' END AS decode_error
+             |FROM documents""".stripMargin)),
+
+    // REAL sample-rate conversion (r16): linear interpolation at rational
+    // positions in pure integer arithmetic, 8000 → 3000 Hz (non-integer
+    // ratio — the interpolation path, not bare subsampling). The emitted
+    // rate/frame metadata is RE-PARSED from the produced WAV bytes, and
+    // the oracle predicts the frame count from the resampler's contract:
+    // nOut = (nIn−1)·dst DIV src + 1.
+    "q_audio_resample" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        import s.implicits._
+        val planted = t("documents").select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Audio.makeWav(8000, 64 * (8 + (id % 5)).toInt))))
+          .toDF("doc_id", "media")
+          .withColumn("media", when(col("doc_id") % 25 === 0,
+            col("media").substr(1, 12)).otherwise(col("media")))
+        Audio.resamplePcm16(planted, "doc_id", "media", targetRate = 3000)
+          .groupBy("sample_rate", "n_frames")
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""WITH r AS (
+             |  SELECT CASE WHEN doc_id % 25 = 0 THEN NULL ELSE CAST(3000 AS INTEGER) END AS sample_rate,
+             |  CASE WHEN doc_id % 25 = 0 THEN NULL
+             |       ELSE CAST((64*(8 + doc_id % 5) - 1) * 3000 // 8000 + 1 AS BIGINT) END AS n_frames
+             |  FROM documents)
+             |SELECT sample_rate, n_frames, COUNT(*) AS n_docs
+             |FROM r GROUP BY 1, 2""".stripMargin)),
 
     // The byte-budget stand-in (non-image media) keeps its own oracle row.
     "q_media_byte_budget" -> Q(

@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Audio column plumbing over opaque `binary` payloads — the WAV/PCM half
+  * of the multimodal story, REAL in pure JVM: RIFF/WAVE is an uncompressed
+  * container (the published byte layout needs no codec), so header parse,
+  * decode and resample are all integer arithmetic this engine can run
+  * bit-reproducibly anywhere. Compressed audio (mp3/ogg) would need codecs
+  * this container does not ship — those stay behind the byte-budget
+  * stand-in ([[Multimodal.resizeStub]]), exactly like video.
+  *
+  * Operator shape matches [[Multimodal.decodeHeaders]]/[[Multimodal.resize]]:
+  * typed-Dataset mapPartitions, payloads never on the driver, malformed
+  * bytes QUARANTINE with an error label instead of throwing.
+  */
+object Audio {
+
+  /** Parsed WAV facts: PCM16 mono is the decodable subset ([[resamplePcm16]]
+    * refuses the rest loudly per row, into quarantine).
+    */
+  final case class WavMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                           dataOffset: Int, dataBytes: Int) {
+    def nFrames: Int =
+      if (channels <= 0 || bitsPerSample <= 0) 0
+      else dataBytes / (channels * (bitsPerSample / 8))
+  }
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+  /** Parse a RIFF/WAVE header by WALKING the chunk list (fmt may be
+    * followed by LIST/fact/cue chunks before data — real encoders emit
+    * them). O(header) bytes; None = not an intact PCM WAV container.
+    */
+  def parseWavHeader(bytes: Array[Byte]): Option[WavMeta] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')) return None
+    if (!(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    while (i + 8 <= bytes.length) {
+      val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(bytes, i + 4)
+      if (size < 0 || i + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = le16(bytes, i + 8)
+          if (audioFormat != 1) return None // PCM only
+          fmt = Some((le16(bytes, i + 10), le32(bytes, i + 12), le16(bytes, i + 22)))
+        case "data" =>
+          return fmt.collect { case (ch, rate, bits)
+              if ch > 0 && rate > 0 && (bits == 8 || bits == 16) =>
+            WavMeta(rate, ch, bits, i + 8, size)
+          }
+        case _ => // skip unknown chunks (LIST, fact, cue, ...)
+      }
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Build a spec-valid PCM16 MONO WAV carrying a deterministic triangle
+    * wave (integer amplitude arithmetic — no libm): the fixture builder
+    * for [[resamplePcm16]] tests and oracles.
+    */
+  def makeWav(sampleRate: Int, nFrames: Int, period: Int = 64,
+              amplitude: Int = 8000): Array[Byte] = {
+    require(sampleRate > 0 && nFrames >= 0 && period >= 2)
+    val data = new Array[Byte](nFrames * 2)
+    var k = 0
+    while (k < nFrames) {
+      val ph = k % period
+      val tri = // triangle: 0 → amp → 0 → −amp → 0 over one period
+        if (ph < period / 4) ph * 4 * amplitude / period
+        else if (ph < 3 * period / 4) amplitude * 2 - ph * 4 * amplitude / period
+        else ph * 4 * amplitude / period - amplitude * 4
+      data(2 * k) = (tri & 0xFF).toByte
+      data(2 * k + 1) = ((tri >> 8) & 0xFF).toByte
+      k += 1
+    }
+    wrapPcm16(data, sampleRate)
+  }
+
+  private def wrapPcm16(data: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36 + data.length)
+    buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1) // PCM, mono
+    buf.putInt(sampleRate); buf.putInt(sampleRate * 2)
+    buf.putShort(2); buf.putShort(16) // block align, bits
+    buf.put("data".getBytes); buf.putInt(data.length)
+    buf.put(data)
+    buf.array()
+  }
+
+  /** WAV metadata + an integer loudness feature per blob — the
+    * feature-extract stage: (id, sample_rate, n_frames, duration_ms,
+    * mean_abs_amplitude, decode_error). Quarantine discipline throughout;
+    * mean amplitude is an exact integer mean (sum of |s| div n) so the
+    * output hashes identically everywhere.
+    */
+  def decodeWavFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull && col(binCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          parseWavHeader(bytes) match {
+            case Some(m) if m.bitsPerSample == 16 && m.channels == 1 =>
+              val n = m.nFrames
+              var sum = 0L
+              var k = 0
+              while (k < n) {
+                val s = (le16(bytes, m.dataOffset + 2 * k) << 16) >> 16
+                sum += math.abs(s.toLong); k += 1
+              }
+              (id, Option(m.sampleRate), Option(n.toLong),
+                Option(n.toLong * 1000L / m.sampleRate),
+                Option(if (n == 0) 0L else sum / n), Option.empty[String])
+            case Some(_) =>
+              (id, None, None, None, None,
+                Option("unsupported WAV shape (need PCM16 mono)"))
+            case None =>
+              (id, None, None, None, None,
+                Option("unrecognized or truncated WAV container"))
+          }
+        }
+      }
+      .toDF("id", "sample_rate", "n_frames", "duration_ms",
+        "mean_abs_amplitude", "decode_error")
+  }
+
+  /** REAL sample-rate conversion for PCM16 mono WAV: linear interpolation
+    * at rational positions in pure integer arithmetic (`floorDiv` — no
+    * float, no libm; bit-identical on any JVM), re-encoded as PCM16 WAV.
+    * Output frame k samples input position k·src/dst; frame count is
+    * `floorDiv((n−1)·dst, src) + 1` (the last input sample stays in
+    * range). Emitted rate/frame metadata is RE-PARSED from the produced
+    * container — the operator validates its own output like
+    * [[Multimodal.resize]]. Non-PCM16-mono or malformed blobs quarantine.
+    *
+    * Returns (id, media: binary, sample_rate, n_frames, resample_error).
+    */
+  def resamplePcm16(df: DataFrame, idCol: String, binCol: String,
+                    targetRate: Int): DataFrame = {
+    require(targetRate > 0, s"targetRate must be positive, got $targetRate")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull && col(binCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          parseWavHeader(bytes) match {
+            case Some(m) if m.bitsPerSample == 16 && m.channels == 1 && m.nFrames > 0 =>
+              val src = m.sampleRate
+              val nIn = m.nFrames
+              def sample(i: Int): Int = (le16(bytes, m.dataOffset + 2 * i) << 16) >> 16
+              val nOut = (Math.floorDiv((nIn - 1).toLong * targetRate, src) + 1).toInt
+              val out = new Array[Byte](nOut * 2)
+              var k = 0
+              while (k < nOut) {
+                val num = k.toLong * src
+                val idx = Math.floorDiv(num, targetRate).toInt
+                val frac = num - idx.toLong * targetRate
+                val s0 = sample(idx)
+                val v =
+                  if (frac == 0 || idx + 1 >= nIn) s0
+                  else (s0 + Math.floorDiv(
+                    (sample(idx + 1) - s0).toLong * frac, targetRate)).toInt
+                out(2 * k) = (v & 0xFF).toByte
+                out(2 * k + 1) = ((v >> 8) & 0xFF).toByte
+                k += 1
+              }
+              val wav = wrapPcm16(out, targetRate)
+              // self-validate: the emitted metadata comes from re-parsing
+              val re = parseWavHeader(wav)
+              (id, Option(wav), re.map(_.sampleRate), re.map(_.nFrames.toLong),
+                if (re.isDefined) Option.empty[String]
+                else Option("re-encoded WAV failed its own header parse"))
+            case Some(_) =>
+              (id, None, None, None,
+                Option("unsupported WAV shape (need PCM16 mono, nonempty)"))
+            case None =>
+              (id, None, None, None,
+                Option("unrecognized or truncated WAV container"))
+          }
+        }
+      }
+      .toDF("id", "media", "sample_rate", "n_frames", "resample_error")
+  }
+}

@@ -283,6 +283,153 @@ object Multimodal {
       .toDF("id", "media", "mime", "width", "height", "resize_error")
   }
 
+  /** 64-bit DIFFERENCE HASH (dHash) over real pixels — the standard
+    * perceptual image fingerprint: decode (any of the JDK's containers),
+    * bilinear-rescale to a 9×8 luma grid, one bit per horizontally
+    * adjacent cell pair (`luma(x,y) > luma(x+1,y)`). Robust to container
+    * re-encodes and global brightness shifts (both preserve adjacent-cell
+    * ORDER — bilinear is linear, so a uniform shift moves every resampled
+    * value equally), which byte-level fingerprints
+    * ([[chunkFingerprints]]) cannot see past. Integer luma
+    * (299r+587g+114b)/1000 — bit-reproducible everywhere.
+    *
+    * Same operator shape as [[resize]]: typed mapPartitions, blobs off
+    * the driver, undecodable bytes quarantine with an error label.
+    * Returns (id, phash: long, hash_error).
+    */
+  def imageHash64(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull && col(binCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val decoded =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          decoded match {
+            case Some(img) =>
+              val grid = new java.awt.image.BufferedImage(9, 8,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = grid.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, 9, 8, null)
+              g.dispose()
+              def luma(x: Int, y: Int): Int = {
+                val p = grid.getRGB(x, y)
+                (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) +
+                  114 * (p & 0xFF)) / 1000
+              }
+              var bits = 0L
+              var k = 0
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  if (luma(x, y) > luma(x + 1, y)) bits |= (1L << k)
+                  k += 1; x += 1
+                }
+                y += 1
+              }
+              (id, Option(bits), Option.empty[String])
+            case None =>
+              (id, Option.empty[Long],
+                Option("ImageIO could not decode pixel data"))
+          }
+        }
+      }
+      .toDF("id", "phash", "hash_error")
+  }
+
+  /** Near-duplicate image PAIRS by banded Hamming join over [[imageHash64]]
+    * fingerprints — the MinHash-band trick applied to perceptual hashes:
+    * the 64-bit hash splits into `bands` equal slices, and by pigeonhole
+    * two hashes within Hamming distance `maxHamming` < `bands` must agree
+    * on at least one whole band, so candidate generation is a BAND
+    * EQUI-JOIN (the exact-dedup shuffle shape — never all-pairs), followed
+    * by the exact `bit_count(xor)` filter. Quarantined rows (null hash)
+    * never pair. Returns (id_a, id_b, hamming) with id_a < id_b, distinct.
+    *
+    * Scale: candidates are bounded by per-band bucket collisions, exactly
+    * like LSH near-dup over text shingles; a degenerate corpus of
+    * near-identical images concentrates buckets the same way a duplicated
+    * shingle does — cap upstream with exact-dup removal first
+    * (identical bytes need no perceptual pass).
+    */
+  def imageNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                        maxHamming: Int, bands: Int = 8): DataFrame = {
+    require(bands > 0 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"the pigeonhole guarantee needs maxHamming < bands " +
+        s"(got $maxHamming >= $bands); raise bands or lower the radius")
+    val w = 64 / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1L
+    val banded = hashes
+      .filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("__id"), col(hashCol).as("__h"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => call_function("shiftright", col(hashCol), b * lit(w))
+            .bitwiseAND(lit(mask))))
+          .as(Seq("__band", "__bv")))
+    val a = banded.select(col("__band"), col("__bv"),
+      col("__id").as("id_a"), col("__h").as("__ha"))
+    val b = banded.select(col("__band"), col("__bv"),
+      col("__id").as("id_b"), col("__h").as("__hb"))
+    a.join(b, Seq("__band", "__bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(__ha ^ __hb)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** A deterministic BLOCK-PATTERN image fixture for perceptual-hash
+    * tests: a 72×64 raster of 8×8-pixel constant-luma blocks laid out on
+    * the dHash 9×8 grid, block lumas a group-seeded PERMUTATION spaced 3
+    * gray levels apart (no adjacent ties — re-encodes and uniform shifts
+    * cannot flip a comparison). `lumaShift` brightens every block equally
+    * (≤ 16 stays clamp-free), exercising dHash's shift invariance.
+    */
+  def makeBlockImage(group: Long, format: String, lumaShift: Int = 0): Array[Byte] = {
+    require(lumaShift >= 0 && lumaShift <= 16, s"lumaShift 0..16, got $lumaShift")
+    // splitmix64 finalizer (Vigna, public domain): a bare linear hash of
+    // (group, k) sorts as a shifted arithmetic progression, making every
+    // group's rank layout nearly identical — full avalanche is what makes
+    // distinct groups land ~24 bits apart in the dHash domain
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val order = (0 until 72).sortBy(k => mix(group * 72 + k))
+    val lumaOf = new Array[Int](72)
+    order.zipWithIndex.foreach { case (block, rank) =>
+      lumaOf(block) = 3 * rank + lumaShift // 0..213 (+shift ≤ 229): clamp-free
+    }
+    val img = new java.awt.image.BufferedImage(72, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 72) {
+        val l = lumaOf((y / 8) * 9 + (x / 8))
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
   /** A DECODABLE image fixture: a deterministic gradient raster encoded by
     * the JDK's own writer in the requested container (`"png"`, `"jpg"`,
     * `"gif"`) — what [[resize]] tests plant where the header-only builders

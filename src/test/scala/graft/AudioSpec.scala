@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Audio
+
+class AudioSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseWavHeader: roundtrip, chunk walking, truncation, garbage") {
+    val wav = Audio.makeWav(8000, 256)
+    val m = Audio.parseWavHeader(wav).get
+    assert(m.sampleRate === 8000 && m.channels === 1 &&
+      m.bitsPerSample === 16 && m.nFrames === 256)
+    // real encoders put LIST/fact chunks between fmt and data — the walk
+    // must skip them by size (odd sizes word-align)
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val patched = java.nio.ByteBuffer.allocate(wav.length + extra.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    patched.put(wav, 0, 36)           // RIFF..fmt chunk end
+    patched.put(extra)                // interloper chunk (odd size + pad)
+    patched.put(wav, 36, wav.length - 36) // data chunk onward
+    val pm = Audio.parseWavHeader(patched.array()).get
+    assert(pm.nFrames === 256 && pm.sampleRate === 8000)
+    // truncated mid-data refuses (declared size exceeds the bytes)
+    assert(Audio.parseWavHeader(wav.take(100)).isEmpty)
+    assert(Audio.parseWavHeader(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Audio.parseWavHeader("RIFFxxxxNOPE".getBytes ++ new Array[Byte](40)).isEmpty)
+  }
+
+  test("decodeWavFeatures: exact integer features; non-PCM16-mono and garbage quarantine") {
+    // triangle wave, period 64 amp 8000: mean |s| over a full period is
+    // EXACTLY 4000 (60000+128000+68000 = 256000 over 64 samples)
+    val rows = Seq(
+      (1L, Audio.makeWav(8000, 512)),
+      (2L, Audio.makeWav(16000, 640)),
+      (3L, Array[Byte](1, 2, 3, 4))).toDF("doc_id", "media")
+    val got = Audio.decodeWavFeatures(rows, "doc_id", "media")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getInt(1) === 8000 && got(1L).getLong(2) === 512L &&
+      got(1L).getLong(3) === 64L && got(1L).getLong(4) === 4000L)
+    assert(got(2L).getInt(1) === 16000 && got(2L).getLong(2) === 640L &&
+      got(2L).getLong(3) === 40L && got(2L).getLong(4) === 4000L)
+    assert(got(3L).isNullAt(1) && got(3L).getString(5) != null)
+  }
+
+  test("resamplePcm16: identity is byte-exact, 2:1 is exact subsampling, 1:2 interpolates midpoints") {
+    def pcmOk(bytes: Array[Byte]): Seq[Int] = {
+      val m = Audio.parseWavHeader(bytes).get
+      (0 until m.nFrames).map { i =>
+        val lo = bytes(m.dataOffset + 2 * i) & 0xFF
+        val hi = bytes(m.dataOffset + 2 * i + 1).toInt
+        (hi << 8) | lo
+      }
+    }
+    val src = Audio.makeWav(8000, 200)
+    val in = pcmOk(src)
+    def out(target: Int): (Seq[Int], Int) = {
+      val r = Audio.resamplePcm16(Seq((1L, src)).toDF("doc_id", "media"),
+        "doc_id", "media", target).head()
+      assert(r.getString(4) == null, s"unexpected quarantine: ${r.getString(4)}")
+      val bytes = r.getAs[Array[Byte]]("media")
+      (pcmOk(bytes), r.getInt(2))
+    }
+    val (same, rSame) = out(8000)
+    assert(rSame === 8000 && same === in)
+    val (half, rHalf) = out(4000)
+    assert(rHalf === 4000)
+    assert(half === (0 until half.size).map(k => in(2 * k)))
+    assert(half.size === (199 * 4000) / 8000 + 1)
+    val (dbl, _) = out(16000)
+    assert(dbl.size === (199 * 16000) / 8000 + 1)
+    // even positions copy, odd positions are floor midpoints
+    (0 until in.size).foreach(i => assert(dbl(2 * i) === in(i)))
+    (0 until in.size - 1).foreach { i =>
+      val mid = in(i) + Math.floorDiv((in(i + 1) - in(i)).toLong * 8000, 16000).toInt
+      assert(dbl(2 * i + 1) === mid, s"i=$i")
+    }
+    // quarantine: garbage and unsupported shapes carry no payload
+    val stereoish = {
+      val w = Audio.makeWav(8000, 8)
+      w(22) = 2 // channels patched to 2 — unsupported shape
+      w
+    }
+    val q = Audio.resamplePcm16(Seq((1L, Array[Byte](1, 2)), (2L, stereoish))
+        .toDF("doc_id", "media"), "doc_id", "media", 4000)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).isNullAt(1) && q(1L).getString(4).contains("unrecognized"))
+    assert(q(2L).isNullAt(1) && q(2L).getString(4).contains("unsupported"))
+  }
+}

@@ -220,4 +220,73 @@ class MultimodalSpec extends SparkSpec {
       when(col("doc_id") === 1L, lit(null).cast("binary")).otherwise(col("media")))
     assert(Multimodal.resize(withNulls, "doc_id", "media", 4, 4).count() === 3)
   }
+
+  test("imageHash64: container re-encode and uniform brightness shift preserve the hash") {
+    def hashOf(bytes: Array[Byte]): Long = {
+      val r = Multimodal.imageHash64(
+        Seq((1L, bytes)).toDF("doc_id", "media"), "doc_id", "media").head()
+      assert(r.getString(2) == null, s"unexpected quarantine: ${r.getString(2)}")
+      r.getLong(1)
+    }
+    val g7png = hashOf(Multimodal.makeBlockImage(7L, "png"))
+    // lossless re-encode in a different container: SAME raster, same hash
+    assert(hashOf(Multimodal.makeBlockImage(7L, "gif")) === g7png)
+    // uniform brightness shift: every adjacent-cell ORDER preserved
+    assert(hashOf(Multimodal.makeBlockImage(7L, "png", lumaShift = 16)) === g7png)
+    // a different group's pattern is FAR away (pseudo-random block ranks)
+    val g9png = hashOf(Multimodal.makeBlockImage(9L, "png"))
+    assert(java.lang.Long.bitCount(g7png ^ g9png) > 8,
+      s"groups 7 and 9 unexpectedly close: ${java.lang.Long.bitCount(g7png ^ g9png)}")
+    // EXHAUSTIVE separation over the first 1700 groups (covers every group
+    // q_image_neardup plants up to a 5100-doc fixture — sf0.01 is 500):
+    // the smallest pairwise Hamming distance must clear the query's radius
+    // of 4 with margin — this is what makes the combinatorial oracle sound
+    val many = Multimodal.imageHash64(
+      spark.range(0, 1700).select(col("id").as("doc_id"))
+        .as[Long].mapPartitions(_.map(g =>
+          (g, Multimodal.makeBlockImage(g, "png")))).toDF("doc_id", "media"),
+      "doc_id", "media")
+      .collect().map(r => r.getLong(1))
+    val minD = (for {
+      i <- many.indices.iterator; j <- (i + 1 until many.length).iterator
+    } yield java.lang.Long.bitCount(many(i) ^ many(j))).min
+    assert(minD > 6, s"min cross-group Hamming $minD too small for radius 4")
+    // undecodable bytes quarantine with a null hash
+    val bad = Multimodal.imageHash64(
+      Seq((2L, Array[Byte](9, 9, 9))).toDF("doc_id", "media"),
+      "doc_id", "media").head()
+    assert(bad.isNullAt(1) && bad.getString(2) != null)
+  }
+
+  test("imageNearDupPairs ≡ brute-force Hamming pairs (pigeonhole band join is exact)") {
+    // hand-built hash set: a tight cluster (distances 0..3), a far point,
+    // and a pair exactly AT the radius
+    val hs = Seq(
+      (1L, 0x0123456789ABCDEFL),
+      (2L, 0x0123456789ABCDEFL),              // dist 0 to 1
+      (3L, 0x0123456789ABCDECL),              // dist 2 to 1/2
+      (4L, 0x0123456789ABCDEFL ^ 0x8421L),    // dist 4 to 1/2 (at radius)
+      (5L, 0x7777777777777777L),              // far from everything
+      (6L, -1L)).toDF("id", "phash")          // far, sign-bit handling
+    val maxH = 4
+    val got = Multimodal.imageNearDupPairs(hs, "id", "phash", maxH, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val raw = hs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, ha) <- raw; (ib, hb) <- raw if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= maxH
+    } yield (ia, ib, d)).toSet
+    assert(got === want)
+    assert(want.contains((1L, 4L, 4)), "radius-edge pair must be present")
+    // quarantined rows (null hash) never pair
+    val withNull = hs.withColumn("phash",
+      when(col("id") === 2L, lit(null).cast("long")).otherwise(col("phash")))
+    val got2 = Multimodal.imageNearDupPairs(withNull, "id", "phash", maxH)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got2.exists(p => p._1 == 2L || p._2 == 2L))
+    // the pigeonhole contract refuses a radius it cannot guarantee
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(hs, "id", "phash", maxHamming = 8, bands = 8)
+    }
+  }
 }
