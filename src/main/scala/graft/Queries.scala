@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
 import graft.cdc.{CdcParse, KeyedParquetTable, Merge}
 import graft.functions.HeavyHitters
 import graft.streaming.IncrementalAgg
-import graft.ops.{Audio, Bucketing, Components, Dedup, FuzzyDedup, Graph, Multimodal, Prefilter, QualityFilter, Quantize, RangeLayout, Ranks, Sampling, Similarity, Skew, TextOps}
+import graft.ops.{Audio, Bucketing, Components, Dedup, FuzzyDedup, Graph, Multimodal, Prefilter, QualityFilter, Quantize, RangeLayout, Ranks, Sampling, Similarity, Skew, TextOps, Video}
 import graft.validate.Validation
 
 /** The engine's registered query workload.
@@ -5309,6 +5309,54 @@ object Queries {
              |  FROM documents)
              |SELECT sample_rate, n_frames, COUNT(*) AS n_docs
              |FROM r GROUP BY 1, 2""".stripMargin)),
+
+    // REAL video frame sampling (r16, pure JVM): MJPEG-in-AVI container
+    // walk + evenly spaced frame extraction — the sampled frames are the
+    // ORIGINAL JPEG payloads, re-validated here by the real image header
+    // parser (dims must equal each doc's planted frame dims). Corrupt
+    // containers quarantine to an explicit zero row, never vanish.
+    "q_video_frames" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        import s.implicits._
+        val planted = t("documents").select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val w = (8 + id % 3).toInt
+              val h = (6 + id % 2).toInt
+              val nf = (3 + id % 5).toInt
+              val frame = Multimodal.makeDecodable(w, h, "jpg")
+              (id, Video.makeMjpegAvi(Seq.fill(nf)(frame), w, h))
+            }
+          }
+          .toDF("doc_id", "media")
+          .withColumn("media", when(col("doc_id") % 20 === 0,
+            col("media").substr(1, 16)).otherwise(col("media")))
+        val frames = Video.sampleFrames(planted, "doc_id", "media", n = 4)
+        val sampled = frames.groupBy(col("id").as("doc_id"))
+          .agg(sum(when(col("frame_idx").isNotNull, 1L).otherwise(0L))
+            .as("n_sampled"))
+        val dimsOk = Multimodal.decodeHeaders(
+            frames.filter(col("frame_idx").isNotNull)
+              .select((col("id") * 16 + col("frame_idx")).as("fid"),
+                col("frame_bytes")),
+            "fid", "frame_bytes")
+          .withColumn("doc_id", expr("id DIV 16"))
+          .groupBy("doc_id")
+          .agg(sum(when(col("mime") === "image/jpeg" &&
+              col("width") === (col("doc_id") % 3 + 8) &&
+              col("height") === (col("doc_id") % 2 + 6), 1L).otherwise(0L))
+            .as("n_dims_ok"))
+        sampled.join(dimsOk, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_sampled"),
+            coalesce(col("n_dims_ok"), lit(0L)).as("n_dims_ok"))
+      },
+      Some("""SELECT doc_id,
+             |CASE WHEN doc_id % 20 = 0 THEN 0
+             |     ELSE LEAST(4, 3 + doc_id % 5) END AS n_sampled,
+             |CASE WHEN doc_id % 20 = 0 THEN 0
+             |     ELSE LEAST(4, 3 + doc_id % 5) END AS n_dims_ok
+             |FROM documents""".stripMargin)),
 
     // The byte-budget stand-in (non-image media) keeps its own oracle row.
     "q_media_byte_budget" -> Q(

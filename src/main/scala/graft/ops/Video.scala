@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Video column plumbing over opaque `binary` payloads — REAL for
+  * MJPEG-in-AVI, in pure JVM: AVI is a RIFF container (the same published
+  * chunk grammar WAV uses) and an MJPEG stream's frames are ordinary JPEG
+  * images, so container walk + frame extraction need no codec, and the
+  * extracted frames chain straight into the REAL image operators
+  * ([[Multimodal.parseMediaHeader]], [[Multimodal.resize]],
+  * [[Multimodal.imageHash64]]) — a decode → frame-sample → perceptual-dedup
+  * pipeline with no stand-ins anywhere. Inter-frame codecs (H.264 …) would
+  * need decoders this container does not ship; those stay behind the
+  * byte-chunk stand-in ([[Multimodal.frameSample]]).
+  *
+  * Operator shape matches the rest of the media family: typed-Dataset
+  * mapPartitions, payloads never on the driver, malformed bytes QUARANTINE
+  * with an error label instead of throwing. Frame extraction copies only
+  * the SAMPLED frames' bytes — O(header + sampled frames), never a full
+  * re-buffer of the video.
+  */
+object Video {
+
+  /** Parsed AVI facts from the `avih` main header. */
+  final case class AviMeta(width: Int, height: Int, nFrames: Int,
+                           usPerFrame: Int)
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+  private def fourCC(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Parse the RIFF/AVI main header by walking the chunk list — `avih`
+    * lives inside `LIST hdrl`; unknown chunks skip by size (word-aligned).
+    * None = not an intact AVI container.
+    */
+  def parseAviHeader(bytes: Array[Byte]): Option[AviMeta] = {
+    if (bytes == null || bytes.length < 24) return None
+    if (fourCC(bytes, 0) != "RIFF" || fourCC(bytes, 8) != "AVI ") return None
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id = fourCC(bytes, i)
+      val size = le32(bytes, i + 4)
+      if (size < 0 || i + 8 + size > bytes.length) return None
+      if (id == "LIST" && size >= 4 && fourCC(bytes, i + 8) == "hdrl") {
+        // walk inside hdrl for avih
+        var j = i + 12
+        val end = i + 8 + size
+        while (j + 8 <= end) {
+          val cid = fourCC(bytes, j)
+          val csize = le32(bytes, j + 4)
+          if (csize < 0 || j + 8 + csize > end) return None
+          if (cid == "avih" && csize >= 40)
+            return Some(AviMeta(
+              width = le32(bytes, j + 8 + 32),
+              height = le32(bytes, j + 8 + 36),
+              nFrames = le32(bytes, j + 8 + 16),
+              usPerFrame = le32(bytes, j + 8)))
+          j += 8 + csize + (csize & 1)
+        }
+        return None
+      }
+      i += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  /** (offset, size) of every video frame chunk (`##dc`/`##db`) inside
+    * `LIST movi`, in stream order. Empty = no movi list / malformed.
+    */
+  private[graft] def frameOffsets(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    if (bytes == null || bytes.length < 24) return Nil
+    if (fourCC(bytes, 0) != "RIFF" || fourCC(bytes, 8) != "AVI ") return Nil
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id = fourCC(bytes, i)
+      val size = le32(bytes, i + 4)
+      if (size < 0 || i + 8 + size > bytes.length) return Nil
+      if (id == "LIST" && size >= 4 && fourCC(bytes, i + 8) == "movi") {
+        val frames = Seq.newBuilder[(Int, Int)]
+        var j = i + 12
+        val end = i + 8 + size
+        while (j + 8 <= end) {
+          val cid = fourCC(bytes, j)
+          val csize = le32(bytes, j + 4)
+          if (csize < 0 || j + 8 + csize > end) return Nil
+          if (cid.length == 4 && cid(0).isDigit && cid(1).isDigit &&
+            (cid.endsWith("dc") || cid.endsWith("db")))
+            frames += ((j + 8, csize))
+          j += 8 + csize + (csize & 1)
+        }
+        return frames.result()
+      }
+      i += 8 + size + (size & 1)
+    }
+    Nil
+  }
+
+  /** Build a spec-valid MJPEG AVI from JPEG frame payloads — the fixture
+    * builder for [[sampleFrames]] tests and oracles. Every frame should be
+    * a real JPEG ([[Multimodal.makeDecodable]](w, h, "jpg")).
+    */
+  def makeMjpegAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+                   fps: Int = 25): Array[Byte] = {
+    require(fps > 0, s"fps must be positive, got $fps")
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes); b.putInt(payload.length); b.put(payload)
+      b.array()
+    }
+    def list(subtype: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes); b.putInt(4 + payload.length)
+      b.put(subtype.getBytes); b.put(payload)
+      b.array()
+    }
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1000000 / fps); b.putInt(0); b.putInt(0); b.putInt(0)
+      b.putInt(frames.length); b.putInt(0); b.putInt(1); b.putInt(0)
+      b.putInt(w); b.putInt(h)
+      b.array() // reserved[4] stays zero
+    }
+    val strh = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes); b.put("MJPG".getBytes)
+      b.putInt(0); b.putShort(0); b.putShort(0); b.putInt(0)
+      b.putInt(1); b.putInt(fps) // scale, rate
+      b.putInt(0); b.putInt(frames.length)
+      b.array()
+    }
+    val strf = {
+      val b = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40); b.putInt(w); b.putInt(h)
+      b.putShort(1); b.putShort(24)
+      b.put("MJPG".getBytes)
+      b.array()
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.map(f => chunk("00dc", f))
+      .foldLeft(Array.emptyByteArray)(_ ++ _))
+    val body = "AVI ".getBytes ++ hdrl ++ movi
+    val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes); out.putInt(body.length); out.put(body)
+    out.array()
+  }
+
+  /** AVI metadata as a frame: (id, width, height, n_frames, fps_millis,
+    * decode_error). `fps_millis` = frames/sec × 1000, exact integer
+    * (1e9 / usPerFrame DIV 1). Quarantine discipline throughout.
+    */
+  def decodeAviMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull && col(binCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseAviHeader(bytes) match {
+          case Some(m) if m.usPerFrame > 0 =>
+            (id, Option(m.width), Option(m.height), Option(m.nFrames.toLong),
+              Option(1000000000L / m.usPerFrame), Option.empty[String])
+          case _ =>
+            (id, None, None, None, None,
+              Option("unrecognized or truncated AVI container"))
+        }
+      })
+      .toDF("id", "width", "height", "n_frames", "fps_millis", "decode_error")
+  }
+
+  /** REAL frame sampling: up to `n` evenly spaced frames per video,
+    * extracted as their ORIGINAL JPEG bytes (offset-sliced — only sampled
+    * frames are copied). Sampled indices are `k·F DIV m` for
+    * `m = min(n, F)` — strictly increasing, first frame always included.
+    * Undecodable containers quarantine as a single null-frame row so no
+    * video silently vanishes. Returns (id, frame_idx, frame_bytes,
+    * sample_error).
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+                   n: Int): DataFrame = {
+    require(n > 0, s"sample count must be positive, got $n")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull && col(binCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val offsets = frameOffsets(bytes)
+        if (offsets.isEmpty)
+          Iterator.single((id, Option.empty[Long], Option.empty[Array[Byte]],
+            Option("unrecognized AVI or no MJPEG frames")))
+        else {
+          val f = offsets.length
+          val m = math.min(n, f)
+          (0 until m).iterator.map { k =>
+            val idx = k * f / m
+            val (off, size) = offsets(idx)
+            (id, Option(idx.toLong),
+              Option(java.util.Arrays.copyOfRange(bytes, off, off + size)),
+              Option.empty[String])
+          }
+        }
+      })
+      .toDF("id", "frame_idx", "frame_bytes", "sample_error")
+  }
+}

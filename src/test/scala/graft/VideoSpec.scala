@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Multimodal, Video}
+
+class VideoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jpeg(w: Int, h: Int): Array[Byte] = Multimodal.makeDecodable(w, h, "jpg")
+
+  test("parseAviHeader + frameOffsets: roundtrip, truncation, garbage") {
+    val frames = (0 until 5).map(_ => jpeg(16, 12))
+    val avi = Video.makeMjpegAvi(frames, 16, 12, fps = 25)
+    val m = Video.parseAviHeader(avi).get
+    assert(m.width === 16 && m.height === 12 && m.nFrames === 5 &&
+      m.usPerFrame === 40000)
+    val offs = Video.frameOffsets(avi)
+    assert(offs.size === 5)
+    // every extracted frame is byte-identical to what was planted
+    offs.zip(frames).foreach { case ((o, s), f) =>
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(avi, o, o + s), f))
+    }
+    assert(Video.parseAviHeader(avi.take(30)).isEmpty)
+    assert(Video.parseAviHeader("RIFFxxxxWAVE".getBytes ++ new Array[Byte](40)).isEmpty)
+    assert(Video.frameOffsets(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("sampleFrames: even spacing, fewer-frames-than-n, quarantine; frames chain into image ops") {
+    val rows = Seq(
+      (1L, Video.makeMjpegAvi((0 until 10).map(_ => jpeg(16, 12)), 16, 12)),
+      (2L, Video.makeMjpegAvi((0 until 2).map(_ => jpeg(8, 6)), 8, 6)),
+      (3L, Array[Byte](7, 7, 7, 7))).toDF("doc_id", "media")
+    val got = Video.sampleFrames(rows, "doc_id", "media", n = 4).collect()
+    val byId = got.groupBy(_.getLong(0))
+    // 10 frames sampled at 4: indices k*10/4 = 0, 2, 5, 7
+    assert(byId(1L).map(_.getLong(1)).sorted.toSeq === Seq(0L, 2L, 5L, 7L))
+    // 2 frames < n=4: both frames, once each
+    assert(byId(2L).map(_.getLong(1)).sorted.toSeq === Seq(0L, 1L))
+    // garbage quarantines as ONE null-frame row (the video never vanishes)
+    assert(byId(3L).length === 1 && byId(3L).head.isNullAt(1) &&
+      byId(3L).head.getString(3) != null)
+    // the sampled bytes are REAL JPEGs: the image header parser reads the
+    // planted dims, and the perceptual hasher decodes them
+    val frames = Video.sampleFrames(rows.filter(col("doc_id") === 1L),
+      "doc_id", "media", 4)
+      .select(col("frame_idx").as("fid"), col("frame_bytes"))
+    val dims = frames.collect().map(r =>
+      Multimodal.parseMediaHeader(r.getAs[Array[Byte]](1)).get)
+    assert(dims.forall(_ == ("image/jpeg", 16, 12)))
+    val hashed = Multimodal.imageHash64(frames, "fid", "frame_bytes")
+    assert(hashed.filter(col("hash_error").isNotNull).count() === 0)
+  }
+}
