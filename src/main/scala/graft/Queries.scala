@@ -5256,6 +5256,52 @@ object Queries {
              |SELECT grp AS group_a, grp AS group_b, m*(m-1)//2 AS n_pairs
              |FROM g WHERE m >= 2""".stripMargin)),
 
+    // INCREMENTAL perceptual-hash index (r16): the maintained band-bucket
+    // table fed in two batches (merge-on-existing, not a rebuild), then a
+    // bucket-pruned probe — indexSimhash's lifecycle for the image
+    // modality. Per group the two lossless encodings are INDEXED and the
+    // brightness-shifted member PROBES; expected hits per candidate =
+    // that group's live indexed members, zero cross-group.
+    "q_image_neardup_incremental" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        import s.implicits._
+        val planted = t("documents").select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val g = id / 3
+              val bytes = (id % 3) match {
+                case 0 => Multimodal.makeBlockImage(g, "png")
+                case 1 => Multimodal.makeBlockImage(g, "gif")
+                case _ => Multimodal.makeBlockImage(g, "png", lumaShift = 16)
+              }
+              (id, bytes)
+            }
+          }
+          .toDF("doc_id", "media")
+          .withColumn("media", when(col("doc_id") % 50 === 0,
+            col("media").substr(1, 8)).otherwise(col("media")))
+        val bandT = new KeyedParquetTable(s, s"${scratchDir("graft_phidx_")}/bands",
+          Seq("b", "bv", "id"), Nil, 8, Seq("b", "bv"))
+        Multimodal.indexImageHashes(bandT,
+          planted.filter(col("doc_id") % 3 === 0), "doc_id", "media")
+        Multimodal.indexImageHashes(bandT,
+          planted.filter(col("doc_id") % 3 === 1), "doc_id", "media")
+        Multimodal.checkImageNearDups(bandT,
+            planted.filter(col("doc_id") % 3 === 2), "doc_id", "media",
+            maxHamming = 4)
+          .groupBy(expr("id_a DIV 3").as("group_a"),
+            expr("id_b DIV 3").as("group_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH ok AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+             |idx AS (SELECT doc_id // 3 AS grp, COUNT(*) AS m
+             |        FROM ok WHERE doc_id % 3 <> 2 GROUP BY 1)
+             |SELECT c.doc_id // 3 AS group_a, c.doc_id // 3 AS group_b,
+             |       i.m AS n_pairs
+             |FROM (SELECT doc_id FROM ok WHERE doc_id % 3 = 2) c
+             |JOIN idx i ON c.doc_id // 3 = i.grp""".stripMargin)),
+
     // REAL audio decode (r16, pure JVM — WAV/PCM needs no codec): plant a
     // deterministic PCM16 triangle wave per doc (frame count varies,
     // always a whole number of periods so mean |amplitude| is EXACTLY

@@ -388,6 +388,90 @@ object Multimodal {
       .distinct()
   }
 
+  // ---- incremental perceptual-hash index ---------------------------------
+  //
+  // [[graft.ops.FuzzyDedup.indexSimhash]]'s pattern for the IMAGE modality:
+  // one maintained table of (b, bv, id) band-bucket rows with the full
+  // 64-bit dHash riding along as a value column (Hamming verify needs no
+  // image bytes, so no blob store). Bands are FIXED at 8 × 8 bits — the
+  // band layout is the index's on-disk contract, exactly like SimHash's
+  // four quarters; by pigeonhole the probe's recall guarantee covers any
+  // radius ≤ 7. Keyed (b, bv, id), bucketed by (b, bv): a probe batch's
+  // bands prune the read to their touched buckets, O(batch) as the corpus
+  // grows. Same immutability assumption as the text indexes: a changed
+  // image's old bands stay behind under the same id — treat images as
+  // immutable or unindex-then-index.
+
+  private val PhashBands = 8
+  private val PhashBandWidth = 64 / PhashBands
+
+  /** (b, bv, id, phash) band rows of a hashed batch; null hashes
+    * (quarantined blobs) contribute nothing.
+    */
+  private def phashBandRows(hashes: DataFrame): DataFrame =
+    hashes.filter(col("phash").isNotNull)
+      .select(col("id"), col("phash"), posexplode(
+        transform(sequence(lit(0), lit(PhashBands - 1)),
+          b => call_function("shiftright", col("phash"), b * lit(PhashBandWidth))
+            .bitwiseAND(lit((1L << PhashBandWidth) - 1))))
+        .as(Seq("b", "bv")))
+      .select(col("b"), col("bv"), col("id"), col("phash"))
+
+  /** Fold a batch of images into the maintained perceptual-hash index.
+    * Undecodable blobs quarantine OUT of the index (they have no hash to
+    * stand behind) — count them upstream via [[imageHash64]] if takedown
+    * bookkeeping needs the misses.
+    */
+  def indexImageHashes(bandTable: graft.cdc.KeyedParquetTable,
+                       batch: DataFrame, idCol: String, binCol: String): Unit = {
+    require(bandTable.keys == Seq("b", "bv", "id") &&
+      bandTable.bucketKeys == Seq("b", "bv"),
+      s"bandTable must be keyed (b, bv, id) and bucketed by (b, bv); " +
+        s"got keys=${bandTable.keys} buckets=${bandTable.bucketKeys}")
+    val rows = phashBandRows(imageHash64(batch, idCol, binCol))
+    bandTable.createIfNotExists(rows.schema)
+    bandTable.merge(rows.withColumn("operation", lit("u")))
+  }
+
+  /** Remove images from the maintained index ([[indexImageHashes]]'s
+    * takedown half). The band table stores no blobs, so the removal batch
+    * carries the images (id + bytes — the shape takedown requests arrive
+    * in): their band rows recompute to exactly the index-time (b, bv, id)
+    * keys, deleted merge-on-read. O(removed batch), never O(corpus); with
+    * [[indexImageHashes]] this is also the image-update path.
+    */
+  def unindexImageHashes(bandTable: graft.cdc.KeyedParquetTable,
+                         removed: DataFrame, idCol: String, binCol: String): Unit = {
+    require(bandTable.keys == Seq("b", "bv", "id"),
+      s"bandTable must be keyed (b, bv, id); got ${bandTable.keys}")
+    bandTable.deleteKeys(phashBandRows(imageHash64(removed, idCol, binCol))
+      .select("b", "bv", "id"))
+  }
+
+  /** Perceptual near-dup pairs between a candidate batch and the corpus
+    * indexed by [[indexImageHashes]]: band-bucket probe (bucket-pruned
+    * read via `readForKeys`), exact Hamming verify on the stored hashes.
+    * Returns (id_a = candidate id, id_b = indexed id, hamming), distinct.
+    */
+  def checkImageNearDups(bandTable: graft.cdc.KeyedParquetTable,
+                         candidates: DataFrame, idCol: String, binCol: String,
+                         maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < PhashBands,
+      s"8-band bucketing guarantees recall only for maxHamming <= 7, got $maxHamming")
+    // localCheckpoint: drives the probe's bucket computation AND the join
+    val cand = phashBandRows(imageHash64(candidates, idCol, binCol))
+      .select(col("id").as("id_a"), col("phash").as("__pa"), col("b"), col("bv"))
+      .localCheckpoint(true)
+    val indexed = bandTable.readForKeys(cand.select("b", "bv"))
+      .select(col("b"), col("bv"), col("id").as("id_b"), col("phash").as("__pb"))
+    cand.join(indexed, Seq("b", "bv"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(__pa ^ __pb)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** A deterministic BLOCK-PATTERN image fixture for perceptual-hash
     * tests: a 72×64 raster of 8×8-pixel constant-luma blocks laid out on
     * the dHash 9×8 grid, block lumas a group-seeded PERMUTATION spaced 3

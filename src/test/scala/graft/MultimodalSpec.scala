@@ -289,4 +289,52 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.imageNearDupPairs(hs, "id", "phash", maxHamming = 8, bands = 8)
     }
   }
+
+  test("incremental image phash index ≡ one-shot pairs; unindex ≡ never-indexed; quarantine skips") {
+    import graft.cdc.KeyedParquetTable
+    // 6 groups × 2 lossless encodings each; candidates: a brightness-
+    // shifted member of group 0 (Hamming 0 to both) + a fresh group
+    val corpus = (0L until 12L).map(i =>
+        (i, Multimodal.makeBlockImage(i / 2, if (i % 2 == 0) "png" else "gif")))
+      .toDF("doc_id", "media")
+    val bandT = new KeyedParquetTable(spark, tmpDir("phx"),
+      Seq("b", "bv", "id"), Nil, 8, Seq("b", "bv"))
+    // two batches — the incremental path, not a one-shot rebuild
+    Multimodal.indexImageHashes(bandT, corpus.filter(col("doc_id") < 6L),
+      "doc_id", "media")
+    Multimodal.indexImageHashes(bandT, corpus.filter(col("doc_id") >= 6L),
+      "doc_id", "media")
+    val candidates = Seq(
+      (100L, Multimodal.makeBlockImage(0L, "png", lumaShift = 8)),
+      (101L, Multimodal.makeBlockImage(9999L, "png"))).toDF("doc_id", "media")
+    val got = Multimodal.checkImageNearDups(bandT, candidates, "doc_id", "media")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // equivalence with the one-shot batch operator restricted to pairs
+    // crossing the (corpus, candidate) split
+    val oneShot = Multimodal.imageNearDupPairs(
+        Multimodal.imageHash64(corpus.unionByName(candidates), "doc_id", "media"),
+        "id", "phash", maxHamming = 4, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .collect { case ((a, b), h) if a < 100L && b >= 100L => (b, a) -> h
+                 case ((a, b), h) if a >= 100L && b < 100L => (a, b) -> h }
+      .toMap
+    assert(got === oneShot)
+    assert(got((100L, 0L)) === 0 && got((100L, 1L)) === 0)
+    assert(!got.keys.exists(_._1 == 101L))
+    // takedown: removal ≡ never-indexed for the removed id only
+    Multimodal.unindexImageHashes(bandT, corpus.filter(col("doc_id") === 0L),
+      "doc_id", "media")
+    val after = Multimodal.checkImageNearDups(bandT, candidates, "doc_id", "media")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!after.contains((100L, 0L)) && after.contains((100L, 1L)))
+    // a quarantined candidate probes nothing (no hash, no bands)
+    assert(Multimodal.checkImageNearDups(bandT,
+      Seq((200L, Array[Byte](1, 2, 3))).toDF("doc_id", "media"),
+      "doc_id", "media").count() === 0)
+    // a quarantined corpus blob never lands in the index
+    Multimodal.indexImageHashes(bandT,
+      Seq((300L, Array[Byte](4, 5, 6))).toDF("doc_id", "media"),
+      "doc_id", "media")
+    assert(bandT.read().filter(col("id") === 300L).count() === 0)
+  }
 }
