@@ -5404,6 +5404,42 @@ object Queries {
              |     ELSE LEAST(4, 3 + doc_id % 5) END AS n_dims_ok
              |FROM documents""".stripMargin)),
 
+    // Acoustic near-dup over REAL samples (r16): energy dHash + the shared
+    // banded Hamming kernel. Each group plants the SAME segment envelope
+    // three ways — base, RESAMPLED THROUGH resamplePcm16 (operator
+    // chaining, not a fixture shortcut), and volume-doubled — all
+    // hash-equal by the envelope-order invariance; corrupt blobs
+    // quarantine out; pair counts must equal the combinatorial prediction.
+    "q_audio_neardup" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        import s.implicits._
+        val base = t("documents").select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val g = id / 3
+            (id, Audio.makeSegmentWav(g,
+              ampScale = if (id % 3 == 2) 2 else 1))
+          })
+          .toDF("doc_id", "media")
+        // member 1 of each group goes THROUGH the real resampler
+        val resampled = Audio.resamplePcm16(
+            base.filter(col("doc_id") % 3 === 1), "doc_id", "media", 4000)
+          .select(col("id").as("doc_id"), col("media"))
+        val planted = base.filter(col("doc_id") % 3 =!= 1)
+          .unionByName(resampled)
+          .withColumn("media", when(col("doc_id") % 50 === 0,
+            col("media").substr(1, 12)).otherwise(col("media")))
+        val hashes = Audio.audioHash64(planted, "doc_id", "media")
+        Audio.audioNearDupPairs(hashes, "id", "phash", maxHamming = 4)
+          .groupBy(expr("id_a DIV 3").as("group_a"),
+            expr("id_b DIV 3").as("group_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH ok AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+             |g AS (SELECT doc_id // 3 AS grp, COUNT(*) AS m FROM ok GROUP BY 1)
+             |SELECT grp AS group_a, grp AS group_b, m*(m-1)//2 AS n_pairs
+             |FROM g WHERE m >= 2""".stripMargin)),
+
     // The byte-budget stand-in (non-image media) keeps its own oracle row.
     "q_media_byte_budget" -> Q(
       (s, dir) => {

@@ -101,6 +101,109 @@ object Audio {
     buf.array()
   }
 
+  /** 64-bit ENERGY DIFFERENCE HASH over PCM16 mono audio — the acoustic
+    * sibling of [[Multimodal.imageHash64]]: the signal splits into 65
+    * equal-duration slices, each slice's loudness is its exact integer
+    * mean |amplitude|, and bit j compares slice j to slice j+1. Ordering
+    * of slice energies survives what byte fingerprints cannot: sample-rate
+    * conversion (slices are duration-proportional) and uniform volume
+    * changes (scaling preserves order). Pure integer arithmetic —
+    * bit-reproducible everywhere. Tracks shorter than 65 frames carry no
+    * envelope to compare and quarantine. Returns (id, phash, hash_error).
+    */
+  def audioHash64(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull && col(binCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseWavHeader(bytes) match {
+          case Some(m) if m.bitsPerSample == 16 && m.channels == 1 &&
+              m.nFrames >= 65 =>
+            val n = m.nFrames
+            val e = new Array[Long](65)
+            var j = 0
+            while (j < 65) {
+              val lo = (j.toLong * n / 65).toInt
+              val hi = ((j + 1).toLong * n / 65).toInt
+              var sum = 0L
+              var k = lo
+              while (k < hi) {
+                val s = (le16(bytes, m.dataOffset + 2 * k) << 16) >> 16
+                sum += math.abs(s.toLong); k += 1
+              }
+              e(j) = sum / (hi - lo)
+              j += 1
+            }
+            var bits = 0L
+            var b = 0
+            while (b < 64) {
+              if (e(b) > e(b + 1)) bits |= (1L << b)
+              b += 1
+            }
+            (id, Option(bits), Option.empty[String])
+          case Some(_) =>
+            (id, None,
+              Option("unsupported WAV shape (need PCM16 mono, >= 65 frames)"))
+          case None =>
+            (id, None, Option("unrecognized or truncated WAV container"))
+        }
+      })
+      .toDF("id", "phash", "hash_error")
+  }
+
+  /** Near-duplicate audio pairs by banded Hamming join over [[audioHash64]]
+    * fingerprints — the same pigeonhole band kernel as
+    * [[Multimodal.imageNearDupPairs]] (a 64-bit perceptual hash is a
+    * 64-bit perceptual hash); see there for the candidate-generation and
+    * scale contract.
+    */
+  def audioNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                        maxHamming: Int, bands: Int = 8): DataFrame =
+    Multimodal.imageNearDupPairs(hashes, idCol, hashCol, maxHamming, bands)
+
+  /** A deterministic SEGMENT-ENVELOPE fixture for acoustic-hash tests: 65
+    * segments of `periodsPerSegment` whole triangle periods, per-segment
+    * amplitude = 16·(rank+2)·ampScale where ranks are a group-seeded
+    * permutation (full-avalanche mix — the [[Multimodal.makeBlockImage]]
+    * construction on the time axis). Amplitudes divisible by 16 keep the
+    * triangle arithmetic EXACT, so the slice energies — and therefore the
+    * hash — are identical across 2:1 resampling and volume scaling.
+    */
+  def makeSegmentWav(group: Long, sampleRate: Int = 8000,
+                     periodsPerSegment: Int = 2, ampScale: Int = 1): Array[Byte] = {
+    require(periodsPerSegment >= 1, "periodsPerSegment must be >= 1")
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val order = (0 until 65).sortBy(k => mix(group * 65 + k))
+    val ampOf = new Array[Int](65)
+    order.zipWithIndex.foreach { case (seg, rank) =>
+      ampOf(seg) = 16 * (rank + 2) * ampScale
+    }
+    val period = 64
+    val segFrames = periodsPerSegment * period
+    val n = 65 * segFrames
+    val data = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val amp = ampOf(k / segFrames)
+      val ph = k % period
+      val tri =
+        if (ph < period / 4) ph * 4 * amp / period
+        else if (ph < 3 * period / 4) amp * 2 - ph * 4 * amp / period
+        else ph * 4 * amp / period - amp * 4
+      data(2 * k) = (tri & 0xFF).toByte
+      data(2 * k + 1) = ((tri >> 8) & 0xFF).toByte
+      k += 1
+    }
+    wrapPcm16(data, sampleRate)
+  }
+
   /** WAV metadata + an integer loudness feature per blob — the
     * feature-extract stage: (id, sample_rate, n_frames, duration_ms,
     * mean_abs_amplitude, decode_error). Quarantine discipline throughout;

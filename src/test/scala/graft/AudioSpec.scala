@@ -88,4 +88,49 @@ class AudioSpec extends SparkSpec {
     assert(q(1L).isNullAt(1) && q(1L).getString(4).contains("unrecognized"))
     assert(q(2L).isNullAt(1) && q(2L).getString(4).contains("unsupported"))
   }
+
+  test("audioHash64: invariant under REAL 2:1 resampling and volume scaling; groups separate") {
+    def hashOf(bytes: Array[Byte]): Long = {
+      val r = Audio.audioHash64(
+        Seq((1L, bytes)).toDF("doc_id", "media"), "doc_id", "media").head()
+      assert(r.getString(2) == null, s"unexpected quarantine: ${r.getString(2)}")
+      r.getLong(1)
+    }
+    val base = Audio.makeSegmentWav(3L)
+    val h = hashOf(base)
+    // resample through the REAL operator (not a fixture shortcut): slice
+    // energies are duration-proportional and the fixture's exact integer
+    // construction survives 2:1 subsampling bit-for-bit
+    val resampled = Audio.resamplePcm16(
+        Seq((1L, base)).toDF("doc_id", "media"), "doc_id", "media", 4000)
+      .head().getAs[Array[Byte]]("media")
+    assert(hashOf(resampled) === h, "2:1 resample changed the acoustic hash")
+    // volume doubling preserves every energy comparison
+    assert(hashOf(Audio.makeSegmentWav(3L, ampScale = 2)) === h)
+    // a different group's envelope is far away
+    assert(java.lang.Long.bitCount(h ^ hashOf(Audio.makeSegmentWav(4L))) > 8)
+    // exhaustive separation over 1700 groups (covers any fixture size the
+    // oracle query plants) — protects the combinatorial oracle
+    val many = Audio.audioHash64(
+      spark.range(0, 1700).select(col("id").as("doc_id"))
+        .as[Long].mapPartitions(_.map(g => (g, Audio.makeSegmentWav(g))))
+        .toDF("doc_id", "media"),
+      "doc_id", "media").collect().map(_.getLong(1))
+    val minD = (for {
+      i <- many.indices.iterator; j <- (i + 1 until many.length).iterator
+    } yield java.lang.Long.bitCount(many(i) ^ many(j))).min
+    assert(minD > 6, s"min cross-group Hamming $minD too small for radius 4")
+    // too-short and garbage quarantine
+    val bad = Audio.audioHash64(Seq(
+        (1L, Audio.makeWav(8000, 10)), (2L, Array[Byte](1, 2, 3)))
+        .toDF("doc_id", "media"), "doc_id", "media")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(bad(1L).isNullAt(1) && bad(1L).getString(2).contains("unsupported"))
+    assert(bad(2L).isNullAt(1) && bad(2L).getString(2).contains("unrecognized"))
+    // banded pairing is shared with the image kernel — smoke the delegate
+    val pairs = Audio.audioNearDupPairs(
+      Seq((1L, h), (2L, h), (3L, ~h)).toDF("id", "phash"), "id", "phash", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
 }

@@ -253,6 +253,50 @@ class IngestSpec extends SparkSpec {
     assert(snap(aggP) === snap(aggSeq))
   }
 
+  test("align-free IVM commits: per-bucket file fan-out stays bounded; compaction restores the layout") {
+    import graft.streaming.IncrementalAgg
+    // many small batches through the align=false replace path — the shape
+    // that skips the anti-fragmentation exchange. The file-count bound the
+    // Scaladoc claims (pre-state files + batch partitions per commit, no
+    // compounding across batches because each replace rewrites the bucket
+    // wholesale) must hold, and one compact() pass must restore
+    // one-file-per-bucket with the STATE bit-identical.
+    val rnd = new scala.util.Random(5)
+    val batches = (0 until 8).map { b =>
+      (0 until 40).map { i =>
+        (rnd.nextInt(30).toLong, s"g${rnd.nextInt(4)}", rnd.nextInt(100).toDouble,
+          "u", (b * 100 + i).toLong)
+      }.toDF("id", "g", "v", "operation", "seq")
+    }
+    val ent = new KeyedParquetTable(spark, tmpDir("alignfree_ent"), Seq("id"), Nil, 4)
+    val agg = new KeyedParquetTable(spark, tmpDir("alignfree_agg"), Seq("g"), Nil, 2)
+    IncrementalAgg.applyCdcBatches(ent, agg, batches, "g", "v", Seq(col("seq").desc))
+    def filesPerBucket(t: KeyedParquetTable): Map[String, Int] = {
+      val vdir = java.nio.file.Paths.get(t.root, s"v${t.currentVersion}")
+      val buckets = java.nio.file.Files.list(vdir).toArray.map(_.toString)
+        .filter(_.contains("__bucket="))
+      buckets.map { b =>
+        b -> java.nio.file.Files.list(java.nio.file.Paths.get(b)).toArray
+          .map(_.toString).count(_.endsWith(".parquet"))
+      }.toMap
+    }
+    val before = filesPerBucket(ent)
+    assert(before.nonEmpty)
+    // bound: a replace commit unions the (≤4-file) pre state with one
+    // small checkpointed batch — nothing near the one-file-per-(cell×task)
+    // blowup the aligned path prevents elsewhere. Generous ceiling: 12.
+    assert(before.values.max <= 12,
+      s"unaligned replace fan-out exceeded the documented bound: $before")
+    val stateBefore = ent.read().drop("operation").collect().toSet
+    val aggBefore = IncrementalAgg.snapshot(agg, "v").collect().toSet
+    // the maintenance safety net: one compaction pass, layout restored
+    ent.compact(minInputFiles = 2)
+    agg.compact(minInputFiles = 2)
+    assert(filesPerBucket(ent).values.max === 1)
+    assert(ent.read().drop("operation").collect().toSet === stateBefore)
+    assert(IncrementalAgg.snapshot(agg, "v").collect().toSet === aggBefore)
+  }
+
   test("applyCdcBatchesN markerless: free-running entity/agg chains still fold exactly") {
     // without txn markers the two tables' commit chains overlap across
     // batches (each chain stays serial); the retraction math must be
