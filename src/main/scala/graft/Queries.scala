@@ -5440,6 +5440,38 @@ object Queries {
              |SELECT grp AS group_a, grp AS group_b, m*(m-1)//2 AS n_pairs
              |FROM g WHERE m >= 2""".stripMargin)),
 
+    // VIDEO near-dup by perceptual frame matching (r16): the full real
+    // chain — MJPEG container walk → evenly sampled JPEG frames →
+    // per-frame dHash → banded Hamming across videos → >= minLinks
+    // distinct matched frame pairs. Group members share the SAME 4-frame
+    // sequence (identical JPEG bytes → Hamming 0 per frame index, frames
+    // distinct across indices), so each live pair links exactly 4 times;
+    // corrupt containers quarantine their video out.
+    "q_video_neardup" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        import s.implicits._
+        val planted = t("documents").select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val g = id / 2
+              val frames = (0 until 4).map(i =>
+                Multimodal.makeBlockImage(g * 16 + i, "jpg"))
+              (id, Video.makeMjpegAvi(frames, 72, 64))
+            }
+          }
+          .toDF("doc_id", "media")
+          .withColumn("media", when(col("doc_id") % 40 === 0,
+            col("media").substr(1, 16)).otherwise(col("media")))
+        Video.videoNearDupPairs(planted, "doc_id", "media",
+          sampleN = 8, maxHamming = 4, minLinks = 2)
+      },
+      Some("""SELECT 2*grp AS vid_a, 2*grp + 1 AS vid_b,
+             |       CAST(4 AS BIGINT) AS n_links
+             |FROM (SELECT doc_id // 2 AS grp, COUNT(*) AS m
+             |      FROM documents WHERE doc_id % 40 <> 0 GROUP BY 1)
+             |WHERE m = 2""".stripMargin)),
+
     // The byte-budget stand-in (non-image media) keeps its own oracle row.
     "q_media_byte_budget" -> Q(
       (s, dir) => {

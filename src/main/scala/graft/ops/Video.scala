@@ -178,6 +178,46 @@ object Video {
       .toDF("id", "width", "height", "n_frames", "fps_millis", "decode_error")
   }
 
+  /** Near-duplicate VIDEO pairs by perceptual frame matching — the
+    * composition the real primitives make possible: sample up to
+    * `sampleN` frames per video ([[sampleFrames]]), perceptual-hash each
+    * frame ([[Multimodal.imageHash64]]), band-join frame hashes across
+    * videos ([[Multimodal.imageNearDupPairs]]'s pigeonhole kernel), and
+    * keep video pairs linked by at least `minLinks` DISTINCT near-matching
+    * frame pairs (a single coincidental frame collision is not a
+    * duplicated video). Frame identity rides a synthetic
+    * `video_id · 1024 + frame_idx` key, so `sampleN` must stay < 1024.
+    * Returns (vid_a, vid_b, n_links) with vid_a < vid_b.
+    *
+    * Scale: inherits the band-bucket candidate bound — cost is the frame
+    * sample + the frame-hash band join, never all-pairs of videos.
+    */
+  def videoNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+                        sampleN: Int = 8, maxHamming: Int = 4,
+                        minLinks: Int = 2, bands: Int = 8): DataFrame = {
+    require(sampleN > 0 && sampleN < 1024,
+      s"sampleN must be in [1, 1023], got $sampleN")
+    require(minLinks >= 1, s"minLinks must be >= 1, got $minLinks")
+    val frames = sampleFrames(df, idCol, binCol, sampleN)
+      .filter(col("frame_idx").isNotNull)
+      .select((col("id") * 1024 + col("frame_idx")).as("fid"),
+        col("frame_bytes"))
+    val hashes = Multimodal.imageHash64(frames, "fid", "frame_bytes")
+    Multimodal.imageNearDupPairs(hashes, "id", "phash", maxHamming, bands)
+      .select(expr("id_a DIV 1024").as("va"), col("id_a").as("fa"),
+        expr("id_b DIV 1024").as("vb"), col("id_b").as("fb"))
+      .filter(col("va") =!= col("vb"))
+      // normalize the pair orientation to the VIDEO ids (frame-level
+      // ordering interleaves across videos)
+      .select(least(col("va"), col("vb")).as("vid_a"),
+        greatest(col("va"), col("vb")).as("vid_b"),
+        least(col("fa"), col("fb")).as("fa"),
+        greatest(col("fa"), col("fb")).as("fb"))
+      .groupBy("vid_a", "vid_b")
+      .agg(countDistinct(col("fa"), col("fb")).as("n_links"))
+      .filter(col("n_links") >= minLinks)
+  }
+
   /** REAL frame sampling: up to `n` evenly spaced frames per video,
     * extracted as their ORIGINAL JPEG bytes (offset-sliced — only sampled
     * frames are copied). Sampled indices are `k·F DIV m` for

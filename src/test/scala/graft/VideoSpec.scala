@@ -52,4 +52,25 @@ class VideoSpec extends SparkSpec {
     val hashed = Multimodal.imageHash64(frames, "fid", "frame_bytes")
     assert(hashed.filter(col("hash_error").isNotNull).count() === 0)
   }
+
+  test("videoNearDupPairs: shared-frame videos pair with per-frame links; singletons and junk do not") {
+    def video(frameParams: Seq[Long]): Array[Byte] = {
+      val frames = frameParams.map(p => Multimodal.makeBlockImage(p, "jpg"))
+      Video.makeMjpegAvi(frames, 72, 64)
+    }
+    val rows = Seq(
+      (0L, video(Seq(10L, 11L, 12L, 13L))), // group A
+      (1L, video(Seq(10L, 11L, 12L, 13L))), // group A (same sequence)
+      (2L, video(Seq(20L, 21L, 22L, 23L))), // group B
+      (3L, video(Seq(20L, 21L, 22L, 23L))), // group B
+      (4L, video(Seq(30L, 31L, 32L, 33L))), // singleton
+      (5L, Array[Byte](1, 2, 3))).toDF("doc_id", "media") // junk
+    val got = Video.videoNearDupPairs(rows, "doc_id", "media",
+        sampleN = 8, maxHamming = 4, minLinks = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((0L, 1L) -> 4L, (2L, 3L) -> 4L))
+    // a raised minLinks threshold drops pairs below it
+    assert(Video.videoNearDupPairs(rows, "doc_id", "media",
+      sampleN = 8, maxHamming = 4, minLinks = 5).count() === 0)
+  }
 }
