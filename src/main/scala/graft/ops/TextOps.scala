@@ -291,11 +291,18 @@ object TextOps {
             i => array_join(slice(col("__toks"), i, lit(n)), " "))))
           .as(Seq("__i", "__g")))
       .select(col("__id"), (col("__i") + 1).as("__pos"), col("__g"),
-        // the gram's first token — the skew-routing key
-        element_at(split(col("__g"), " "), 1).as("__t1"))
+        // the gram's first token HASH — the skew-routing key (8-byte
+        // shuffle keys for the detection pass; see hotTokens)
+        xxhash64(element_at(split(col("__g"), " "), 1)).as("__t1"))
     // the exact skew bound: count(gram) <= count(first token of gram)
+    // <= count(first token's HASH BUCKET) — counting hashed tokens keeps
+    // the no-false-negative guarantee (a collision only ADDS to a bucket,
+    // strengthening the upper bound; the rare false positive just routes
+    // extra grams through the skew-safe plan, which is always correct)
+    // while the detection shuffle carries 8-byte keys instead of strings
     val hotTokens = toks
-      .select(explode(col("__toks")).as("__t"))
+      .select(explode(col("__toks")).as("__tok"))
+      .select(xxhash64(col("__tok")).as("__t"))
       .groupBy("__t").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= hotTokenThreshold)
       .select("__t")
