@@ -1179,6 +1179,27 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE graft.spec.widen")
   }
 
+  test("v1Table fallback refuses identifiers deeper than catalog.namespace.table") {
+    // TableIdentifier holds exactly 3 slots: a branch-suffixed target
+    // (graft.ns.t.branch — 4 parts) would silently drop middle segments
+    // and route a streaming toTable write to the WRONG identifier; the
+    // fallback must refuse loudly instead
+    sql("DROP TABLE IF EXISTS graft.spec.v1deep")
+    sql("""CREATE TABLE graft.spec.v1deep (id BIGINT, v BIGINT)
+           PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.keys'='id')""")
+    graftCatalog.tableFor(Identifier.of(Array("spec"), "v1deep"))
+      .createBranch("audit")
+    val base = graftCatalog.loadTable(Identifier.of(Array("spec"), "v1deep"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    assert(base.v1Table.identifier.table === "v1deep")
+    val branch = graftCatalog
+      .loadTable(Identifier.of(Array("spec", "v1deep"), "branch_audit"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    val e = intercept[IllegalArgumentException](branch.v1Table)
+    assert(e.getMessage.contains("4 parts"), e.getMessage)
+    sql("DROP TABLE graft.spec.v1deep")
+  }
+
   test("aggregate pushdown × widening: stats columns stay scan-free, COUNT(widened) declines") {
     // the r15×r15 interaction matrix: widenColumn refuses stats/sum
     // columns, so the widened column is by construction NOT indexed —
