@@ -5440,6 +5440,74 @@ object Queries {
              |SELECT grp AS group_a, grp AS group_b, m*(m-1)//2 AS n_pairs
              |FROM g WHERE m >= 2""".stripMargin)),
 
+    // STREAMING media-index maintenance (r16): the way an image corpus is
+    // actually indexed at scale — files LAND in a directory, a
+    // checkpointed binary-file stream absorbs each arrival batch into the
+    // maintained perceptual-hash band table (foreachBatch →
+    // indexImageHashes), and a restart resumes with only new files. Two
+    // landings + two drains from ONE checkpoint prove the resume;
+    // brightness-shifted probes then hit exactly their groups' indexed
+    // members — the same combinatorial oracle as the batch lifecycle.
+    "q_media_stream_index" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        import s.implicits._
+        val base = scratchDir("graft_mstream_")
+        val mediaDir = s"$base/media"
+        Files.createDirectories(java.nio.file.Paths.get(mediaDir))
+        val ids = t("documents").select(col("doc_id").cast("long")).as[Long]
+        def land(member: Int): Unit =
+          ids.filter(col("doc_id") % 3 === member).foreachPartition {
+            (part: Iterator[Long]) =>
+              part.foreach { id =>
+                val bytes =
+                  if (id % 50 == 0) Array[Byte](9, 9, 9) // corrupt landing
+                  else Multimodal.makeBlockImage(id / 3,
+                    if (id % 3 == 0) "png" else "gif")
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(s"$mediaDir/img_$id.bin"), bytes)
+              }
+          }
+        val bandT = new KeyedParquetTable(s, s"$base/bands",
+          Seq("b", "bv", "id"), Nil, 8, Seq("b", "bv"))
+        def drain(): Unit = {
+          val q = graft.sources.Sources.binaryFileStream(s, mediaDir)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              Multimodal.indexImageHashes(bandT,
+                batch.select(
+                  regexp_extract(col("path"), "img_(\\d+)\\.bin", 1)
+                    .cast("long").as("doc_id"),
+                  col("content")),
+                "doc_id", "content")
+            }
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          require(q.awaitTermination(180000L),
+            "media stream drain did not terminate")
+        }
+        land(0); drain() // first landing indexed
+        land(1); drain() // resume: only the NEW files of the second landing
+        val probes = ids.filter(col("doc_id") % 3 === 2)
+          .mapPartitions(_.map(id =>
+            (id, if (id % 50 == 0) Array[Byte](9, 9, 9)
+            else Multimodal.makeBlockImage(id / 3, "png", lumaShift = 16))))
+          .toDF("doc_id", "media")
+        Multimodal.checkImageNearDups(bandT, probes, "doc_id", "media",
+            maxHamming = 4)
+          .groupBy(expr("id_a DIV 3").as("group_a"),
+            expr("id_b DIV 3").as("group_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH ok AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+             |idx AS (SELECT doc_id // 3 AS grp, COUNT(*) AS m
+             |        FROM ok WHERE doc_id % 3 <> 2 GROUP BY 1)
+             |SELECT c.doc_id // 3 AS group_a, c.doc_id // 3 AS group_b,
+             |       i.m AS n_pairs
+             |FROM (SELECT doc_id FROM ok WHERE doc_id % 3 = 2) c
+             |JOIN idx i ON c.doc_id // 3 = i.grp""".stripMargin)),
+
     // VIDEO near-dup by perceptual frame matching (r16): the full real
     // chain — MJPEG container walk → evenly sampled JPEG frames →
     // per-frame dHash → banded Hamming across videos → >= minLinks

@@ -123,6 +123,33 @@ object Sources {
     r.load(dir)
   }
 
+  /** STREAMING multimodal file ingest — [[binaryFiles]] as a stream: new
+    * media files under `dir` arrive as (path, modificationTime, length,
+    * content) rows, the checkpoint tracks WHICH FILES are consumed (the
+    * file-source offset analog), and a restart resumes with only new
+    * files. The per-batch frame feeds the media operators directly —
+    * decode headers, resize, perceptual-hash index maintenance
+    * ([[graft.ops.Multimodal.indexImageHashes]] in `foreachBatch`) — which
+    * is how a growing image/audio corpus is actually indexed: files land,
+    * the maintained band table absorbs each batch, probes stay O(batch).
+    * File schemas are fixed by the source, declared here explicitly (file
+    * streams do not infer).
+    */
+  def binaryFileStream(spark: SparkSession, dir: String,
+                       glob: Option[String] = None,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val r = spark.readStream.format("binaryFile").schema(schema)
+    glob.foreach(g => r.option("pathGlobFilter", g))
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.load(dir)
+  }
+
   /** S1: streaming Kafka source (checkpoint owns offsets — replaces the
     * reference's hand-rolled poll loop, spark_batch.py:304-406).
     */
