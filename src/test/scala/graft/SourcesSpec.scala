@@ -82,4 +82,43 @@ class SourcesSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(got === Map(1 -> "a", 2 -> "b2", 3 -> "c"))
   }
+
+  test("binaryFileStream: glob scoping, checkpoint resume, per-trigger file cap") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmpDir("src_bstream")
+    val dataDir = s"$base/in"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dataDir))
+    def land(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dataDir/$name"), bytes)
+    land("a.png", graft.ops.Multimodal.makeDecodable(4, 4, "png"))
+    land("b.png", graft.ops.Multimodal.makeDecodable(5, 3, "png"))
+    land("skip.txt", "not media".getBytes)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    def drain(): Unit = {
+      val q = Sources.binaryFileStream(spark, dataDir,
+          glob = Some("*.png"), maxFilesPerTrigger = Some(1))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          seen.synchronized {
+            seen += ((id, b.select("path").collect()
+              .map(_.getString(0).split('/').last).toSeq.sorted))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000L))
+    }
+    drain()
+    val first = seen.toList
+    // glob keeps the .txt out; maxFilesPerTrigger=1 → one file per batch
+    assert(first.flatMap(_._2).sorted === List("a.png", "b.png"))
+    assert(first.forall(_._2.size == 1), s"file cap violated: $first")
+    // resume consumes ONLY the new arrival
+    seen.clear()
+    land("c.png", graft.ops.Multimodal.makeDecodable(6, 6, "png"))
+    drain()
+    assert(seen.toList.flatMap(_._2) === List("c.png"))
+  }
 }
