@@ -146,8 +146,9 @@ object Video {
     }
     val hdrl = list("hdrl",
       chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-    val movi = list("movi", frames.map(f => chunk("00dc", f))
-      .foldLeft(Array.emptyByteArray)(_ ++ _))
+    val moviBody = new java.io.ByteArrayOutputStream() // linear, not fold-concat
+    frames.foreach(f => moviBody.write(chunk("00dc", f)))
+    val movi = list("movi", moviBody.toByteArray)
     val body = "AVI ".getBytes ++ hdrl ++ movi
     val out = java.nio.ByteBuffer.allocate(8 + body.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
