@@ -5302,6 +5302,43 @@ object Queries {
              |FROM (SELECT doc_id FROM ok WHERE doc_id % 3 = 2) c
              |JOIN idx i ON c.doc_id // 3 = i.grp""".stripMargin)),
 
+    // IMAGE dedup RESOLUTION (r16): the full lifecycle the text side runs
+    // — near-dup pairs → star-contraction components → keeper per cluster
+    // — but here with a FULL oracle (the planted groups make the expected
+    // clusters combinatorial where the text q_neardup_components is
+    // rows-only): every live group resolves to one component keeping its
+    // minimum doc id.
+    "q_image_dedup_resolution" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        import s.implicits._
+        val planted = t("documents").select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val g = id / 3
+              val bytes = (id % 3) match {
+                case 0 => Multimodal.makeBlockImage(g, "png")
+                case 1 => Multimodal.makeBlockImage(g, "gif")
+                case _ => Multimodal.makeBlockImage(g, "png", lumaShift = 16)
+              }
+              (id, bytes)
+            }
+          }
+          .toDF("doc_id", "media")
+          .withColumn("media", when(col("doc_id") % 50 === 0,
+            col("media").substr(1, 8)).otherwise(col("media")))
+        val pairs = Multimodal.imageNearDupPairs(
+          Multimodal.imageHash64(planted, "doc_id", "media"),
+          "id", "phash", maxHamming = 4, bands = 8)
+        Components.dedupKeepers(pairs.select("id_a", "id_b"))
+      },
+      Some("""WITH ok AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+             |g AS (SELECT doc_id // 3 AS grp, MIN(doc_id) AS keep,
+             |             COUNT(*) AS m FROM ok GROUP BY 1)
+             |SELECT o.doc_id, g.keep AS keep_id
+             |FROM ok o JOIN g ON o.doc_id // 3 = g.grp
+             |WHERE g.m >= 2""".stripMargin)),
+
     // REAL audio decode (r16, pure JVM — WAV/PCM needs no codec): plant a
     // deterministic PCM16 triangle wave per doc (frame count varies,
     // always a whole number of periods so mean |amplitude| is EXACTLY
