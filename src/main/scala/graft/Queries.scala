@@ -3893,6 +3893,37 @@ object Queries {
     // single-pass text+from_json source (no _corrupt_record caching trap)
     // must recover exactly the uncorrupted rows — aggregate hash-checked
     // against the original table minus the corrupted stripe.
+    // S7 JDBC comparison scan, END TO END against a REAL database (r16):
+    // /opt/spark/jars ships Derby (Spark's own metastore engine), so the
+    // reference's Postgres-comparison path (validation.py:221-280) runs
+    // here for real — events round-trip through a JDBC table (Spark's JDBC
+    // writer, then the partitioned-range parallel read the helper
+    // enforces) and the read-back aggregate must hash-match DuckDB
+    // recomputing from the fixture. Upgrades S7 from compile-checked to
+    // oracle-gated.
+    "q_jdbc_source" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        val home = scratchDir("graft_derby_")
+        System.setProperty("derby.system.home", home)
+        val url = s"jdbc:derby:$home/eventsdb;create=true"
+        t("events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .filter(col("event_type") =!= "error")
+          .write.mode("overwrite").format("jdbc")
+          .option("url", url).option("dbtable", "events_jdbc").save()
+        val maxId = maxEventIdCached(s, dir)
+        graft.sources.Sources.jdbc(s, url, "events_jdbc",
+            partitionColumn = Some("event_id"), numPartitions = 8,
+            bounds = Some((0L, maxId + 1)))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1e6).cast("long")).as("value_micros"))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |CAST(SUM(ROUND(value * 1000000)) AS BIGINT) AS value_micros
+             |FROM events WHERE event_type <> 'error' GROUP BY event_type""".stripMargin)),
+
     "q_jsonl_source" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
