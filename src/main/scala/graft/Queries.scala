@@ -5472,6 +5472,50 @@ object Queries {
              |     ELSE LEAST(4, 3 + doc_id % 5) END AS n_dims_ok
              |FROM documents""".stripMargin)),
 
+    // Audio SILENCE SEGMENTATION (r16): the ASR-corpus chunking stage —
+    // fixed windows, exact integer mean-|amplitude| silence test, maximal
+    // loud runs as segments. Each doc plants the pattern
+    // [silent×a][loud×b][silent][loud×c] with (a, b, c) from doc_id
+    // arithmetic, so the two expected segments per live doc are pure SQL;
+    // corrupt payloads must land one explicit null-segment row.
+    "q_audio_segments" -> Q(
+      (s, dir) => {
+        implicit val sp: SparkSession = s; implicit val d: String = dir
+        import s.implicits._
+        val planted = t("documents").select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val a = (1 + id % 2).toInt
+            val b = (2 + id % 3).toInt
+            val c = (1 + id % 4).toInt
+            val pattern = Seq.fill(a)(false) ++ Seq.fill(b)(true) ++
+              Seq(false) ++ Seq.fill(c)(true)
+            (id, Audio.makePatternWav(pattern))
+          })
+          .toDF("doc_id", "media")
+          .withColumn("media", when(col("doc_id") % 25 === 0,
+            col("media").substr(1, 12)).otherwise(col("media")))
+        Audio.silenceSegments(planted, "doc_id", "media",
+            windowFrames = 64, threshold = 100L)
+          .select(col("id").as("doc_id"), col("seg_idx"),
+            col("start_frame"), col("end_frame"), col("seg_error"))
+      },
+      Some("""WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS a, 2 + doc_id % 3 AS b,
+             |                  1 + doc_id % 4 AS c FROM documents)
+             |SELECT doc_id, CAST(0 AS BIGINT) AS seg_idx,
+             |       CAST(a*64 AS BIGINT) AS start_frame,
+             |       CAST((a+b)*64 AS BIGINT) AS end_frame,
+             |       CAST(NULL AS VARCHAR) AS seg_error
+             |FROM p WHERE doc_id % 25 <> 0
+             |UNION ALL
+             |SELECT doc_id, CAST(1 AS BIGINT), CAST((a+b+1)*64 AS BIGINT),
+             |       CAST((a+b+1+c)*64 AS BIGINT), CAST(NULL AS VARCHAR)
+             |FROM p WHERE doc_id % 25 <> 0
+             |UNION ALL
+             |SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |       CAST(NULL AS BIGINT),
+             |       'unrecognized or truncated WAV container'
+             |FROM p WHERE doc_id % 25 = 0""".stripMargin)),
+
     // Acoustic near-dup over REAL samples (r16): energy dHash + the shared
     // banded Hamming kernel. Each group plants the SAME segment envelope
     // three ways — base, RESAMPLED THROUGH resamplePcm16 (operator

@@ -204,6 +204,103 @@ object Audio {
     wrapPcm16(data, sampleRate)
   }
 
+  /** Non-silent SEGMENTS of PCM16 mono audio — the chunking stage of an
+    * ASR/speech corpus pipeline: the track splits into fixed windows of
+    * `windowFrames`, a window is silent iff its EXACT integer mean
+    * |amplitude| < `threshold`, and each maximal run of non-silent windows
+    * becomes one segment. Integer arithmetic throughout (bit-reproducible);
+    * a trailing partial window is judged by its own mean. Same quarantine
+    * discipline as the rest of the family: malformed/unsupported payloads
+    * emit one null-segment row with an error label (a track never silently
+    * vanishes); an all-silent track emits no segment rows.
+    *
+    * Returns (id, seg_idx, start_frame, end_frame, seg_error) with
+    * `end_frame` exclusive.
+    */
+  def silenceSegments(df: DataFrame, idCol: String, binCol: String,
+                      windowFrames: Int, threshold: Long): DataFrame = {
+    require(windowFrames > 0, s"windowFrames must be positive, got $windowFrames")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull && col(binCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseWavHeader(bytes) match {
+          case Some(m) if m.bitsPerSample == 16 && m.channels == 1 =>
+            val n = m.nFrames
+            val nWin = (n + windowFrames - 1) / windowFrames
+            val loud = new Array[Boolean](nWin)
+            var w = 0
+            while (w < nWin) {
+              val lo = w * windowFrames
+              val hi = math.min(n, lo + windowFrames)
+              var sum = 0L
+              var k = lo
+              while (k < hi) {
+                val s = (le16(bytes, m.dataOffset + 2 * k) << 16) >> 16
+                sum += math.abs(s.toLong); k += 1
+              }
+              loud(w) = hi > lo && sum / (hi - lo) >= threshold
+              w += 1
+            }
+            val segs = Seq.newBuilder[(Long, Option[Long], Option[Long],
+              Option[Long], Option[String])]
+            var segIdx = 0L
+            var i = 0
+            while (i < nWin) {
+              if (loud(i)) {
+                var j = i
+                while (j < nWin && loud(j)) j += 1
+                segs += ((id, Some(segIdx),
+                  Some(i.toLong * windowFrames),
+                  Some(math.min(n, j.toLong * windowFrames)),
+                  None))
+                segIdx += 1
+                i = j
+              } else i += 1
+            }
+            segs.result()
+          case Some(_) =>
+            Seq((id, Option.empty[Long], Option.empty[Long], Option.empty[Long],
+              Option("unsupported WAV shape (need PCM16 mono)")))
+          case None =>
+            Seq((id, Option.empty[Long], Option.empty[Long], Option.empty[Long],
+              Option("unrecognized or truncated WAV container")))
+        }
+      })
+      .toDF("id", "seg_idx", "start_frame", "end_frame", "seg_error")
+  }
+
+  /** A loud/silent PATTERN fixture for [[silenceSegments]]: a WAV whose
+    * windows follow the given booleans — `true` windows carry whole
+    * triangle periods of amplitude 8000 (exact window mean |amplitude|
+    * 4000, so `windowFrames` must be a multiple of the 64-frame period),
+    * `false` windows are zeros.
+    */
+  def makePatternWav(pattern: Seq[Boolean], windowFrames: Int = 64,
+                     sampleRate: Int = 8000): Array[Byte] = {
+    require(windowFrames % 64 == 0, "windowFrames must be a multiple of 64")
+    val n = pattern.length * windowFrames
+    val data = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      if (pattern(k / windowFrames)) {
+        val ph = k % 64
+        val amp = 8000
+        val tri =
+          if (ph < 16) ph * 4 * amp / 64
+          else if (ph < 48) amp * 2 - ph * 4 * amp / 64
+          else ph * 4 * amp / 64 - amp * 4
+        data(2 * k) = (tri & 0xFF).toByte
+        data(2 * k + 1) = ((tri >> 8) & 0xFF).toByte
+      } // silent windows stay zero
+      k += 1
+    }
+    wrapPcm16(data, sampleRate)
+  }
+
   /** WAV metadata + an integer loudness feature per blob — the
     * feature-extract stage: (id, sample_rate, n_frames, duration_ms,
     * mean_abs_amplitude, decode_error). Quarantine discipline throughout;

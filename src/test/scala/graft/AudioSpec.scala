@@ -89,6 +89,44 @@ class AudioSpec extends SparkSpec {
     assert(q(2L).isNullAt(1) && q(2L).getString(4).contains("unsupported"))
   }
 
+  test("silenceSegments: maximal loud runs, edges, all-silent, trailing partial, quarantine") {
+    def segs(pattern: Seq[Boolean]): Seq[(Long, Long, Long)] =
+      Audio.silenceSegments(
+          Seq((1L, Audio.makePatternWav(pattern))).toDF("doc_id", "media"),
+          "doc_id", "media", windowFrames = 64, threshold = 100L)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        .sortBy(_._1)
+    // [s L L s L] → two segments, exclusive ends
+    assert(segs(Seq(false, true, true, false, true)) ===
+      Seq((0L, 64L, 192L), (1L, 256L, 320L)))
+    // loud at both edges
+    assert(segs(Seq(true, false, true)) === Seq((0L, 0L, 64L), (1L, 128L, 192L)))
+    // single run spanning everything
+    assert(segs(Seq(true, true, true)) === Seq((0L, 0L, 192L)))
+    // all-silent → zero rows (not a quarantine)
+    assert(segs(Seq(false, false)) === Seq.empty)
+    // trailing PARTIAL window: 2.5 windows of loud → end clamps to n
+    val oddWav = {
+      val full = Audio.makePatternWav(Seq(true, true, true))
+      val m = Audio.parseWavHeader(full).get
+      // keep 160 frames (2.5 windows) of the data
+      val kept = java.util.Arrays.copyOfRange(full, m.dataOffset, m.dataOffset + 320)
+      val buf = java.nio.ByteBuffer.allocate(44 + kept.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(full, 0, 40); buf.putInt(kept.length); buf.put(kept)
+      buf.array()
+    }
+    val odd = Audio.silenceSegments(Seq((1L, oddWav)).toDF("doc_id", "media"),
+        "doc_id", "media", 64, 100L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(odd === Seq((0L, 0L, 160L)))
+    // garbage quarantines as one null-segment row
+    val q = Audio.silenceSegments(
+        Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "media"),
+        "doc_id", "media", 64, 100L).collect()
+    assert(q.length === 1 && q.head.isNullAt(1) && q.head.getString(4) != null)
+  }
+
   test("audioHash64: invariant under REAL 2:1 resampling and volume scaling; groups separate") {
     def hashOf(bytes: Array[Byte]): Long = {
       val r = Audio.audioHash64(
