@@ -336,5 +336,12 @@ class MultimodalSpec extends SparkSpec {
       Seq((300L, Array[Byte](4, 5, 6))).toDF("doc_id", "media"),
       "doc_id", "media")
     assert(bandT.read().filter(col("id") === 300L).count() === 0)
+    // REPLAY idempotency (the crash-between-index-and-checkpoint window of
+    // the streaming maintainer): re-indexing a batch merges the same
+    // (b, bv, id) keys — state identical, no duplicate band rows
+    val stateBefore = bandT.read().collect().toSet
+    Multimodal.indexImageHashes(bandT, corpus.filter(col("doc_id") >= 6L),
+      "doc_id", "media")
+    assert(bandT.read().collect().toSet === stateBefore)
   }
 }
