@@ -369,6 +369,11 @@ object Multimodal {
         s"(got $maxHamming >= $bands); raise bands or lower the radius")
     val w = 64 / bands
     val mask = if (w == 64) -1L else (1L << w) - 1L
+    // checkpoint the band rows BEFORE the self-join: both join sides would
+    // otherwise recompute the hash lineage — for image/audio/video hashes
+    // that lineage DECODES the payloads, so an uncheckpointed self-join
+    // decodes the whole corpus twice. Band rows are `bands` fixed-width
+    // longs per item (~tens of bytes) — nothing next to the payloads.
     val banded = hashes
       .filter(col(hashCol).isNotNull)
       .select(col(idCol).as("__id"), col(hashCol).as("__h"),
@@ -376,6 +381,7 @@ object Multimodal {
           b => call_function("shiftright", col(hashCol), b * lit(w))
             .bitwiseAND(lit(mask))))
           .as(Seq("__band", "__bv")))
+      .localCheckpoint(true)
     val a = banded.select(col("__band"), col("__bv"),
       col("__id").as("id_a"), col("__h").as("__ha"))
     val b = banded.select(col("__band"), col("__bv"),
