@@ -5446,7 +5446,10 @@ object Queries {
           .toDF("doc_id", "media")
           .withColumn("media", when(col("doc_id") % 20 === 0,
             col("media").substr(1, 16)).otherwise(col("media")))
+        // two consumers (count + dims validation) — materialize the sample
+        // once, or both re-walk the containers
         val frames = Video.sampleFrames(planted, "doc_id", "media", n = 4)
+          .localCheckpoint(true)
         val sampled = frames.groupBy(col("id").as("doc_id"))
           .agg(sum(when(col("frame_idx").isNotNull, 1L).otherwise(0L))
             .as("n_sampled"))
