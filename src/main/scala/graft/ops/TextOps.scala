@@ -284,25 +284,31 @@ object TextOps {
     require(n >= 2, s"span window must be >= 2 tokens, got $n")
     require(hotTokenThreshold >= 2,
       s"hotTokenThreshold must be >= 2, got $hotTokenThreshold")
-    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    // __th: one 64-bit hash PER TOKEN in positional order, from the native
+    // one-pass kernel (tokenHashes splits on " " with limit -1 — exactly
+    // split(text, " "), so hash positions align with __toks positions).
+    // Requires GraftExtensions on the session, like every shingle consumer.
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__toks"),
+      call_function("shingle_hashes", col(textCol), lit(1)).as("__th"))
     val grams = toks.select(col(idCol).as("__id"),
         posexplode(when(size(col("__toks")) < n, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
             i => array_join(slice(col("__toks"), i, lit(n)), " "))))
-          .as(Seq("__i", "__g")))
+          .as(Seq("__i", "__g")),
+        col("__th"))
       .select(col("__id"), (col("__i") + 1).as("__pos"), col("__g"),
-        // the gram's first token HASH — the skew-routing key (8-byte
-        // shuffle keys for the detection pass; see hotTokens)
-        xxhash64(element_at(split(col("__g"), " "), 1)).as("__t1"))
+        // the gram's first-token HASH — the skew-routing key (the gram at
+        // 1-based position __i+1 starts at token __i+1)
+        element_at(col("__th"), col("__i") + 1).as("__t1"))
     // the exact skew bound: count(gram) <= count(first token of gram)
     // <= count(first token's HASH BUCKET) — counting hashed tokens keeps
     // the no-false-negative guarantee (a collision only ADDS to a bucket,
     // strengthening the upper bound; the rare false positive just routes
-    // extra grams through the skew-safe plan, which is always correct)
-    // while the detection shuffle carries 8-byte keys instead of strings
+    // extra grams through the skew-safe plan, which is always correct),
+    // the detection shuffle carries 8-byte keys, and the hashing itself is
+    // the codegen'd kernel's single pass — no string token explode at all
     val hotTokens = toks
-      .select(explode(col("__toks")).as("__tok"))
-      .select(xxhash64(col("__tok")).as("__t"))
+      .select(explode(col("__th")).as("__t"))
       .groupBy("__t").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= hotTokenThreshold)
       .select("__t")
