@@ -106,8 +106,11 @@ object Audio {
     * equal-duration slices, each slice's loudness is its exact integer
     * mean |amplitude|, and bit j compares slice j to slice j+1. Ordering
     * of slice energies survives what byte fingerprints cannot: sample-rate
-    * conversion (slices are duration-proportional) and uniform volume
-    * changes (scaling preserves order). Pure integer arithmetic —
+    * conversion (slices are duration-proportional — integer-ratio
+    * resamples of the fixtures are hash-IDENTICAL, non-integer ratios
+    * drift a few bits and stay inside the near-dup radius; AudioSpec
+    * proves both) and uniform volume changes (scaling preserves order).
+    * Pure integer arithmetic —
     * bit-reproducible everywhere. Tracks shorter than 65 frames carry no
     * envelope to compare and quarantine. Returns (id, phash, hash_error).
     */

@@ -145,6 +145,14 @@ class AudioSpec extends SparkSpec {
     assert(hashOf(resampled) === h, "2:1 resample changed the acoustic hash")
     // volume doubling preserves every energy comparison
     assert(hashOf(Audio.makeSegmentWav(3L, ampScale = 2)) === h)
+    // NON-integer ratio (8000 → 3000): slice boundaries no longer align to
+    // segment boundaries exactly, so bits may drift a little — the claim
+    // is NEARNESS (well inside the near-dup radius), not bit-equality
+    val r3000 = Audio.resamplePcm16(
+        Seq((1L, base)).toDF("doc_id", "media"), "doc_id", "media", 3000)
+      .head().getAs[Array[Byte]]("media")
+    val d3000 = java.lang.Long.bitCount(h ^ hashOf(r3000))
+    assert(d3000 <= 4, s"8000->3000 drifted $d3000 bits (> near-dup radius)")
     // a different group's envelope is far away
     assert(java.lang.Long.bitCount(h ^ hashOf(Audio.makeSegmentWav(4L))) > 8)
     // exhaustive separation over 1700 groups (covers any fixture size the
