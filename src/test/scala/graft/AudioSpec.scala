@@ -89,6 +89,31 @@ class AudioSpec extends SparkSpec {
     assert(q(2L).isNullAt(1) && q(2L).getString(4).contains("unsupported"))
   }
 
+  test("resamplePcm16 property: frame-count contract, bounds, and value envelope at random rates") {
+    val rnd = new scala.util.Random(31)
+    val src = Audio.makeWav(8000, 160)
+    val inMax = 8000 // triangle amplitude bound
+    for (_ <- 0 until 10) {
+      val target = 500 + rnd.nextInt(20000)
+      val r = Audio.resamplePcm16(Seq((1L, src)).toDF("doc_id", "media"),
+        "doc_id", "media", target).head()
+      assert(r.getString(4) == null, s"target=$target: ${r.getString(4)}")
+      val bytes = r.getAs[Array[Byte]]("media")
+      val m = Audio.parseWavHeader(bytes).get
+      // the declared contract: nOut = (nIn−1)·dst DIV src + 1
+      assert(m.nFrames === (Math.floorDiv(159L * target, 8000) + 1).toInt,
+        s"target=$target frames=${m.nFrames}")
+      assert(m.sampleRate === target)
+      // linear interpolation can never leave the input value envelope
+      (0 until m.nFrames).foreach { i =>
+        val lo = bytes(m.dataOffset + 2 * i) & 0xFF
+        val hi = bytes(m.dataOffset + 2 * i + 1).toInt
+        val v = (hi << 8) | lo
+        assert(v >= -inMax && v <= inMax, s"target=$target i=$i v=$v")
+      }
+    }
+  }
+
   test("silenceSegments: maximal loud runs, edges, all-silent, trailing partial, quarantine") {
     def segs(pattern: Seq[Boolean]): Seq[(Long, Long, Long)] =
       Audio.silenceSegments(

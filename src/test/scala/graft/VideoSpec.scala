@@ -53,6 +53,26 @@ class VideoSpec extends SparkSpec {
     assert(hashed.filter(col("hash_error").isNotNull).count() === 0)
   }
 
+  test("sampleFrames property: indices strictly increasing, first included, count = min(n, F)") {
+    val rnd = new scala.util.Random(13)
+    val frame = jpeg(4, 4)
+    for (_ <- 0 until 12) {
+      val f = 1 + rnd.nextInt(40)
+      val n = 1 + rnd.nextInt(12)
+      val got = Video.sampleFrames(
+          Seq((1L, Video.makeMjpegAvi(Seq.fill(f)(frame), 4, 4)))
+            .toDF("doc_id", "media"), "doc_id", "media", n)
+        .collect().map(_.getLong(1)).sorted.toSeq
+      assert(got.length === math.min(n, f), s"f=$f n=$n got=$got")
+      assert(got.distinct.length === got.length, s"f=$f n=$n repeated: $got")
+      assert(got.head === 0L, s"f=$f n=$n first frame missing: $got")
+      assert(got.forall(i => i >= 0 && i < f), s"f=$f n=$n out of range: $got")
+      // the declared formula
+      assert(got === (0 until math.min(n, f)).map(k => k.toLong * f / math.min(n, f)),
+        s"f=$f n=$n")
+    }
+  }
+
   test("videoNearDupPairs: shared-frame videos pair with per-frame links; singletons and junk do not") {
     def video(frameParams: Seq[Long]): Array[Byte] = {
       val frames = frameParams.map(p => Multimodal.makeBlockImage(p, "jpg"))
