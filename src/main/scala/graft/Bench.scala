@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSession
   * Prints ONE JSON line per the driver contract.
   */
 object Bench {
+  /** Probe cadence: a calibration probe fires every CalEvery sweep items,
+    * and cal_samples groups by the same constant.
+    */
+  private[graft] val CalEvery = 8
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -48,7 +53,7 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save(); ()
       })
     }
-    val sweep = timedSweep(items, nRuns, calEvery = 8,
+    val sweep = timedSweep(items, nRuns, CalEvery,
       () => calibrationProbe(spark))
     // priors: the last local full run when present; on a fresh checkout
     // (no untracked bench_result.json) fall back to the newest committed
@@ -100,9 +105,11 @@ object Bench {
       s""""queries":$qs,"queries_mean":$qsMean,"queries_median":$qsMedian,""" +
       s""""suspect":$suspectJson,""" +
       // one sample PER PROBE WINDOW in firing order (probes fire at item
-      // 0, 8, 16, …) — distinct values alone hid how many windows ran hot
+      // 0, CalEvery, 2·CalEvery, …) — distinct values alone hid how many
+      // windows ran hot; grouping by the SAME constant the sweep uses keeps
+      // the emitted samples honest if the cadence ever changes (ADVICE r16)
       s""""cal_samples":${
-        sweep.grouped(8).map(_.head.calAt).mkString("[", ",", "]")},""" +
+        sweep.grouped(CalEvery).map(_.head.calAt).mkString("[", ",", "]")},""" +
       s""""calibration_sec":${calibration(spark)},""" +
       s""""testdata_fingerprint":${testdataFingerprint(spark, sfDir)},""" +
       s""""stream_ingest_sf01":$ingest,""" +

@@ -3905,7 +3905,13 @@ object Queries {
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
         val home = scratchDir("graft_derby_")
-        System.setProperty("derby.system.home", home)
+        // derby.system.home is latched at FIRST engine boot in the JVM and
+        // is global state — setting it per run is a no-op on the second
+        // execution and races concurrent queries (ADVICE r16). The database
+        // path in the URL is already absolute, so the property is only
+        // needed to keep derby.log out of the cwd: set it once, first run.
+        if (System.getProperty("derby.system.home") == null)
+          System.setProperty("derby.system.home", home)
         val url = s"jdbc:derby:$home/eventsdb;create=true"
         t("events")
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))

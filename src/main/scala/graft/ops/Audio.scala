@@ -46,7 +46,10 @@ object Audio {
     while (i + 8 <= bytes.length) {
       val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = le32(bytes, i + 4)
-      if (size < 0 || i + 8 + size > bytes.length) return None
+      // bound arithmetic in Long: a crafted size near Int.MaxValue would
+      // overflow `i + 8 + size` negative and pass an Int comparison, then
+      // drive `i` negative and throw out of mapPartitions (ADVICE r16)
+      if (size < 0 || i.toLong + 8 + size > bytes.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None

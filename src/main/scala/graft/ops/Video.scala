@@ -26,6 +26,9 @@ object Video {
   final case class AviMeta(width: Int, height: Int, nFrames: Int,
                            usPerFrame: Int)
 
+  // NOTE: every chunk-walk bound check below runs in Long — a crafted size
+  // near Int.MaxValue overflows an Int sum negative, passes the check, and
+  // throws out of mapPartitions, violating the quarantine contract (ADVICE r16)
   private def le32(b: Array[Byte], i: Int): Int =
     (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
       ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
@@ -43,7 +46,7 @@ object Video {
     while (i + 8 <= bytes.length) {
       val id = fourCC(bytes, i)
       val size = le32(bytes, i + 4)
-      if (size < 0 || i + 8 + size > bytes.length) return None
+      if (size < 0 || i.toLong + 8 + size > bytes.length) return None
       if (id == "LIST" && size >= 4 && fourCC(bytes, i + 8) == "hdrl") {
         // walk inside hdrl for avih
         var j = i + 12
@@ -51,7 +54,7 @@ object Video {
         while (j + 8 <= end) {
           val cid = fourCC(bytes, j)
           val csize = le32(bytes, j + 4)
-          if (csize < 0 || j + 8 + csize > end) return None
+          if (csize < 0 || j.toLong + 8 + csize > end) return None
           if (cid == "avih" && csize >= 40)
             return Some(AviMeta(
               width = le32(bytes, j + 8 + 32),
@@ -77,7 +80,7 @@ object Video {
     while (i + 8 <= bytes.length) {
       val id = fourCC(bytes, i)
       val size = le32(bytes, i + 4)
-      if (size < 0 || i + 8 + size > bytes.length) return Nil
+      if (size < 0 || i.toLong + 8 + size > bytes.length) return Nil
       if (id == "LIST" && size >= 4 && fourCC(bytes, i + 8) == "movi") {
         val frames = Seq.newBuilder[(Int, Int)]
         var j = i + 12
@@ -85,7 +88,7 @@ object Video {
         while (j + 8 <= end) {
           val cid = fourCC(bytes, j)
           val csize = le32(bytes, j + 4)
-          if (csize < 0 || j + 8 + csize > end) return Nil
+          if (csize < 0 || j.toLong + 8 + csize > end) return Nil
           if (cid.length == 4 && cid(0).isDigit && cid(1).isDigit &&
             (cid.endsWith("dc") || cid.endsWith("db")))
             frames += ((j + 8, csize))
@@ -187,8 +190,11 @@ object Video {
     * keep video pairs linked by at least `minLinks` DISTINCT near-matching
     * frame pairs (a single coincidental frame collision is not a
     * duplicated video). Frame identity rides a synthetic
-    * `video_id · 1024 + frame_idx` key, so `sampleN` must stay < 1024.
-    * Returns (vid_a, vid_b, n_links) with vid_a < vid_b.
+    * `video_id · 1024 + sample_ordinal` key — the ORDINAL k (< sampleN <
+    * 1024 by the guard), never the raw frame index, which is unbounded:
+    * a video with ≥1024 frames would alias its frames into other videos'
+    * id space and silently attribute matches to the wrong pair (ADVICE
+    * r16). Returns (vid_a, vid_b, n_links) with vid_a < vid_b.
     *
     * Scale: inherits the band-bucket candidate bound — cost is the frame
     * sample + the frame-hash band join, never all-pairs of videos.
@@ -199,9 +205,9 @@ object Video {
     require(sampleN > 0 && sampleN < 1024,
       s"sampleN must be in [1, 1023], got $sampleN")
     require(minLinks >= 1, s"minLinks must be >= 1, got $minLinks")
-    val frames = sampleFrames(df, idCol, binCol, sampleN)
-      .filter(col("frame_idx").isNotNull)
-      .select((col("id") * 1024 + col("frame_idx")).as("fid"),
+    val frames = sampleFramesOrdinal(df, idCol, binCol, sampleN)
+      .filter(col("sample_ord").isNotNull)
+      .select((col("id") * 1024 + col("sample_ord")).as("fid"),
         col("frame_bytes"))
     val hashes = Multimodal.imageHash64(frames, "fid", "frame_bytes")
     Multimodal.imageNearDupPairs(hashes, "id", "phash", maxHamming, bands)
@@ -228,7 +234,17 @@ object Video {
     * sample_error).
     */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,
-                   n: Int): DataFrame = {
+                   n: Int): DataFrame =
+    sampleFramesOrdinal(df, idCol, binCol, n)
+      .select("id", "frame_idx", "frame_bytes", "sample_error")
+
+  /** [[sampleFrames]] plus the bounded sample ordinal k (< n) each frame
+    * was drawn at — the key [[videoNearDupPairs]] packs frame identity
+    * with, since the raw frame index is unbounded by `n`. Returns
+    * (id, sample_ord, frame_idx, frame_bytes, sample_error).
+    */
+  private[graft] def sampleFramesOrdinal(df: DataFrame, idCol: String,
+                                         binCol: String, n: Int): DataFrame = {
     require(n > 0, s"sample count must be positive, got $n")
     val spark = df.sparkSession
     import spark.implicits._
@@ -238,20 +254,21 @@ object Video {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         val offsets = frameOffsets(bytes)
         if (offsets.isEmpty)
-          Iterator.single((id, Option.empty[Long], Option.empty[Array[Byte]],
+          Iterator.single((id, Option.empty[Long], Option.empty[Long],
+            Option.empty[Array[Byte]],
             Option("unrecognized AVI or no MJPEG frames")))
         else {
           val f = offsets.length
           val m = math.min(n, f)
           (0 until m).iterator.map { k =>
-            val idx = k * f / m
+            val idx = (k.toLong * f / m).toInt // Long mul: k·f can top Int
             val (off, size) = offsets(idx)
-            (id, Option(idx.toLong),
+            (id, Option(k.toLong), Option(idx.toLong),
               Option(java.util.Arrays.copyOfRange(bytes, off, off + size)),
               Option.empty[String])
           }
         }
       })
-      .toDF("id", "frame_idx", "frame_bytes", "sample_error")
+      .toDF("id", "sample_ord", "frame_idx", "frame_bytes", "sample_error")
   }
 }

@@ -26,6 +26,14 @@ class AudioSpec extends SparkSpec {
     assert(Audio.parseWavHeader(wav.take(100)).isEmpty)
     assert(Audio.parseWavHeader(Array[Byte](1, 2, 3)).isEmpty)
     assert(Audio.parseWavHeader("RIFFxxxxNOPE".getBytes ++ new Array[Byte](40)).isEmpty)
+    // crafted chunk size near Int.MaxValue: the bound check must run in
+    // Long (Int overflow used to pass it, then throw on a negative index —
+    // ADVICE r16) — refuse, never throw
+    val crafted = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    crafted.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    crafted.put("JUNK".getBytes).putInt(0x7FFFFFF0)
+    assert(Audio.parseWavHeader(crafted.array()).isEmpty)
   }
 
   test("decodeWavFeatures: exact integer features; non-PCM16-mono and garbage quarantine") {

@@ -104,7 +104,10 @@ class BenchGuardSpec extends AnyFunSuite {
     val items: Seq[(String, () => Unit)] = names.map {
       case n @ "q3" => n -> (() => {
         oneQuery(); burning.set(true); burners.foreach(_.start()) })
-      case n @ "q7" => n -> (() => { oneQuery(); burning.set(false) })
+      case n @ "q7" => n -> (() => { oneQuery(); burning.set(false)
+        // join, don't just signal: lingering spinner threads have bled into
+        // q8's window on a loaded box and flagged a clean-window query
+        burners.foreach(_.join()) })
       case n => n -> (() => oneQuery())
     }
     val sweep = Bench.timedSweep(items, nRuns = 1, calEvery = 4, calProbe)

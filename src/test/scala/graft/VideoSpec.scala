@@ -25,6 +25,14 @@ class VideoSpec extends SparkSpec {
     assert(Video.parseAviHeader(avi.take(30)).isEmpty)
     assert(Video.parseAviHeader("RIFFxxxxWAVE".getBytes ++ new Array[Byte](40)).isEmpty)
     assert(Video.frameOffsets(Array[Byte](1, 2, 3)).isEmpty)
+    // crafted chunk size near Int.MaxValue: bound checks run in Long so the
+    // walk refuses instead of overflowing negative and throwing (ADVICE r16)
+    val crafted = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    crafted.put("RIFF".getBytes).putInt(56).put("AVI ".getBytes)
+    crafted.put("JUNK".getBytes).putInt(0x7FFFFFF0)
+    assert(Video.parseAviHeader(crafted.array()).isEmpty)
+    assert(Video.frameOffsets(crafted.array()).isEmpty)
   }
 
   test("sampleFrames: even spacing, fewer-frames-than-n, quarantine; frames chain into image ops") {
@@ -92,5 +100,26 @@ class VideoSpec extends SparkSpec {
     // a raised minLinks threshold drops pairs below it
     assert(Video.videoNearDupPairs(rows, "doc_id", "media",
       sampleN = 8, maxHamming = 4, minLinks = 5).count() === 0)
+  }
+
+  test("videoNearDupPairs: a >=1024-frame video cannot alias into other videos' id space") {
+    // Regression (ADVICE r16): frame identity used to pack the RAW frame
+    // index (unbounded), so a long video's frames landed in the NEXT
+    // video id's space — here video 0's frame 1137 would read as video 1
+    // and its self-matches would fabricate a (0, 1) pair. The pack key is
+    // now the sample ordinal (< sampleN < 1024).
+    def video(frameParams: Seq[Long]): Array[Byte] = {
+      val frames = frameParams.map(p => Multimodal.makeBlockImage(p, "jpg"))
+      Video.makeMjpegAvi(frames, 72, 64)
+    }
+    val rows = Seq(
+      (0L, video(Seq.fill(1300)(50L))), // 1300 identical frames
+      (1L, video(Seq(60L, 61L, 62L, 63L))), // genuine dup pair ...
+      (2L, video(Seq(60L, 61L, 62L, 63L)))) // ... with video 1
+      .toDF("doc_id", "media")
+    val got = Video.videoNearDupPairs(rows, "doc_id", "media",
+        sampleN = 8, maxHamming = 4, minLinks = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((1L, 2L) -> 4L), s"aliased pairs leaked: $got")
   }
 }
