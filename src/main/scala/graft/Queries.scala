@@ -1081,15 +1081,20 @@ object Queries {
     "q_token_budget" -> Q(
       (s, dir) => {
         implicit val sp: SparkSession = s; implicit val d: String = dir
-        // checkpoint: selectByBudget's three passes (boundary sample,
-        // weight histogram, final cut) would otherwise each re-run the
-        // regex-heavy quality scoring over the full corpus
+        // checkpoint: selectByBudget's passes (weight histogram, final cut)
+        // would otherwise each re-run the regex-heavy quality scoring over
+        // the full corpus; the boundary-sample pass RIDES the checkpoint
+        // job as an observed metric (r17) — one full scan deleted
+        val obs = org.apache.spark.sql.Observation()
         val scored = t("documents").select(col("doc_id"),
           TextOps.tokenCountWs(col("text")).cast("long").as("n_tokens"),
           TextOps.qualityScore(col("text")).as("__q"))
+          .observe(obs, Sampling.budgetBoundariesMetric(-col("__q")).as("__b"))
           .localCheckpoint(true)
+        val boundaries = Option(obs.get("__b"))
+          .map(_.asInstanceOf[Seq[Double]]).getOrElse(Seq.empty)
         Sampling.selectByBudget(scored, "n_tokens", 12000L, -col("__q"),
-            Seq(col("doc_id")))
+            Seq(col("doc_id")), sampledBoundaries = Some(boundaries))
           .select("doc_id", "n_tokens")
       },
       Some("""WITH scored AS (
@@ -1948,10 +1953,16 @@ object Queries {
           broadcast(t("part").filter(col("p_brand") === "Brand#12" && col("p_size") <= 10)
             .select("p_partkey")),
           col("l_partkey") === col("p_partkey"))
-        val avgQty = relevant.groupBy(col("p_partkey").as("__pk"))
-          .agg((expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)") /
-            count(lit(1))).as("__avg_qty"))
-        relevant.join(broadcast(avgQty), col("p_partkey") === col("__pk"))
+        // per-part average as a whole-partition window, not groupBy +
+        // join-back: the self-referencing `relevant` subtree used to scan
+        // (and broadcast-probe) lineitem TWICE — the window computes the
+        // identical decimal-exact SUM/COUNT in one pass, at the cost of
+        // sorting only the filtered rows (r17; plan: 2 lineitem scans → 1)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
+        relevant
+          .withColumn("__avg_qty",
+            sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double") /
+              count(lit(1)).over(w))
           .filter(col("l_quantity") < lit(0.2) * col("__avg_qty"))
           .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0")
             .as("avg_yearly"))

@@ -44,15 +44,27 @@ object Components {
   private[graft] def connectedComponentsCounted(
       edges: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 25): (DataFrame, Int) = {
-    val nodes = edges.select(col(idA).as("id"))
-      .union(edges.select(col(idB).as("id")))
-      .distinct().localCheckpoint(true)
-    // canonical orientation (larger → smaller), self-loops dropped
-    var e = edges.select(col(idA).as("a"), col(idB).as("b"))
+    // ONE evaluation of the caller's edge subtree (often a whole near-dup
+    // pipeline): the raw pair projection materializes once and both the
+    // node set and the canonical edge set derive from it — before r17 the
+    // `nodes` and `e` checkpoints each re-ran the full upstream plan
+    val base = edges.select(col(idA).as("a"), col(idB).as("b"))
+      .localCheckpoint(true)
+    // no checkpoint: read once by the final join, straight off `base`
+    val nodes = base.select(col("a").as("id"))
+      .union(base.select(col("b").as("id")))
+      .distinct()
+    // canonical orientation (larger → smaller), self-loops dropped; the
+    // initial edge count rides the checkpoint job as an observed metric
+    // (the separate count() job it replaces was pure scheduling overhead)
+    val obs0 = org.apache.spark.sql.Observation()
+    var e = base
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint(true)
-    var eCount = e.count()
+      .distinct()
+      .observe(obs0, count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    var eCount = obs0.get("__n").asInstanceOf[Long]
     var converged = eCount == 0L
     var i = 0
     while (!converged && i < maxIter) {
@@ -86,9 +98,11 @@ object Components {
       val obs = org.apache.spark.sql.Observation()
       val next = small.observe(obs, count(lit(1)).as("__n")).localCheckpoint(true)
       val nextCount = obs.get("__n").asInstanceOf[Long]
-      // exact fixpoint: both sides distinct, so equal counts + empty EXCEPT
-      // means equal sets
-      converged = nextCount == eCount && next.except(e).isEmpty
+      // exact fixpoint: both sides distinct, so equal counts + empty
+      // left-anti means equal sets (left_anti over two already-distinct
+      // checkpoints skips EXCEPT's extra dedup-aggregate of the left side)
+      converged = nextCount == eCount &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
       e = next
       eCount = nextCount
       i += 1

@@ -124,20 +124,32 @@ object Sampling {
     * NULL keys sort first (Spark's asc default). Ties beyond `tiebreaks`
     * make the cut nondeterministic — supply a unique total order.
     */
+  /** The boundary-sampling aggregate [[selectByBudget]] runs as its first
+    * pass — exposed so a caller that already materializes the input (e.g.
+    * an eager localCheckpoint of a scored corpus) can ride it on that job
+    * as an observed metric and pass the result through `sampledBoundaries`,
+    * deleting one full scan from the three-pass plan.
+    */
+  def budgetBoundariesMetric(key: Column, buckets: Int = 32): Column =
+    percentile_approx(key.cast("double"),
+      typedLit((1 until buckets).map(_.toDouble / buckets)), lit(10000))
+
   def selectByBudget(df: DataFrame, weightCol: String, budget: Long,
                      key: Column, tiebreaks: Seq[Column],
-                     buckets: Int = 32): DataFrame = {
+                     buckets: Int = 32,
+                     sampledBoundaries: Option[Seq[Double]] = None): DataFrame = {
     require(budget >= 0L, s"budget must be non-negative, got $budget")
     val v = key.cast("double")
     val w = coalesce(col(weightCol).cast("long"), lit(0L))
     val guardedW = when(w < 0L,
       raise_error(lit(s"selectByBudget: negative $weightCol — monotone " +
         "running totals need non-negative weights"))).otherwise(w)
-    val probs = (1 until buckets).map(_.toDouble / buckets)
-    val sampledRow = df.select(percentile_approx(v, typedLit(probs), lit(10000))
-      .as("__b")).head()
-    val sampled =
+    val sampled = sampledBoundaries.getOrElse {
+      val probs = (1 until buckets).map(_.toDouble / buckets)
+      val sampledRow = df.select(percentile_approx(v, typedLit(probs), lit(10000))
+        .as("__b")).head()
       if (sampledRow.isNullAt(0)) Seq.empty[Double] else sampledRow.getSeq[Double](0)
+    }
     val boundaries = sampled.distinct.sorted
     val bucket: Column =
       if (boundaries.isEmpty) lit(0)

@@ -140,6 +140,28 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("selectByBudget: observed-boundaries path equals the self-sampled path") {
+    // the fused form rides budgetBoundariesMetric on a caller-side job and
+    // passes the result in — must select exactly the same rows
+    val df = (1L to 400L)
+      .map(i => (i, (i * 37 % 11).toDouble, i % 23 + 1L))
+      .toDF("id", "quality", "w")
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df
+      .observe(obs, Sampling.budgetBoundariesMetric(-col("quality"), 8).as("__b"))
+      .localCheckpoint(true)
+    val boundaries = Option(obs.get("__b"))
+      .map(_.asInstanceOf[Seq[Double]]).getOrElse(Seq.empty)
+    assert(boundaries.nonEmpty)
+    val fused = Sampling.selectByBudget(observed, "w", 500L, -col("quality"),
+        Seq(col("id")), buckets = 8, sampledBoundaries = Some(boundaries))
+      .select("id").as[Long].collect().sorted.toSeq
+    val self = Sampling.selectByBudget(df, "w", 500L, -col("quality"),
+        Seq(col("id")), buckets = 8)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(fused === self && fused.nonEmpty)
+  }
+
   test("selectByBudget: stable across partitionings; negative weights raise") {
     val df = (1L to 200L).map(i => (i, i % 13 + 1L)).toDF("id", "w")
     val a = Sampling.selectByBudget(df, "w", 300L, col("id"), Nil)
