@@ -47,12 +47,27 @@ object Graph {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     // materialize the loop invariants once: every iteration references all
     // three, and without the checkpoint each reference re-runs the source
-    // scan + distinct/agg (the plan tree repeats the subtree per iteration)
+    // scan + distinct/agg (the plan tree repeats the subtree per iteration).
+    // nodes and out-degrees are ONE endpoint aggregation, not two passes
+    // over e (union-distinct + groupBy used to cost a checkpoint job and a
+    // shuffle each, r17): explode each edge to (src, 1) and (dst, 0), sum
+    // the flags per node — every endpoint appears, out-degree rides along.
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val endpoints = e.select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("isSrc")),
+        struct(col("dst").as("node"), lit(0L).as("isSrc")))).as("ep"))
+      .select(col("ep.node").as("node"), col("ep.isSrc").as("isSrc"))
+      .groupBy("node").agg(sum("isSrc").as("outdeg"))
+      .localCheckpoint(true)
+    // plain projection: collapses into each iteration's join, no extra leaf
+    val nodes = endpoints.select("node")
+    // checkpointed (an O(nodes)-row filter off the endpoint checkpoint, not
+    // a pass over e): the per-iteration deg reference stays a 1-node leaf,
+    // keeping plan depth identical per iteration (GraphSpec's depth bound)
+    val deg = endpoints.filter(col("outdeg") > 0L)
+      .select(col("node").as("src"), col("outdeg").as("deg"))
+      .localCheckpoint(true)
     var scores = nodes.withColumn("score", lit(1000000000L))
     (1 to iterations).foreach { i =>
       val inflow = e
