@@ -246,9 +246,11 @@ object TextOps {
     * BEFORE the join back); one equi-join on the window (never
     * all-pairs); removal-interval coverage evaluates per-document in pure
     * HOF column expressions (no extra shuffle past the per-doc span
-    * collect). Windows here are oracle-legible STRINGS — the hot-path
-    * swap is the native `shingle_hashes` kernel, exactly as
-    * [[contaminatedDocs]] documents.
+    * collect). Windows are 64-bit shingle HASHES from the native
+    * `shingle_hashes` kernel (r17 — the swap the r15 version left marked
+    * as the hot path), exactly as [[contaminatedDocs]] documents; the
+    * oracle ranks the gram STRINGS, so the green hash row is the proof
+    * the hashed ranking computes the same removal set.
     *
     * Returns (idCol, text_dedup, n_tokens_removed); documents shorter
     * than n tokens pass through unchanged.
@@ -284,17 +286,23 @@ object TextOps {
     require(n >= 2, s"span window must be >= 2 tokens, got $n")
     require(hotTokenThreshold >= 2,
       s"hotTokenThreshold must be >= 2, got $hotTokenThreshold")
-    // __th: one 64-bit hash PER TOKEN in positional order, from the native
-    // one-pass kernel (tokenHashes splits on " " with limit -1 — exactly
+    // __th: one 64-bit hash PER TOKEN in positional order; __gh: one 64-bit
+    // hash PER n-GRAM in positional order — both from the native one-pass
+    // kernel (tokenHashes splits on " " with limit -1 — exactly
     // split(text, " "), so hash positions align with __toks positions).
+    // Grams rank by their 64-BIT HASH, not the joined string (r17): no
+    // per-gram array_join/slice string construction, and the ranking
+    // shuffle carries 8-byte keys instead of n-token strings — the same
+    // hashed-shingle-equals-string-semantics discipline every other
+    // shingle consumer uses ([[contaminatedDocs]], jaccardVerify), with
+    // the same negligible-collision bound (a corpus-wide 64-bit collision
+    // would remove one extra occurrence; ~Σgrams²/2⁶⁵).
     // Requires GraftExtensions on the session, like every shingle consumer.
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("__toks"),
-      call_function("shingle_hashes", col(textCol), lit(1)).as("__th"))
+      call_function("shingle_hashes", col(textCol), lit(1)).as("__th"),
+      call_function("shingle_hashes", col(textCol), lit(n)).as("__gh"))
     val grams = toks.select(col(idCol).as("__id"),
-        posexplode(when(size(col("__toks")) < n, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
-            i => array_join(slice(col("__toks"), i, lit(n)), " "))))
-          .as(Seq("__i", "__g")),
+        posexplode(col("__gh")).as(Seq("__i", "__g")),
         col("__th"))
       .select(col("__id"), (col("__i") + 1).as("__pos"), col("__g"),
         // the gram's first-token HASH — the skew-routing key (the gram at
