@@ -131,12 +131,94 @@ object FuzzyDedup {
 
   /** Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
     * bucket-join → exact-Jaccard verify.
+    *
+    * CORPUS-SIZE-ADAPTIVE plan (r18; the switch r17's negative result
+    * called for): the default FUSED plan evaluates the signature kernels
+    * inline — `minhash_bands` on both sides of the band self-join and
+    * `shingle_hashes` in both verify joins, 4 kernel passes over the
+    * corpus whose scans overlap — which A/B-measured FASTER at bench scale
+    * (r17 #2: every checkpointed variant lost to the overlapped scans on a
+    * small corpus, barriers cost more than the duplicate passes save). At
+    * large corpus size that inverts by construction: 4 full scans of
+    * 100 TB lose to 2 scans + three small checkpoint barriers. So when the
+    * optimizer's size estimate for `docs` exceeds
+    * `graft.neardup.largeCorpusBytes` (default 8 GiB, system-property
+    * override), the pipeline switches to the SCAN-LEAN plan: checkpoint
+    * the banded rows (corpus pass 1), self-join the checkpoint (no corpus
+    * scan), checkpoint the candidate pairs, and verify with shingle sets
+    * computed ONLY for candidate-matched docs (corpus pass 2, semi-join
+    * restricted) read from their own checkpoint by both verify joins.
+    * Both plans compute the identical pair set (FuzzyDedupSpec asserts
+    * equality); only scan/barrier structure differs.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.7, numHashes: Int = 32,
                    bands: Int = 8, shingle: Int = 3): DataFrame =
-    jaccardVerify(candidatePairs(docs, idCol, textCol, numHashes, bands, shingle),
-      docs, idCol, textCol, threshold, shingle)
+    nearDupPairsPlanned(docs, idCol, textCol, threshold, numHashes, bands,
+      shingle, scanLean = estimatedBytes(docs) >= largeCorpusBytes)
+
+  /** Plan-forced [[nearDupPairs]] (the adaptive switch resolved by the
+    * caller — exposed for the equivalence spec and plan audits).
+    */
+  private[graft] def nearDupPairsPlanned(docs: DataFrame, idCol: String,
+                                         textCol: String, threshold: Double,
+                                         numHashes: Int, bands: Int,
+                                         shingle: Int,
+                                         scanLean: Boolean): DataFrame =
+    if (!scanLean)
+      jaccardVerify(candidatePairs(docs, idCol, textCol, numHashes, bands, shingle),
+        docs, idCol, textCol, threshold, shingle)
+    else {
+      // corpus pass 1: one signature-kernel evaluation, materialized —
+      // both sides of the band self-join read the checkpoint's cached
+      // blocks instead of re-running minhash_bands over the corpus
+      val banded = bandedRows(docs, idCol, textCol, numHashes, bands, shingle)
+        .localCheckpoint(true)
+      val a = banded.select(col(idCol).as("id_a"), col("band_id"), col("band_hash"))
+      val b = banded.select(col(idCol).as("id_b"), col("band_id"), col("band_hash"))
+      // candidate pairs materialize once: they feed the candidate-id
+      // restriction AND the final verify join
+      val pairs = a.join(b, Seq("band_id", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .localCheckpoint(true)
+      val candIds = pairs.select(col("id_a").as("__cid"))
+        .union(pairs.select(col("id_b").as("__cid"))).distinct()
+      // corpus pass 2: shingle sets computed ONLY for candidate docs (the
+      // semi-join drops non-candidates before the kernel runs); the
+      // checkpoint serves both verify joins — shingle_hashes runs once per
+      // candidate doc, not once per verify side
+      val sets = docs.join(candIds, col(idCol) === col("__cid"), "left_semi")
+        .select(col(idCol).as("__jid"),
+          array_distinct(call_function("shingle_hashes", col(textCol), lit(shingle)))
+            .as("__set"))
+        .localCheckpoint(true)
+      pairs
+        .join(sets.withColumnRenamed("__jid", "id_a").withColumnRenamed("__set", "set_a"), "id_a")
+        .join(sets.withColumnRenamed("__jid", "id_b").withColumnRenamed("__set", "set_b"), "id_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+            size(array_union(col("set_a"), col("set_b"))))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
+
+  /** Optimizer size estimate for a frame (bytes) — statistics-based, never
+    * runs a job. For a parquet scan this is file size × filter/projection
+    * selectivity estimates: exactly the signal the scan-vs-barrier trade
+    * needs, and the same estimate autoBroadcastJoinThreshold trusts.
+    */
+  private[graft] def estimatedBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Corpus-size threshold (bytes) above which [[nearDupPairs]] switches to
+    * the scan-lean plan. Default 8 GiB: well above any size where the three
+    * checkpoint barriers (~0.1 s each at bench scale) could matter, well
+    * below any corpus where two saved full scans dominate them.
+    */
+  private[graft] def largeCorpusBytes: Long =
+    sys.props.get("graft.neardup.largeCorpusBytes").flatMap(_.toLongOption)
+      .getOrElse(8L << 30)
 
   /** INCREMENTAL near-dup screening, for a corpus that grows batch by batch
     * — "is anything in this new crawl batch a near-dup of anything we

@@ -265,4 +265,50 @@ class FuzzyDedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
+
+  test("scan-lean nearDupPairs plan ≡ fused plan (identical pairs and jaccards)") {
+    // a richer corpus than `docs`: singletons, exact dups, near dups,
+    // in-doc repetition, short docs — every path through candidate
+    // generation and verify
+    val corpus = docs.unionByName(Seq(
+      (20L, base.replace("green hills", "rolling hills")),
+      (21L, unrelated),
+      (22L, (base + " ") * 3),
+      (23L, "tiny"),
+      (24L, "yet another singleton document about parquet footers and row groups")
+    ).toDF("doc_id", "text"))
+    def run(scanLean: Boolean) = FuzzyDedup.nearDupPairsPlanned(
+        corpus, "doc_id", "text", threshold = 0.5, numHashes = 32, bands = 8,
+        shingle = 3, scanLean = scanLean)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fused = run(scanLean = false)
+    val lean = run(scanLean = true)
+    assert(lean === fused)
+    assert(fused.contains((0L, 1L))) // non-vacuous: the planted dups paired
+  }
+
+  test("scan-lean plan evaluates the signature kernels once per side (2 corpus passes, not 4)") {
+    val lean = FuzzyDedup.nearDupPairsPlanned(docs, "doc_id", "text",
+      threshold = 0.5, numHashes = 32, bands = 8, shingle = 3, scanLean = true)
+    val plan = lean.queryExecution.executedPlan.toString
+    // the two verify joins read the checkpointed candidate sets: no
+    // shingle_hashes survives in the final (post-checkpoint) plan, and no
+    // cartesian anywhere
+    assert(!plan.contains("shingle_hashes"), s"verify re-scans the corpus:\n$plan")
+    assert(!plan.contains("minhash_bands"), s"banding re-runs in the final plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("adaptive threshold: default picks the fused plan at bench scale, switch point is the size estimate") {
+    // the bench corpus estimate is far below the 8 GiB default
+    assert(FuzzyDedup.estimatedBytes(docs) < FuzzyDedup.largeCorpusBytes)
+    assert(FuzzyDedup.largeCorpusBytes === (8L << 30))
+    // the property override moves the switch point (restored after)
+    val key = "graft.neardup.largeCorpusBytes"
+    try {
+      System.setProperty(key, "1")
+      assert(FuzzyDedup.largeCorpusBytes === 1L)
+      assert(FuzzyDedup.estimatedBytes(docs) >= FuzzyDedup.largeCorpusBytes)
+    } finally System.clearProperty(key)
+  }
 }
