@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   * non-increasing after round 1). `localCheckpoint` truncates iterative
   * lineage so the plan does not grow with rounds (the classic Spark
   * iterative-algorithm trap); convergence is an exact set-equality check
-  * (distinct count + EXCEPT), never a hash heuristic.
+  * (distinct counts — observed on the checkpoint jobs, never separate
+  * count() actions — plus a left-anti join over the two already-distinct
+  * edge sets), never a hash heuristic.
   */
 object Components {
 

@@ -128,7 +128,12 @@ object Sampling {
     * pass — exposed so a caller that already materializes the input (e.g.
     * an eager localCheckpoint of a scored corpus) can ride it on that job
     * as an observed metric and pass the result through `sampledBoundaries`,
-    * deleting one full scan from the three-pass plan.
+    * deleting one full scan from the three-pass plan. Boundaries steer
+    * PARALLELISM only — the histogram and the cut are always computed from
+    * the real data, so a skewed (or garbage) sample can degrade bucketing
+    * but never the result; [[selectByBudget]] additionally drops non-finite
+    * values from caller-supplied boundaries (percentile_approx can never
+    * emit them, but a pass-through of some other metric could).
     */
   def budgetBoundariesMetric(key: Column, buckets: Int = 32): Column =
     percentile_approx(key.cast("double"),
@@ -150,7 +155,13 @@ object Sampling {
         .as("__b")).head()
       if (sampledRow.isNullAt(0)) Seq.empty[Double] else sampledRow.getSeq[Double](0)
     }
-    val boundaries = sampled.distinct.sorted
+    // non-finite guard (ADVICE r17): `v > NaN` is false for every row, so a
+    // NaN boundary silently collapses all rows into bucket 0 and the
+    // straddler window becomes one global-sort task — correctness would
+    // survive (the histogram/cut use real data) but the documented
+    // no-single-task contract would not
+    val boundaries =
+      sampled.filter(java.lang.Double.isFinite(_)).distinct.sorted
     val bucket: Column =
       if (boundaries.isEmpty) lit(0)
       else boundaries.map(b => when(v > lit(b), 1).otherwise(0)).reduce(_ + _)

@@ -255,6 +255,14 @@ object TextOps {
     * Returns (idCol, text_dedup, n_tokens_removed); documents shorter
     * than n tokens pass through unchanged.
     *
+    * GUARANTEE (r17 contract change, ADVICE r17): removal is
+    * probabilistically exact, not bit-exact — windows are identified by
+    * 64-bit hash, so a corpus-wide hash collision (probability
+    * ~Σgrams²/2⁶⁵; for 10¹² grams, ~3×10⁻⁸ per corpus) would remove one
+    * extra window occurrence. Callers needing certified-exact span dedup
+    * should verify survivors against the gram strings; every other
+    * shingle consumer in this engine accepts the same bound.
+    *
     * Hot-gram skew guard: the fast ranking plan — ONE `row_number` window
     * over the gram — routes every occurrence of one gram to one task and
     * sorts it there, which a mass-boilerplate gram (one n-gram occurring

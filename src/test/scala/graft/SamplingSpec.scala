@@ -162,6 +162,24 @@ class SamplingSpec extends SparkSpec {
     assert(fused === self && fused.nonEmpty)
   }
 
+  test("selectByBudget: non-finite caller boundaries are ignored, result unchanged") {
+    // ADVICE r17: a NaN/Inf boundary must not degenerate bucketing (v > NaN
+    // is false row-wise) — it is dropped, and the selection still equals the
+    // clean-boundaries run
+    val df = (1L to 400L)
+      .map(i => (i, (i * 37 % 11).toDouble, i % 23 + 1L))
+      .toDF("id", "quality", "w")
+    val clean = Sampling.selectByBudget(df, "w", 500L, -col("quality"),
+        Seq(col("id")), buckets = 8)
+      .select("id").as[Long].collect().sorted.toSeq
+    val dirty = Sampling.selectByBudget(df, "w", 500L, -col("quality"),
+        Seq(col("id")), buckets = 8,
+        sampledBoundaries = Some(Seq(Double.NaN, Double.PositiveInfinity,
+          Double.NegativeInfinity, -8.0, -4.0)))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(dirty === clean && clean.nonEmpty)
+  }
+
   test("selectByBudget: stable across partitionings; negative weights raise") {
     val df = (1L to 200L).map(i => (i, i % 13 + 1L)).toDF("id", "w")
     val a = Sampling.selectByBudget(df, "w", 300L, col("id"), Nil)
